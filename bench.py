@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count-style materialization via
+``collect``) after a warm-up of the session; wall-clock per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+# Headline set: one per operator family, weighted toward shuffle-heavy
+# shapes. Extended-surface queries are included once implemented.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "earliest_order_per_customer",
+    "full_outer_rollup",
+    "semi_join_orders",
+    "map_valued_agg",
+    "mode_per_user",
+    "per_key_limit",
+    "running_total",
+    "recency_filter",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk",
+    "text_quality",
+    "sessionize",
+]
+
+
+def main() -> None:
+    from cliqz_etl_spark.queries import load_all
+    from cliqz_etl_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("cliqz-etl-spark-bench", master=f"local[{CPUS}]",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM/codegen paths once so per-query numbers measure the
+    # plan, not session bootstrap.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Scalar function library — SURVEY.md §2.4 (F1-F10), columnar.
+
+Every function returns a ``Column`` built from pyspark.sql.functions
+(JVM-side, codegen'd). The reference ran these as row-at-a-time Python
+cleaning functions with try/except→NULL (testpilot_data.py:53-63); here
+the same error-tolerant semantics come from ``try_*`` expressions, so no
+Python is involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def clean_cast(col: Column | str, dtype: str) -> Column:
+    """Error-tolerant cast (P4/F4): bad input -> NULL, never an error.
+    Rebuild of build_cell's try/except→None (testpilot_data.py:53-63)."""
+    return _c(col).try_cast(dtype)
+
+
+def split_select(col: Column | str, sep: str = r"\|", index: int = 0) -> Column:
+    """Split on a separator and take one element (F2,
+    testpilot_data.py:109-111 `split_cliqz_id`). NULL-propagating; an
+    out-of-range index yields NULL (element_at on arrays is 1-based)."""
+    return F.element_at(F.split(_c(col), sep), index + 1)
+
+
+def isin_flag(col: Column | str, values: list) -> Column:
+    """Set-membership boolean (F3, testpilot_data.py:177)."""
+    return _c(col).isin(values)
+
+
+def indicator(cond: Column) -> Column:
+    """Boolean condition as a 0/1 long, for summable event flags (F8,
+    profile_daily.py:189-195)."""
+    return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+def parse_yyyymmdd(col: Column | str) -> Column:
+    """'%Y%m%d' date parse (F5, testpilot_data.py:86-87); unparseable -> NULL
+    (matches the reference dropping bad dates, profile_daily.py:128-133)."""
+    return F.try_to_timestamp(_c(col), F.lit("yyyyMMdd")).cast("date")
+
+
+def concat_key(*cols: Column | str, sep: str = "-") -> Column:
+    """Separator concat for composite map keys (F6, profile_daily.py:159
+    `engine + "-" + source`)."""
+    return F.concat_ws(sep, *[_c(c) for c in cols])
+
+
+def hours(col: Column | str, default: float = 0.0) -> Column:
+    """seconds -> hours with NULL -> default (F7, profile_daily.py:168)."""
+    return F.coalesce(_c(col).cast("double"), F.lit(default)) / F.lit(3600.0)
+
+
+def decrypt_aes_ecb_b64(col: Column | str, key: Column) -> Column:
+    """F1 (testpilot_data.py:98-106): base64 -> AES-ECB decrypt -> strip
+    zero padding -> drop 4-byte head/tail. Bad ciphertext -> NULL via
+    try_aes_decrypt. PyCrypto's `AES.new(key)` default mode is ECB with
+    zero-byte padding, hence ('ECB','NONE')."""
+    plain = F.try_aes_decrypt(F.unbase64(_c(col)), key, F.lit("ECB"), F.lit("NONE"))
+    text = F.regexp_replace(plain.cast("string"), "\x00+$", "")
+    return F.substring(text, 5, F.greatest(F.length(text) - F.lit(8), F.lit(0)))
+
+
+def null_safe(col: Column | str, default) -> Column:
+    """F9: the reference's `option(default, f)` NULL-propagation helper
+    (profile_daily.py:200-206). Spark expressions already propagate NULL;
+    this supplies the default side."""
+    return F.coalesce(_c(col), F.lit(default))

@@ -1,0 +1,631 @@
+"""Core relational operator queries — SURVEY.md §2.3-2.7 re-targeted at the
+driver's star schema (TESTDATA.md tables).
+
+Every query is a declarative DataFrame plan (Catalyst owns pushdown,
+pruning, join selection); small dimension tables get explicit
+``F.broadcast`` hints so a 100 TB fact scan never shuffles for a 25-row
+dimension. Doubles in outputs are rounded so the DuckDB oracle hash matches
+despite float summation order differing between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.functions.scalars import hours, indicator
+from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.tables import load_table
+
+
+def _day(c):
+    """Timestamp -> 'yyyy-MM-dd' string, the cross-engine-stable date form."""
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+# --------------------------------------------------------------------------
+# Flagship: grouped sums/avgs with filter pushdown (A2/A5/A6 analog; the
+# shape of the reference's reduceByKey Counter rollup, profile_daily.py:54-55
+# and 142-173, as one partial-aggregated groupBy).
+# --------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
+           ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+           COUNT(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-filter-aggregate with map-side partial aggregation; the filter
+    and the 7-column projection push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 + A1: inner equi-join then grouped min (profile_daily.py:16-22,
+# `earliest_ping_per_client`).
+# --------------------------------------------------------------------------
+@query(
+    "earliest_order_per_customer",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey,
+           strftime(MIN(o.o_orderdate), '%Y-%m-%d') AS first_order_date,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def earliest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + groupBy-min; one shuffle on the join key, agg reuses it."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            _day(F.min("o_orderdate")).alias("first_order_date"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J2: inner equi-join on TWO keys with projection (profile_daily.py:24-39).
+# --------------------------------------------------------------------------
+@query(
+    "two_key_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), purchases AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               ROUND(SUM(value), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.user_id AS user_id, c.day AS day,
+           c.n_clicks AS n_clicks, p.purchase_value AS purchase_value
+    FROM clicks c JOIN purchases p ON p.user_id = c.user_id AND p.day = c.day
+    """,
+)
+def two_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key inner join of two aggregates of the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", _day("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", _day("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+    )
+    return clicks.join(purchases, ["user_id", "day"]).select(
+        "user_id", "day", "n_clicks", "purchase_value"
+    )
+
+
+# --------------------------------------------------------------------------
+# J4: full outer join on composite key, NULL-coalesced output
+# (profile_daily.py:58 + format_row :209-242 intended semantics).
+# --------------------------------------------------------------------------
+@query(
+    "full_outer_rollup",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), purchases AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               ROUND(SUM(value), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.day, p.day)         AS day,
+           COALESCE(c.n_clicks, 0)        AS n_clicks,
+           COALESCE(p.purchase_value, 0.0) AS purchase_value
+    FROM clicks c FULL OUTER JOIN purchases p
+      ON p.user_id = c.user_id AND p.day = c.day
+    """,
+)
+def full_outer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Either-side-nullable full outer with per-column defaults — the
+    reference's ms⨝txp daily rollup shape."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", _day("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", _day("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+    )
+    joined = clicks.join(purchases, ["user_id", "day"], "full_outer")
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J5: broadcast semi-join — the distributed rebuild of the reference's
+# driver-collected client-id list pushed into the KV fetch
+# (profile_daily.py:41-44,103-115).
+# --------------------------------------------------------------------------
+@query(
+    "semi_join_orders",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+           ROUND(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000.0)
+    """,
+)
+def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi with an explicit broadcast of the filtered key side: at
+    scale the key set never touches the driver (no collect), and the fact
+    table never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000.0)
+    return (
+        orders.join(F.broadcast(rich), orders.o_custkey == rich.c_custkey, "left_semi")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "anti_join_customers",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers with no orders (completes the join family)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# A3: map-valued aggregation (search_counts Counter, profile_daily.py:157-169)
+# emitted in exploded (key, value) canonical form so both engines hash alike.
+# --------------------------------------------------------------------------
+@query(
+    "map_valued_agg",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey,
+           (c.c_mktsegment || '-' || o.o_orderstatus) AS seg_status,
+           COUNT(*) AS cnt
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def map_valued_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `Counter{engine-source: n}` per client becomes a
+    grouped count on a concat_ws key; `map_from_entries(collect_list(...))`
+    would re-assemble the map column, but the exploded form is the
+    aggregation itself (and what SQL engines can check)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            "c_custkey",
+            F.concat_ws("-", "c_mktsegment", "o_orderstatus").alias("seg_status"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: mode (most frequent value) per group with deterministic tie-break
+# (profile_daily.py:167,232 — Counter.most_common()[0][0]).
+# --------------------------------------------------------------------------
+@query(
+    "mode_per_user",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type ASC) AS rn
+        FROM counts
+    )
+    SELECT user_id AS user_id, event_type AS top_event_type, cnt AS cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count + row_number window; ties broken by value ordering so the
+    result is deterministic (F.mode would tie-break arbitrarily)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# A5/F8: summed indicator flags (prep_txp_agg, profile_daily.py:189-195 —
+# implementing the INTENT: separate enabled/disabled counters, §2.9).
+# --------------------------------------------------------------------------
+@query(
+    "indicator_sums",
+    oracle="""
+    SELECT user_id AS user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS BIGINT) AS n_engagement
+    FROM events GROUP BY user_id
+    """,
+)
+def indicator_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    return ev.groupBy("user_id").agg(
+        F.sum(indicator(t == "click")).alias("n_click"),
+        F.sum(indicator(t == "purchase")).alias("n_purchase"),
+        F.sum(indicator(t == "error")).alias("n_error"),
+        F.sum(indicator(t.isin(["view", "click"]))).alias("n_engagement"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6/F7: sum with unit conversion and NULL->0 (session_hours,
+# profile_daily.py:168).
+# --------------------------------------------------------------------------
+@query(
+    "value_hours_per_user",
+    oracle="""
+    SELECT user_id AS user_id,
+           ROUND(SUM(COALESCE(value, 0.0) / 3600.0), 4) AS value_hours
+    FROM events GROUP BY user_id
+    """,
+)
+def value_hours_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum(hours("value")), 4).alias("value_hours")
+    )
+
+
+# --------------------------------------------------------------------------
+# A7: distinct (profile_daily.py:41-42) — without the driver collect.
+# --------------------------------------------------------------------------
+@query(
+    "distinct_purchasers",
+    oracle="SELECT DISTINCT user_id AS user_id FROM events WHERE event_type = 'purchase'",
+)
+def distinct_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+
+
+# --------------------------------------------------------------------------
+# A8: boolean-any aggregate (has_addon, profile_daily.py:170,228).
+# --------------------------------------------------------------------------
+@query(
+    "ever_purchased",
+    oracle="""
+    SELECT user_id AS user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN TRUE ELSE FALSE END) AS ever_purchased
+    FROM events GROUP BY user_id
+    """,
+)
+def ever_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "purchase").alias("ever_purchased")
+    )
+
+
+# --------------------------------------------------------------------------
+# P10/F5: recency window filter — keep rows within 14 days of each key's
+# first activity (is_ms_row_recent, profile_daily.py:118-139).
+# --------------------------------------------------------------------------
+@query(
+    "recency_filter",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id AS user_id, COUNT(*) AS n_recent
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    WHERE date_diff('day', f.first_day, CAST(e.ts AS DATE)) <= 14
+    GROUP BY e.user_id
+    """,
+)
+def recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-activity join + datediff filter; the min-date side is tiny
+    after aggregation, so AQE broadcast-joins it back against the facts."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .where(F.datediff(F.col("ts").cast("date"), F.col("first_day")) <= 14)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+
+
+# --------------------------------------------------------------------------
+# S5 rebuild: per-key limit via row_number window (HBase get_range
+# limit=1000/client, profile_daily.py:107-113).
+# --------------------------------------------------------------------------
+@query(
+    "per_key_limit",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        FROM orders
+    )
+    SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey, rn AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def per_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 orders per customer, deterministically ordered."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# P4/F2/F3/F4/F9 + JSON access: the scalar-function gauntlet, one row per
+# event. get_json_object replaces the reference's pre-Spark path projection
+# (get_pings_properties) for JSON-string columns.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_gauntlet",
+    oracle="""
+    SELECT event_id AS event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT)            AS prop_k,
+           CAST(TRY_CAST(event_type AS BIGINT) AS BIGINT)        AS bad_cast,
+           (event_type IN ('click', 'view'))                     AS is_engagement,
+           (event_type || '-' || CAST(user_id AS VARCHAR))       AS type_user,
+           ROUND(COALESCE(value, 0.0), 2)                        AS value_or_zero,
+           str_split(event_type, 'i')[1]                         AS split_head
+    FROM events
+    """,
+)
+def scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level scalar functions: JSON path extract, try_cast (error->NULL,
+    the build_cell semantics), isin flag, concat_ws, coalesce, split[0]."""
+    from cliqz_etl_spark.functions.scalars import (
+        clean_cast,
+        concat_key,
+        isin_flag,
+        null_safe,
+        split_select,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        clean_cast("event_type", "long").alias("bad_cast"),
+        isin_flag("event_type", ["click", "view"]).alias("is_engagement"),
+        concat_key("event_type", F.col("user_id").cast("string")).alias("type_user"),
+        F.round(null_safe("value", 0.0), 2).alias("value_or_zero"),
+        split_select("event_type", "i", 0).alias("split_head"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P9: regex validity filter (is_valid_client_id, profile_daily.py:70-77).
+# --------------------------------------------------------------------------
+@query(
+    "regex_validity_filter",
+    oracle="""
+    SELECT c_custkey AS c_custkey, c_name AS c_name
+    FROM customer
+    WHERE regexp_matches(c_name, '^Customer#[0-9]{9}$')
+      AND (c_custkey % 7) <> 0
+    """,
+)
+def regex_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.where(
+        F.regexp_like("c_name", F.lit("^Customer#[0-9]{9}$")) & (F.col("c_custkey") % 7 != 0)
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Sort + limit (top-k) — absent from the reference (§2.7) but part of any
+# complete relational surface; deterministic tie-break.
+# --------------------------------------------------------------------------
+@query(
+    "top_orders",
+    oracle="""
+    SELECT o_orderkey AS o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TakeOrderedAndProject: top-k never materializes a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (absent from reference, §2.8 — completing the surface).
+# --------------------------------------------------------------------------
+@query(
+    "nations_without_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)
+
+
+@query(
+    "nations_with_both",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@query(
+    "all_account_balances",
+    oracle="""
+    SELECT 'customer' AS kind, ROUND(SUM(c_acctbal), 2) AS total FROM customer
+    UNION ALL
+    SELECT 'supplier' AS kind, ROUND(SUM(s_acctbal), 2) AS total FROM supplier
+    """,
+)
+def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total")
+    ).select(F.lit("customer").alias("kind"), "total")
+    supp = load_table(spark, sf_dir, "supplier").agg(
+        F.round(F.sum("s_acctbal"), 2).alias("total")
+    ).select(F.lit("supplier").alias("kind"), "total")
+    return cust.unionByName(supp)
+
+
+# --------------------------------------------------------------------------
+# Rollup / grouping sets (absent from reference, §2.8).
+# --------------------------------------------------------------------------
+@query(
+    "order_rollup",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus, o_orderpriority AS o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Star join with broadcast dimensions (TPC-H Q5 shape): revenue per nation.
+# The bench headline query.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN nation n    ON n.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join shuffles on orderkey; every dimension is broadcast so
+    the region filter prunes customers before touching lineitem."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        cust.join(dims, cust.c_nationkey == dims.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window analytics: running total per key (the §2.8 window-function surface).
+# --------------------------------------------------------------------------
+@query(
+    "running_total",
+    oracle="""
+    SELECT event_id AS event_id, user_id AS user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_value
+    FROM events
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )

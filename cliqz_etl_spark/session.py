@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Replaces the reference's ``sc`` / ``sqlContext`` bootstrap
+(/root/reference/cliqz_etl/testpilot_data.py:84, profile_daily.py:9) with a
+single configured ``SparkSession``. Config is chosen for correctness first
+(UTC session timezone, ANSI off so try-semantics match the reference's
+error->NULL cells) and for scale second (AQE on: dynamic coalescing, skew
+join splitting, dynamic broadcast selection).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the local[32] test harness; on a real cluster these are
+# overridden by spark-submit conf. shuffle.partitions matters most: AQE
+# coalesces down from this at runtime, so it is an upper bound, not a fixed
+# cost.
+_DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
+    # Reference semantics: bad cell -> NULL, never a thrown cast error
+    # (testpilot_data.py:53-63). ANSI mode would turn those into exceptions.
+    "spark.sql.ansi.enabled": "false",
+    # Arrow for any pandas_udf / mapInPandas path (multimodal, fallbacks).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Idempotent daily re-runs overwrite only the partitions present in the
+    # output (replaces the reference's hand-built /submission={day} paths,
+    # testpilot_data.py:72-82).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def get_spark(app_name: str = "cliqz_etl_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the session. ``master`` defaults to ``local[N]``
+    locally and is left unset when a cluster manager provides it."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
