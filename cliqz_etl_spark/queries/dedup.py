@@ -1,1 +1,197 @@
-"""Placeholder — filled in as the operator family is implemented."""
+"""Deduplication queries on the documents table, each oracle-checked.
+
+The DuckDB oracle SQL is generated from the same constants (seed counts,
+band layout, masks) as the Spark operators, so the two sides cannot drift.
+The oracle mirrors the *algorithm* (shingle -> seeded-min -> band-bucket ->
+pair join), not just the answer — a full cross-engine replication of the
+pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.functions.hashing import md5_long_seeded_sql, md5_long_sql
+from cliqz_etl_spark.operators.dedup import (
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.tables import load_table
+
+N_PERM = 16
+N_BANDS = 4
+SHINGLE_K = 3
+
+# ---- shared DuckDB fragments ---------------------------------------------
+
+_WS = "string_split_regex(trim(text), '\\s+')"
+# k-word shingles with whole-text fallback for short docs — the SQL twin of
+# functions/text.py::word_shingles.
+_SHINGLES = (
+    f"list_transform(range(1, greatest(len({_WS}) - {SHINGLE_K - 1}, 1) + 1), "
+    f"i -> array_to_string({_WS}[i:i+{SHINGLE_K - 1}], ' '))"
+)
+
+_SIG_COLS = ", ".join(
+    f"MIN({md5_long_seeded_sql('s', seed)}) AS mh_{seed}" for seed in range(N_PERM)
+)
+_SIG_CTE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ), sig AS (
+        SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id
+    )
+"""
+
+_ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def _band_bucket_sql(b: int) -> str:
+    concat = " || ',' || ".join(
+        f"CAST(mh_{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+    )
+    return md5_long_sql(f"({concat})")
+
+
+_BUCKETS_CTE = _SIG_CTE + ", buckets AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {_band_bucket_sql(b)} AS bucket FROM sig"
+    for b in range(N_BANDS)
+) + ")"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 group-by, canonical row = min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text")
+
+
+@query(
+    "minhash_signatures",
+    oracle=_SIG_CTE + f"""
+    SELECT doc_id AS doc_id, {', '.join(f'mh_{s} AS mh_{s}' for s in range(N_PERM))}
+    FROM sig
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 16-permutation MinHash signature per document — verifies
+    the shingle->seeded-hash->min pipeline value-for-value. Spark computes
+    it columnar (array_min over transform, zero shuffle); the oracle is the
+    exploded GROUP BY equivalent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *minhash_signature("text", N_PERM, SHINGLE_K))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_BUCKETS_CTE + """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 perms, 4 bands x 4 rows: the LSH
+    S-curve puts the 50%-catch threshold at jaccard ~ 0.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, "doc_id", "text", N_PERM, N_BANDS, SHINGLE_K)
+
+
+# ---- SimHash --------------------------------------------------------------
+
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
+
+_SIMHASH_TERMS = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hh, h -> (h & {1 << b}) != 0)) >= n "
+    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct({_WS}) AS tk FROM documents
+    ), hs AS (
+        SELECT doc_id, list_transform(tk, t -> {md5_long_sql('t')}) AS hh,
+               len(tk) AS n
+        FROM toks
+    ), sim AS (
+        SELECT doc_id, {_SIMHASH_TERMS} AS sh FROM hs
+    )
+"""
+
+_SIM_BUCKETS = _SIMHASH_CTE + ", chunks AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, sh, {j} AS band, (sh >> {j * _CHUNK_BITS}) & {_CHUNK_MASK} AS chunk FROM sim"
+    for j in range(SIMHASH_BANDS)
+) + ")"
+
+
+@query(
+    "simhash_values",
+    oracle=_SIMHASH_CTE + "SELECT doc_id AS doc_id, sh AS simhash FROM sim",
+)
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 32-bit SimHash itself, value-checked per document."""
+    from cliqz_etl_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("simhash"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=_SIM_BUCKETS + """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3. Candidates from the 4-bit
+    chunk equi-join (8 chunks: pigeonhole guarantees no false negatives
+    below hamming 8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a AS id_a, id_b AS id_b,
+           CAST(floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) AS BIGINT)
+               AS jaccard_x10k
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) AS BIGINT) >= 2000
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard >= 0.2 via inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", SHINGLE_K, threshold=0.2)

@@ -1,1 +1,165 @@
-"""Placeholder — filled in as the operator family is implemented."""
+"""Similarity-search queries on the embeddings table (array<float>, 64-d).
+
+Brute-force cosine top-k is the exactness baseline; IVF (nearest-centroid
+bucketing, n_probe=1) is the scale path. Vectors are quantized to integer
+milli-units before distance math so results are bit-identical across
+engines (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    quantize,
+    cosine_q,
+)
+from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.tables import load_table
+
+QUERY_MOD = 97     # query set: vec_id % 97 == 0
+CENTROID_MOD = 100  # deterministic "trained" centroids: vec_id % 100 == 0
+TOP_K = 5
+IVF_K = 3
+
+# ---- shared DuckDB fragments ----------------------------------------------
+
+_QUANT = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
+
+
+def _dot(a: str, b: str) -> str:
+    return (f"CAST(list_sum(list_transform(range(1, len({a})+1), "
+            f"i -> {a}[i]*{b}[i])) AS DOUBLE)")
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / sqrt({_dot(a, a)} * {_dot(b, b)}))"
+
+
+_QCTE = f"WITH q AS (SELECT vec_id, {_QUANT} AS v FROM embeddings)"
+
+_ASSIGN_CTE = _QCTE + f"""
+    , cent AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id % {CENTROID_MOD} = 0)
+    , dists AS (
+        SELECT q.vec_id, cent.cid,
+               list_sum(list_transform(range(1, len(q.v)+1),
+                        i -> (q.v[i]-cent.cv[i])*(q.v[i]-cent.cv[i]))) AS d
+        FROM q, cent
+    ), assigned AS (
+        SELECT vec_id, cid AS cluster
+        FROM (SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+              FROM dists)
+        WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "ann_topk",
+    oracle=_QCTE + f"""
+    SELECT qr.vec_id AS query_id, rank AS rank, neighbor_id AS neighbor_id, cos_x10k AS cos_x10k
+    FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_cos('a.v', 'b.v')} DESC, b.vec_id ASC) AS rank,
+               CAST(floor({_cos('a.v', 'b.v')} * 10000 + 0.5) AS BIGINT) AS cos_x10k
+        FROM q a JOIN q b ON a.vec_id != b.vec_id
+        WHERE a.vec_id % {QUERY_MOD} = 0
+    ) qr
+    WHERE rank <= {TOP_K}
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector; query side
+    broadcast, corpus scanned once, ranked in a per-query window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return brute_force_topk(emb, queries, "vec_id", "embedding", TOP_K)
+
+
+@query(
+    "ivf_clusters",
+    oracle=_ASSIGN_CTE + """
+    SELECT cluster AS cluster, COUNT(*) AS n_vectors
+    FROM assigned GROUP BY cluster
+    """,
+)
+def ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer sanity: cluster occupancy. Verifies the full
+    argmin assignment (integer-exact L2, tie -> lowest centroid id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
+    return (
+        ivf_assign(emb, centroids, "vec_id", "embedding")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@query(
+    "ann_ivf",
+    oracle=_ASSIGN_CTE + f"""
+    , scored AS (
+        SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+               {_cos('qv.v', 'cv.v')} AS cos
+        FROM assigned qa
+        JOIN assigned ca ON ca.cluster = qa.cluster AND ca.vec_id != qa.vec_id
+        JOIN q qv ON qv.vec_id = qa.vec_id
+        JOIN q cv ON cv.vec_id = ca.vec_id
+        WHERE qa.vec_id % {QUERY_MOD} = 0
+    )
+    SELECT query_id AS query_id, rank AS rank, neighbor_id AS neighbor_id, cos_x10k AS cos_x10k
+    FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+               CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
+        FROM scored
+    )
+    WHERE rank <= {IVF_K}
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 within the query's own cluster (n_probe=1) — the bucketed
+    scale path; recall < 1 by design, checked value-for-value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return ivf_topk(emb, centroids, queries, "vec_id", "embedding", IVF_K)
+
+
+@query(
+    "embedding_near_pairs",
+    oracle=_ASSIGN_CTE + f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(floor({_cos('qa.v', 'qb.v')} * 10000 + 0.5) AS BIGINT) AS cos_x10k
+    FROM assigned a
+    JOIN assigned b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+    JOIN q qa ON qa.vec_id = a.vec_id
+    JOIN q qb ON qb.vec_id = b.vec_id
+    WHERE CAST(floor({_cos('qa.v', 'qb.v')} * 10000 + 0.5) AS BIGINT) >= 4000
+    """,
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, restricted to same-IVF-cluster
+    candidates (the bucketed dedup shape; threshold 0.40 on this corpus —
+    its true near-dup ceiling is cos ~ 0.51)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
+    assigned = ivf_assign(emb, centroids, "vec_id", "embedding")
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_qv").alias("qa"), "cluster")
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_qv").alias("qb"), "cluster")
+    return (
+        a.join(b, ["cluster"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.floor(cosine_q(F.col("qa"), F.col("qb")) * 10000 + 0.5)
+            .cast("long").alias("cos_x10k"),
+        )
+        .where(F.col("cos_x10k") >= 4000)
+    )
