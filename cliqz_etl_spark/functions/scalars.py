@@ -61,9 +61,15 @@ def hours(col: Column | str, default: float = 0.0) -> Column:
 def decrypt_aes_ecb_b64(col: Column | str, key: Column) -> Column:
     """F1 (testpilot_data.py:98-106): base64 -> AES-ECB decrypt -> strip
     zero padding -> drop 4-byte head/tail. Bad ciphertext -> NULL via
-    try_aes_decrypt. PyCrypto's `AES.new(key)` default mode is ECB with
-    zero-byte padding, hence ('ECB','NONE')."""
-    plain = F.try_aes_decrypt(F.unbase64(_c(col)), key, F.lit("ECB"), F.lit("NONE"))
+    try_aes_decrypt.
+
+    Divergence note: PyCrypto's `AES.new(key)` was raw ECB over zero-padded
+    plaintext; Spark's aes_decrypt rejects ('ECB','NONE'), so this uses
+    ECB/PKCS ('DEFAULT'). The zero-strip is kept so zero-padded plaintext
+    inside a PKCS envelope still cleans up; byte-exact parity with a raw
+    zero-padded producer would need a Python-AES guarded UDF (no crypto
+    lib in this container)."""
+    plain = F.try_aes_decrypt(F.unbase64(_c(col)), key, F.lit("ECB"), F.lit("DEFAULT"))
     text = F.regexp_replace(plain.cast("string"), "\x00+$", "")
     return F.substring(text, 5, F.greatest(F.length(text) - F.lit(8), F.lit(0)))
 

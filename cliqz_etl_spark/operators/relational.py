@@ -39,11 +39,14 @@ def grouped_mode(df: DataFrame, keys: list[str], value: str,
 
 
 def map_counter_agg(df: DataFrame, keys: list[str], map_key: Column,
-                    out: str = "counts") -> DataFrame:
+                    weight: Column | None = None, out: str = "counts") -> DataFrame:
     """A3: the reference's mergeable Counter{engine-source: n} aggregate
-    (profile_daily.py:157-169) as explode-free grouped counts reassembled
-    into a map column via map_from_entries(collect_list(...))."""
-    counted = df.groupBy(*keys, map_key.alias("__k")).agg(F.count(F.lit(1)).alias("__v"))
+    (profile_daily.py:157-169) as grouped sums reassembled into a map
+    column via map_from_entries(collect_list(...)). ``weight`` is the
+    per-row increment (the Counter added search_counts' own `count` field,
+    :159-161); default 1 per row."""
+    inc = F.lit(1) if weight is None else weight
+    counted = df.groupBy(*keys, map_key.alias("__k")).agg(F.sum(inc).alias("__v"))
     return (
         counted.groupBy(*keys)
         .agg(F.map_from_entries(
