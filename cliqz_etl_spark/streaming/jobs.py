@@ -1,0 +1,94 @@
+"""Structured Streaming surface.
+
+The reference is a scheduled daily batch job whose incremental unit is the
+``submission={day}`` partition (testpilot_data.py:86-87,197-200) — SURVEY.md
+§2.8 records streaming as absent. This module is the north-star extension:
+the same logical operations expressed over unbounded input, so a user can
+run the extraction or the event rollups continuously instead of daily.
+
+Design notes for scale:
+- File source + ``availableNow`` trigger reproduces the daily batch
+  exactly (catch-up runs are bounded); a Kafka source drops in unchanged.
+- Watermarks bound state: the 1-hour watermark on event time caps the
+  window-state store regardless of input volume.
+- ``session_window`` is the streaming twin of the batch lag+cumsum
+  sessionizer (queries/sessions.py) — same gap semantics, state-store
+  backed instead of a window over a shuffle.
+- Output to partitioned parquet keeps the warehouse layout identical to
+  the batch sink, so downstream consumers cannot tell which wrote it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+GAP = "30 minutes"
+WATERMARK = "1 hour"
+
+
+def read_event_stream(spark: SparkSession, path: str, schema: StructType,
+                      fmt: str = "json") -> DataFrame:
+    """Unbounded file-source scan. Explicit schema is mandatory (streaming
+    sources cannot infer)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts per event type with late-data handling:
+    rows later than the watermark are dropped, closed windows are final."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "total_value")
+    )
+
+
+def session_rollup(events: DataFrame, gap: str = GAP) -> DataFrame:
+    """Gap-based session aggregation — the streaming equivalent of the
+    batch sessionize query (same 30-min gap). State per (user, session)
+    is bounded by the watermark."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("session_value"))
+        .select("user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events", "session_value")
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
+    """Drain all available input into an in-memory table (tests/debug):
+    availableNow processes the backlog then stops — the streaming twin of
+    one daily batch run."""
+    (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_to_parquet(df: DataFrame, path: str, checkpoint: str,
+                   partition_by: str | None = None) -> None:
+    """Continuous warehouse sink: append-mode parquet with checkpointed
+    exactly-once file commits; layout matches the batch writer."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.start().awaitTermination()

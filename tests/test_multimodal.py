@@ -1,0 +1,47 @@
+"""Multimodal binary plumbing: mapInPandas batch shape, error->NULL rows,
+1->N frame sampling expansion."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.multimodal.binary_ops import (
+    attach_binary,
+    extract_media_meta,
+    fake_decode,
+    frame_sample,
+)
+
+
+def test_extract_media_meta_and_error_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x"), (3, None)], ["id", "txt"]
+    )
+    blobs = attach_binary(df, "txt")
+    out = {r["id"]: r for r in extract_media_meta(blobs, "id", "blob").collect()}
+    assert out[1]["byte_len"] == 11 and out[1]["magic"] == "68656C6C"
+    assert out[1]["width"] == 12 and out[1]["height"] == 12 and out[1]["ok"]
+    assert out[2]["byte_len"] == 1
+    # NULL blob -> decoder raises -> ok=false row, job survives
+    assert out[3]["ok"] is False and out[3]["byte_len"] is None
+
+
+def test_custom_decoder_plugs_in(spark):
+    df = attach_binary(spark.createDataFrame([(1, "abc")], ["id", "txt"]), "txt")
+    meta = extract_media_meta(df, "id", "blob",
+                              decoder=lambda b: {"width": 640, "height": 480})
+    row = meta.first()
+    assert (row["width"], row["height"]) == (640, 480)
+
+
+def test_frame_sample_expansion(spark):
+    # 3 KiB blob -> 3 chunk-frames at every_n=1
+    df = spark.createDataFrame([(7, "z" * 3072)], ["id", "txt"])
+    frames = frame_sample(attach_binary(df, "txt"), "id", "blob", every_n=1).collect()
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2]
+    assert all(len(bytes(f["frame_blob"])) == 1024 for f in frames)
+    assert {f["id"] for f in frames} == {7}
+
+
+def test_fake_decode_deterministic():
+    assert fake_decode(b"abc") == {"width": 4, "height": 4}

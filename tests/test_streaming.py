@@ -1,0 +1,96 @@
+"""Structured Streaming: file source -> watermarked windows / session
+windows -> sink, drained with availableNow (the streaming twin of one
+daily batch run). Results are checked against the equivalent batch
+computation on the same data — streaming and batch must agree."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cliqz_etl_spark.streaming.jobs import (
+    read_event_stream,
+    run_to_memory,
+    run_to_parquet,
+    session_rollup,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+
+def _write_events(path: str) -> None:
+    rows = [
+        # user 1: two sessions (gap > 30 min between e2 and e3)
+        (1, "2024-01-01T10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01T10:10:00", 1, "view", 2.0),
+        (3, "2024-01-01T11:30:00", 1, "click", 3.0),
+        # user 2: one session, crosses the hour boundary
+        (4, "2024-01-01T10:55:00", 2, "purchase", 10.0),
+        (5, "2024-01-01T11:05:00", 2, "click", 4.0),
+    ]
+    with open(f"{path}/events.json", "w") as f:
+        for eid, ts, uid, et, v in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid,
+                                "event_type": et, "value": v}) + "\n")
+
+
+def test_windowed_counts_match_batch(spark):
+    src = tempfile.mkdtemp()
+    _write_events(src)
+    stream = read_event_stream(spark, src, EVENT_SCHEMA)
+    assert stream.isStreaming
+    # complete mode: availableNow drains one batch and stops, so append
+    # mode would hold every window open behind the watermark forever
+    run_to_memory(windowed_event_counts(stream, "1 hour"), "win_counts", mode="complete")
+    got = {(str(r["window_start"]), r["event_type"]): r["n_events"]
+           for r in spark.table("win_counts").collect()}
+    batch = spark.read.schema(EVENT_SCHEMA).json(src)
+    want = {
+        (str(r["w"]["start"]), r["event_type"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # 4 groups: both users' 11:00 clicks merge into one window row
+    assert got == want and len(got) == 4
+
+
+def test_session_window_gap_semantics(spark):
+    src = tempfile.mkdtemp()
+    _write_events(src)
+    stream = read_event_stream(spark, src, EVENT_SCHEMA)
+    run_to_memory(session_rollup(stream, "30 minutes"), "sessions", mode="complete")
+    rows = sorted(
+        ((r["user_id"], r["n_events"], r["session_value"])
+         for r in spark.table("sessions").collect())
+    )
+    # user 1 splits at the >30min gap; user 2's hour-crossing pair stays one
+    # session (session windows follow the gap, not clock-hour boundaries)
+    assert rows == [(1, 1, 3.0), (1, 2, 3.0), (2, 2, 14.0)]
+
+
+def test_streaming_parquet_sink_matches_batch_layout(spark):
+    src, out, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp(), tempfile.mkdtemp()
+    _write_events(src)
+    stream = read_event_stream(spark, src, EVENT_SCHEMA)
+    enriched = stream.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    run_to_parquet(enriched, f"{out}/events", f"{ckpt}/cp", partition_by="day")
+    back = spark.read.parquet(f"{out}/events")
+    assert back.count() == 5
+    assert sorted(str(r["day"]) for r in back.select("day").distinct().collect()) == ["2024-01-01"]
