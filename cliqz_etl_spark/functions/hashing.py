@@ -38,3 +38,53 @@ def md5_long_sql(expr: str) -> str:
 
 def md5_long_seeded_sql(expr: str, seed: int) -> str:
     return md5_long_sql(f"CAST({expr} AS VARCHAR) || '#' || '{seed}'")
+
+
+# --- MinHash permutation family -------------------------------------------
+#
+# One md5 per element (32-bit base hash), then k permutations as
+# h_i(x) = (a_i * (base mod P) + b_i) mod P with P = 2^31 - 1 — the classic
+# pairwise-independent universal family. Deriving 16 signatures costs 16
+# multiply-adds per element instead of 16 md5s.
+#
+# P MUST be small enough that a_i*base wraps the modulus many times: an
+# earlier variant used P = 2^61-1, where a*base+b < 2^61 never wraps, the
+# maps stay order-preserving, every "permutation" selects the same argmin
+# element, and LSH collapses (measured: 5x the true candidate-pair count).
+#
+# Bounds: base mod P < 2^31, a < 2^30  =>  a*(base mod P) + b < 2^61 fits
+# signed 64-bit in Spark and DuckDB alike.
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def md5_long32(col: Column | str) -> Column:
+    """First 32 bits of md5 as a long (the permutation base hash)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def md5_long32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def perm_params(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, derived from md5 in plain Python so
+    the Spark operators and generated oracle SQL share them exactly.
+    1 <= a_i < 2^28 (odd), 0 <= b_i < 2^28."""
+    import hashlib as _hl
+
+    out = []
+    for i in range(n_perm):
+        a = int(_hl.md5(f"minhash-a-{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(_hl.md5(f"minhash-b-{i}".encode()).hexdigest()[:7], 16)
+        out.append((a, b))
+    return out
+
+
+def perm_col(base: Column, a: int, b: int) -> Column:
+    return (F.lit(a) * (base % F.lit(MERSENNE_P)) + F.lit(b)) % F.lit(MERSENNE_P)
+
+
+def perm_sql(base_expr: str, a: int, b: int) -> str:
+    return f"(({a} * ({base_expr} % {MERSENNE_P}) + {b}) % {MERSENNE_P})"

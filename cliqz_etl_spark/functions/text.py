@@ -92,14 +92,24 @@ def fingerprint(col: Column | str, k: int = 8) -> Column:
     return F.array_min(hashed)
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """All k-word shingles (space-joined) as array<string>; docs shorter
-    than k words yield a single shingle of the whole text."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
+def word_shingles_from(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from an ALREADY-MATERIALIZED tokens column.
+
+    Performance contract: ``toks`` should be a plain column reference (an
+    attribute), not an inline expression — expression subtrees referenced
+    inside a transform lambda are re-evaluated per element in codegen,
+    which turns shingling into O(tokens^2) per row."""
     n = F.size(toks) - F.lit(k - 1)
     return F.when(
         n > 0,
         F.transform(F.sequence(F.lit(1), n),
                     lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """All k-word shingles (space-joined) as array<string>; docs shorter
+    than k words yield a single shingle of the whole text. Prefer the
+    staged ``word_shingles_from`` in hot paths (see its note)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return word_shingles_from(tokens(c), k)

@@ -26,9 +26,47 @@ import operator as _op
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from cliqz_etl_spark.functions.hashing import md5_long, md5_long_seeded
-from cliqz_etl_spark.functions.text import tokens, word_shingles
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist + force a small intermediate before a self-join.
+
+    Self-joining a derived frame otherwise computes its whole subtree once
+    per join side (measured 2-3x the cost on the hashing-heavy frames
+    here). The persisted frames are a few dozen bytes per row — at 10^9
+    docs that is ~100 GB across a cluster, comfortably MEMORY_AND_DISK."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+from cliqz_etl_spark.functions.hashing import md5_long, md5_long32, perm_col, perm_params
+from cliqz_etl_spark.functions.text import tokens, word_shingles_from
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ahead of compute-heavy per-row work iff the scan has
+    fewer partitions than the cluster has slots (a single dense parquet
+    file otherwise serializes all hashing onto one core; the shuffle moves
+    only the raw text once and is immediately amortized)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _shingle_hashes(df: DataFrame, id_col: str, text_col: str,
+                    shingle_k: int) -> DataFrame:
+    """(_id, _hs): 32-bit md5 per k-word shingle, computed through staged
+    projections so tokens/shingles/hashes are each materialized once per
+    row (inline subtrees inside transform lambdas re-evaluate per element
+    — measured 6x slower)."""
+    return (
+        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+        .select("_id", tokens(F.col("_text")).alias("_toks"))
+        .select("_id", word_shingles_from(F.col("_toks"), shingle_k).alias("_sh"))
+        .select("_id", F.transform("_sh", md5_long32).alias("_hs"))
+    )
 
 # ---------------------------------------------------------------- exact --
 
@@ -46,36 +84,48 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # -------------------------------------------------------------- MinHash --
 
-def minhash_signature(text_col: str | Column, n_perm: int = 16,
-                      shingle_k: int = 3) -> list[Column]:
-    """n_perm MinHash values as individual columns ``mh_i``.
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_perm: int = 16, shingle_k: int = 3) -> DataFrame:
+    """(_id, mh_0..mh_{n-1}): the MinHash signature per row.
 
-    Computed entirely per-row: shingle array -> transform with the seeded
-    hash family -> array_min. No explode, no shuffle; at scale this is
-    scan-side map work fused into whole-stage codegen.
+    Two-stage columnar plan, no explode, no shuffle:
+    1. one projection materializes the shingle array and md5-hashes each
+       shingle ONCE (the expensive part — without this boundary every
+       signature column would re-derive split+slice+md5, measured 6x
+       slower at sf0.1);
+    2. each signature is an array_min over a cheap integer permutation
+       (a_i*h + b_i mod P) of the shared hash array.
 
-    NB: the per-seed lambda must be built by a factory with arity 1 —
-    F.transform dispatches on lambda arity, so a `lambda s, seed=seed`
-    binding would receive the array INDEX as its second argument."""
-    sh = word_shingles(text_col, shingle_k)
+    NB: per-seed lambdas are built by arity-1 factories — F.transform
+    dispatches on lambda arity, and a `lambda h, a=a` binding would
+    receive the array INDEX as its second argument."""
+    hashed = _shingle_hashes(df, id_col, text_col, shingle_k)
 
-    def hasher(seed: int):
-        return lambda s: md5_long_seeded(s, seed)
+    def perm(a: int, b: int):
+        return lambda h: perm_col(h, a, b)
 
-    return [
-        F.array_min(F.transform(sh, hasher(seed))).alias(f"mh_{seed}")
-        for seed in range(n_perm)
-    ]
+    return hashed.select(
+        "_id",
+        *[F.array_min(F.transform("_hs", perm(a, b))).alias(f"mh_{i}")
+          for i, (a, b) in enumerate(perm_params(n_perm))],
+    )
 
 
 def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
                          n_perm: int = 16, n_bands: int = 4,
-                         shingle_k: int = 3) -> DataFrame:
+                         shingle_k: int = 3,
+                         materialize_sigs: bool = True) -> DataFrame:
     """(id, band, bucket) rows: each doc lands in n_bands buckets, where
     bucket = md5 of its band's signature slice. Docs agreeing on all rows
-    of any band share a bucket (the LSH S-curve: t ~ (1/b)^(1/r))."""
+    of any band share a bucket (the LSH S-curve: t ~ (1/b)^(1/r)).
+
+    Signatures are persisted before the explode by default: Generate
+    re-evaluates its child array expression per emitted row, which would
+    re-run the whole signature computation n_bands times (measured ~4x)."""
     rows_per_band = n_perm // n_bands
-    sigs = df.select(F.col(id_col).alias("_id"), *minhash_signature(text_col, n_perm, shingle_k))
+    sigs = minhash_signatures(df, id_col, text_col, n_perm, shingle_k)
+    if materialize_sigs:
+        sigs = _materialize(sigs)
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -115,16 +165,14 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 8  # 4-bit chunks -> pigeonhole guarantee for hamming <= 7
 
 
-def simhash(text_col: str | Column, bits: int = SIMHASH_BITS) -> Column:
-    """Bit-majority SimHash over distinct whitespace tokens (weight 1).
-    Bit b is set iff at least half the token hashes have bit b set.
-    Columnar: ``bits`` filtered array scans per row, no shuffle."""
-    toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, md5_long)
+def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """Bit-majority SimHash given a MATERIALIZED token-hash array column
+    (attribute ref, not inline — the 32 per-bit scans would otherwise
+    re-run tokenize+md5 32x per row)."""
     n = F.size(hashes)
 
     def bit_test(mask: int):
-        # arity-1 factory: see minhash_signature on F.filter lambda arity
+        # arity-1 factory: see minhash_signatures on F.filter lambda arity
         return lambda h: h.bitwiseAND(F.lit(mask)) != 0
 
     bit_terms = []
@@ -133,6 +181,19 @@ def simhash(text_col: str | Column, bits: int = SIMHASH_BITS) -> Column:
         cnt = F.size(F.filter(hashes, bit_test(mask)))
         bit_terms.append(F.when(cnt * 2 >= n, F.lit(mask)).otherwise(F.lit(0)).cast("long"))
     return functools.reduce(_op.add, bit_terms)
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str,
+               bits: int = SIMHASH_BITS) -> DataFrame:
+    """(_id, sh): SimHash over distinct whitespace tokens (weight 1),
+    computed through staged projections. Bit b is set iff at least half
+    the token hashes have bit b set. Zero shuffle."""
+    hashed = (
+        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+        .select("_id", F.array_distinct(tokens(F.col("_text"))).alias("_toks"))
+        .select("_id", F.transform("_toks", md5_long).alias("_hh"))
+    )
+    return hashed.select("_id", _simhash_from_hashes(F.col("_hh"), bits).alias("sh"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -146,7 +207,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("pigeonhole guarantee requires max_hamming < SIMHASH_BANDS")
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     chunk_mask = (1 << chunk_bits) - 1
-    sh = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("sh"))
+    # persist BEFORE the chunk explode: Generate re-evaluates its child per
+    # emitted row, which would recompute the simhash n_bands times
+    sh = _materialize(simhash_df(df, id_col, text_col))
     chunks = F.array(*[
         F.struct(
             F.lit(j).alias("band"),
@@ -154,8 +217,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         for j in range(SIMHASH_BANDS)
     ])
-    exploded = sh.select("_id", "sh", F.explode(chunks).alias("c")) \
+    exploded = (
+        sh.select("_id", "sh", F.explode(chunks).alias("c"))
         .select("_id", "sh", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -183,14 +248,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     docs before the join — the standard skew guard at scale (a stopword
     shingle otherwise creates a quadratic hot bucket)."""
     sh = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("s"),
-        )
+        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+        .select("_id", tokens(F.col("_text")).alias("_toks"))
+        .select("_id",
+                F.explode(F.array_distinct(
+                    word_shingles_from(F.col("_toks"), shingle_k))).alias("s"))
     )
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(freq.where(F.col("df_") <= max_shingle_freq), "s").drop("df_")
+    sh = _materialize(sh)  # read 3x below: sizes + both join sides
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

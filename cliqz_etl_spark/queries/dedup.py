@@ -12,13 +12,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cliqz_etl_spark.functions.hashing import md5_long_seeded_sql, md5_long_sql
+from cliqz_etl_spark.functions.hashing import (
+    md5_long32_sql,
+    md5_long_sql,
+    perm_params,
+    perm_sql,
+)
 from cliqz_etl_spark.operators.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
     exact_duplicates,
     lsh_candidate_pairs,
-    minhash_signature,
+    minhash_signatures as minhash_signatures_op,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -39,12 +44,16 @@ _SHINGLES = (
     f"i -> array_to_string({_WS}[i:i+{SHINGLE_K - 1}], ' '))"
 )
 
+# One md5 per shingle, then the integer permutation family — mirrors
+# operators/dedup.py::minhash_signatures exactly (same perm_params).
 _SIG_COLS = ", ".join(
-    f"MIN({md5_long_seeded_sql('s', seed)}) AS mh_{seed}" for seed in range(N_PERM)
+    f"MIN({perm_sql('hs', a, b)}) AS mh_{i}"
+    for i, (a, b) in enumerate(perm_params(N_PERM))
 )
 _SIG_CTE = f"""
     WITH sh AS (
-        SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+        SELECT doc_id, {md5_long32_sql('s')} AS hs
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents)
     ), sig AS (
         SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id
     )
@@ -90,11 +99,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full 16-permutation MinHash signature per document — verifies
-    the shingle->seeded-hash->min pipeline value-for-value. Spark computes
-    it columnar (array_min over transform, zero shuffle); the oracle is the
-    exploded GROUP BY equivalent."""
+    the shingle->hash->permute->min pipeline value-for-value. Spark
+    computes it columnar (one md5 pass, then integer permutations, zero
+    shuffle); the oracle is the exploded GROUP BY equivalent."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *minhash_signature("text", N_PERM, SHINGLE_K))
+    sigs = minhash_signatures_op(docs, "doc_id", "text", N_PERM, SHINGLE_K)
+    return sigs.withColumnRenamed("_id", "doc_id")
 
 
 @query(
@@ -146,10 +156,12 @@ _SIM_BUCKETS = _SIMHASH_CTE + ", chunks AS (" + " UNION ALL ".join(
 )
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 32-bit SimHash itself, value-checked per document."""
-    from cliqz_etl_spark.operators.dedup import simhash
+    from cliqz_etl_spark.operators.dedup import simhash_df
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text").alias("simhash"))
+    return simhash_df(docs, "doc_id", "text").select(
+        F.col("_id").alias("doc_id"), F.col("sh").alias("simhash")
+    )
 
 
 @query(
