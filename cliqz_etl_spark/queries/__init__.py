@@ -42,7 +42,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY)."""
     from cliqz_etl_spark.queries import (  # noqa: F401
+        advanced,
         dedup,
+        llmdata,
         multimodal,
         relational,
         sessions,
