@@ -38,6 +38,45 @@ def grouped_mode(df: DataFrame, keys: list[str], value: str,
     )
 
 
+def salted_count(df: DataFrame, key: str, salt_buckets: int = 16,
+                 out: str = "n") -> DataFrame:
+    """Two-phase aggregation for skewed keys: count per (key, salt) first
+    (spreads one hot key over ``salt_buckets`` reducers), then merge the
+    partials. AQE's skew handling covers joins; heavily-skewed GROUP BY on
+    a low-cardinality hot key still benefits from explicit salting because
+    the partial-aggregate hash table saturates on one task otherwise."""
+    salt = (F.spark_partition_id() % salt_buckets).alias("__salt")
+    partial = df.groupBy(F.col(key), salt).agg(F.count(F.lit(1)).alias("__pn"))
+    return partial.groupBy(key).agg(F.sum("__pn").cast("long").alias(out))
+
+
+def salted_join(facts: DataFrame, dim: DataFrame, on: str,
+                salt_buckets: int = 8) -> DataFrame:
+    """Skew-resistant equi-join: the fact side gets a random-ish salt (from
+    partition id — deterministic per execution plan), the dimension side is
+    exploded ``salt_buckets`` times so every (key, salt) pair matches. Use
+    when one join key carries a disproportionate share of rows and the dim
+    side is too big to broadcast; otherwise prefer AQE skew-join."""
+    salted_facts = facts.withColumn("__salt", F.spark_partition_id() % salt_buckets)
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return (
+        salted_facts.join(salted_dim, [on, "__salt"]).drop("__salt")
+    )
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
+                   sort_by: str | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key:
+    two tables bucketed the same way join with ZERO shuffle — the physical
+    co-location strategy for repeated fact-fact joins at 100 TB."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+
+
 def map_counter_agg(df: DataFrame, keys: list[str], map_key: Column,
                     weight: Column | None = None, out: str = "counts") -> DataFrame:
     """A3: the reference's mergeable Counter{engine-source: n} aggregate

@@ -208,7 +208,7 @@ def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "monthly_revenue",
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
            COUNT(DISTINCT o_custkey) AS n_customers
     FROM orders GROUP BY 1
     """,
@@ -218,7 +218,8 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long").alias("revenue_cents"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
@@ -237,4 +238,142 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way join shapes (TPC-H Q3/Q7/Q16 analogs) — exercise Catalyst join
+# reordering, two-sided dimension filters, and HAVING over distinct counts.
+# --------------------------------------------------------------------------
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS l_orderkey,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 3, 4
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact-fact join -> grouped
+    revenue. The customer filter prunes before orders ever joins lineitem."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+                   .cast("long")).cast("long").alias("revenue_cents"))
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS volume_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined twice under
+    different roles, cross-nation filter, six-table plan. Revenue is
+    summed as per-row-quantized integer cents: a grouped double sum here
+    landed exactly on a .xx5 boundary where Spark's and DuckDB's round()
+    disagree — integer aggregation is order- and engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"),
+                                   F.col("n_name").alias("cust_nation")))
+    sn = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                   F.col("n_name").alias("supp_nation")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(cn, F.col("cn_key") == c.c_nationkey)
+        .join(sn, F.col("sn_key") == s.s_nationkey)
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+                .cast("long")
+            ).cast("long").alias("volume_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "parts_supplier_stats",
+    oracle="""
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 20
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT l.l_suppkey) >= 5
+    """,
+)
+def parts_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregate + HAVING filter."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") >= 20)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .where(F.col("supplier_cnt") >= 5)
+    )
+
+
+@query(
+    "above_avg_balance_customers",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, ROUND(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17/Q22 shape), decorrelated into
+    an aggregate + join — the form Catalyst plans without a per-row
+    subquery execution."""
+    c = load_table(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
     )

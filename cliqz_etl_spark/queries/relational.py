@@ -4,8 +4,14 @@ driver's star schema (TESTDATA.md tables).
 Every query is a declarative DataFrame plan (Catalyst owns pushdown,
 pruning, join selection); small dimension tables get explicit
 ``F.broadcast`` hints so a 100 TB fact scan never shuffles for a 25-row
-dimension. Doubles in outputs are rounded so the DuckDB oracle hash matches
-despite float summation order differing between engines.
+dimension.
+
+Float discipline: grouped double sums are ORDER-DEPENDENT in their last
+ulp (partial-aggregation order varies with partitioning), so any rounded
+double sum can flip a boundary between runs or engines. Money/value sums
+therefore aggregate per-row-quantized integers (floor(x*100+0.5) cents),
+and averages derive from those exact sums; only order-independent values
+(per-row scalars, windowed ordered sums, min/max/count) stay double.
 """
 
 from __future__ import annotations
@@ -32,12 +38,15 @@ def _day(c):
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
-           ROUND(AVG(l_discount), 4)                                       AS avg_disc,
-           COUNT(*)                                                        AS count_order
+           CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)        AS sum_qty_x100,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)   AS sum_base_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                                                                                     AS sum_disc_cents,
+           CAST(floor(CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*) * 100 + 0.5) AS BIGINT)                             AS avg_qty_x10k,
+           CAST(floor(CAST(SUM(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*) + 0.5) AS BIGINT)                                   AS avg_disc_x10k,
+           COUNT(*)                                                                  AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -51,11 +60,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # Sums aggregate per-row-quantized integers: a grouped double
+            # sum's last-ulp depends on partial-aggregation order, which can
+            # flip a round() boundary between runs/engines. Averages derive
+            # from the exact integer sums for the same reason.
+            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long"))
+            .cast("long").alias("sum_qty_x100"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long").alias("sum_base_cents"),
+            F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+                  .cast("long")).cast("long").alias("sum_disc_cents"),
+            F.floor(F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).cast("double")
+                    / F.count(F.lit(1)) * 100 + 0.5).cast("long").alias("avg_qty_x10k"),
+            F.floor(F.sum(F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")).cast("double")
+                    / F.count(F.lit(1)) + 0.5).cast("long").alias("avg_disc_x10k"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -100,11 +118,11 @@ def earliest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'click' GROUP BY 1, 2
     ), purchases AS (
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-               ROUND(SUM(value), 2) AS purchase_value
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS purchase_cents
         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     )
     SELECT c.user_id AS user_id, c.day AS day,
-           c.n_clicks AS n_clicks, p.purchase_value AS purchase_value
+           c.n_clicks AS n_clicks, p.purchase_cents AS purchase_cents
     FROM clicks c JOIN purchases p ON p.user_id = c.user_id AND p.day = c.day
     """,
 )
@@ -119,10 +137,11 @@ def two_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id", _day("ts").alias("day"))
-        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+             .cast("long").alias("purchase_cents"))
     )
     return clicks.join(purchases, ["user_id", "day"]).select(
-        "user_id", "day", "n_clicks", "purchase_value"
+        "user_id", "day", "n_clicks", "purchase_cents"
     )
 
 
@@ -138,13 +157,13 @@ def two_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'click' GROUP BY 1, 2
     ), purchases AS (
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-               ROUND(SUM(value), 2) AS purchase_value
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS purchase_cents
         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     )
     SELECT COALESCE(c.user_id, p.user_id) AS user_id,
            COALESCE(c.day, p.day)         AS day,
            COALESCE(c.n_clicks, 0)        AS n_clicks,
-           COALESCE(p.purchase_value, 0.0) AS purchase_value
+           COALESCE(p.purchase_cents, 0)  AS purchase_cents
     FROM clicks c FULL OUTER JOIN purchases p
       ON p.user_id = c.user_id AND p.day = c.day
     """,
@@ -161,14 +180,15 @@ def full_outer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id", _day("ts").alias("day"))
-        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+             .cast("long").alias("purchase_cents"))
     )
     joined = clicks.join(purchases, ["user_id", "day"], "full_outer")
     return joined.select(
         "user_id",
         "day",
         F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
-        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        F.coalesce("purchase_cents", F.lit(0)).alias("purchase_cents"),
     )
 
 
@@ -314,14 +334,18 @@ def indicator_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_hours_per_user",
     oracle="""
     SELECT user_id AS user_id,
-           ROUND(SUM(COALESCE(value, 0.0) / 3600.0), 4) AS value_hours
+           CAST(floor(CAST(SUM(CAST(floor(COALESCE(value, 0.0) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 360000.0 * 10000 + 0.5) AS BIGINT) AS value_hours_x10k
     FROM events GROUP BY user_id
     """,
 )
 def value_hours_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.round(F.sum(hours("value")), 4).alias("value_hours")
+        F.floor(
+            F.sum(F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast("long"))
+            .cast("double") / 360000.0 * 10000 + 0.5
+        ).cast("long").alias("value_hours_x10k")
     )
 
 
@@ -530,18 +554,24 @@ def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "all_account_balances",
     oracle="""
-    SELECT 'customer' AS kind, ROUND(SUM(c_acctbal), 2) AS total FROM customer
+    SELECT 'customer' AS kind,
+           CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM customer
     UNION ALL
-    SELECT 'supplier' AS kind, ROUND(SUM(s_acctbal), 2) AS total FROM supplier
+    SELECT 'supplier' AS kind,
+           CAST(SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM supplier
     """,
 )
 def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").agg(
-        F.round(F.sum("c_acctbal"), 2).alias("total")
-    ).select(F.lit("customer").alias("kind"), "total")
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+        .cast("long").alias("total_cents")
+    ).select(F.lit("customer").alias("kind"), "total_cents")
     supp = load_table(spark, sf_dir, "supplier").agg(
-        F.round(F.sum("s_acctbal"), 2).alias("total")
-    ).select(F.lit("supplier").alias("kind"), "total")
+        F.sum(F.floor(F.col("s_acctbal") * 100 + 0.5).cast("long"))
+        .cast("long").alias("total_cents")
+    ).select(F.lit("supplier").alias("kind"), "total_cents")
     return cust.unionByName(supp)
 
 
@@ -552,7 +582,8 @@ def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_rollup",
     oracle="""
     SELECT o_orderstatus AS o_orderstatus, o_orderpriority AS o_orderpriority,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -561,7 +592,8 @@ def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long").alias("total_cents"),
     )
 
 
@@ -573,7 +605,8 @@ def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
     SELECT n.n_name AS n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
     FROM customer c
     JOIN orders o    ON o.o_custkey = c.c_custkey
     JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
@@ -601,7 +634,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+                   .cast("long")).cast("long").alias("revenue_cents"))
     )
 
 

@@ -55,7 +55,7 @@ _SESSION_CTE = f"""
     SELECT user_id AS user_id, CAST(session_seq AS BIGINT) AS session_seq,
            COUNT(*) AS n_events,
            CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec,
-           ROUND(SUM(value), 2) AS session_value
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS session_cents
     FROM sessioned
     GROUP BY 1, 2
     """,
@@ -70,7 +70,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
             .cast("long").alias("duration_sec"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long").alias("session_cents"),
         )
     )
 

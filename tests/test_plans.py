@@ -1,0 +1,77 @@
+"""Plan-hygiene gate: physical-plan properties that make or break 100 TB
+runs, asserted over the whole query registry so a regression in any query's
+plan fails CI — not just the few plans a human remembered to .explain().
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cliqz_etl_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+_REGISTRY = load_all()
+
+# Queries whose algorithms intentionally run driver-side iteration or
+# Python batch stages.
+_PYTHON_OK = {"multimodal_meta"}          # mapInPandas by design
+_DRIVER_LOOP = {"dedup_clusters"}         # iterative fixpoint by design
+
+
+def _plan(spark, name: str) -> str:
+    df = _REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(set(_REGISTRY) - _PYTHON_OK - _DRIVER_LOOP))
+def test_no_python_in_hot_path(spark, name):
+    """No row-at-a-time Python UDFs anywhere: every operator must stay
+    JVM-side (BatchEvalPython/PythonUDF in a plan means a 10-100x slowdown
+    at scale)."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["pricing_summary", "revenue_by_nation",
+                                  "earliest_order_per_customer", "monthly_revenue"])
+def test_filter_and_projection_pushdown(spark, name):
+    """Scans must show pruned ReadSchema; filtered scans must push
+    predicates (a scan reading all columns for a narrow projection would
+    read ~10x the bytes at 100 TB)."""
+    plan = _plan(spark, name)
+    assert "ReadSchema" in plan, name
+    # no scan may read every lineitem/orders column
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "lineitem" in plan:
+            assert "l_comment" not in line  # never projected anywhere
+    if name == "pricing_summary":
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """revenue_by_nation: every dimension joins as broadcast-hash; the
+    only acceptable shuffle is the orders-lineitem fact join."""
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_semi_join_is_broadcast(spark):
+    plan = _plan(spark, "semi_join_orders")
+    assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_no_accidental_cartesian(spark):
+    """Cartesian products only where the algorithm is genuinely all-pairs
+    against a broadcast side (ANN brute force, IVF centroid assignment)."""
+    allowed = {"ann_topk", "ann_ivf", "embedding_near_pairs", "ivf_clusters"}
+    for name in sorted(set(_REGISTRY) - allowed - _DRIVER_LOOP):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Grouped aggregates must run map-side partial aggregation (the
+    reference chose reduceByKey over groupByKey for exactly this)."""
+    plan = _plan(spark, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -1,0 +1,74 @@
+"""Property-based checks (hypothesis): engine-portable hashing, shingle
+semantics vs a plain-Python model, and try-cast error->NULL parity with
+DuckDB on arbitrary inputs. Each property batches its examples into one
+Spark job — hypothesis drives the data, not the job count."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.functions.hashing import md5_long, md5_long_sql
+from cliqz_etl_spark.functions.text import tokens, word_shingles
+
+TEXTISH = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=80,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXTISH, min_size=1, max_size=30))
+def test_md5_long_cross_engine_parity(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = [r[0] for r in df.select(md5_long("s")).collect()]
+    con = duckdb.connect()
+    want = [con.execute(f"SELECT {md5_long_sql('?')}", [s]).fetchone()[0] for s in strings]
+    assert got == want
+
+
+def _py_tokens(s: str) -> list[str]:
+    return s.strip().split() if s.strip() else []
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXTISH, min_size=1, max_size=30))
+def test_token_shingle_model(spark, strings):
+    """word_shingles matches the plain-Python reference model: all k-grams
+    for len>=k, else one whole-text shingle."""
+    # Spark's \s+ and Python's str.split() disagree on exotic unicode
+    # whitespace; normalize the fixture to ASCII-space-separated.
+    strings = [" ".join(_py_tokens(s)) for s in strings]
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = [r[0] for r in df.select(word_shingles("s", 3).alias("sh")).collect()]
+    for s, sh in zip(strings, got):
+        toks = _py_tokens(s)
+        if len(toks) >= 3:
+            want = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        else:
+            want = [" ".join(toks)]
+        assert sh == want, (s, sh, want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.one_of(TEXTISH, st.integers(-10**17, 10**17).map(str)),
+                min_size=1, max_size=30))
+def test_try_cast_long_matches_duckdb(spark, strings):
+    """clean_cast('long') and DuckDB TRY_CAST agree: same accepted strings,
+    same NULLs — the cross-engine contract behind every oracle that casts."""
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = [r[0] for r in df.select(F.col("s").try_cast("long")).collect()]
+    con = duckdb.connect()
+    want = [con.execute("SELECT TRY_CAST(? AS BIGINT)", [s]).fetchone()[0] for s in strings]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXTISH, min_size=1, max_size=30))
+def test_token_count_nonnegative_and_stable(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    a = [r[0] for r in df.select(F.size(tokens("s"))).collect()]
+    b = [r[0] for r in df.select(F.size(tokens("s"))).collect()]
+    assert a == b
+    assert all(x >= 0 for x in a)

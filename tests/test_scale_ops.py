@@ -1,0 +1,46 @@
+"""Scale-path operators: salting correctness (same answers as the naive
+plan) and bucketed co-located joins (no Exchange in the plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.operators.relational import (
+    salted_count,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_count_matches_plain(spark):
+    # one hot key (90% of rows) + a tail
+    rows = [("hot",)] * 900 + [(f"k{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    got = {r["k"]: r["n"] for r in salted_count(df, "k").collect()}
+    want = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    facts = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        ["k", "v"]).repartition(8)
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C"), ("unused", "U")],
+                                ["k", "label"])
+    got = sorted(tuple(r) for r in salted_join(facts, dim, "k").select("k", "v", "label").collect())
+    want = sorted(tuple(r) for r in facts.join(dim, "k").select("k", "v", "label").collect())
+    assert got == want and len(got) == 505
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    a = spark.range(0, 10000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 10000).withColumn("vb", F.col("id") * 3)
+    write_bucketed(a, "t_bucket_a", "id", 8)
+    write_bucketed(b, "t_bucket_b", "id", 8)
+    joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located bucketed join: SMJ with no Exchange on either side
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 10000
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
