@@ -24,6 +24,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
+    "shipping_priority",
+    "nation_trade_volume",
     "earliest_order_per_customer",
     "full_outer_rollup",
     "semi_join_orders",
@@ -32,11 +34,20 @@ HEADLINE = [
     "per_key_limit",
     "running_total",
     "recency_filter",
+    "asof_last_click_before_purchase",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "ann_topk",
+    "ann_ivf",
     "text_quality",
+    "lang_id",
+    "doc_fingerprint",
     "sessionize",
+    "longest_streak",
+    "stratified_sample",
+    "word_counts",
 ]
 
 

@@ -155,7 +155,7 @@ _SIM_BUCKETS = _SIMHASH_CTE + ", chunks AS (" + " UNION ALL ".join(
     oracle=_SIMHASH_CTE + "SELECT doc_id AS doc_id, sh AS simhash FROM sim",
 )
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 32-bit SimHash itself, value-checked per document."""
+    """The 60-bit SimHash itself, value-checked per document."""
     from cliqz_etl_spark.operators.dedup import simhash_df
 
     docs = load_table(spark, sf_dir, "documents")
@@ -171,15 +171,15 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
            bit_count(xor(a.sh, b.sh)) AS hamming
     FROM chunks a JOIN chunks b
       ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    WHERE bit_count(xor(a.sh, b.sh)) <= 2
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming <= 3. Candidates from the 4-bit
-    chunk equi-join (8 chunks: pigeonhole guarantees no false negatives
-    below hamming 8)."""
+    """SimHash near-dup pairs, hamming <= 2. Candidates from the 12-bit
+    chunk equi-join (5 chunks: pigeonhole guarantees no false negatives
+    below hamming 5)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=2)
 
 
 @query(

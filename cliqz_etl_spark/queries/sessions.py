@@ -104,3 +104,77 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
         F.max("n_events").cast("long").alias("max_session_events"),
     )
+
+
+@query(
+    "sessionize_native",
+    oracle=_SESSION_CTE + """
+    SELECT user_id AS user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS session_cents
+    FROM sessioned
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same gap sessions via Spark's built-in ``session_window`` in
+    BATCH mode — cross-checking the streaming primitive against the
+    lag+cumsum formulation's oracle. (Boundary note: session_window starts
+    a new session at gap >= GAP exactly; the CTE at gap > GAP. Equal-to-
+    the-microsecond gaps would diverge; none exist in this data.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{GAP_SECONDS} seconds").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long").alias("session_cents"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "session_cents")
+    )
+
+
+@query(
+    "longest_streak",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn_type
+        FROM events
+    ), islands AS (
+        SELECT user_id, event_type, rn - rn_type AS island, COUNT(*) AS streak
+        FROM ordered GROUP BY 1, 2, 3
+    )
+    SELECT user_id AS user_id, MAX(streak) AS max_streak
+    FROM islands GROUP BY user_id
+    """,
+)
+def longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive same-type events per user — a custom
+    sequential per-group algorithm run as an Arrow-batched applyInPandas
+    UDAF (each user's history processed in one pandas call). The oracle is
+    the pure-SQL gaps-and-islands formulation, so the Python path is
+    value-checked against a relational derivation of the same semantics.
+
+    Scale: one shuffle on user_id; each group must fit a worker's memory
+    (bounded here; for power-law users at 100 TB, pre-cap with per_key_limit
+    or window-chunk the history)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+
+    def streak(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        types = pdf["event_type"].to_numpy()
+        best = cur = 1
+        for i in range(1, len(types)):
+            cur = cur + 1 if types[i] == types[i - 1] else 1
+            best = max(best, cur)
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
+                             "max_streak": [best]})
+
+    return ev.groupBy("user_id").applyInPandas(streak, "user_id long, max_streak long")
