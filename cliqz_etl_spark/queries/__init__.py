@@ -50,5 +50,6 @@ def load_all() -> dict[str, Query]:
         sessions,
         similarity,
         textops,
+        timeseries,
     )
     return REGISTRY

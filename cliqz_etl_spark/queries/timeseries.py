@@ -1,0 +1,162 @@
+"""Time-series operators over the events table: calendar densification
+(gap filling), cube grouping, JSON struct flattening, and TF-IDF relevance
+scoring on documents — rounding out the warehouse/text-analytics surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.tables import load_table
+
+
+@query(
+    "daily_activity_filled",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY user_id
+    ), calendar AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    ), actual AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT c.user_id AS user_id, strftime(c.day, '%Y-%m-%d') AS day,
+           COALESCE(a.n, 0) AS n_events
+    FROM calendar c LEFT JOIN actual a ON a.user_id = c.user_id AND a.day = c.day
+    """,
+)
+def daily_activity_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: one row per user per day across the user's
+    active span, zero-filled — the resample/gap-fill primitive every
+    time-series rollup needs. The calendar is generated columnar
+    (sequence + explode over the per-user [min,max] span), so its size is
+    bounded by span x users, never by raw event count."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    actual = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        calendar.join(actual, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "order_cube",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus, o_orderpriority AS o_orderpriority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping sets (rollup's sibling, §2.8 extension)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "json_flatten",
+    oracle="""
+    SELECT event_id AS event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           (CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0) AS k_round
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+)
+def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string column -> typed struct via from_json with an explicit
+    schema (the columnar rebuild of get_pings_properties for JSON blobs;
+    one parse per row, pruned to the referenced field)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k bigint").alias("p")
+    )
+    return (
+        parsed.where(F.col("p.k").isNotNull())
+        .select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            (F.col("p.k") % 10 == 0).alias("k_round"),
+        )
+    )
+
+
+# TF-IDF: fixed query vocabulary, ln-idf over document frequency. The
+# doubles are deterministic (same ln inputs both engines; per-doc products
+# in fixed term order) and the output is floor-quantized.
+_QUERY_TERMS = ["spark", "join", "vector"]
+
+
+def _terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+
+@query(
+    "tfidf_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM tok
+        WHERE w IN ({_terms_sql()}) GROUP BY 1, 2
+    ), df AS (
+        SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE w IN ({_terms_sql()}) GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id AS doc_id,
+           CAST(SUM(CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_x10k
+    FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+    GROUP BY tf.doc_id
+    HAVING SUM(CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000 + 0.5) AS BIGINT)) > 0
+    """,
+)
+def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance of every document against a fixed query vocabulary
+    — inverted-index scoring, the retrieval primitive for corpus search.
+    Per-term scores are floor-quantized BEFORE the sum (integer
+    aggregation: a double sum's order varies with partitioning)."""
+    from cliqz_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w")).where(
+        F.col("w").isin(_QUERY_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        .groupBy("doc_id")
+        .agg(F.sum(F.floor(F.col("tf") * F.col("idf") * 10000 + 0.5).cast("long"))
+             .cast("long").alias("score_x10k"))
+        .where(F.col("score_x10k") > 0)
+    )
+    return scored
