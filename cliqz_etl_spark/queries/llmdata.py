@@ -173,7 +173,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_labels.alias("n").join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label")).count()
         )
+        labels.unpersist()  # drop the superseded iteration's cache
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    result = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return result

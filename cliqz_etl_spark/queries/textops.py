@@ -150,6 +150,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min 60-bit md5 over all 8-char shingles.
     Spark side stays un-exploded (transform + array_min per row); the
-    oracle's lateral generate_series is the exploded equivalent."""
-    docs = load_table(spark, sf_dir, "documents")
+    oracle's generate_series is the exploded equivalent. The scan is
+    repartitioned first — ~len(text) md5s per row serialize onto one core
+    when the input is a single parquet split."""
+    from cliqz_etl_spark.operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", T.fingerprint("text", 8).alias("fingerprint"))
