@@ -67,9 +67,32 @@ def read_text_scalar(spark: SparkSession, path: str) -> str:
     return spark.read.text(path).first()[0]
 
 
+def upsert_parquet(spark: SparkSession, base_path: str, updates: DataFrame,
+                   key: str | list[str]) -> None:
+    """SCD-1 upsert into a parquet table: rows in ``updates`` replace
+    same-key rows in the base, new keys append. Implemented as
+    anti-join(base, updates) ∪ updates -> overwrite — the merge pattern
+    for plain parquet (a table format like Iceberg/Delta would do this
+    transactionally; the logic is identical).
+
+    The rewrite cost is the whole table; partition the base and upsert
+    per-partition (write_parquet's dynamic overwrite) when keys are
+    partition-aligned — this helper is for the unpartitioned case."""
+    keys = [key] if isinstance(key, str) else list(key)
+    base = spark.read.parquet(base_path)
+    merged = base.join(updates.select(*keys).distinct(), keys, "left_anti") \
+        .unionByName(updates)
+    # parquet overwrite reads lazily from the same path it writes: stage
+    # through a sibling path, then swap via a second (scan-only) job
+    tmp = base_path.rstrip("/") + ".__staging__"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(base_path)
+
+
 def write_parquet(df: DataFrame, path: str, *,
                   partition_by: str | list[str] | None = None,
                   mode: str = "overwrite",
+                  sort_within_partitions: str | list[str] | None = None,
                   target_files: int | None = None) -> None:
     """Partitioned idempotent parquet write (K1/K2).
 
@@ -82,6 +105,12 @@ def write_parquet(df: DataFrame, path: str, *,
     """
     if target_files is not None:
         df = df.repartition(target_files)
+    if sort_within_partitions:
+        # clustering rows by a scan predicate's column tightens parquet
+        # row-group min/max stats -> data skipping at read time
+        cols = ([sort_within_partitions] if isinstance(sort_within_partitions, str)
+                else list(sort_within_partitions))
+        df = df.sortWithinPartitions(*cols)
     writer = df.write.mode(mode)
     if partition_by:
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)

@@ -135,7 +135,11 @@ def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
     100 TB, `assigned` is a table bucketed by ``cluster``."""
     from pyspark.sql import Window
 
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    # both join sides derive from `assigned`; persist so the centroid
+    # argmin (a large literal expression) evaluates once, not per side
+    assigned = _materialize(ivf_assign(corpus, centroids, id_col, vec_col))
     q = assigned.select(
         F.col("_id").alias("query_id"), F.col("_qv").alias("qv"),
         F.col("cluster").alias("qcluster"),

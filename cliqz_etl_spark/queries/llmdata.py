@@ -180,3 +180,90 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     edges.unpersist()
     return result
+
+
+# Shared SQL fragments for the composed curation pipeline oracle.
+_Q_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_Q_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_Q_TOKENS}) END"
+_Q_SW = (f"len(list_filter({_Q_TOKENS}, "
+         "x -> x IN ('the', 'a', 'of', 'and', 'to')))")
+_Q_PUNCT = ("CASE WHEN length(text) > 0 THEN "
+            "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+            " / length(text) ELSE 0.0 END")
+_Q_QUALITY = (f"CAST(floor((0.4 * least(1.0, CAST({_Q_NTOK} AS DOUBLE) / 64.0)"
+              f" + 0.4 * least(1.0, (CASE WHEN {_Q_NTOK} > 0 THEN CAST({_Q_SW} AS DOUBLE) / {_Q_NTOK} ELSE 0.0 END) * 5.0)"
+              f" + 0.2 * (1.0 - {_Q_PUNCT})) * 10000 + 0.5) AS BIGINT)")
+
+_Q_SHINGLES = (
+    f"list_transform(range(1, greatest(len({_Q_TOKENS}) - 2, 1) + 1), "
+    f"i -> array_to_string({_Q_TOKENS}[i:i+2], ' '))"
+)
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH quality AS (
+        SELECT doc_id, lang, text, {_Q_QUALITY} AS quality_x10k
+        FROM documents
+        WHERE {_Q_QUALITY} >= 5000
+    ), exact_canon AS (
+        SELECT * FROM quality
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY md5(text))
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_Q_SHINGLES})) AS s FROM exact_canon
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), near_dups AS (
+        SELECT b.doc_id
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id,
+                 (SELECT sz FROM sizes WHERE doc_id = a.doc_id),
+                 (SELECT sz FROM sizes WHERE doc_id = b.doc_id)
+        HAVING CAST(COUNT(*) AS DOUBLE) /
+               ((SELECT sz FROM sizes WHERE doc_id = a.doc_id)
+                + (SELECT sz FROM sizes WHERE doc_id = b.doc_id) - COUNT(*)) >= 0.2
+    ), deduped AS (
+        SELECT * FROM exact_canon WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+    )
+    SELECT doc_id AS doc_id, lang AS lang, quality_x10k AS quality_x10k,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT doc_id, lang, quality_x10k,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY {md5_long_sql('doc_id')} ASC, doc_id ASC) AS rn
+        FROM deduped
+    ) WHERE rn <= 50
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation flow composed end-to-end — what this engine exists
+    for at 100 TB: quality-filter -> exact dedup (keep min-id canonical) ->
+    drop near-duplicates (jaccard >= 0.2, higher id loses) -> deterministic
+    per-language quota draw. Every stage is a library operator; the oracle
+    replays the identical flow in SQL."""
+    from cliqz_etl_spark.functions.text import quality_score
+    from cliqz_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.withColumn(
+        "quality_x10k", F.floor(quality_score("text") * 10000 + 0.5).cast("long")
+    ).where(F.col("quality_x10k") >= 5000)
+
+    canon_ids = quality.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"))
+    exact_canon = quality.join(
+        F.broadcast(canon_ids.select("doc_id")), "doc_id", "left_semi")
+
+    near_dup_losers = (
+        ngram_jaccard_pairs(exact_canon, "doc_id", "text", 3, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id")).distinct()
+    )
+    deduped = exact_canon.join(F.broadcast(near_dup_losers), "doc_id", "left_anti")
+
+    w = Window.partitionBy("lang").orderBy(md5_long("doc_id").asc(), F.col("doc_id").asc())
+    return (
+        deduped.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "lang", "quality_x10k", "rn")
+    )

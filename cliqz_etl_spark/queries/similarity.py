@@ -148,9 +148,11 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, restricted to same-IVF-cluster
     candidates (the bucketed dedup shape; threshold 0.40 on this corpus —
     its true near-dup ceiling is cos ~ 0.51)."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
-    assigned = ivf_assign(emb, centroids, "vec_id", "embedding")
+    assigned = _materialize(ivf_assign(emb, centroids, "vec_id", "embedding"))
     a = assigned.select(F.col("_id").alias("id_a"), F.col("_qv").alias("qa"), "cluster")
     b = assigned.select(F.col("_id").alias("id_b"), F.col("_qv").alias("qb"), "cluster")
     return (

@@ -34,3 +34,32 @@ def test_partition_predicate_prunes(spark):
     # the partition filter must reach the scan (partition pruning)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "20170102" in plan
+
+
+def test_upsert_parquet_scd1(spark):
+    import tempfile
+    from cliqz_etl_spark.io import upsert_parquet
+
+    base = tempfile.mkdtemp() + "/t"
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]) \
+        .write.parquet(base)
+    updates = spark.createDataFrame([(2, "B2"), (4, "d")], ["k", "v"])
+    upsert_parquet(spark, base, updates, "k")
+    got = sorted(tuple(r) for r in spark.read.parquet(base).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    # idempotent re-apply
+    upsert_parquet(spark, base, updates, "k")
+    got2 = sorted(tuple(r) for r in spark.read.parquet(base).collect())
+    assert got2 == got
+
+
+def test_sorted_write_clusters_row_groups(spark):
+    import tempfile
+    from cliqz_etl_spark.io import write_parquet, read_parquet
+    from pyspark.sql import functions as F
+
+    path = tempfile.mkdtemp() + "/t"
+    df = spark.range(0, 100000).withColumn("v", (F.col("id") * 7919) % 1000)
+    write_parquet(df, path, sort_within_partitions="v", target_files=2)
+    back = read_parquet(spark, path).where(F.col("v") < 10)
+    assert back.count() == df.where(F.col("v") < 10).count()
