@@ -49,6 +49,7 @@ def load_all() -> dict[str, Query]:
         relational,
         sessions,
         similarity,
+        streamq,
         textops,
         timeseries,
     )

@@ -1,0 +1,101 @@
+"""Streaming queries in the correctness gate.
+
+Each callable builds a *bounded* streaming run over the scale-factor
+parquet (file-stream source, availableNow trigger, complete-mode memory
+sink) and returns the drained result as a DataFrame — so Structured
+Streaming semantics themselves are DuckDB-oracle-checked, not just
+unit-tested: hourly tumbling windows must equal the batch/SQL grouping by
+date_trunc('hour'), and gap sessions must equal the lag+cumsum CTE.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.queries.sessions import _SESSION_CTE
+from cliqz_etl_spark.streaming.jobs import session_rollup
+
+_SINK_IDS = itertools.count()
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the events file stores TIMESTAMP(NANOS): stream it as int64 nanos and
+    # convert, mirroring tables.load_table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    # the file-stream source wants a directory; glob-filter to the one table
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(df: DataFrame, prefix: str) -> DataFrame:
+    spark = df.sparkSession
+    name = f"{prefix}_{next(_SINK_IDS)}"
+    (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True)
+        .start().awaitTermination()
+    )
+    return spark.table(name)
+
+
+@query(
+    "streaming_hourly_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type AS event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-hour rollup, drained to completion: streaming
+    output must equal the SQL date_trunc grouping exactly (epoch-aligned
+    windows)."""
+    ev = _event_stream(spark, sf_dir)
+    windowed = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long").alias("total_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "total_cents",
+        )
+    )
+    return _drain(windowed, "hourly_counts")
+
+
+@query(
+    "streaming_sessions",
+    oracle=_SESSION_CTE + """
+    SELECT user_id AS user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessioned GROUP BY user_id, session_seq
+    """,
+)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window rollup, drained to completion — must agree
+    with the batch lag+cumsum sessionizer's oracle (third independent
+    implementation of the same gap semantics)."""
+    ev = _event_stream(spark, sf_dir)
+    sessions = session_rollup(ev).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+    return _drain(sessions, "sessions")
