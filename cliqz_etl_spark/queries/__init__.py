@@ -43,6 +43,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY)."""
     from cliqz_etl_spark.queries import (  # noqa: F401
         advanced,
+        analytics,
         dedup,
         llmdata,
         multimodal,

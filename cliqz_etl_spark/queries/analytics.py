@@ -1,0 +1,193 @@
+"""Product-analytics operators on the events/orders tables: funnel
+conversion, weekly retention cohorts, histograms, the full ranking-function
+family (dense_rank/ntile/lead), and an explicit cross join — the remaining
+window/reporting surface a warehouse engine needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.tables import load_table
+
+
+@query(
+    "funnel_counts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (t_signup IS NOT NULL) AS n_signup,
+           COUNT(*) FILTER (t_signup IS NOT NULL AND t_view > t_signup) AS n_signup_view,
+           COUNT(*) FILTER (t_signup IS NOT NULL AND t_view > t_signup
+                            AND t_purchase > t_view) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (first signup -> later first view ->
+    later first purchase): one conditional-min aggregation per user, one
+    global rollup — no self-joins, the scalable funnel shape."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(t == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(t == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(t == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    step1 = F.col("t_signup").isNotNull()
+    step2 = step1 & (F.col("t_view") > F.col("t_signup"))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_view"))
+    return firsts.agg(
+        F.count(F.when(step1, 1)).alias("n_signup"),
+        F.count(F.when(step2, 1)).alias("n_signup_view"),
+        F.count(F.when(step3, 1)).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "weekly_retention",
+    oracle="""
+    WITH cohorts AS (
+        -- floor, not CAST: DuckDB's double->BIGINT cast ROUNDS while
+        -- Spark's truncates
+        SELECT user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01', MIN(CAST(ts AS DATE))) / 7) AS BIGINT)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT)
+                   AS active_week
+        FROM events
+    )
+    SELECT c.cohort_week AS cohort_week,
+           (a.active_week - c.cohort_week) AS weeks_since,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM cohorts c JOIN activity a ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in each subsequent active week."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
+    cohorts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("active_week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT event_type AS event_type,
+           CAST(floor(value / 10.0) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — floor-binning is the deterministic,
+    shuffle-light histogram at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 10.0).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "order_rank_family",
+    oracle="""
+    SELECT o_orderkey AS o_orderkey, o_custkey AS o_custkey,
+           CAST(rank()       OVER w AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+           CAST(ntile(4)     OVER w AS BIGINT) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def order_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over one shared window definition (one
+    shuffle + one sort serves all three)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    )
+
+
+@query(
+    "next_event_gap",
+    oracle="""
+    SELECT event_id AS event_id, user_id AS user_id,
+           CAST(date_diff('second', ts,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                AS BIGINT) AS gap_to_next_sec
+    FROM events
+    """,
+)
+def next_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() — forward-looking twin of the as-of join's last()."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id", "user_id",
+        (F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long"))
+        .cast("long").alias("gap_to_next_sec"),
+    )
+
+
+@query(
+    "region_status_grid",
+    oracle="""
+    SELECT r.r_name AS r_name, s.o_orderstatus AS o_orderstatus,
+           COALESCE(x.n, 0) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    LEFT JOIN (
+        SELECT rr.r_name, o.o_orderstatus, COUNT(*) AS n
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nn  ON nn.n_nationkey = c.c_nationkey
+        JOIN region rr  ON rr.r_regionkey = nn.n_regionkey
+        GROUP BY 1, 2
+    ) x ON x.r_name = r.r_name AND x.o_orderstatus = s.o_orderstatus
+    """,
+)
+def region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join building a dense reporting grid (every region x
+    status cell, zero-filled) — the one legitimate cartesian: both sides
+    are tiny dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    counts = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    statuses = orders.select("o_orderstatus").distinct()
+    grid = region.select("r_name").crossJoin(statuses)
+    return (
+        grid.join(counts, ["r_name", "o_orderstatus"], "left")
+        .select("r_name", "o_orderstatus", F.coalesce("n", F.lit(0)).alias("n"))
+    )
