@@ -165,3 +165,113 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_x10k") >= 4000)
     )
+
+
+# ---- Random-hyperplane LSH (SimHash for vectors) ---------------------------
+#
+# Deterministic pseudo-random hyperplanes: component d of plane i is an
+# integer in [-500, 500] derived from md5 — so signed dot products against
+# quantized vectors are integer-exact and the signature is oracle-checkable.
+RHP_BITS = 16
+VEC_DIM = 64
+
+
+def _rhp_component(i: int, d: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"rhp-{i}-{d}".encode()).hexdigest()[:8], 16) % 1001 - 500
+
+
+_RHP = [[_rhp_component(i, d) for d in range(VEC_DIM)] for i in range(RHP_BITS)]
+
+
+def _rhp_signature_col():
+    """Sum of 2^i over planes with non-negative dot product."""
+    import functools
+    import operator as _op
+
+    terms = []
+    for i, plane in enumerate(_RHP):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), arr, lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+        terms.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
+    return functools.reduce(_op.add, terms)
+
+
+def _rhp_signature_sql() -> str:
+    terms = []
+    for i, plane in enumerate(_RHP):
+        arr = "[" + ", ".join(str(x) for x in plane) + "]"
+        dot = f"list_sum(list_transform(range(1, {VEC_DIM}+1), j -> v[j] * ({arr})[j]))"
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "rhp_signatures",
+    oracle=_QCTE + f"""
+    SELECT vec_id AS vec_id, {_rhp_signature_sql()} AS signature
+    FROM q
+    """,
+)
+def rhp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-bit random-hyperplane signature per vector (cosine-LSH:
+    P[bit agrees] = 1 - angle/pi). Columnar: 16 integer dot products per
+    row against literal planes, zero shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", quantize("embedding").alias("qv"))
+        .select("vec_id", _rhp_signature_col().alias("signature"))
+    )
+
+
+@query(
+    "ann_rhp",
+    oracle=_QCTE + f"""
+    , sigs AS (
+        SELECT vec_id, v, {_rhp_signature_sql()} AS signature FROM q
+    )
+    SELECT query_id AS query_id, rank AS rank, neighbor_id AS neighbor_id, cos_x10k AS cos_x10k
+    FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_cos('a.v', 'b.v')} DESC, b.vec_id ASC) AS rank,
+               CAST(floor({_cos('a.v', 'b.v')} * 10000 + 0.5) AS BIGINT) AS cos_x10k
+        FROM sigs a JOIN sigs b
+          ON b.signature = a.signature AND b.vec_id != a.vec_id
+        WHERE a.vec_id % {QUERY_MOD} = 0
+    )
+    WHERE rank <= {IVF_K}
+    """,
+)
+def ann_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: candidates share the full 16-bit signature
+    bucket (at scale: multi-probe neighboring buckets / band the signature
+    like MinHash). Ranked by exact quantized cosine within the bucket."""
+    from pyspark.sql import Window
+
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = _materialize(
+        emb.select("vec_id", quantize("embedding").alias("qv"))
+        .select("vec_id", "qv", _rhp_signature_col().alias("signature"))
+    )
+    a = sigs.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), "signature") \
+        .where(F.col("query_id") % QUERY_MOD == 0)
+    b = sigs.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"), "signature")
+    scored = (
+        b.join(F.broadcast(a), ["signature"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_q(F.col("qa"), F.col("qb")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_K)
+        .select("query_id", "rank", "neighbor_id",
+                F.floor(F.col("cos") * 10000 + 0.5).cast("long").alias("cos_x10k"))
+    )
