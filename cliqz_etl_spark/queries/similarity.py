@@ -233,24 +233,41 @@ def rhp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_QCTE + f"""
     , sigs AS (
         SELECT vec_id, v, {_rhp_signature_sql()} AS signature FROM q
+    ), chunks AS (
+        SELECT vec_id, v, signature, 0 AS band, signature & 255 AS chunk FROM sigs
+        UNION ALL
+        SELECT vec_id, v, signature, 1 AS band, (signature >> 8) & 255 AS chunk FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               a.v AS qv, b.v AS nv
+        FROM chunks a JOIN chunks b
+          ON b.band = a.band AND b.chunk = a.chunk AND b.vec_id != a.vec_id
+        WHERE a.vec_id % {QUERY_MOD} = 0
     )
     SELECT query_id AS query_id, rank AS rank, neighbor_id AS neighbor_id, cos_x10k AS cos_x10k
     FROM (
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {_cos('a.v', 'b.v')} DESC, b.vec_id ASC) AS rank,
-               CAST(floor({_cos('a.v', 'b.v')} * 10000 + 0.5) AS BIGINT) AS cos_x10k
-        FROM sigs a JOIN sigs b
-          ON b.signature = a.signature AND b.vec_id != a.vec_id
-        WHERE a.vec_id % {QUERY_MOD} = 0
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {_cos('qv', 'nv')} DESC, neighbor_id ASC) AS rank,
+               CAST(floor({_cos('qv', 'nv')} * 10000 + 0.5) AS BIGINT) AS cos_x10k
+        FROM cand
     )
     WHERE rank <= {IVF_K}
     """,
 )
 def ann_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN: candidates share the full 16-bit signature
-    bucket (at scale: multi-probe neighboring buckets / band the signature
-    like MinHash). Ranked by exact quantized cosine within the bucket."""
+    """Hyperplane-LSH ANN with MinHash-style banding: the 16-bit signature
+    splits into two 8-bit bands; candidates share ANY band (multi-probe
+    recall without widening any single bucket), then rank by exact
+    quantized cosine. A full-signature bucket was measured vacuously
+    selective on this corpus (0 candidates at 500 vectors).
+
+    Recall caveat, measured: this corpus's nearest neighbors sit at
+    cos ~ 0.4-0.5, where an 8-bit band agrees with probability
+    (1 - theta/pi)^8 ~ 4%, so candidates are few and rank-1 rarely
+    matches the exact top-1. That is cosine-LSH physics, not a bug —
+    on a true near-dup corpus (cos > 0.9) band agreement is ~30-50%.
+    The oracle verifies the SEMANTICS exactly either way."""
     from pyspark.sql import Window
 
     from cliqz_etl_spark.operators.dedup import _materialize
@@ -260,17 +277,27 @@ def ann_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", quantize("embedding").alias("qv"))
         .select("vec_id", "qv", _rhp_signature_col().alias("signature"))
     )
-    a = sigs.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), "signature") \
-        .where(F.col("query_id") % QUERY_MOD == 0)
-    b = sigs.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"), "signature")
-    scored = (
-        b.join(F.broadcast(a), ["signature"])
+    bands = F.array(
+        F.struct(F.lit(0).alias("band"), F.col("signature").bitwiseAND(F.lit(255)).alias("chunk")),
+        F.struct(F.lit(1).alias("band"),
+                 F.shiftright(F.col("signature"), 8).bitwiseAND(F.lit(255)).alias("chunk")),
+    )
+    chunks = sigs.select("vec_id", "qv", F.explode(bands).alias("c")) \
+        .select("vec_id", "qv", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+    a = chunks.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+                      "band", "chunk").where(F.col("query_id") % QUERY_MOD == 0)
+    b = chunks.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
+                      "band", "chunk")
+    cand = (
+        b.join(F.broadcast(a), ["band", "chunk"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_q(F.col("qa"), F.col("qb")).alias("cos"))
+        .select("query_id", "neighbor_id", "qa", "qb")
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.select("query_id", "neighbor_id", cosine_q(F.col("qa"), F.col("qb")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= IVF_K)
         .select("query_id", "rank", "neighbor_id",
                 F.floor(F.col("cos") * 10000 + 0.5).cast("long").alias("cos_x10k"))
