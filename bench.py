@@ -69,9 +69,14 @@ def main() -> None:
         q = registry.get(name)
         if q is None:
             continue
-        t0 = time.perf_counter()
-        q.fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: wall-clock on a shared box is noisy; the min is the
+        # stable estimator for regression comparison across rounds
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -1,0 +1,35 @@
+"""Driver-contract self-checks on __spark_entry__: the exact interface the
+verify harness consumes."""
+
+from __future__ import annotations
+
+import importlib.util
+import re
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_contract_shape():
+    mod = _load()
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert len(qs) >= 75
+    assert set(osql) <= set(qs)
+    # only approx_distinct is allowed to be rows-only
+    assert set(qs) - set(osql) == {"approx_distinct_users"}
+    assert all(re.fullmatch(r"[a-z0-9_]+", n) for n in qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+
+
+def test_entry_runs_and_returns_rows(spark):
+    mod = _load()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["n_name", "revenue_cents"]
