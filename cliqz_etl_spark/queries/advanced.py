@@ -377,3 +377,92 @@ def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_acctbal") > F.col("nation_avg"))
         .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
     )
+
+
+@query(
+    "nations_in_region",
+    oracle="""
+    SELECT r.r_name AS r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def nations_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect_list -> array_sort -> join):
+    list-valued aggregation emitted as a deterministic scalar."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'lineitem_orphans' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+    UNION ALL
+    SELECT 'order_orphans',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer_bad_nation',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'lineitem_null_keys',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL)
+    UNION ALL
+    SELECT 'duplicate_order_lines',
+           (SELECT COUNT(*) FROM (
+               SELECT l_orderkey, l_linenumber FROM lineitem
+               GROUP BY 1, 2 HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'negative_prices',
+           (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0 OR l_quantity <= 0)
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation at warehouse scale: referential integrity via
+    broadcast anti-joins, null-key and domain checks, uniqueness — one
+    (check_name, n_violations) row each. The shape every ingestion gate
+    needs; each check is a scan + anti-join/aggregate, no collects."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def one(name: str, violations: DataFrame) -> DataFrame:
+        return violations.agg(F.count(F.lit(1)).alias("n_violations")) \
+            .select(F.lit(name).alias("check_name"), "n_violations")
+
+    checks = [
+        one("lineitem_orphans",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")),
+        one("order_orphans",
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")),
+        one("customer_bad_nation",
+            cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left_anti")),
+        one("lineitem_null_keys",
+            li.where(F.col("l_orderkey").isNull() | F.col("l_partkey").isNull()
+                     | F.col("l_suppkey").isNull())),
+        one("duplicate_order_lines",
+            li.groupBy("l_orderkey", "l_linenumber").agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)),
+        one("negative_prices",
+            li.where((F.col("l_extendedprice") < 0) | (F.col("l_quantity") <= 0))),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
