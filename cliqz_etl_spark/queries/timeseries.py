@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cliqz_etl_spark.queries import query
@@ -160,3 +160,63 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score_x10k") > 0)
     )
     return scored
+
+
+@query(
+    "sliding_event_counts",
+    oracle="""
+    WITH slotted AS (
+        SELECT event_type,
+               to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800) AS slot
+        FROM events
+    ), expanded AS (
+        -- each event falls in two 1h-wide windows on the 30-min grid:
+        -- the one starting at its slot and the one starting 30 min before
+        SELECT event_type, slot AS window_start FROM slotted
+        UNION ALL
+        SELECT event_type, slot - INTERVAL 30 MINUTE FROM slotted
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type AS event_type, COUNT(*) AS n_events
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h wide, 30 min slide): every event contributes to
+    two overlapping windows. Spark's window(slideDuration) materializes
+    exactly that expansion; the oracle derives both slots arithmetically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events",
+        )
+    )
+
+
+@query(
+    "moving_avg_value",
+    oracle="""
+    SELECT event_id AS event_id, user_id AS user_id,
+           CAST(floor(AVG(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC
+                                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                      * 10000 + 0.5) AS BIGINT) AS ma5_x10k
+    FROM events
+    """,
+)
+def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving average per user — a bounded ROWS frame; the frame's
+    accumulation order is the window order, so the double math is
+    deterministic across engines (unlike grouped sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.floor(F.avg("value").over(w) * 10000 + 0.5).cast("long").alias("ma5_x10k"),
+    )

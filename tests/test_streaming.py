@@ -94,3 +94,55 @@ def test_streaming_parquet_sink_matches_batch_layout(spark):
     back = spark.read.parquet(f"{out}/events")
     assert back.count() == 5
     assert sorted(str(r["day"]) for r in back.select("day").distinct().collect()) == ["2024-01-01"]
+
+
+def test_apply_in_pandas_with_state_running_counts(spark):
+    """Custom stateful operator: per-user running event counts kept in the
+    state store across micro-batches (applyInPandasWithState) — the escape
+    hatch when windowed/session aggregations can't express the state
+    machine. Two waves verify state survives between batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = tempfile.mkdtemp()
+
+    def write_wave(fname, rows):
+        with open(f"{src}/{fname}", "w") as f:
+            for eid, ts, uid, et, v in rows:
+                f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid,
+                                    "event_type": et, "value": v}) + "\n")
+
+    def running_count(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    def drain():
+        stream = read_event_stream(spark, src, EVENT_SCHEMA)
+        counted = stream.groupBy("user_id").applyInPandasWithState(
+            running_count,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        out: list = []
+        # foreachBatch sink: the memory sink cannot recover from a
+        # checkpoint, and recovery is exactly what carries state to wave 2
+        (counted.writeStream.foreachBatch(
+            lambda bdf, _id: out.extend(bdf.collect()))
+         .outputMode("update").option("checkpointLocation", f"{src}/_cp")
+         .trigger(availableNow=True).start().awaitTermination())
+        return {r["user_id"]: r["n_events"] for r in out}
+
+    write_wave("w1.json", [(1, "2024-01-01T10:00:00", 1, "click", 1.0),
+                           (2, "2024-01-01T10:05:00", 1, "view", 2.0),
+                           (3, "2024-01-01T10:06:00", 2, "click", 3.0)])
+    got1 = drain()
+    assert got1 == {1: 2, 2: 1}
+    # wave 2: state must carry totals forward via the checkpoint
+    write_wave("w2.json", [(4, "2024-01-01T11:00:00", 1, "purchase", 4.0)])
+    got2 = drain()
+    assert got2 == {1: 3}  # update mode emits only changed groups
