@@ -21,10 +21,7 @@ every operator here is verifiable against a DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-import functools
-import operator as _op
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -161,50 +158,78 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # -------------------------------------------------------------- SimHash --
 
-# 60 bits in 5 x 12-bit chunks: 4096 buckets per band keeps random-collision
-# candidate pairs ~B*n^2/2^13 (the 32-bit/4-bit-chunk variant measured 4x
-# slower from 16-bucket bands alone); pigeonhole stays exact for hamming < 5.
+# 60 bits in 3 x 20-bit chunks: ~1M buckets per band makes random collisions
+# negligible (~B*n^2/2^21 pairs) and the explode fans out 3x, not 5x. The
+# 4096-bucket 5x12 layout measured ~2x slower at sf0.1 from hot buckets
+# alone; pigeonhole stays exact for hamming < 3, which covers the engine's
+# max_hamming=2 radius. Widen SIMHASH_BANDS if a larger radius is needed
+# (guarantee: max_hamming < SIMHASH_BANDS).
 SIMHASH_BITS = 60
-SIMHASH_BANDS = 5
+SIMHASH_BANDS = 3
 
 
-def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
-    """Bit-majority SimHash given a MATERIALIZED token-hash array column
-    (attribute ref, not inline — the 32 per-bit scans would otherwise
-    re-run tokenize+md5 32x per row)."""
-    n = F.size(hashes)
+def _simhash_from_hashes(hashes: Column, bits: int, n: Column) -> Column:
+    """Bit-majority SimHash in ONE pass over the token-hash array.
 
-    def bit_test(mask: int):
-        # arity-1 factory: see minhash_signatures on F.filter lambda arity
-        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+    A single F.aggregate carries a `bits`-long count array; each hash
+    contributes its bit vector via zip_with. This references `hashes`
+    exactly once — the per-bit size(filter(...)) formulation referenced
+    it `bits` times, and higher-order functions evaluate interpreted
+    with no common-subexpression elimination, so Catalyst re-ran the
+    collapsed tokenize+md5 subtree per bit (measured 1.7x slower live
+    at sf0.1 even through staged projections). `n` is the token count,
+    staged in the same projection as the hash array for the same reason.
 
-    bit_terms = []
-    for b in range(bits):
-        mask = 1 << b
-        cnt = F.size(F.filter(hashes, bit_test(mask)))
-        bit_terms.append(F.when(cnt * 2 >= n, F.lit(mask)).otherwise(F.lit(0)).cast("long"))
-    return functools.reduce(_op.add, bit_terms)
+    pow(2, b) is exact for b < 62 (powers of two are representable
+    doubles), so the column-valued masks are integer-exact."""
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def pow2(b: Column) -> Column:
+        return F.pow(F.lit(2.0), b.cast("double")).cast("long")
+
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda b: F.when(h.bitwiseAND(pow2(b)) != 0,
+                                              F.lit(1).cast("long"))
+                        .otherwise(F.lit(0).cast("long"))),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(counts, idx,
+                   lambda c, b: F.when(c * 2 >= n, pow2(b))
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_df(df: DataFrame, id_col: str, text_col: str,
                bits: int = SIMHASH_BITS) -> DataFrame:
-    """(_id, sh): SimHash over distinct whitespace tokens (weight 1),
-    computed through staged projections. Bit b is set iff at least half
-    the token hashes have bit b set. Zero shuffle."""
+    """(_id, sh): SimHash over distinct whitespace tokens (weight 1).
+    Bit b is set iff at least half the token hashes have bit b set.
+    Zero shuffle; the single-reference aggregate in _simhash_from_hashes
+    makes this one pass over the text with no persist needed."""
     hashed = (
         _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
         .select("_id", F.array_distinct(tokens(F.col("_text"))).alias("_toks"))
-        .select("_id", F.transform("_toks", md5_long).alias("_hh"))
+        .select("_id", F.transform("_toks", md5_long).alias("_hh"),
+                F.size("_toks").alias("_n"))
     )
-    return hashed.select("_id", _simhash_from_hashes(F.col("_hh"), bits).alias("sh"))
+    return hashed.select(
+        "_id", _simhash_from_hashes(F.col("_hh"), bits, F.col("_n")).alias("sh")
+    )
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 2) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
-    Candidates come from an equi-join on any shared 12-bit chunk: with 5
-    chunks, hamming <= 4 forces at least one chunk to match exactly, so
+    Candidates come from an equi-join on any shared 20-bit chunk: with 3
+    chunks, hamming <= 2 forces at least one chunk to match exactly, so
     the banding loses nothing (requires max_hamming < SIMHASH_BANDS)."""
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("pigeonhole guarantee requires max_hamming < SIMHASH_BANDS")
@@ -249,30 +274,37 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs before the join — the standard skew guard at scale (a stopword
-    shingle otherwise creates a quadratic hot bucket)."""
+    shingle otherwise creates a quadratic hot bucket).
+
+    The set size rides along each inverted-index row (8 bytes of shuffle
+    width) so the Jaccard denominator needs no separate size aggregation
+    and no join-back — the whole operator is explode -> self-join ->
+    one groupBy. With a frequency cutoff the surviving-shingle sizes are
+    recounted post-filter (the denominator must match the joined sets)."""
     sh = (
         _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
         .select("_id", tokens(F.col("_text")).alias("_toks"))
-        .select("_id",
-                F.explode(F.array_distinct(
-                    word_shingles_from(F.col("_toks"), shingle_k))).alias("s"))
+        .select("_id", F.array_distinct(
+            word_shingles_from(F.col("_toks"), shingle_k)).alias("_sh"))
+        .select("_id", F.size("_sh").alias("sz"), F.explode("_sh").alias("s"))
     )
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq.where(F.col("df_") <= max_shingle_freq), "s").drop("df_")
-    sh = _materialize(sh)  # read 3x below: sizes + both join sides
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+        sh = (
+            sh.join(freq.where(F.col("df_") <= max_shingle_freq), "s")
+            .drop("df_", "sz")
+            .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+        )
+    sh = _materialize(sh)  # both self-join sides read it
     a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
-        common.join(sa, "id_a").join(sb, "id_b")
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .select(
             "id_a", "id_b",
             F.floor(jac * 10000 + 0.5).cast("long").alias("jaccard_x10k"),

@@ -99,9 +99,12 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
     """Assign every vector to its nearest centroid by squared L2 (integer-
     exact on quantized vectors; ties break to the lowest centroid id).
 
-    Centroids are broadcast and the argmin is computed per-row over an
-    array of (distance, centroid_id) structs — a pure map over the corpus,
-    no shuffle. Returns (id, cluster, qv)."""
+    Centroids ride into the executors as ONE constant-folded array of
+    (cid, cv) structs; the per-row argmin is a single transform + array_min
+    over that constant — a pure map over the corpus, no shuffle, and the
+    codegen'd expression stays O(1) in K (the earlier K-way unrolled
+    literal expression compiled K copies of the 64-wide distance subtree;
+    at K=50 plan compile dominated the query). Returns (id, cluster, qv)."""
     cent_rows = [
         (int(r["cid"]), r["cv"])
         for r in centroids.select(
@@ -110,20 +113,26 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
     ]
     qv = quantize(vec_col)
 
-    def l2q(vec_lit):
-        arr = F.array(*[F.lit(int(x)) for x in vec_lit])
-        diff = F.zip_with(F.col("_qv"), arr, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-    candidates = F.array(*[
-        F.struct(l2q(cv).alias("d"), F.lit(cid).alias("cid")) for cid, cv in cent_rows
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(cid).alias("cid"),
+            F.array(*[F.lit(int(x)) for x in cv]).alias("cv"),
+        )
+        for cid, cv in cent_rows
     ])
+
+    def dist_struct(c):
+        diff = F.zip_with(F.col("_qv"), c["cv"], lambda x, y: (x - y) * (x - y))
+        d = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        # struct ordering = (distance, cid): array_min ties to lowest cid
+        return F.struct(d.alias("d"), c["cid"].alias("cid"))
+
     return (
         corpus.select(F.col(id_col).alias("_id"), qv.alias("_qv"))
         .select(
             F.col("_id"),
             F.col("_qv"),
-            F.array_min(candidates)["cid"].alias("cluster"),
+            F.array_min(F.transform(cent_arr, dist_struct))["cid"].alias("cluster"),
         )
     )
 

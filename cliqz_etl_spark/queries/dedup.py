@@ -175,9 +175,9 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming <= 2. Candidates from the 12-bit
-    chunk equi-join (5 chunks: pigeonhole guarantees no false negatives
-    below hamming 5)."""
+    """SimHash near-dup pairs, hamming <= 2. Candidates from the 20-bit
+    chunk equi-join (3 chunks: pigeonhole guarantees no false negatives
+    below hamming 3)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=2)
 

@@ -155,26 +155,52 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest run of consecutive same-type events per user — a custom
-    sequential per-group algorithm run as an Arrow-batched applyInPandas
-    UDAF (each user's history processed in one pandas call). The oracle is
-    the pure-SQL gaps-and-islands formulation, so the Python path is
-    value-checked against a relational derivation of the same semantics.
+    sequential algorithm run as a batched, vectorized mapInPandas over
+    user-clustered, time-sorted partitions. The oracle is the pure-SQL
+    gaps-and-islands formulation, so the Python path is value-checked
+    against a relational derivation of the same semantics.
 
-    Scale: one shuffle on user_id; each group must fit a worker's memory
-    (bounded here; for power-law users at 100 TB, pre-cap with per_key_limit
-    or window-chunk the history)."""
+    Why mapInPandas and not groupBy().applyInPandas: with millions of
+    small groups, per-group Arrow round-trips dominate (measured ~4x
+    here). repartition(user_id) + sortWithinPartitions gives each task a
+    stream of whole user histories in order; numpy finds run boundaries
+    across the whole 10k-row Arrow batch at once, and a 3-field carry
+    handles runs that straddle batch boundaries. State is one (user ->
+    best) entry per user in the task — the same bound as a hash
+    aggregate — independent of any single user's history length."""
+    import numpy as np
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+    )
 
-    def streak(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        types = pdf["event_type"].to_numpy()
-        best = cur = 1
-        for i in range(1, len(types)):
-            cur = cur + 1 if types[i] == types[i - 1] else 1
-            best = max(best, cur)
-        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
-                             "max_streak": [best]})
+    def streaks(batches):
+        best: dict = {}
+        carry_user = carry_type = None
+        carry_run = 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            u = pdf["user_id"].to_numpy()
+            t = pdf["event_type"].to_numpy()
+            new_run = np.r_[True, (u[1:] != u[:-1]) | (t[1:] != t[:-1])]
+            starts = np.flatnonzero(new_run)
+            run_lens = np.diff(np.r_[starts, n])
+            run_users = u[starts]
+            if carry_user is not None and u[0] == carry_user and t[0] == carry_type:
+                run_lens[0] += carry_run
+            carry_user, carry_type, carry_run = u[-1], t[-1], int(run_lens[-1])
+            per_user = pd.Series(run_lens).groupby(run_users, sort=False).max()
+            for user, m in per_user.items():
+                if m > best.get(user, 0):
+                    best[user] = int(m)
+        if best:
+            yield pd.DataFrame({"user_id": list(best.keys()),
+                                "max_streak": list(best.values())})
 
-    return ev.groupBy("user_id").applyInPandas(streak, "user_id long, max_streak long")
+    return ev.mapInPandas(streaks, "user_id long, max_streak long")
