@@ -53,5 +53,6 @@ def load_all() -> dict[str, Query]:
         streamq,
         textops,
         timeseries,
+        warehouse,
     )
     return REGISTRY

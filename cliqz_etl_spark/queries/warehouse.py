@@ -1,0 +1,386 @@
+"""Classic warehouse report shapes (TPC-H Q4/Q6/Q10/Q12/Q14/Q15/Q18/Q19/Q22
+analogues), adapted to the driver's TPC-H-ish subset schema.
+
+These widen the relational surface beyond the reference's two joins
+(SURVEY.md §2.5 lists J1-J5 as its whole join inventory): EXISTS-driven
+aggregation, scan-only conditional aggregates, top-k after aggregation,
+disjunctive multi-predicate joins, aggregation-subquery membership, scalar
+aggregate thresholds, and anti-join + global-average filters. Every float
+aggregate follows the cents-quantization discipline (see
+queries/relational.py): quantize per row to integer cents, aggregate
+integers, so Spark and DuckDB hash-match bit-for-bit.
+
+Scale notes: dimension sides (part, supplier, nation, the 1-row global
+aggregates) are broadcast; fact-fact joins shuffle on their natural keys;
+every filter sits directly on the scan so Parquet pushdown applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.tables import load_table
+
+_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def _cents(col) -> F.Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def _revenue_cents():
+    return _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS-driven count. How many H1-1997 orders had at least
+# one returned line, by priority — a left-semi join feeding an aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority AS o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS becomes a left-semi join (no row duplication, no distinct
+    needed); the date filter prunes orders before the join."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape: scan-only conditional aggregate — the pure pushdown
+# query. All three predicates reach the Parquet scan.
+# --------------------------------------------------------------------------
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS discount_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What revenue was given away as discount in 1997 on small orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("long").alias("discount_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting — top 20 customers by lost
+# revenue in 1997Q1. Aggregation then global top-k (TakeOrdered, no full
+# sort at scale).
+# --------------------------------------------------------------------------
+@query(
+    "returned_item_top_customers",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS lost_cents
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_cents DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which customers returned the most revenue last quarter."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue_cents()).cast("long").alias("lost_cents"))
+        .orderBy(F.desc("lost_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: conditional CASE-sums over a fact-fact join — high- vs
+# low-priority line counts per return flag for 1997 shipments.
+# --------------------------------------------------------------------------
+@query(
+    "priority_line_counts",
+    oracle=f"""
+    SELECT l_returnflag AS l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('{_HIGH[0]}', '{_HIGH[1]}') THEN 1 ELSE 0 END)
+               AS high_count,
+           SUM(CASE WHEN o_orderpriority IN ('{_HIGH[0]}', '{_HIGH[1]}') THEN 0 ELSE 1 END)
+               AS low_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did urgent orders ship with fewer returns? Indicator sums (the
+    reference's A5 pattern) over a join instead of a flat table."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin(*_HIGH)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share — two conditional sums reduced to a
+# single integer-exact ratio. Part is the broadcast dimension.
+# --------------------------------------------------------------------------
+@query(
+    "promo_revenue_pct",
+    oracle="""
+    SELECT CAST(floor(10000.0 * promo_cents / total_cents) AS BIGINT) AS promo_pct_x100
+    FROM (
+        SELECT
+            SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS promo_cents,
+            SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS total_cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    )
+    """,
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of September-1997 revenue from promo parts, in basis points.
+    The division happens once on two exact integers, so the result is
+    engine-portable without any float-sum ordering concerns."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", _revenue_cents()).otherwise(F.lit(0)))
+            .cast("long").alias("promo_cents"),
+            F.sum(_revenue_cents()).cast("long").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        F.floor(10000.0 * F.col("promo_cents") / F.col("total_cents"))
+        .cast("long").alias("promo_pct_x100")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape: best supplier(s) by quarterly revenue — an aggregate
+# compared against the aggregate's own max (scalar subquery), kept
+# distributed via a broadcast of the 1-row max.
+# --------------------------------------------------------------------------
+@query(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+           r.revenue_cents AS revenue_cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.revenue_cents = (SELECT MAX(revenue_cents) FROM rev)
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-subquery max is a broadcast cross join of a 1-row
+    aggregate — no window over a single giant partition, no collect."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_revenue_cents()).cast("long").alias("revenue_cents")
+    )
+    mx = rev.agg(F.max("revenue_cents").alias("max_cents"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.revenue_cents == mx.max_cents)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "revenue_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume customers — membership in an aggregation
+# subquery (orderkeys whose line quantity total exceeds a threshold).
+# --------------------------------------------------------------------------
+@query(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_x100
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 25000
+    )
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+           o.o_orderkey AS o_orderkey, b.qty_x100 AS qty_x100
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders totalling > 250 units and who placed them. The HAVING
+    aggregate runs on the fact table first; the qualifying-order set is
+    tiny, so both enrichment joins broadcast it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).cast("long").alias("qty_x100"))
+        .where(F.col("qty_x100") > 25000)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big).join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "qty_x100")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-predicate join — three OR'd brand/
+# size/quantity windows. One broadcast join; the whole disjunction is a
+# single JVM predicate, no union of three scans.
+# --------------------------------------------------------------------------
+@query(
+    "brand_filtered_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+    """,
+)
+def brand_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cases = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#34") & q.between(20, 30) & (F.col("p_size") <= 15))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cases)
+        .agg(
+            F.sum(_revenue_cents()).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: anti join + global-average threshold. "Well-funded but
+# never urgent": customers with above-average positive balance and no
+# 1-URGENT order, per market segment. The average comparison is kept
+# integer-exact by cross-multiplying instead of dividing:
+#   bal_cents > sum_cents / n   <=>   bal_cents * n > sum_cents.
+# --------------------------------------------------------------------------
+@query(
+    "idle_balance_customers",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+               COUNT(*) AS n
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM customer c, pos
+    WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * pos.n > pos.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal_cents = _cents(F.col("c_acctbal"))
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_cents).cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .where(bal_cents * F.col("n") > F.col("sum_cents"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(bal_cents).cast("long").alias("total_cents"),
+        )
+    )
