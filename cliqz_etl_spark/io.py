@@ -89,6 +89,112 @@ def upsert_parquet(spark: SparkSession, base_path: str, updates: DataFrame,
     spark.read.parquet(tmp).write.mode("overwrite").parquet(base_path)
 
 
+def _leaf_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every parquet data file under ``path`` (recursive),
+    via the Hadoop FileSystem API — driver-side metadata only, no data read."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            out.append((p, st.getLen()))
+    return out
+
+
+def compact_parquet(spark: SparkSession, path: str, *,
+                    target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction for a (possibly hive-partitioned) parquet table.
+
+    Incremental/streaming writers leave partitions holding many
+    sub-row-group files; at 100 TB scan cost becomes per-file open overhead
+    and footer reads instead of IO. This rewrites ONLY the partitions whose
+    mean data-file size is below ``target_bytes / 2`` (and that hold more
+    than one file), coalescing each to ``ceil(partition_bytes /
+    target_bytes)`` files; right-sized partitions are not touched or
+    rewritten. File listing is driver-side metadata; the rewrite is one
+    Spark job staged through a sibling path then swapped in with dynamic
+    partition overwrite (a table format like Iceberg/Delta would make the
+    swap a single atomic commit; the compaction logic is identical).
+
+    Returns {"partitions_compacted": n, "files_before": n, "files_after": n}.
+    """
+    import math
+
+    files = _leaf_data_files(spark, path)
+    root = path.rstrip("/")
+    by_dir: dict[str, list[int]] = {}
+    for p, sz in files:
+        by_dir.setdefault(p.rsplit("/", 1)[0], []).append(sz)
+
+    todo = {d: sizes for d, sizes in by_dir.items()
+            if len(sizes) > 1 and sum(sizes) / len(sizes) < target_bytes / 2}
+    if not todo:
+        return {"partitions_compacted": 0, "files_before": len(files),
+                "files_after": len(files)}
+
+    partitioned = any("=" in d[len(root):] for d in by_dir)
+    if not partitioned:
+        sizes = next(iter(todo.values()))
+        n = max(1, math.ceil(sum(sizes) / target_bytes))
+        df = spark.read.parquet(path).repartition(n)
+        tmp = root + ".__compact__"
+        df.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        return {"partitions_compacted": 1, "files_before": len(files),
+                "files_after": len(_leaf_data_files(spark, path))}
+
+    from urllib.parse import unquote
+
+    # hive dir names -> partition predicates + per-partition output counts
+    preds, part_cols = [], []
+    bucket_rows = []
+    for d, sizes in todo.items():
+        kvs = [seg.split("=", 1) for seg in d[len(root) + 1:].split("/")
+               if "=" in seg]
+        part_cols = [k for k, _ in kvs]
+        vals = {k: unquote(v) for k, v in kvs}
+        preds.append(vals)
+        bucket_rows.append({**vals,
+                            "__nfiles__": max(1, math.ceil(sum(sizes) / target_bytes))})
+
+    df = spark.read.parquet(path)
+    cond = None
+    for vals in preds:
+        c = None
+        for k, v in vals.items():
+            e = df[k].cast("string") == v
+            c = e if c is None else (c & e)
+        cond = c if cond is None else (cond | c)
+    affected = df.where(cond)
+
+    # per-partition file sizing: broadcast-join the tiny target-count map,
+    # bucket rows, shuffle on (partition cols, bucket) so each output
+    # partition lands in ceil(bytes/target) tasks -> that many files
+    nmap = spark.createDataFrame(
+        [tuple(r[k] for k in part_cols) + (r["__nfiles__"],) for r in bucket_rows],
+        part_cols + ["__nfiles__"])
+    joined = affected.join(
+        F.broadcast(nmap.select(*[F.col(k).alias(f"__k_{k}__") for k in part_cols],
+                                "__nfiles__")),
+        [affected[k].cast("string") == F.col(f"__k_{k}__") for k in part_cols])
+    data_cols = list(affected.columns)
+    bucketed = joined.withColumn(
+        "__bucket__",
+        F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("__nfiles__")))
+    staged = (bucketed.repartition(*part_cols, "__bucket__")
+              .select(*data_cols))
+    tmp = root + ".__compact__"
+    staged.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+    (spark.read.parquet(tmp).write.mode("overwrite")
+     .partitionBy(*part_cols).parquet(path))
+    return {"partitions_compacted": len(todo), "files_before": len(files),
+            "files_after": len(_leaf_data_files(spark, path))}
+
+
 def write_parquet(df: DataFrame, path: str, *,
                   partition_by: str | list[str] | None = None,
                   mode: str = "overwrite",

@@ -63,3 +63,51 @@ def test_sorted_write_clusters_row_groups(spark):
     write_parquet(df, path, sort_within_partitions="v", target_files=2)
     back = read_parquet(spark, path).where(F.col("v") < 10)
     assert back.count() == df.where(F.col("v") < 10).count()
+
+
+def test_compact_parquet_unpartitioned(spark):
+    from cliqz_etl_spark.io import compact_parquet
+
+    base = tempfile.mkdtemp() + "/t"
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS v")
+    df.repartition(20).write.parquet(base)  # 20 tiny files
+    before = sorted((r["id"], r["v"]) for r in spark.read.parquet(base).collect())
+    stats = compact_parquet(spark, base, target_bytes=128 * 1024 * 1024)
+    assert stats["files_before"] == 20
+    assert stats["files_after"] == 1
+    after = sorted((r["id"], r["v"]) for r in spark.read.parquet(base).collect())
+    assert after == before
+
+
+def test_compact_parquet_partitioned_rewrites_only_small(spark):
+    from cliqz_etl_spark.io import _leaf_data_files, compact_parquet
+
+    base = tempfile.mkdtemp() + "/t"
+    # day 1: fragmented into 15 tiny files; day 2: already one file
+    d1 = spark.range(0, 300).selectExpr("id", "'20170101' AS day")
+    d2 = spark.range(300, 400).selectExpr("id", "'20170102' AS day")
+    d1.repartition(15).write.partitionBy("day").parquet(base)
+    d2.coalesce(1).write.mode("append").partitionBy("day").parquet(base)
+    day2_files_before = sorted(p for p, _ in _leaf_data_files(spark, base)
+                               if "day=20170102" in p)
+    before = sorted((r["id"], str(r["day"])) for r in spark.read.parquet(base).collect())
+
+    stats = compact_parquet(spark, base, target_bytes=128 * 1024 * 1024)
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_after"] == 2  # day1 -> 1 file, day2 untouched
+    # the healthy partition's file is bit-identical (not rewritten)
+    day2_files_after = sorted(p for p, _ in _leaf_data_files(spark, base)
+                              if "day=20170102" in p)
+    assert day2_files_after == day2_files_before
+    after = sorted((r["id"], str(r["day"])) for r in spark.read.parquet(base).collect())
+    assert after == before
+
+
+def test_compact_parquet_noop_when_right_sized(spark):
+    from cliqz_etl_spark.io import compact_parquet
+
+    base = tempfile.mkdtemp() + "/t"
+    spark.range(0, 100).coalesce(1).write.parquet(base)
+    stats = compact_parquet(spark, base, target_bytes=128 * 1024 * 1024)
+    assert stats == {"partitions_compacted": 0, "files_before": 1,
+                     "files_after": 1}
