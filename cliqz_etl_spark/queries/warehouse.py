@@ -339,6 +339,102 @@ def brand_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q13 shape: order-count distribution including zero-order customers.
+# Aggregate-then-join: orders pre-aggregates to one row per customer BEFORE
+# the left join, so the join input is |customers| + |customers-with-orders|
+# rows, not |customers| + |orders| — the shape that matters at 100 TB.
+# --------------------------------------------------------------------------
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count AS c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2, ... orders."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cust.join(counts, cust.c_custkey == counts.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who were the sole late shipper in a
+# multi-supplier order. The classic triple-EXISTS correlated form becomes
+# ONE aggregation over lineitem: per order, count distinct suppliers,
+# count distinct late suppliers, and remember the late supplier when it is
+# unique — exactly the EXISTS / NOT-EXISTS semantics, with one shuffle on
+# the natural key instead of three self-joins. "Late" is adapted to this
+# subset schema (no commitdate): shipped >60 days after the order date.
+# --------------------------------------------------------------------------
+@query(
+    "sole_late_supplier_blame",
+    oracle="""
+    WITH flagged AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+               MIN(CASE WHEN late THEN l_suppkey END) AS late_supp
+        FROM flagged GROUP BY l_orderkey
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+           COUNT(*) AS numwait
+    FROM per_order p JOIN supplier s ON s.s_suppkey = p.late_supp
+    WHERE p.n_supp > 1 AND p.n_late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_suppkey ASC
+    LIMIT 25
+    """,
+)
+def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+        )
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), per_order.late_supp == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q22 shape: anti join + global-average threshold. "Well-funded but
 # never urgent": customers with above-average positive balance and no
 # 1-URGENT order, per market segment. The average comparison is kept
