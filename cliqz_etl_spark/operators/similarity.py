@@ -70,18 +70,26 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     """Exact top-k neighbors for each query vector (self-match excluded).
 
     The query side is broadcast — the corpus is scanned once, never
-    shuffled; ranking happens in a window partitioned by query id."""
+    shuffled; ranking happens in a window partitioned by query id. Each
+    side's squared norm is computed once per ROW before the join (the
+    naive cosine-per-pair form re-evaluates both O(d) norms for every
+    pair); the pair stage is then one O(d) dot + sqrt(na*nb), written
+    exactly as the oracle's formula so the double rounds identically."""
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm2_q(F.col("qv")).cast("double"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm2_q(F.col("cv")).cast("double"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_q(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot_q(F.col("qv"), F.col("cv")).cast("double")
+             / F.sqrt(F.col("qn") * F.col("cn"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
