@@ -160,14 +160,20 @@ def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
     q = assigned.select(
         F.col("_id").alias("query_id"), F.col("_qv").alias("qv"),
         F.col("cluster").alias("qcluster"),
+        norm2_q(F.col("_qv")).cast("double").alias("qn"),
     ).join(queries.select(F.col(id_col).alias("query_id")), "query_id")
     c = assigned.select(
-        F.col("_id").alias("neighbor_id"), F.col("_qv").alias("cv"), "cluster"
+        F.col("_id").alias("neighbor_id"), F.col("_qv").alias("cv"), "cluster",
+        norm2_q(F.col("_qv")).cast("double").alias("cn"),
     )
     scored = (
         c.join(F.broadcast(q), (F.col("cluster") == F.col("qcluster"))
                & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "neighbor_id", cosine_q(F.col("qv"), F.col("cv")).alias("cos"))
+        # norms hoisted to once-per-row above; dot/sqrt(qn*cn) keeps the
+        # oracle's exact double operation order (see brute_force_topk)
+        .select("query_id", "neighbor_id",
+                (dot_q(F.col("qv"), F.col("cv")).cast("double")
+                 / F.sqrt(F.col("qn") * F.col("cn"))).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

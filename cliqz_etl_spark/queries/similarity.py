@@ -13,10 +13,11 @@ from pyspark.sql import functions as F
 
 from cliqz_etl_spark.operators.similarity import (
     brute_force_topk,
+    dot_q,
     ivf_assign,
     ivf_topk,
+    norm2_q,
     quantize,
-    cosine_q,
 )
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
@@ -153,15 +154,21 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
     assigned = _materialize(ivf_assign(emb, centroids, "vec_id", "embedding"))
-    a = assigned.select(F.col("_id").alias("id_a"), F.col("_qv").alias("qa"), "cluster")
-    b = assigned.select(F.col("_id").alias("id_b"), F.col("_qv").alias("qb"), "cluster")
+    norm = norm2_q(F.col("_qv")).cast("double")
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_qv").alias("qa"),
+                        "cluster", norm.alias("na"))
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_qv").alias("qb"),
+                        "cluster", norm.alias("nb"))
+    # per-row norms hoisted out of the pair predicate; dot/sqrt(na*nb)
+    # keeps the oracle's exact double operation order
+    cos = (dot_q(F.col("qa"), F.col("qb")).cast("double")
+           / F.sqrt(F.col("na") * F.col("nb")))
     return (
         a.join(b, ["cluster"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.floor(cosine_q(F.col("qa"), F.col("qb")) * 10000 + 0.5)
-            .cast("long").alias("cos_x10k"),
+            F.floor(cos * 10000 + 0.5).cast("long").alias("cos_x10k"),
         )
         .where(F.col("cos_x10k") >= 4000)
     )
@@ -275,28 +282,36 @@ def ann_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     sigs = _materialize(
         emb.select("vec_id", quantize("embedding").alias("qv"))
-        .select("vec_id", "qv", _rhp_signature_col().alias("signature"))
+        .select("vec_id", "qv", _rhp_signature_col().alias("signature"),
+                norm2_q(F.col("qv")).cast("double").alias("qn"))
     )
     bands = F.array(
         F.struct(F.lit(0).alias("band"), F.col("signature").bitwiseAND(F.lit(255)).alias("chunk")),
         F.struct(F.lit(1).alias("band"),
                  F.shiftright(F.col("signature"), 8).bitwiseAND(F.lit(255)).alias("chunk")),
     )
-    chunks = sigs.select("vec_id", "qv", F.explode(bands).alias("c")) \
-        .select("vec_id", "qv", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+    chunks = sigs.select("vec_id", "qv", "qn", F.explode(bands).alias("c")) \
+        .select("vec_id", "qv", "qn",
+                F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
     a = chunks.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+                      F.col("qn").alias("na"),
                       "band", "chunk").where(F.col("query_id") % QUERY_MOD == 0)
     b = chunks.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
+                      F.col("qn").alias("nb"),
                       "band", "chunk")
     cand = (
         b.join(F.broadcast(a), ["band", "chunk"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qa", "qb")
+        .select("query_id", "neighbor_id", "qa", "qb", "na", "nb")
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # per-row norms ride the persisted signature table; dot/sqrt(na*nb)
+    # keeps the oracle's exact double operation order
     return (
-        cand.select("query_id", "neighbor_id", cosine_q(F.col("qa"), F.col("qb")).alias("cos"))
+        cand.select("query_id", "neighbor_id",
+                    (dot_q(F.col("qa"), F.col("qb")).cast("double")
+                     / F.sqrt(F.col("na") * F.col("nb"))).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= IVF_K)
         .select("query_id", "rank", "neighbor_id",
