@@ -76,15 +76,20 @@ def main() -> None:
         # two samples disagree wildly (host-level noise burst hit one of
         # them), take one more so a single bad window can't distort the
         # recorded number.
-        samples = []
-        for _ in range(2):
+        from cliqz_etl_spark.operators.cache import release_all
+
+        def run_once() -> float:
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).collect()
-            samples.append(time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            # release operator-persisted intermediates so each sample (and
+            # each query) starts cold and caches never accumulate
+            release_all()
+            return elapsed
+
+        samples = [run_once() for _ in range(2)]
         if max(samples) > 1.5 * min(samples) + 0.2:
-            t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).collect()
-            samples.append(time.perf_counter() - t0)
+            samples.append(run_once())
         timings[name] = round(min(samples), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -32,8 +32,14 @@ def _materialize(df: DataFrame) -> DataFrame:
     Self-joining a derived frame otherwise computes its whole subtree once
     per join side (measured 2-3x the cost on the hashing-heavy frames
     here). The persisted frames are a few dozen bytes per row — at 10^9
-    docs that is ~100 GB across a cluster, comfortably MEMORY_AND_DISK."""
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    docs that is ~100 GB across a cluster, comfortably MEMORY_AND_DISK.
+
+    Every persisted frame is registered with operators/cache.py; runners
+    call ``cache.release_all()`` after their terminal action so repeated
+    invocations in one session don't accumulate cached partitions."""
+    from cliqz_etl_spark.operators.cache import track
+
+    df = track(df.persist(StorageLevel.MEMORY_AND_DISK))
     df.count()
     return df
 
@@ -265,16 +271,26 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------------- n-gram Jaccard --
 
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3, threshold: float = 0.2,
-                        max_shingle_freq: int | None = None) -> DataFrame:
+                        max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+                        ) -> DataFrame:
     """Exact Jaccard over distinct k-word shingles, computed via an
     inverted index: explode distinct shingles, self-join on shingle,
     count common, join back the set sizes.
 
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs before the join — the standard skew guard at scale (a stopword
-    shingle otherwise creates a quadratic hot bucket).
+    shingle otherwise creates a quadratic hot bucket: one shingle shared
+    by f docs contributes f^2/2 join rows, so an unguarded common trigram
+    at 10^9 docs is a single-bucket 10^18-pair explosion). It is ON by
+    default; pass ``None`` only for corpora known to be hot-shingle-free.
+    Dropping a >f-frequency shingle can only *lower* a pair's Jaccard
+    estimate for pairs sharing that stopword shingle — the accepted
+    trade everywhere this guard is deployed.
 
     The set size rides along each inverted-index row (8 bytes of shuffle
     width) so the Jaccard denominator needs no separate size aggregation

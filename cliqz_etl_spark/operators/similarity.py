@@ -102,47 +102,114 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def ivf_assign_q(projected: DataFrame, cids: list[int],
+                 cents: list[list[int]]) -> DataFrame:
+    """Nearest-centroid assignment for an already-quantized (_id, _qv)
+    frame against an in-memory centroid model (the K x dim matrix).
+
+    The model ships to executors as a broadcast variable and each Arrow
+    batch is scored with one int64 numpy matmul: argmin_c |v-c|^2 =
+    argmin_c (|c|^2 - 2 v.c), |v|^2 being constant per row. Integer-exact
+    (milli-unit values keep every product far inside int64), ties break to
+    the lowest centroid id (rows sorted by cid; np.argmin takes the first
+    minimum). A pure map over the corpus — no shuffle, and unlike the
+    earlier K x dim literal expression the plan is O(1) in K, so this is
+    the 100 TB design at production K (4096+): plan size constant, per-row
+    cost one vectorized BLAS-shaped matmul instead of K codegen'd
+    distance subtrees. Returns (_id, _qv, cluster)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order = sorted(range(len(cids)), key=lambda i: cids[i])
+    model = ([int(cids[i]) for i in order], [[int(x) for x in cents[i]] for i in order])
+    bc = projected.sparkSession.sparkContext.broadcast(model)
+    schema = StructType(list(projected.schema.fields)
+                        + [StructField("cluster", LongType(), False)])
+
+    def assign(batches):
+        import numpy as np
+
+        cid_arr, cent_mat = bc.value
+        C = np.asarray(cent_mat, dtype=np.int64)
+        cids_np = np.asarray(cid_arr, dtype=np.int64)
+        c_norm = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cluster=np.array([], dtype=np.int64))
+                continue
+            V = np.array([np.asarray(v, dtype=np.int64) for v in pdf["_qv"]],
+                         dtype=np.int64)
+            dist = c_norm[None, :] - 2 * (V @ C.T)
+            yield pdf.assign(cluster=cids_np[np.argmin(dist, axis=1)])
+
+    return projected.mapInPandas(assign, schema=schema)
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
                vec_col: str) -> DataFrame:
     """Assign every vector to its nearest centroid by squared L2 (integer-
     exact on quantized vectors; ties break to the lowest centroid id).
 
-    Centroids ride into the executors as ONE constant-folded array of
-    (cid, cv) structs; the per-row argmin is a single transform + array_min
-    over that constant — a pure map over the corpus, no shuffle, and the
-    codegen'd expression stays O(1) in K (the earlier K-way unrolled
-    literal expression compiled K copies of the 64-wide distance subtree;
-    at K=50 plan compile dominated the query). Returns (id, cluster, qv)."""
+    The centroid frame is the MODEL — K rows — so collecting it to the
+    driver is the correct move (same as fitting any broadcast model); the
+    corpus-side work runs through ivf_assign_q's broadcast + numpy argmin
+    map. Returns (id, cluster, qv)."""
     cent_rows = [
-        (int(r["cid"]), r["cv"])
+        (int(r["cid"]), [int(x) for x in r["cv"]])
         for r in centroids.select(
             F.col(id_col).alias("cid"), quantize(vec_col).alias("cv")
         ).collect()
     ]
-    qv = quantize(vec_col)
+    projected = corpus.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+    return ivf_assign_q(projected, [c for c, _ in cent_rows], [v for _, v in cent_rows])
 
-    cent_arr = F.array(*[
-        F.struct(
-            F.lit(cid).alias("cid"),
-            F.array(*[F.lit(int(x)) for x in cv]).alias("cv"),
-        )
-        for cid, cv in cent_rows
-    ])
 
-    def dist_struct(c):
-        diff = F.zip_with(F.col("_qv"), c["cv"], lambda x, y: (x - y) * (x - y))
-        d = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        # struct ordering = (distance, cid): array_min ties to lowest cid
-        return F.struct(d.alias("d"), c["cid"].alias("cid"))
+def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
+               n_iter: int = 2, dim: int = 64) -> list[list[int]]:
+    """Deterministic Lloyd's k-means over quantized vectors; returns the
+    trained centroid matrix (cid = list index, 0..k-1).
 
-    return (
-        corpus.select(F.col(id_col).alias("_id"), qv.alias("_qv"))
-        .select(
-            F.col("_id"),
-            F.col("_qv"),
-            F.array_min(F.transform(cent_arr, dist_struct))["cid"].alias("cluster"),
-        )
+    - init: the k rows with smallest (md5_long(id), id) — a deterministic
+      pseudo-random sample expressed as orderBy().limit(k), which Spark
+      executes as per-partition top-k + driver merge, not a full sort.
+    - each round: broadcast-argmin assignment (ivf_assign_q), then
+      per-cluster per-dimension integer means as dim parallel SUM columns
+      (map-side partial agg reduces every partition to K rows before the
+      one K-row shuffle); new component = floor(sum/n + 0.5) with the
+      division done double-precision in the same operand order as the
+      DuckDB oracle. Empty clusters keep their previous centroid.
+
+    Only models (K x dim ints) ever reach the driver; the corpus-side work
+    is one map + one K-row-wide aggregate per round."""
+    import math
+
+    from cliqz_etl_spark.functions.hashing import md5_long
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    proj = _materialize(
+        df.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
     )
+    init_rows = (
+        proj.select("_id", "_qv", md5_long(F.col("_id").cast("string")).alias("_h"))
+        .orderBy(F.asc("_h"), F.asc("_id"))
+        .limit(k)
+        .collect()
+    )
+    cents = [[int(x) for x in r["_qv"]] for r in init_rows]
+    for _ in range(n_iter):
+        assigned = ivf_assign_q(proj, list(range(len(cents))), cents)
+        stats = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("_qv")[d]).alias(f"s{d}") for d in range(dim)],
+        ).collect()
+        means = {
+            int(r["cluster"]): [
+                int(math.floor(float(r[f"s{d}"]) / float(r["n"]) + 0.5))
+                for d in range(dim)
+            ]
+            for r in stats
+        }
+        cents = [means.get(c, cents[c]) for c in range(len(cents))]
+    return cents
 
 
 def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,

@@ -65,10 +65,11 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
-# Range join: ordered pairs of same-user events within 5 minutes. The
-# equi-key (user_id) bounds the quadratic term to per-user group sizes; at
-# scale, add a coarse time-bucket key (ts div 300) and join adjacent
-# buckets to bound it further.
+# Range join: ordered pairs of same-user events within 5 minutes. The join
+# key is (user_id, coarse 300 s time bucket): side A probes its own bucket
+# plus both neighbors (any |gap| <= 300 s pair differs by at most one
+# bucket), so the pair set is bounded per (user, 10-minute window) instead
+# of per user — a power user with a year of events no longer goes quadratic.
 # --------------------------------------------------------------------------
 @query(
     "range_join_close_events",
@@ -83,11 +84,20 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    a = ev.select(F.col("user_id"), F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
-    b = ev.select(F.col("user_id"), F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    bucket = F.floor(F.col("ts").cast("long") / 300)
+    # A emits 3 probe rows (bucket-1, bucket, bucket+1); B keeps its single
+    # bucket, so each qualifying (a, b) pair meets on exactly one key value.
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bkt"),
+    )
+    b = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"),
+        bucket.alias("bkt"),
+    )
     gap = (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).cast("long")
     return (
-        a.join(b, "user_id")
+        a.join(b, ["user_id", "bkt"])
         .where((F.col("id_a") < F.col("id_b")) & gap.between(-300, 300))
         .select("user_id", "id_a", "id_b", gap.alias("gap_sec"))
     )
@@ -166,15 +176,55 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "price_quantity_corr",
     oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)      AS qc,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+        FROM lineitem
+    ), m AS (
+        SELECT l_returnflag,
+               COUNT(*)     AS n,
+               SUM(qc)      AS sx,  SUM(pc)      AS sy,
+               SUM(qc * qc) AS sxx, SUM(pc * pc) AS syy,
+               SUM(qc * pc) AS sxy
+        FROM q GROUP BY l_returnflag
+    )
     SELECT l_returnflag AS l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 3) AS qty_price_corr
-    FROM lineitem GROUP BY l_returnflag
+           CAST(floor(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 10000 + 0.5) AS BIGINT) AS corr_x10k
+    FROM m
     """,
 )
 def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr from exact integer moment sums, not F.corr: a grouped
+    double `corr` is partial-agg order dependent, so round(corr, 3) flipped
+    a rounding boundary between Spark and DuckDB (the one red row in
+    CORRECTNESS_r01). Quantize both inputs to cents, aggregate the six
+    moments as decimal(38,0) (exact, matching DuckDB's HUGEINT bigint-sum),
+    then derive corr in one fixed-order IEEE double expression shared
+    verbatim with the oracle — deterministic regardless of partitioning."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("qty_price_corr")
+    qc = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    staged = li.select(
+        "l_returnflag", qc.alias("qc"), pc.alias("pc"),
+        (qc * qc).alias("qq"), (pc * pc).alias("pp"), (qc * pc).alias("qp"),
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+    m = staged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec("qc").alias("sx"), dec("pc").alias("sy"),
+        dec("qq").alias("sxx"), dec("pp").alias("syy"), dec("qp").alias("sxy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxx, syy, sxy = [F.col(c).cast("double") for c in ("sxx", "syy", "sxy")]
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return m.select(
+        "l_returnflag",
+        F.floor(corr * 10000 + 0.5).cast("long").alias("corr_x10k"),
     )
 
 

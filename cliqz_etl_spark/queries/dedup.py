@@ -182,11 +182,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=2)
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
+def _ngram_jaccard_oracle(max_freq: int, threshold_x10k: int) -> str:
+    """Oracle twin of operators/dedup.py::ngram_jaccard_pairs including the
+    per-shingle doc-frequency cutoff and the post-filter size recount (the
+    Jaccard denominator must count only surviving shingles)."""
+    return f"""
+    WITH sh0 AS (
         SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM documents
+    ), keep AS (
+        SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {max_freq}
+    ), sh AS (
+        SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep ON keep.s = sh0.s
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
     ), common AS (
@@ -200,10 +206,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) AS BIGINT) >= 2000
-    """,
+    WHERE CAST(floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) AS BIGINT) >= {threshold_x10k}
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_ngram_jaccard_oracle(max_freq=1000, threshold_x10k=2000),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard >= 0.2 via inverted-index join."""
+    """Exact 3-gram-shingle Jaccard >= 0.2 via inverted-index join, with
+    the default doc-frequency skew guard (1000) mirrored in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", SHINGLE_K, threshold=0.2)
+
+
+@query(
+    "dedup_ngram_jaccard_guarded",
+    oracle=_ngram_jaccard_oracle(max_freq=5, threshold_x10k=1000),
+)
+def dedup_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-guard cutoff path under load: max_shingle_freq=5 actually
+    drops shingles at sf0.01 (29 shingles appear in >5 of 500 docs), so
+    this query verifies the post-filter size recount end-to-end — the
+    denominator must shrink with the dropped shingles on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", SHINGLE_K,
+                               threshold=0.1, max_shingle_freq=5)

@@ -15,7 +15,9 @@ from cliqz_etl_spark.operators.similarity import (
     brute_force_topk,
     dot_q,
     ivf_assign,
+    ivf_assign_q,
     ivf_topk,
+    kmeans_fit,
     norm2_q,
     quantize,
 )
@@ -23,9 +25,11 @@ from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
 
 QUERY_MOD = 97     # query set: vec_id % 97 == 0
-CENTROID_MOD = 100  # deterministic "trained" centroids: vec_id % 100 == 0
+CENTROID_MOD = 100  # strided sampled centroids: vec_id % 100 == 0
 TOP_K = 5
 IVF_K = 3
+KM_K = 50          # trained coarse quantizer size
+KM_ITER = 2        # Lloyd's rounds after sampled init
 
 # ---- shared DuckDB fragments ----------------------------------------------
 
@@ -174,13 +178,104 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- trained k-means coarse quantizer --------------------------------------
+
+VEC_DIM = 64
+
+
+def _km_dist(vexpr: str, cexpr: str) -> str:
+    return (f"list_sum(list_transform(range(1, {VEC_DIM}+1), "
+            f"j -> ({vexpr}[j]-{cexpr}[j])*({vexpr}[j]-{cexpr}[j])))")
+
+
+def _km_assign_cte(name: str, cent_cte: str) -> str:
+    """Nearest-centroid assignment (exact integer L2, ties -> lowest cid)."""
+    return f"""
+    , {name} AS (
+        SELECT vec_id, cid FROM (
+            SELECT q.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_km_dist('q.v', 'c.cv')} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN {cent_cte} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _kmeans_cte(k: int, n_iter: int) -> str:
+    """DuckDB twin of operators/similarity.py::kmeans_fit — sampled init
+    (k smallest (md5_long(vec_id), vec_id)), then n_iter Lloyd's rounds of
+    assign + per-dimension floor(sum/n + 0.5) means, empty clusters keeping
+    the previous centroid. Ends with centroid CTE ``c{n_iter}``."""
+    from cliqz_etl_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("vec_id")
+    parts = [_QCTE, f"""
+    , c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY {h} ASC, vec_id ASC) - 1 AS cid, v AS cv
+        FROM q ORDER BY {h} ASC, vec_id ASC LIMIT {k}
+    )"""]
+    mean_list = ", ".join(
+        f"CAST(floor(CAST(SUM(q.v[{d + 1}]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT)"
+        for d in range(VEC_DIM)
+    )
+    for it in range(1, n_iter + 1):
+        parts.append(_km_assign_cte(f"a{it}", f"c{it - 1}"))
+        parts.append(f"""
+    , m{it} AS (
+        SELECT cid, [{mean_list}] AS cv
+        FROM a{it} JOIN q USING (vec_id) GROUP BY cid
+    ), c{it} AS (
+        SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+        FROM c{it - 1} p LEFT JOIN m{it} m USING (cid)
+    )""")
+    return "".join(parts)
+
+
+@query(
+    "kmeans_centroids",
+    oracle=_kmeans_cte(KM_K, KM_ITER) + f"""
+    SELECT cid AS cid, cv AS centroid FROM c{KM_ITER}
+    """,
+)
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained K=50 coarse quantizer itself, value-checked component by
+    component: sampled init + 2 Lloyd's rounds, each round one broadcast
+    argmin map + one K-row-wide integer aggregate. Only the K x 64 model
+    crosses the driver; the oracle replays the identical training loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)],
+        "cid: bigint, centroid: array<bigint>",
+    )
+
+
+@query(
+    "ivf_clusters_trained",
+    oracle=_kmeans_cte(KM_K, KM_ITER) + _km_assign_cte("fin", f"c{KM_ITER}") + """
+    SELECT cid AS cluster, COUNT(*) AS n_vectors FROM fin GROUP BY cid
+    """,
+)
+def ivf_clusters_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF occupancy under the TRAINED quantizer (K=50): kmeans_fit then
+    one broadcast-argmin assignment pass — the production IVF build path
+    (train on a sample, assign the full corpus, bucket by cluster)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM)
+    proj = emb.select(F.col("vec_id").alias("_id"), quantize("embedding").alias("_qv"))
+    return (
+        ivf_assign_q(proj, list(range(KM_K)), cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 # ---- Random-hyperplane LSH (SimHash for vectors) ---------------------------
 #
 # Deterministic pseudo-random hyperplanes: component d of plane i is an
 # integer in [-500, 500] derived from md5 — so signed dot products against
 # quantized vectors are integer-exact and the signature is oracle-checkable.
 RHP_BITS = 16
-VEC_DIM = 64
 
 
 def _rhp_component(i: int, d: int) -> int:

@@ -14,8 +14,13 @@ _REGISTRY = load_all()
 
 @pytest.mark.parametrize("name", sorted(_REGISTRY))
 def test_query_matches_oracle(spark, name):
+    from cliqz_etl_spark.operators.cache import release_all
+
     q = _REGISTRY[name]
-    result = compare(spark, name, q.fn, q.oracle, SF_ORACLE)
+    try:
+        result = compare(spark, name, q.fn, q.oracle, SF_ORACLE)
+    finally:
+        release_all()
     if q.oracle is None:
         assert result["spark_rows"] >= 0
         return
