@@ -9,6 +9,7 @@ Python is involved.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -58,20 +59,50 @@ def hours(col: Column | str, default: float = 0.0) -> Column:
     return F.coalesce(_c(col).cast("double"), F.lit(default)) / F.lit(3600.0)
 
 
-def decrypt_aes_ecb_b64(col: Column | str, key: Column) -> Column:
+def decrypt_aes_ecb_b64(col: Column | str, key: Column,
+                        zero_pad_fallback: bool = True) -> Column:
     """F1 (testpilot_data.py:98-106): base64 -> AES-ECB decrypt -> strip
-    zero padding -> drop 4-byte head/tail. Bad ciphertext -> NULL via
-    try_aes_decrypt.
+    zero padding -> drop 4-byte head/tail. Bad ciphertext -> NULL.
 
-    Divergence note: PyCrypto's `AES.new(key)` was raw ECB over zero-padded
-    plaintext; Spark's aes_decrypt rejects ('ECB','NONE'), so this uses
-    ECB/PKCS ('DEFAULT'). The zero-strip is kept so zero-padded plaintext
-    inside a PKCS envelope still cleans up; byte-exact parity with a raw
-    zero-padded producer would need a Python-AES guarded UDF (no crypto
-    lib in this container)."""
+    Two-tier plan: the JVM fast path (aes_decrypt ECB/'DEFAULT' = PKCS
+    unpad) handles well-formed PKCS ciphertext inside codegen. The
+    reference's producer, though, was PyCrypto raw ECB over ZERO-padded
+    plaintext (testpilot_data.py:102) — its ciphertext fails PKCS unpad
+    and NULLs out. With ``zero_pad_fallback`` the rows the fast path
+    NULLed are re-tried in an Arrow-batched pandas UDF running a pure-
+    Python AES (functions/aes_py.py, FIPS-197-vector-tested) with the
+    reference's exact ``rstrip("\\0")[4:-4]`` semantics; rows already
+    decoded JVM-side pass through untouched, so the Python work is
+    proportional to the zero-padded minority. Set it False for pure-JVM
+    plans over PKCS-only data."""
     plain = F.try_aes_decrypt(F.unbase64(_c(col)), key, F.lit("ECB"), F.lit("DEFAULT"))
     text = F.regexp_replace(plain.cast("string"), "\x00+$", "")
-    return F.substring(text, 5, F.greatest(F.length(text) - F.lit(8), F.lit(0)))
+    fast = F.substring(text, 5, F.greatest(F.length(text) - F.lit(8), F.lit(0)))
+    if not zero_pad_fallback:
+        return fast
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _zero_pad_decrypt(cipher: pd.Series, key_s: pd.Series,
+                          fast_s: pd.Series) -> pd.Series:
+        import base64
+
+        from cliqz_etl_spark.functions.aes_py import decrypt_ecb
+
+        out = []
+        for c, k, f in zip(cipher, key_s, fast_s):
+            if f is not None or c is None or k is None:
+                out.append(f)
+                continue
+            try:
+                plain_b = decrypt_ecb(base64.b64decode(c), k.encode("utf-8"))
+                out.append(plain_b.rstrip(b"\0")[4:-4].decode("utf-8"))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return _zero_pad_decrypt(_c(col), key.cast("string"), fast)
 
 
 def null_safe(col: Column | str, default) -> Column:

@@ -67,26 +67,76 @@ def read_text_scalar(spark: SparkSession, path: str) -> str:
     return spark.read.text(path).first()[0]
 
 
+_STAGE_SUFFIXES = (".__staging__", ".__compact__", ".__old__")
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    return _hadoop_path(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _strip_scheme(path: str) -> str:
+    """Drop a URI scheme prefix (``file:``, ``hdfs://nn``) so listing
+    output can be sliced against a caller-supplied plain path."""
+    import re
+
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?(/.*)$", path)
+    return m.group(2) if m else path
+
+
+def _clean_stale_staging(spark: SparkSession, base_path: str) -> None:
+    """Remove leftover staging/backup siblings from a previous crashed run
+    so they don't leak a full table copy per run."""
+    fs = _hadoop_fs(spark, base_path)
+    for suffix in _STAGE_SUFFIXES:
+        p = _hadoop_path(spark, base_path.rstrip("/") + suffix)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+def _swap_in(spark: SparkSession, staging: str, base_path: str) -> None:
+    """Promote a fully-written staging dir over the base with FileSystem
+    renames (metadata ops), never a second data rewrite: base ->
+    .__old__, staging -> base, delete .__old__. A crash mid-swap always
+    leaves at least one complete copy on disk (either base, or .__old__ +
+    staging — recoverable by renaming either back); contrast the previous
+    read-staging-and-overwrite-base, which deleted the only complete copy
+    before rewriting it and doubled the write volume."""
+    base = base_path.rstrip("/")
+    fs = _hadoop_fs(spark, base)
+    jbase, jstag = _hadoop_path(spark, base), _hadoop_path(spark, staging)
+    jold = _hadoop_path(spark, base + ".__old__")
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if fs.exists(jbase) and not fs.rename(jbase, jold):
+        raise IOError(f"could not move {base} aside for swap")
+    if not fs.rename(jstag, jbase):
+        raise IOError(f"could not promote {staging} over {base}")
+    fs.delete(jold, True)
+
+
 def upsert_parquet(spark: SparkSession, base_path: str, updates: DataFrame,
                    key: str | list[str]) -> None:
     """SCD-1 upsert into a parquet table: rows in ``updates`` replace
     same-key rows in the base, new keys append. Implemented as
-    anti-join(base, updates) ∪ updates -> overwrite — the merge pattern
-    for plain parquet (a table format like Iceberg/Delta would do this
-    transactionally; the logic is identical).
+    anti-join(base, updates) ∪ updates -> staging write -> rename swap —
+    ONE data write pass (a table format like Iceberg/Delta would make the
+    swap a single atomic commit; the merge logic is identical).
 
     The rewrite cost is the whole table; partition the base and upsert
     per-partition (write_parquet's dynamic overwrite) when keys are
     partition-aligned — this helper is for the unpartitioned case."""
     keys = [key] if isinstance(key, str) else list(key)
+    _clean_stale_staging(spark, base_path)
     base = spark.read.parquet(base_path)
     merged = base.join(updates.select(*keys).distinct(), keys, "left_anti") \
         .unionByName(updates)
-    # parquet overwrite reads lazily from the same path it writes: stage
-    # through a sibling path, then swap via a second (scan-only) job
     tmp = base_path.rstrip("/") + ".__staging__"
     merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(base_path)
+    _swap_in(spark, tmp, base_path)
 
 
 def _leaf_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -116,14 +166,16 @@ def compact_parquet(spark: SparkSession, path: str, *,
     than one file), coalescing each to ``ceil(partition_bytes /
     target_bytes)`` files; right-sized partitions are not touched or
     rewritten. File listing is driver-side metadata; the rewrite is one
-    Spark job staged through a sibling path then swapped in with dynamic
-    partition overwrite (a table format like Iceberg/Delta would make the
-    swap a single atomic commit; the compaction logic is identical).
+    Spark job into a staging sibling, promoted by per-directory FileSystem
+    renames — one data write pass, no window where the base is a partial
+    rewrite (a table format like Iceberg/Delta would make the swap a
+    single atomic commit; the compaction logic is identical).
 
     Returns {"partitions_compacted": n, "files_before": n, "files_after": n}.
     """
     import math
 
+    _clean_stale_staging(spark, path)
     files = _leaf_data_files(spark, path)
     root = path.rstrip("/")
     by_dir: dict[str, list[int]] = {}
@@ -143,7 +195,7 @@ def compact_parquet(spark: SparkSession, path: str, *,
         df = spark.read.parquet(path).repartition(n)
         tmp = root + ".__compact__"
         df.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        _swap_in(spark, tmp, path)
         return {"partitions_compacted": 1, "files_before": len(files),
                 "files_after": len(_leaf_data_files(spark, path))}
 
@@ -153,7 +205,8 @@ def compact_parquet(spark: SparkSession, path: str, *,
     preds, part_cols = [], []
     bucket_rows = []
     for d, sizes in todo.items():
-        kvs = [seg.split("=", 1) for seg in d[len(root) + 1:].split("/")
+        kvs = [seg.split("=", 1)
+               for seg in _strip_scheme(d)[len(_strip_scheme(root)) + 1:].split("/")
                if "=" in seg]
         part_cols = [k for k, _ in kvs]
         vals = {k: unquote(v) for k, v in kvs}
@@ -189,8 +242,23 @@ def compact_parquet(spark: SparkSession, path: str, *,
               .select(*data_cols))
     tmp = root + ".__compact__"
     staged.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
-    (spark.read.parquet(tmp).write.mode("overwrite")
-     .partitionBy(*part_cols).parquet(path))
+    # promote each compacted partition dir with renames (metadata ops) —
+    # untouched partitions never move, and no second data write happens
+    fs = _hadoop_fs(spark, root)
+    rootn = _strip_scheme(root)
+    for d in todo:
+        rel = _strip_scheme(d)[len(rootn) + 1:]
+        jnew = _hadoop_path(spark, f"{tmp}/{rel}")
+        jcur = _hadoop_path(spark, d)
+        jold = _hadoop_path(spark, d + ".__old__")
+        if not fs.exists(jnew):
+            raise IOError(f"staged partition missing: {tmp}/{rel}")
+        if fs.exists(jold):
+            fs.delete(jold, True)
+        if not (fs.rename(jcur, jold) and fs.rename(jnew, jcur)):
+            raise IOError(f"could not swap compacted partition {rel}")
+        fs.delete(jold, True)
+    fs.delete(_hadoop_path(spark, tmp), True)
     return {"partitions_compacted": len(todo), "files_before": len(files),
             "files_after": len(_leaf_data_files(spark, path))}
 

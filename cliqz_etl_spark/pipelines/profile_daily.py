@@ -110,18 +110,24 @@ def aggregate_ms(ms: DataFrame) -> DataFrame:
 
 
 def aggregate_txp(txp: DataFrame) -> DataFrame:
-    """A5 (:176-197) with §2.9 intent: separate enabled/disabled sums."""
-    ev = F.col("tpt_event")
+    """A5 (:176-197) with §2.9 intent, counter names per prep_txp_agg
+    (:186-196): ``cliqz_*`` counts the testpilot addon's own event stream
+    (tp_event 'enabled'/'disabled' — the dict's duplicated 'cliqz_enabled'
+    key was meant to be 'cliqz_disabled'), ``test_*`` counts the
+    testpilottest 'cliqzEnabled'/'cliqzDisabled'/'cliqzInstalled'/
+    'cliqzUninstalled' events."""
+    tp_ev, tpt_ev = F.col("tp_event"), F.col("tpt_event")
     return txp.groupBy(
         "client_id", F.col("submission").alias("submission_date")
     ).agg(
         F.first("cliqz_version", ignorenulls=True).alias("cliqz_version"),
         F.first("cliqz_client_id", ignorenulls=True).alias("cliqz_client_id"),
-        F.max(F.coalesce(F.col("has_addon"), F.lit(False))).alias("test_enabled"),
-        F.sum(indicator(ev == "cliqzEnabled")).alias("cliqz_enabled"),
-        F.sum(indicator(ev == "cliqzDisabled")).alias("cliqz_disabled"),
-        F.sum(indicator(ev == "cliqzInstalled")).alias("cliqz_installed"),
-        F.sum(indicator(ev == "cliqzUninstalled")).alias("cliqz_uninstalled"),
+        F.sum(indicator(tp_ev == "enabled")).alias("cliqz_enabled"),
+        F.sum(indicator(tp_ev == "disabled")).alias("cliqz_disabled"),
+        F.sum(indicator(tpt_ev == "cliqzEnabled")).alias("test_enabled"),
+        F.sum(indicator(tpt_ev == "cliqzDisabled")).alias("test_disabled"),
+        F.sum(indicator(tpt_ev == "cliqzInstalled")).alias("test_installed"),
+        F.sum(indicator(tpt_ev == "cliqzUninstalled")).alias("test_uninstalled"),
         F.count(F.lit(1)).alias("txp_events"),
     )
 
@@ -145,11 +151,12 @@ def profile_daily(testpilot: DataFrame, testpilottest: DataFrame,
         "submission_date",
         F.col("txp.cliqz_version").alias("cliqz_version"),
         F.col("txp.cliqz_client_id").alias("cliqz_client_id"),
-        F.coalesce("txp.test_enabled", F.lit(False)).alias("test_enabled"),
         F.coalesce("txp.cliqz_enabled", F.lit(0)).alias("cliqz_enabled"),
         F.coalesce("txp.cliqz_disabled", F.lit(0)).alias("cliqz_disabled"),   # §2.9
-        F.coalesce("txp.cliqz_installed", F.lit(0)).alias("cliqz_installed"),
-        F.coalesce("txp.cliqz_uninstalled", F.lit(0)).alias("cliqz_uninstalled"),
+        F.coalesce("txp.test_enabled", F.lit(0)).alias("test_enabled"),
+        F.coalesce("txp.test_disabled", F.lit(0)).alias("test_disabled"),
+        F.coalesce("txp.test_installed", F.lit(0)).alias("test_installed"),
+        F.coalesce("txp.test_uninstalled", F.lit(0)).alias("test_uninstalled"),
         F.coalesce("txp.txp_events", F.lit(0)).alias("txp_events"),
         F.col("ms.channel").alias("channel"),
         F.col("ms.os").alias("os"),

@@ -141,11 +141,14 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF relevance of every document against a fixed query vocabulary
     — inverted-index scoring, the retrieval primitive for corpus search.
     Per-term scores are floor-quantized BEFORE the sum (integer
-    aggregation: a double sum's order varies with partitioning)."""
+    aggregation: a double sum's order varies with partitioning). The
+    corpus size enters the plan as a 1-row count aggregate broadcast
+    cross-joined in — NOT a driver-side .count(), which would run an
+    extra full-scan job per invocation and pin a scalar on the driver."""
     from cliqz_etl_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("w")).where(
         F.col("w").isin(_QUERY_TERMS)
     )
@@ -153,7 +156,8 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "w")
-        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(n))
+        .withColumn("idf", F.log(F.col("n_docs") / F.col("df")))
         .groupBy("doc_id")
         .agg(F.sum(F.floor(F.col("tf") * F.col("idf") * 10000 + 0.5).cast("long"))
              .cast("long").alias("score_x10k"))

@@ -111,3 +111,27 @@ def test_compact_parquet_noop_when_right_sized(spark):
     stats = compact_parquet(spark, base, target_bytes=128 * 1024 * 1024)
     assert stats == {"partitions_compacted": 0, "files_before": 1,
                      "files_after": 1}
+
+
+def test_swap_leaves_no_staging_siblings(spark):
+    """upsert/compact must not leak .__staging__/.__compact__/.__old__
+    copies (a full table per run) and must clean stale ones on entry."""
+    import os
+
+    from cliqz_etl_spark.io import compact_parquet, upsert_parquet
+
+    root = tempfile.mkdtemp()
+    base = root + "/t"
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").write.parquet(base)
+    # simulate a crashed previous run's leftovers
+    os.makedirs(base + ".__staging__", exist_ok=True)
+    upsert_parquet(spark, base,
+                   spark.range(50, 150).selectExpr("id", "id * 3 AS v"), "id")
+    assert sorted(os.listdir(root)) == ["t"]
+    assert spark.read.parquet(base).count() == 150
+
+    frag = root + "/t2"
+    spark.range(0, 300).repartition(10).write.parquet(frag)
+    compact_parquet(spark, frag, target_bytes=128 * 1024 * 1024)
+    assert sorted(os.listdir(root)) == ["t", "t2"]
+    assert spark.read.parquet(frag).count() == 300

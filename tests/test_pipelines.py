@@ -88,6 +88,34 @@ def test_testpilottest_aes_decrypt_roundtrip(spark):
     assert rows["c2"]["cliqz_client_id"] is None
 
 
+def test_aes_zero_pad_reference_parity(spark):
+    """Byte-parity with the reference producer (testpilot_data.py:98-106):
+    PyCrypto AES.new(key) raw-ECB ciphertext over ZERO-padded plaintext —
+    which the JVM PKCS path NULLs — must decrypt via the guarded fallback
+    to exactly decrypt(ct).rstrip('\\0')[4:-4]."""
+    import base64
+
+    from cliqz_etl_spark.functions.aes_py import encrypt_ecb_zero_pad
+    from cliqz_etl_spark.functions.scalars import decrypt_aes_ecb_b64
+
+    key = AES_KEY.encode()
+    plain_padded = b"ABCDcliqz-42|20170101WXYZ"        # 25 B -> zero-pad to 32
+    plain_exact = b"ABCDcliqz-007|0101WXYZ8901234567"  # 32 B -> no padding
+    cts = [base64.b64encode(encrypt_ecb_zero_pad(p, key)).decode()
+           for p in (plain_padded, plain_exact)]
+    df = spark.createDataFrame([(cts[0],), (cts[1],), (None,), ("garbage",)], ["c"])
+    out = [r["p"] for r in
+           df.select(decrypt_aes_ecb_b64("c", F.lit(AES_KEY)).alias("p")).collect()]
+    assert out[0] == plain_padded.rstrip(b"\0")[4:-4].decode() == "cliqz-42|20170101"
+    assert out[1] == plain_exact[4:-4].decode() == "cliqz-007|0101WXYZ890123"
+    assert out[2] is None and out[3] is None
+    # PKCS-enveloped ciphertext still decodes (JVM fast path, fallback on)
+    good, = _encrypt(spark, ["ABCDpkcs-path|xWXYZ"])
+    row = spark.createDataFrame([(good,)], ["c"]).select(
+        decrypt_aes_ecb_b64("c", F.lit(AES_KEY)).alias("p")).first()
+    assert row["p"] == "pkcs-path|x"
+
+
 def test_search_csv_try_casts(spark):
     cols = ["udid", "start_time", "selection_type", "entry_point",
             "final_result_list_backend_result_count", "final_result_list_contains_history",
@@ -170,19 +198,22 @@ def test_profile_daily_intended_semantics(rollup):
     assert r["cliqz_version"] is None
     # UUID1/20170105: txp side only (ms rows that day: none)
     r = rows[(UUID1, "20170105")]
-    # §2.9 intent: enabled and disabled counted separately
-    assert r["cliqz_enabled"] == 1 and r["cliqz_disabled"] == 1
+    # §2.9 intent (prep_txp_agg :186-196): tpt events land in test_*
+    # counters, tp_event 'enabled'/'disabled' in cliqz_* — counted
+    # separately (the reference's duplicate dict key collapsed them)
+    assert r["test_enabled"] == 1 and r["test_disabled"] == 1
+    assert r["cliqz_enabled"] == 2 and r["cliqz_disabled"] == 0  # 2 joined rows, tp_event='enabled'
     assert r["txp_events"] == 2
     assert r["search_counts"] == {}                              # {} default, :235
     assert r["session_hours"] == 0.0
     # UUID2/20170102: ms-only full-outer side
     r = rows[(UUID2, "20170102")]
-    assert r["channel"] == "beta" and r["test_enabled"] is False
+    assert r["channel"] == "beta" and r["test_enabled"] == 0
     # too-old, bad-date, and invalid-uuid ms rows contributed nothing
     assert (UUID1, "20161215") not in rows and (UUID1, "bad-date") not in rows
     assert all(k[0] != "not-a-uuid" for k in rows)
 
 
 def test_profile_daily_output_schema(rollup):
-    assert len(rollup.columns) == 17
+    assert len(rollup.columns) == 18
     assert rollup.schema["search_counts"].dataType.simpleString() == "map<string,bigint>"
