@@ -20,37 +20,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
 # Headline set: one per operator family, weighted toward shuffle-heavy
-# shapes. Extended-surface queries are included once implemented.
-HEADLINE = [
-    "pricing_summary",
-    "revenue_by_nation",
-    "shipping_priority",
-    "nation_trade_volume",
-    "earliest_order_per_customer",
-    "full_outer_rollup",
-    "semi_join_orders",
-    "map_valued_agg",
-    "mode_per_user",
-    "per_key_limit",
-    "running_total",
-    "recency_filter",
-    "asof_last_click_before_purchase",
-    "forecast_revenue",
-    "returned_item_top_customers",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_topk",
-    "ann_ivf",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "sessionize",
-    "longest_streak",
-    "stratified_sample",
-    "word_counts",
-]
+# shapes — maintained next to DRIVER_ORDER in cliqz_etl_spark/queries so
+# both gate lists live in one place.
+from cliqz_etl_spark.queries import BENCH_HEADLINE as HEADLINE  # noqa: E402
 
 
 def main() -> None:

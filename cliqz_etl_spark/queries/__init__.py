@@ -39,8 +39,163 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# --------------------------------------------------------------------------
+# Driver-facing ordering — the single source of truth for the order the
+# correctness gate sees (the driver checks queries in iteration order and
+# may stop after a budget; round 1 it covered exactly the first 50 of 90,
+# leaving the back half dark). Queries are slotted most-scrutiny-first:
+# this round's fixed/changed/new queries and the 40 that had no driver row
+# in round 1 occupy the front; queries already driver-green in round 1
+# follow. load_all() REFUSES to run if a registered query is missing from
+# this list (or vice versa), so a new query can never silently land past
+# the driver's check window again.
+# --------------------------------------------------------------------------
+DRIVER_ORDER: list[str] = [
+    # flagship + round-1 red row, first
+    "revenue_by_nation",
+    "price_quantity_corr",
+    # warehouse family (no driver rows in round 1)
+    "order_priority_checking",
+    "forecast_revenue",
+    "returned_item_top_customers",
+    "priority_line_counts",
+    "promo_revenue_pct",
+    "top_revenue_suppliers",
+    "large_volume_customers",
+    "brand_filtered_revenue",
+    "customer_order_distribution",
+    "sole_late_supplier_blame",
+    "idle_balance_customers",
+    # similarity / ANN (dark in round 1; IVF reworked + k-means new)
+    "ann_topk",
+    "ivf_clusters",
+    "ann_ivf",
+    "kmeans_centroids",
+    "ivf_clusters_trained",
+    "embedding_near_pairs",
+    "rhp_signatures",
+    "ann_rhp",
+    # sessions (dark in round 1)
+    "sessionize",
+    "session_stats",
+    "sessionize_native",
+    "longest_streak",
+    # streaming (dark in round 1 + two new stateful ops)
+    "streaming_hourly_counts",
+    "streaming_sessions",
+    "streaming_dedup",
+    "streaming_stream_join",
+    # text analysis (dark in round 1)
+    "text_stats",
+    "lang_id",
+    "text_quality",
+    "doc_fingerprint",
+    # timeseries / misc (dark in round 1; tfidf_search plan changed)
+    "daily_activity_filled",
+    "order_cube",
+    "json_flatten",
+    "tfidf_search",
+    "sliding_event_counts",
+    "moving_avg_value",
+    # relational tail (dark in round 1)
+    "top_orders",
+    "nations_without_suppliers",
+    "nations_with_both",
+    "all_account_balances",
+    "order_rollup",
+    "running_total",
+    # changed this round -> need fresh driver rows
+    "range_join_close_events",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
+    "dedup_clusters",
+    "curation_pipeline",
+    # ---- driver-green in round 1, unchanged since ------------------------
+    "asof_last_click_before_purchase",
+    "pivot_event_counts",
+    "unpivot_event_counts",
+    "value_percentiles_by_type",
+    "word_counts",
+    "monthly_revenue",
+    "approx_distinct_users",
+    "shipping_priority",
+    "nation_trade_volume",
+    "parts_supplier_stats",
+    "above_avg_balance_customers",
+    "nations_in_region",
+    "data_quality_checks",
+    "funnel_counts",
+    "weekly_retention",
+    "value_histogram",
+    "order_rank_family",
+    "next_event_gap",
+    "region_status_grid",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash_values",
+    "dedup_simhash",
+    "sample_10pct",
+    "stratified_sample",
+    "train_test_split",
+    "normalize_text",
+    "multimodal_meta",
+    "pricing_summary",
+    "earliest_order_per_customer",
+    "two_key_join",
+    "full_outer_rollup",
+    "semi_join_orders",
+    "anti_join_customers",
+    "map_valued_agg",
+    "mode_per_user",
+    "indicator_sums",
+    "value_hours_per_user",
+    "distinct_purchasers",
+    "ever_purchased",
+    "recency_filter",
+    "per_key_limit",
+    "scalar_gauntlet",
+    "regex_validity_filter",
+]
+
+# Bench headline set lives beside the driver order so both gates are
+# maintained in one place (bench.py imports this).
+BENCH_HEADLINE: list[str] = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "shipping_priority",
+    "nation_trade_volume",
+    "earliest_order_per_customer",
+    "full_outer_rollup",
+    "semi_join_orders",
+    "map_valued_agg",
+    "mode_per_user",
+    "per_key_limit",
+    "running_total",
+    "recency_filter",
+    "asof_last_click_before_purchase",
+    "forecast_revenue",
+    "returned_item_top_customers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_topk",
+    "ann_ivf",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "sessionize",
+    "longest_streak",
+    "stratified_sample",
+    "word_counts",
+]
+
+
 def load_all() -> dict[str, Query]:
-    """Import every query module (side effect: fills REGISTRY)."""
+    """Import every query module (side effect: fills REGISTRY) and return
+    the registry in DRIVER_ORDER. Raises if the order list and the
+    registry ever drift apart — the hygiene gate for the check window."""
     from cliqz_etl_spark.queries import (  # noqa: F401
         advanced,
         analytics,
@@ -55,4 +210,11 @@ def load_all() -> dict[str, Query]:
         timeseries,
         warehouse,
     )
-    return REGISTRY
+    missing = [n for n in DRIVER_ORDER if n not in REGISTRY]
+    unlisted = [n for n in REGISTRY if n not in DRIVER_ORDER]
+    if missing or unlisted:
+        raise ValueError(
+            f"query registry / DRIVER_ORDER drift: missing={missing} "
+            f"unlisted={unlisted} — every registered query must occupy "
+            f"exactly one slot in DRIVER_ORDER")
+    return {n: REGISTRY[n] for n in DRIVER_ORDER}

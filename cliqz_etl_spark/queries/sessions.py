@@ -20,7 +20,13 @@ GAP_SECONDS = 1800
 
 def with_session_seq(ev: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
     """Add a per-user ``session_seq`` column (1-based) to an events frame.
-    Deterministic ordering: (ts, event_id)."""
+    Deterministic ordering: (ts, event_id). Boundary semantics match
+    Spark's ``session_window`` exactly: an event at EXACTLY prev_ts + gap
+    still merges (session windows [t, t+gap] chain when they touch), so a
+    new session starts only at gap > gap_seconds — pinned by the
+    exact-1800s-gap fixture in test_streaming, measured against the
+    native operator, so the three sessionizers and the shared oracle
+    cannot silently diverge."""
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     prev_ts = F.lag(F.col("ts")).over(w)
     gap = F.col("ts").cast("long") - prev_ts.cast("long")
@@ -120,9 +126,9 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same gap sessions via Spark's built-in ``session_window`` in
     BATCH mode — cross-checking the streaming primitive against the
-    lag+cumsum formulation's oracle. (Boundary note: session_window starts
-    a new session at gap >= GAP exactly; the CTE at gap > GAP. Equal-to-
-    the-microsecond gaps would diverge; none exist in this data.)"""
+    lag+cumsum formulation's oracle. Both merge an event landing at
+    exactly prev_ts + GAP and split only beyond it (measured native
+    behavior, pinned by the exact-1800s-gap fixture in test_streaming)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", f"{GAP_SECONDS} seconds").alias("sw"), "user_id")

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.queries.sessions import _SESSION_CTE
-from cliqz_etl_spark.streaming.jobs import session_rollup
+from cliqz_etl_spark.streaming.jobs import (
+    click_purchase_join,
+    dedup_stream,
+    session_rollup,
+)
 
 _SINK_IDS = itertools.count()
 
@@ -37,12 +41,12 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _drain(df: DataFrame, prefix: str) -> DataFrame:
+def _drain(df: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
     spark = df.sparkSession
     name = f"{prefix}_{next(_SINK_IDS)}"
     (
         df.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True)
+        .outputMode(mode).trigger(availableNow=True)
         .start().awaitTermination()
     )
     return spark.table(name)
@@ -99,3 +103,50 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     return _drain(sessions, "sessions")
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_type AS event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream exactly-once dedup: the source is unioned with itself
+    (every event delivered twice — an at-least-once source), then
+    dropDuplicatesWithinWatermark on event_id keeps one copy per key with
+    watermark-bounded state. The drained rows are aggregated batch-side;
+    matching the plain per-type counts over the ORIGINAL table proves
+    exactly one copy of every duplicated event survived."""
+    doubled = _event_stream(spark, sf_dir).unionByName(_event_stream(spark, sf_dir))
+    deduped = _drain(dedup_stream(doubled), "dedup", mode="append")
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (purchases x same-user clicks in the
+    preceding hour), both sides watermarked and the join range bounded in
+    event time so join state is finite. Drained with availableNow and
+    checked against the equivalent batch join — streaming must emit
+    exactly the batch pair set."""
+    clicks = _event_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    purchases = _event_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return _drain(click_purchase_join(clicks, purchases), "ssjoin", mode="append")

@@ -65,6 +65,55 @@ def session_rollup(events: DataFrame, gap: str = GAP) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, key_cols: list[str] | None = None,
+                 watermark: str = WATERMARK) -> DataFrame:
+    """Exactly-once event delivery over an at-least-once source:
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    holds per-key state only until the watermark passes the key's event
+    time — the state store stays bounded by (event rate x watermark
+    horizon) no matter how long the stream runs, which plain
+    ``dropDuplicates`` on a stream does not guarantee. The first thing a
+    real event pipeline needs in front of every downstream aggregate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(key_cols or ["event_id"])
+    )
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
+                        lookback: str = "1 hour",
+                        watermark: str = WATERMARK) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding ``lookback``. Both sides carry watermarks and
+    the join condition bounds event-time distance, so Spark can size the
+    join state (buffered rows per side) from the watermark + range instead
+    of holding both streams forever — the required shape for any
+    unbounded stream-stream join."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"interval {lookback}")),
+        )
+        .select(
+            "user_id", "purchase_id", "click_id",
+            (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long"))
+            .cast("long").alias("gap_sec"),
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
     """Drain all available input into an in-memory table (tests/debug):
     availableNow processes the backlog then stops — the streaming twin of

@@ -146,3 +146,71 @@ def test_apply_in_pandas_with_state_running_counts(spark):
     write_wave("w2.json", [(4, "2024-01-01T11:00:00", 1, "purchase", 4.0)])
     got2 = drain()
     assert got2 == {1: 3}  # update mode emits only changed groups
+
+
+def test_exact_gap_boundary_merges_everywhere(spark):
+    """Boundary semantics pinned by measurement: an inter-event gap of
+    EXACTLY 1800 s MERGES into the same session in Spark's native
+    session_window (windows [t, t+gap] chain when they touch) — and the
+    lag+cumsum sessionizer and its DuckDB oracle use the matching strict
+    `gap > 1800` split rule. A gap of 1801 s splits. All three
+    implementations must agree on both sides of the boundary."""
+    from cliqz_etl_spark.queries.sessions import with_session_seq
+
+    rows = [
+        (1, "2024-01-01T10:00:00", 7, "click", 1.0),
+        (2, "2024-01-01T10:30:00", 7, "view", 1.0),   # gap == 1800 s -> merges
+        (3, "2024-01-01T11:00:01", 7, "click", 1.0),  # gap 1801 s -> new session
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id", "event_type", "value"]) \
+        .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value")
+    seqs = sorted(r["session_seq"] for r in with_session_seq(df).collect())
+    assert seqs == [1, 1, 2]
+    native = (df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+              .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert sorted(r["n"] for r in native) == [1, 2]
+    src = tempfile.mkdtemp()
+    with open(f"{src}/events.json", "w") as f:
+        for eid, ts, uid, et, v in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid,
+                                "event_type": et, "value": v}) + "\n")
+    run_to_memory(session_rollup(read_event_stream(spark, src, EVENT_SCHEMA)),
+                  "boundary_sessions", mode="complete")
+    assert sorted(r["n_events"] for r in spark.table("boundary_sessions").collect()) == [1, 2]
+
+
+def test_dedup_stream_drops_redelivered_events(spark):
+    from cliqz_etl_spark.streaming.jobs import dedup_stream
+
+    src = tempfile.mkdtemp()
+    _write_events(src)
+    doubled = (read_event_stream(spark, src, EVENT_SCHEMA)
+               .unionByName(read_event_stream(spark, src, EVENT_SCHEMA)))
+    run_to_memory(dedup_stream(doubled), "dedup_out", mode="append")
+    got = spark.table("dedup_out")
+    assert got.count() == 5
+    assert got.select("event_id").distinct().count() == 5
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from cliqz_etl_spark.streaming.jobs import click_purchase_join
+
+    src = tempfile.mkdtemp()
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "click", 1.0),     # 3540 s before p -> in window
+        (2, "2024-01-01T08:00:00", 1, "click", 1.0),     # 2 h before -> outside lookback
+        (3, "2024-01-01T10:59:00", 1, "purchase", 9.0),
+        (4, "2024-01-01T11:30:00", 1, "click", 1.0),     # after purchase -> excluded
+        (5, "2024-01-01T10:58:00", 2, "click", 1.0),     # other user -> excluded
+    ]
+    with open(f"{src}/events.json", "w") as f:
+        for eid, ts, uid, et, v in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid,
+                                "event_type": et, "value": v}) + "\n")
+    clicks = read_event_stream(spark, src, EVENT_SCHEMA).where(F.col("event_type") == "click")
+    purchases = read_event_stream(spark, src, EVENT_SCHEMA).where(F.col("event_type") == "purchase")
+    run_to_memory(click_purchase_join(clicks, purchases), "ssj_out", mode="append")
+    got = [(r["user_id"], r["purchase_id"], r["click_id"], r["gap_sec"])
+           for r in spark.table("ssj_out").collect()]
+    assert got == [(1, 3, 1, 3540)]
