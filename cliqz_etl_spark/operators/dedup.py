@@ -21,7 +21,7 @@ every operator here is verifiable against a DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -305,13 +305,41 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("_id", F.size("_sh").alias("sz"), F.explode("_sh").alias("s"))
     )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-        sh = (
-            sh.join(freq.where(F.col("df_") <= max_shingle_freq), "s")
-            .drop("df_", "sz")
-            .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+        # persist the raw postings once: the frequency count, the drop
+        # counts, the anti-join, and (if no hot shingles exist) the final
+        # self-join all read this frame
+        sh = _materialize(sh)
+        # The postings in >cutoff docs are FEW distinct values (bounded by
+        # n_postings/cutoff) but quadratically deadly — that asymmetry is
+        # the whole guard. So: materialize just the hot-shingle list and
+        # branch on whether it is empty — a driver-side decision on a
+        # model-sized table (its count was already forced by persist).
+        hot = _materialize(
+            sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_shingle_freq).select("s")
         )
-    sh = _materialize(sh)  # both self-join sides read it
+        if hot.count() > 0:
+            # Broadcast the hot list and drop matching postings with a
+            # shuffle-free anti-join. The Jaccard denominators are then
+            # ADJUSTED (sz minus the doc's dropped-posting count) rather
+            # than recounted with a per-doc window — the drop-count
+            # aggregate runs only over the hot-shingle subset, and its
+            # join back is left to AQE (broadcast at small scale, shuffle
+            # join on _id beyond).
+            drops = (
+                sh.join(F.broadcast(hot), "s", "left_semi")
+                .groupBy("_id").agg(F.count(F.lit(1)).alias("_dropped"))
+            )
+            sh = _materialize(
+                sh.join(F.broadcast(hot), "s", "left_anti")
+                .join(drops, "_id", "left")
+                .withColumn("sz", F.col("sz") - F.coalesce("_dropped", F.lit(0)))
+                .drop("_dropped")
+            )
+        # else: the cutoff dropped nothing — postings and sizes are
+        # already exact, and sh is already persisted for the self-join
+    else:
+        sh = _materialize(sh)  # both self-join sides read it
     a, b = sh.alias("a"), sh.alias("b")
     jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
