@@ -85,6 +85,7 @@ DRIVER_ORDER: list[str] = [
     "streaming_sessions",
     "streaming_dedup",
     "streaming_stream_join",
+    "streaming_running_totals",
     # text analysis (dark in round 1)
     "text_stats",
     "lang_id",
@@ -104,6 +105,11 @@ DRIVER_ORDER: list[str] = [
     "all_account_balances",
     "order_rollup",
     "running_total",
+    # new curation / training-data ops this round
+    "pack_sequences",
+    "mask_terms",
+    "repetition_ratio",
+    "contamination_check",
     # changed this round -> need fresh driver rows
     "range_join_close_events",
     "dedup_ngram_jaccard",
@@ -199,6 +205,7 @@ def load_all() -> dict[str, Query]:
     from cliqz_etl_spark.queries import (  # noqa: F401
         advanced,
         analytics,
+        curation,
         dedup,
         llmdata,
         multimodal,

@@ -1,0 +1,181 @@
+"""Training-data curation operators beyond dedup/sampling (llmdata.py):
+sequence packing, PII-shape term redaction, repetition-quality scoring,
+and benchmark-contamination checking — the remaining table-stakes ops of
+a pretraining data pipeline, each expressed as a bucketed/shard-parallel
+DataFrame plan with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.functions.text import tokens, word_shingles_from
+from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.tables import load_table
+
+CTX_TOKENS = 64          # context-window length for packing (tokens)
+EVAL_MOD = 50            # contamination eval set: doc_id % 50 == 0
+CONTAM_K = 4             # n-gram length for contamination overlap
+
+_WS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _shingles_sql(k: int) -> str:
+    """k-word shingles with whole-text fallback for short docs — the SQL
+    twin of functions/text.py::word_shingles (parameterized k)."""
+    return (f"list_transform(range(1, greatest(len({_WS}) - {k - 1}, 1) + 1), "
+            f"i -> array_to_string({_WS}[i:i+{k - 1}], ' '))")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concatenate-then-chunk, the standard LLM pretraining
+# layout. Documents are packed per SOURCE shard (shards are independent —
+# the parallelism unit at 100 TB; a global pack order would serialize the
+# cumsum into one task). Within a shard, docs concatenate in doc_id order
+# and split into CTX_TOKENS-sized chunks; each doc records the chunk it
+# starts in and how many chunks it spans.
+# --------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source, len({_WS}) AS n_tok FROM documents
+    ), packed AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sized
+    )
+    SELECT doc_id AS doc_id, source AS source, n_tok AS n_tok,
+           CAST(floor(CAST(cum - n_tok AS DOUBLE) / {CTX_TOKENS}) AS BIGINT) AS chunk_first,
+           CAST(floor(CAST(cum - 1 AS DOUBLE) / {CTX_TOKENS}) AS BIGINT)
+             - CAST(floor(CAST(cum - n_tok AS DOUBLE) / {CTX_TOKENS}) AS BIGINT) + 1 AS n_chunks
+    FROM packed
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy(F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = sized.withColumn("cum", F.sum("n_tok").over(w))
+    chunk_first = F.floor((F.col("cum") - F.col("n_tok")).cast("double") / CTX_TOKENS).cast("long")
+    chunk_last = F.floor((F.col("cum") - 1).cast("double") / CTX_TOKENS).cast("long")
+    return packed.select(
+        "doc_id", "source", "n_tok",
+        chunk_first.alias("chunk_first"),
+        (chunk_last - chunk_first + 1).alias("n_chunks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Term redaction — the PII-scrubbing shape (regex match -> replace ->
+# count), exercised on this corpus's query vocabulary since the synthetic
+# text contains no emails/phones. Swapping the pattern for an email/phone
+# regex changes nothing structurally: one regexp_count + one
+# regexp_replace per row, zero shuffle, scan-side.
+# --------------------------------------------------------------------------
+_MASK_PATTERN = r"\b(spark|join|vector)\b"
+
+
+@query(
+    "mask_terms",
+    oracle=f"""
+    SELECT doc_id AS doc_id,
+           CAST(len(regexp_extract_all(text, '{_MASK_PATTERN}')) AS BIGINT) AS n_masked,
+           regexp_replace(text, '{_MASK_PATTERN}', '[MASK]', 'g') AS masked
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_MASK_PATTERN}')) > 0
+    """,
+)
+def mask_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.regexp_count("text", F.lit(_MASK_PATTERN)).cast("long")
+    return (
+        docs.select(
+            "doc_id", n.alias("n_masked"),
+            F.regexp_replace("text", _MASK_PATTERN, "[MASK]").alias("masked"),
+        )
+        .where(F.col("n_masked") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition ratio — the "most repeated n-gram" quality signal (high
+# values flag boilerplate/spam). max multiplicity over total shingles,
+# computed via one explode + two grouped aggregations on doc_id (map-side
+# partial agg collapses each partition to one row per (doc, shingle)).
+# --------------------------------------------------------------------------
+@query(
+    "repetition_ratio",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM documents
+    ), mult AS (
+        SELECT doc_id, s, COUNT(*) AS m FROM sh GROUP BY 1, 2
+    )
+    SELECT doc_id AS doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_shingles,
+           CAST(MAX(m) AS BIGINT) AS max_rep,
+           CAST(floor(CAST(MAX(m) AS DOUBLE) / CAST(SUM(m) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+               AS rep_x10k
+    FROM mult GROUP BY doc_id
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(word_shingles_from(F.col("_toks"), 3)).alias("s"))
+    )
+    mult = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("m"))
+    return mult.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_shingles"),
+        F.max("m").cast("long").alias("max_rep"),
+        F.floor(F.max("m").cast("double") / F.sum("m").cast("double") * 10000 + 0.5)
+        .cast("long").alias("rep_x10k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Contamination check — which training documents share verbatim k-grams
+# with a held-out eval set (the decontamination pass every pretraining
+# pipeline runs against its benchmarks). Inverted-index equi-join on the
+# gram: the candidate set is bounded by (grams in the eval set) x (their
+# document frequency), never all pairs; at 100 TB the eval side is tiny
+# (benchmarks), so its postings broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_shingles_sql(CONTAM_K)})) AS s
+        FROM documents
+    ), train AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} != 0),
+       eval_ AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} = 0)
+    SELECT t.doc_id AS doc_id,
+           COUNT(DISTINCT t.s) AS n_shared_grams,
+           COUNT(DISTINCT e.doc_id) AS n_eval_docs
+    FROM train t JOIN eval_ e ON e.s = t.s
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(F.array_distinct(
+            word_shingles_from(F.col("_toks"), CONTAM_K))).alias("s"))
+    )
+    train = sh.where(F.col("doc_id") % EVAL_MOD != 0)
+    eval_ = sh.where(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "s")
+    return (
+        train.join(F.broadcast(eval_), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )

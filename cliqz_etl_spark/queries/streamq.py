@@ -20,6 +20,7 @@ from cliqz_etl_spark.queries.sessions import _SESSION_CTE
 from cliqz_etl_spark.streaming.jobs import (
     click_purchase_join,
     dedup_stream,
+    running_user_totals,
     session_rollup,
 )
 
@@ -150,3 +151,20 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = _event_stream(spark, sf_dir).where(F.col("event_type") == "click")
     purchases = _event_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
     return _drain(click_purchase_join(clicks, purchases), "ssjoin", mode="append")
+
+
+@query(
+    "streaming_running_totals",
+    oracle="""
+    SELECT user_id AS user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (transformWithStateInPandas): per-user
+    running totals held in ValueState. Drained with availableNow — the
+    final Update-mode emission per user must equal the batch aggregate
+    exactly, verifying the programmable-state path end to end."""
+    ev = _event_stream(spark, sf_dir)
+    return _drain(running_user_totals(ev), "running_totals", mode="update")

@@ -114,6 +114,42 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful streaming op: a custom per-key accumulator
+    (running event count + integer-cents value total per user) that
+    survives across micro-batches in the state store — the
+    programmable-state escape hatch a real event pipeline reaches for
+    when windows/dedup primitives don't fit (counters, custom
+    sessionation, ML feature state). Update mode emits each user's
+    current totals once per micro-batch that touched the user.
+
+    Implemented with ``applyInPandasWithState`` (Arrow-batched GroupState).
+    Spark 4's ``transformWithStateInPandas`` successor was tried and is
+    gated out: its state-server protocol imports google.protobuf, which
+    this environment does not provide — same state semantics either way."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+                         .astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_events": [n], "total_cents": [cents]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+        stateStructType="n_events bigint, total_cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
     """Drain all available input into an in-memory table (tests/debug):
     availableNow processes the backlog then stops — the streaming twin of
