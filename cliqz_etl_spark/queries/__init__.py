@@ -110,6 +110,8 @@ DRIVER_ORDER: list[str] = [
     "mask_terms",
     "repetition_ratio",
     "contamination_check",
+    "countmin_user_counts",
+    "kmv_distinct_users",
     # changed this round -> need fresh driver rows
     "range_join_close_events",
     "dedup_ngram_jaccard",

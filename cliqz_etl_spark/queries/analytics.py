@@ -191,3 +191,149 @@ def region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(counts, ["r_name", "o_orderstatus"], "left")
         .select("r_name", "o_orderstatus", F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch — the mergeable frequency sketch for heavy-hitter
+# detection at 100 TB: the sketch is a D x W grid of counters, built with
+# one grouped aggregation over a BOUNDED key space (map-side combine
+# collapses every partition to <= D*W rows before the shuffle, regardless
+# of input size), and estimates are min over D hashed-bucket lookups.
+# Over-estimation only (collisions add, never subtract), so the candidate
+# heavy-hitter set is a superset — the standard two-pass pattern. Hashes
+# are the engine-portable seeded md5 family, so even the sketch's
+# COLLISIONS are deterministic and the estimates oracle-check exactly.
+# --------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(col, d: int):
+    from cliqz_etl_spark.functions.hashing import md5_long_seeded
+
+    return md5_long_seeded(col, d) % CMS_WIDTH
+
+
+def _cms_bucket_sql(expr: str, d: int) -> str:
+    from cliqz_etl_spark.functions.hashing import md5_long_seeded_sql
+
+    return f"({md5_long_seeded_sql(expr, d)} % {CMS_WIDTH})"
+
+
+@query(
+    "countmin_user_counts",
+    oracle=f"""
+    WITH rows_ AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS d, {_cms_bucket_sql('user_id', d)} AS b, user_id FROM events"
+            for d in range(CMS_DEPTH))}
+    ), sketch AS (
+        SELECT d, b, COUNT(*) AS cnt FROM rows_ GROUP BY d, b
+    ), users AS (
+        {" UNION ALL ".join(
+            f"SELECT DISTINCT user_id, {d} AS d, {_cms_bucket_sql('user_id', d)} AS b FROM events"
+            for d in range(CMS_DEPTH))}
+    ), est AS (
+        SELECT u.user_id, MIN(s.cnt) AS est_n
+        FROM users u JOIN sketch s ON s.d = u.d AND s.b = u.b
+        GROUP BY u.user_id
+    ), exact AS (
+        SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+    )
+    SELECT e.user_id AS user_id, e.exact_n AS exact_n,
+           CAST(est.est_n AS BIGINT) AS est_n
+    FROM exact e JOIN est ON est.user_id = e.user_id
+    """,
+)
+def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-count estimates from a 4x256 count-min sketch beside
+    the exact counts (est_n >= exact_n always; equality when no collision).
+    Sketch build: one explode to D rows per event (cheap ints), one
+    bounded-key groupBy. Estimate: broadcast the D*W-row sketch, min over
+    D lookups."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "user_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     _cms_bucket(F.col("user_id"), d).alias("b"))
+            for d in range(CMS_DEPTH)
+        ])).alias("x"),
+    ).select("user_id", F.col("x.d").alias("d"), F.col("x.b").alias("b"))
+    sketch = hashed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    user_buckets = hashed.distinct()
+    est = (
+        user_buckets.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("long").alias("est_n"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return exact.join(est, "user_id").select("user_id", "exact_n", "est_n")
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — count-min's sibling for
+# cardinality: hash every key into [0, 2^60), keep the K smallest hashes
+# per group (mergeable: min-heap union), estimate distinct = (K-1) *
+# 2^60 / kth_smallest. Unlike HyperLogLog (whose register layout is
+# engine-specific), KMV over the portable md5 hash is bit-deterministic,
+# so the ESTIMATE itself oracle-checks — the sketch discipline this
+# engine applies everywhere: approximate answers, exact reproducibility.
+# --------------------------------------------------------------------------
+KMV_K = 32
+_KMV_DOMAIN = 1 << 60
+
+from cliqz_etl_spark.functions.hashing import md5_long_sql as _md5_long_sql  # noqa: E402
+
+_KMV_H = _md5_long_sql("user_id")
+
+
+@query(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               {_KMV_H} AS h
+        FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+        FROM hashed
+    )
+    SELECT event_type AS event_type,
+           CAST(CASE WHEN n_distinct >= {KMV_K}
+                     THEN floor(CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_DOMAIN} / CAST(h AS DOUBLE) + 0.5)
+                     ELSE n_distinct END AS BIGINT) AS est_distinct,
+           CAST(n_distinct AS BIGINT) AS exact_distinct
+    FROM ranked
+    WHERE rn = CASE WHEN n_distinct >= {KMV_K} THEN {KMV_K} ELSE n_distinct END
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a K=32 minimum-values sketch,
+    beside the exact count. Groups with fewer than K distinct keys fall
+    back to the exact small-set count (the sketch stores the keys
+    themselves below K — standard KMV behavior)."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (ev.select("event_type", md5_long(F.col("user_id")).alias("h"))
+              .distinct())
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    wc = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type", "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_distinct"),
+    )
+    kth = F.when(F.col("n_distinct") >= KMV_K, F.lit(KMV_K)).otherwise(F.col("n_distinct"))
+    est = (F.when(F.col("n_distinct") >= KMV_K,
+                  F.floor(F.lit(float(KMV_K - 1)) * _KMV_DOMAIN
+                          / F.col("h").cast("double") + 0.5))
+           .otherwise(F.col("n_distinct")))
+    return (
+        ranked.where(F.col("rn") == kth)
+        .select("event_type", est.cast("long").alias("est_distinct"),
+                F.col("n_distinct").cast("long").alias("exact_distinct"))
+    )

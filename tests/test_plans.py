@@ -75,3 +75,45 @@ def test_partial_aggregation_before_shuffle(spark):
     reference chose reduceByKey over groupByKey for exactly this)."""
     plan = _plan(spark, "pricing_summary")
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_range_join_has_bucket_equi_key(spark):
+    """range_join_close_events must join on (user_id, time-bucket) — an
+    equi-key that bounds pair generation per 10-minute window. A plan
+    joining on user_id alone goes quadratic on power users."""
+    plan = _plan(spark, "range_join_close_events")
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "user_id" in l]
+    assert join_lines and all("bkt" in l for l in join_lines), join_lines
+
+
+def test_ivf_assignment_is_pure_map(spark):
+    """Centroid assignment must be a shuffle-free map over the corpus
+    (broadcast model + MapInPandas) — no Exchange, no join, and plan size
+    independent of K."""
+    from pyspark.sql import functions as F
+
+    from cliqz_etl_spark.operators.similarity import ivf_assign_q, quantize
+    from cliqz_etl_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    proj = emb.select(F.col("vec_id").alias("_id"), quantize("embedding").alias("_qv"))
+    plan = (ivf_assign_q(proj, [0, 1], [[0] * 64, [1] * 64])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_contamination_broadcasts_eval_postings(spark):
+    """The eval-set postings (benchmarks — tiny at scale) must broadcast;
+    the train corpus never shuffles for the gram join."""
+    plan = _plan(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Per-shard packing: exactly one hash-partition exchange (on source)
+    feeds the cumulative window — no global-order sort."""
+    plan = _plan(spark, "pack_sequences")
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1 and "source" in exchanges[0], exchanges
+    assert "rangepartitioning" not in plan  # a global orderBy would use this
