@@ -98,13 +98,6 @@ DRIVER_ORDER: list[str] = [
     "tfidf_search",
     "sliding_event_counts",
     "moving_avg_value",
-    # relational tail (dark in round 1)
-    "top_orders",
-    "nations_without_suppliers",
-    "nations_with_both",
-    "all_account_balances",
-    "order_rollup",
-    "running_total",
     # new curation / training-data ops this round
     "pack_sequences",
     "mask_terms",
@@ -118,6 +111,14 @@ DRIVER_ORDER: list[str] = [
     "dedup_ngram_jaccard_guarded",
     "dedup_clusters",
     "curation_pipeline",
+    # relational tail (dark in round 1; simple set/window ops — deferred
+    # behind the changed/new queries above, first in line for round 3)
+    "top_orders",
+    "nations_without_suppliers",
+    "nations_with_both",
+    "all_account_balances",
+    "order_rollup",
+    "running_total",
     # ---- driver-green in round 1, unchanged since ------------------------
     "asof_last_click_before_purchase",
     "pivot_event_counts",
