@@ -111,6 +111,9 @@ DRIVER_ORDER: list[str] = [
     "dedup_ngram_jaccard_guarded",
     "dedup_clusters",
     "curation_pipeline",
+    # new warehouse analogues (Q8 market share, Q17 small-qty revenue)
+    "national_market_share",
+    "small_quantity_revenue",
     # relational tail (dark in round 1; simple set/window ops — deferred
     # behind the changed/new queries above, first in line for round 3)
     "top_orders",

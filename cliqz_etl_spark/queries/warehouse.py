@@ -480,3 +480,151 @@ def idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal_cents).cast("long").alias("total_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share. For PROMO parts bought by
+# EUROPE-region customers in 1996-1997, what share of the revenue (per
+# order year) was supplied by NATION_7? The classic 7-table star: every
+# dimension (part, supplier, both nation roles, region) broadcasts; the
+# only shuffles are lineitem><orders on orderkey and ><customer on custkey.
+# The share is a ratio of two exact integer cent-sums, divided once —
+# engine-portable per the repo float discipline.
+# (Reference has no multi-dim star; closest join inventory is SURVEY.md
+# §2.5 J1-J5 — this extends it. No partsupp table in the testdata, so the
+# supplier side links via l_suppkey directly, same as Q7's idiom.)
+# --------------------------------------------------------------------------
+@query(
+    "national_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(floor(10000.0 * nation_cents / total_cents) AS BIGINT) AS mkt_share_bp,
+           nation_cents, total_cents
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               SUM(CASE WHEN ns.n_name = 'NATION_7'
+                   THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS nation_cents,
+               SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                   AS total_cents
+        FROM lineitem l
+        JOIN part p      ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+        JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o    ON o.o_orderkey = l.l_orderkey
+        JOIN customer c  ON c.c_custkey = o.o_custkey
+        JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+        JOIN region r    ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'EUROPE'
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    )
+    ORDER BY o_year
+    """,
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 star: dims broadcast, facts shuffle once per fact key. The
+    customer->nation->region chain collapses to a broadcast semi-filter
+    (EUROPE custkeys never leave the build side at dim scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    cust = load_table(spark, sf_dir, "customer")
+    nat_c = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro_nations = nat_c.join(
+        F.broadcast(region), nat_c.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    euro_cust = cust.join(
+        F.broadcast(euro_nations), cust.c_nationkey == F.col("cn_key"), "left_semi"
+    ).select("c_custkey")
+    rev = _revenue_cents()
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), supp.s_nationkey == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(euro_cust, orders.o_custkey == F.col("c_custkey"), "left_semi")
+    )
+    agg = (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0)))
+            .cast("long").alias("nation_cents"),
+            F.sum(rev).cast("long").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        F.floor(10000.0 * F.col("nation_cents") / F.col("total_cents"))
+        .cast("long").alias("mkt_share_bp"),
+        "nation_cents", "total_cents",
+    ).orderBy("o_year")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity-order revenue. Revenue from lines whose
+# quantity is below 20% of the per-part average, for two brands. The
+# correlated scalar subquery becomes a per-part aggregate joined back to
+# the lines; the below-average predicate is EXACT integer arithmetic
+# (5 * qty * n_lines < sum_qty <=> qty < 0.2 * avg) so neither engine ever
+# compares against an order-dependent double average.
+# --------------------------------------------------------------------------
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH brand_lines AS (
+        SELECT l.l_partkey, p.p_brand,
+               CAST(l.l_quantity AS BIGINT) AS qty,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#21', 'Brand#22')
+    ), stats AS (
+        SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_lines
+        FROM brand_lines GROUP BY l_partkey
+    )
+    SELECT b.p_brand AS p_brand,
+           CAST(SUM(b.price_cents) AS BIGINT) AS small_rev_cents,
+           COUNT(*) AS n_small_lines
+    FROM brand_lines b JOIN stats s ON s.l_partkey = b.l_partkey
+    WHERE 5 * b.qty * s.n_lines < s.sum_qty
+    GROUP BY b.p_brand
+    ORDER BY p_brand
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: the per-part average is a partial-agg'd groupBy on the pruned
+    brand subset (1/25 of parts) joined back onto the same pruned lines.
+    The stats side is fact-derived, so it gets no forced broadcast —
+    at toy scale AQE converts the partkey join to broadcast on its own;
+    at 100 TB it stays a co-keyed shuffle join (both sides already hash
+    on l_partkey, so the exchange is reused). The full lineitem never
+    shuffles, and the threshold compare is integer-exact on both engines."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#21", "Brand#22"))
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "l_partkey", "p_brand",
+            F.col("l_quantity").cast("long").alias("qty"),
+            _cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+    )
+    stats = lines.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_lines"))
+    return (
+        lines.join(stats, lines.l_partkey == F.col("sk"))
+        .where(F.lit(5) * F.col("qty") * F.col("n_lines") < F.col("sum_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum("price_cents").cast("long").alias("small_rev_cents"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+        .orderBy("p_brand")
+    )
