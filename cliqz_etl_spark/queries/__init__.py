@@ -114,6 +114,9 @@ DRIVER_ORDER: list[str] = [
     # new warehouse analogues (Q8 market share, Q17 small-qty revenue)
     "national_market_share",
     "small_quantity_revenue",
+    # CDC / SCD2 history (operators/merge.py)
+    "scd2_customer_balance",
+    "user_type_history",
     # relational tail (dark in round 1; simple set/window ops — deferred
     # behind the changed/new queries above, first in line for round 3)
     "top_orders",
@@ -211,6 +214,7 @@ def load_all() -> dict[str, Query]:
     from cliqz_etl_spark.queries import (  # noqa: F401
         advanced,
         analytics,
+        cdc,
         curation,
         dedup,
         llmdata,

@@ -1,0 +1,134 @@
+"""CDC / slowly-changing-dimension queries over the merge operators.
+
+The reference maintains no history — its daily jobs overwrite partitions
+in place (cliqz_etl/profile_daily.py main loop). These queries exercise
+the SCD2 surface (operators/merge.py) that point-in-time-correct feature
+and training-data pipelines need at warehouse scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.operators.merge import scd2_from_changelog, scd2_merge
+from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.tables import load_table
+
+
+def _cents(col) -> F.Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+# --------------------------------------------------------------------------
+# SCD2 batch merge: customer balances restated by their latest 1999+ order.
+# One key-join + explode — the merge never re-executes the join per output
+# branch (contrast the naive closed UNION new UNION unchanged plan, which
+# runs the join three times unless the optimizer rescues it).
+# --------------------------------------------------------------------------
+@query(
+    "scd2_customer_balance",
+    oracle="""
+    WITH upd AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS new_bal,
+               strftime(o_orderdate, '%Y-%m-%d') AS eff
+        FROM (
+            SELECT o.*, row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        ) WHERE rn = 1
+    ), base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+               '1995-01-01' AS vfrom
+        FROM customer
+    )
+    SELECT b.c_custkey AS c_custkey, b.bal_cents AS bal_cents,
+           b.vfrom AS valid_from,
+           CASE WHEN u.new_bal IS NOT NULL AND u.new_bal != b.bal_cents
+                THEN u.eff END AS valid_to,
+           CASE WHEN u.new_bal IS NOT NULL AND u.new_bal != b.bal_cents
+                THEN 0 ELSE 1 END AS is_current
+    FROM base b LEFT JOIN upd u USING (c_custkey)
+    UNION ALL
+    SELECT b.c_custkey, u.new_bal, u.eff, CAST(NULL AS VARCHAR), 1
+    FROM base b JOIN upd u USING (c_custkey)
+    WHERE u.new_bal != b.bal_cents
+    """,
+)
+def scd2_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-order-per-customer is an argmax via max(struct(date, key,
+    payload)) — one partial-agg'd groupBy, no window over the fact; the
+    merge itself is a single left join + explode."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    upd = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct(
+                    "o_orderdate", "o_orderkey",
+                    _cents(F.col("o_totalprice")).alias("p"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("m.p").alias("bal_cents"),
+            F.date_format("m.o_orderdate", "yyyy-MM-dd").alias("eff"),
+        )
+    )
+    return scd2_merge(
+        cust, upd, "c_custkey", "bal_cents", "eff",
+        base_from=F.lit("1995-01-01"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 from a change log: per-user event_type version history compressed
+# from the raw events stream (gaps-and-islands). Single shuffle on
+# user_id; all three window passes share it.
+# --------------------------------------------------------------------------
+@query(
+    "user_type_history",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w != event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(is_change) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM marked
+    ), versions AS (
+        SELECT user_id, run, MIN(event_type) AS event_type,
+               MIN(ts) AS vstart, COUNT(*) AS n_rows
+        FROM runs GROUP BY user_id, run
+    )
+    SELECT user_id AS user_id, event_type AS event_type,
+           strftime(vstart, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(vstart) OVER wv, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           n_rows AS n_rows,
+           CASE WHEN lead(vstart) OVER wv IS NULL THEN 1 ELSE 0 END
+               AS is_current
+    FROM versions
+    WINDOW wv AS (PARTITION BY user_id ORDER BY run)
+    """,
+)
+def user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compression: consecutive same-type runs collapse to one
+    version row with [valid_from, valid_to) bounds and a backing count."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_from_changelog(ev, "user_id", "event_type", "ts", "event_id")

@@ -117,3 +117,20 @@ def test_pack_sequences_single_shard_shuffle(spark):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(exchanges) == 1 and "source" in exchanges[0], exchanges
     assert "rangepartitioning" not in plan  # a global orderBy would use this
+
+
+def test_scd2_changelog_single_shuffle(spark):
+    """All three window passes of the gaps-and-islands compression must
+    share one hash-partition exchange on the key — a second Exchange means
+    the window specs drifted apart."""
+    plan = _plan(spark, "user_type_history")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 3
+
+
+def test_scd2_merge_single_pass(spark):
+    """The SCD2 merge emits closed+new versions from ONE join via explode
+    — no union of per-branch joins (which would re-execute the join)."""
+    plan = _plan(spark, "scd2_customer_balance")
+    assert plan.count("Generate") == 1          # one explode
+    assert plan.count("Union") == 0, "merge must not be a union of joins"
