@@ -92,3 +92,41 @@ def map_counter_agg(df: DataFrame, keys: list[str], map_key: Column,
             F.array_sort(F.collect_list(F.struct(F.col("__k"), F.col("__v"))))
         ).alias(out))
     )
+
+
+def bloom_prefilter_semi_join(
+    facts: DataFrame,
+    keys: DataFrame,
+    on: str,
+    *,
+    m_buckets: int = 1 << 14,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Semi-join with a bloom-style runtime prefilter, for the regime where
+    the key set is too large to broadcast raw but its hashed-bucket
+    footprint is bounded: project each key to ``n_hashes`` md5 buckets
+    (mod ``m_buckets``), broadcast the DISTINCT bucket sets (at most
+    ``m_buckets`` rows each, regardless of key count), and semi-join the
+    fact's buckets map-side before the exact key join. False positives
+    survive the prefilter but die in the exact join, so the RESULT equals
+    a plain semi-join — only the shuffle volume changes: the fact rows
+    that reach the exact join's exchange drop from 100% to
+    (hit rate + false-positive rate), the same effect Spark's runtime
+    bloom filter (spark.sql.optimizer.runtime.bloomFilter) targets, built
+    here from engine-portable md5 so oracles can reproduce the candidate
+    set exactly.
+    """
+    from cliqz_etl_spark.functions.hashing import md5_long_seeded
+
+    pruned = facts
+    for i in range(n_hashes):
+        bucket_i = (md5_long_seeded(F.col(on), i) % m_buckets).alias(f"__b{i}")
+        key_buckets = keys.select(
+            (md5_long_seeded(F.col(on), i) % m_buckets).alias(f"__b{i}")
+        ).distinct()
+        pruned = (
+            pruned.withColumn(f"__b{i}", bucket_i)
+            .join(F.broadcast(key_buckets), f"__b{i}", "left_semi")
+            .drop(f"__b{i}")
+        )
+    return pruned.join(keys.select(on).distinct(), on, "left_semi")

@@ -117,6 +117,9 @@ DRIVER_ORDER: list[str] = [
     # CDC / SCD2 history (operators/merge.py)
     "scd2_customer_balance",
     "user_type_history",
+    # bloom-prefiltered semi-join (runtime-filter pattern)
+    "bloom_semi_join_revenue",
+    "bloom_prefilter_stats",
     # relational tail (dark in round 1; simple set/window ops — deferred
     # behind the changed/new queries above, first in line for round 3)
     "top_orders",

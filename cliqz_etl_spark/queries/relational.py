@@ -663,3 +663,114 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running_value")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered semi-join (operators/relational.py:
+# bloom_prefilter_semi_join). The result is IDENTICAL to a plain
+# semi-join — the oracle is the plain EXISTS — what changes is the
+# physical story: the fact side is pruned map-side by two broadcast
+# hashed-bucket sets (bounded at m_buckets rows no matter how many keys)
+# before any fact rows reach the exact join's exchange.
+# --------------------------------------------------------------------------
+_URGENT97 = (
+    "o_orderpriority = '1-URGENT' "
+    "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01'"
+)
+
+
+def _urgent97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+
+
+@query(
+    "bloom_semi_join_revenue",
+    oracle=f"""
+    SELECT l_returnflag AS l_returnflag,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND {_URGENT97})
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag over lines of urgent 1997 orders, routed
+    through the bloom prefilter. False positives are annihilated by the
+    exact join, so this hash-matches the plain semi-join oracle."""
+    from cliqz_etl_spark.operators.relational import bloom_prefilter_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pruned = bloom_prefilter_semi_join(li, _urgent97(spark, sf_dir), "l_orderkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5))
+              .cast("long")).cast("long").alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def _bloom_stats_sql() -> str:
+    from cliqz_etl_spark.functions.hashing import md5_long_seeded_sql
+
+    m = 1024
+    b0 = f"({md5_long_seeded_sql('l_orderkey', 0)} % {m})"
+    b1 = f"({md5_long_seeded_sql('l_orderkey', 1)} % {m})"
+    k0 = f"({md5_long_seeded_sql('o_orderkey', 0)} % {m})"
+    k1 = f"({md5_long_seeded_sql('o_orderkey', 1)} % {m})"
+    return f"""
+    WITH k AS (SELECT o_orderkey FROM orders WHERE {_URGENT97}),
+    cand AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE {b0} IN (SELECT DISTINCT {k0} FROM k)
+          AND {b1} IN (SELECT DISTINCT {k1} FROM k)
+    )
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_total,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM cand WHERE l_orderkey IN (SELECT o_orderkey FROM k))
+               AS n_matched
+    """
+
+
+@query("bloom_prefilter_stats", oracle=_bloom_stats_sql())
+def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the prefilter: total fact rows, rows surviving the
+    two hashed-bucket prunes (candidates = hits + false positives), and
+    exact matches — ONE pass over the fact with three broadcast left-join
+    markers feeding conditional counts. m_buckets is deliberately small
+    (1024) so the false-positive margin is visible and pinned by the
+    oracle (the md5 bucket family is engine-portable, so even FP counts
+    hash-match)."""
+    from cliqz_etl_spark.functions.hashing import md5_long_seeded
+
+    m = 1024
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    keys = _urgent97(spark, sf_dir)
+    marked = li
+    for i in range(2):
+        kb = keys.select(
+            (md5_long_seeded(F.col("l_orderkey"), i) % m).alias(f"__b{i}")
+        ).distinct().withColumn(f"__m{i}", F.lit(1))
+        marked = (
+            marked.withColumn(f"__b{i}", md5_long_seeded(F.col("l_orderkey"), i) % m)
+            .join(F.broadcast(kb), f"__b{i}", "left")
+        )
+    exact = keys.distinct().withColumn("__mx", F.lit(1))
+    marked = marked.join(F.broadcast(exact), "l_orderkey", "left")
+    is_cand = F.col("__m0").isNotNull() & F.col("__m1").isNotNull()
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(is_cand, 1).otherwise(0)).cast("long").alias("n_candidates"),
+        F.sum(F.when(is_cand & F.col("__mx").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_matched"),
+    )

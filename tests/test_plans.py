@@ -134,3 +134,12 @@ def test_scd2_merge_single_pass(spark):
     plan = _plan(spark, "scd2_customer_balance")
     assert plan.count("Generate") == 1          # one explode
     assert plan.count("Union") == 0, "merge must not be a union of joins"
+
+
+def test_bloom_prefilter_prunes_before_exact_join(spark):
+    """Both hashed-bucket prunes must be broadcast semi-joins (map-side,
+    no fact shuffle); only pruned survivors may reach the exact join."""
+    plan = _plan(spark, "bloom_semi_join_revenue")
+    bhj_semi = [l for l in plan.splitlines()
+                if "BroadcastHashJoin" in l and "LeftSemi" in l]
+    assert len(bhj_semi) >= 2, plan
