@@ -143,40 +143,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical-representative assignment that turns pairwise dedup into
     group dedup.
 
-    Spark side: iterative min-label propagation to a fixpoint. Each round
-    is one join + aggregate; rounds needed = graph diameter (near-dup
-    graphs are tiny cliques, so 2-3). At planetary scale swap in
-    path-doubling (log n rounds). The oracle is the recursive-CTE
-    transitive closure."""
+    Spark side: min-label propagation interleaved with pointer-jumping
+    shortcuts (operators/graph.py: connected_components) — O(log diameter)
+    rounds, each a bounded number of shuffles, instead of one round per
+    diameter unit. The oracle is the recursive-CTE transitive closure."""
     from cliqz_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from cliqz_etl_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.2).select("id_a", "id_b")
     edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
     edges = edges.persist()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src").agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select("node", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label")).count()
-        )
-        labels.unpersist()  # drop the superseded iteration's cache
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(edges)
     result = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     edges.unpersist()
     return result

@@ -44,3 +44,18 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange" not in plan, plan
     assert joined.count() == 10000
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_connected_components_path_doubling_on_long_chain(spark):
+    """A 200-node chain converges within 10 rounds only if the pointer-
+    jumping shortcut actually doubles label reach per round (plain
+    min-propagation would need ~199 rounds)."""
+    from cliqz_etl_spark.operators.graph import connected_components
+
+    n = 200
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]).repartition(8)
+    labels = connected_components(edges, max_rounds=10)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
