@@ -120,6 +120,9 @@ DRIVER_ORDER: list[str] = [
     # bloom-prefiltered semi-join (runtime-filter pattern)
     "bloom_semi_join_revenue",
     "bloom_prefilter_stats",
+    # skew-path (salted) operators, oracle-pinned to unsalted answers
+    "salted_event_counts",
+    "salted_join_value_by_type",
     # relational tail (dark in round 1; simple set/window ops — deferred
     # behind the changed/new queries above, first in line for round 3)
     "top_orders",

@@ -337,3 +337,58 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", est.cast("long").alias("est_distinct"),
                 F.col("n_distinct").cast("long").alias("exact_distinct"))
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-path operators registered for the correctness gate: salted results
+# must be IDENTICAL to their unsalted oracles — the salt exists only in
+# the physical plan (spreads one hot key across reducers), never in the
+# answer. See operators/relational.py salted_count / salted_join and
+# tests/test_scale_ops.py for the equivalence micro-tests.
+# --------------------------------------------------------------------------
+@query(
+    "salted_event_counts",
+    oracle="""
+    SELECT event_type AS event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count over the 5-value event_type key — the
+    low-cardinality grouping where a single hot reducer otherwise absorbs
+    the whole table."""
+    from cliqz_etl_spark.operators.relational import salted_count
+
+    return salted_count(load_table(spark, sf_dir, "events"), "event_type")
+
+
+@query(
+    "salted_join_value_by_type",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT event_type, CAST(length(event_type) AS INT) AS type_len
+        FROM events
+    )
+    SELECT d.type_len AS type_len,
+           CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           COUNT(*) AS n
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY d.type_len
+    """,
+)
+def salted_join_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (dim replicated per salt bucket) feeding an
+    aggregate — hash-identical to the plain join, but no single reducer
+    ever owns a whole hot key's rows."""
+    from cliqz_etl_spark.operators.relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_len", F.length("event_type").cast("int"))
+    joined = salted_join(ev, dim, "event_type")
+    return joined.groupBy("type_len").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long").alias("value_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -143,3 +143,19 @@ def test_bloom_prefilter_prunes_before_exact_join(spark):
     bhj_semi = [l for l in plan.splitlines()
                 if "BroadcastHashJoin" in l and "LeftSemi" in l]
     assert len(bhj_semi) >= 2, plan
+
+
+def test_salted_count_two_phase(spark):
+    """Salting must produce two aggregation levels over DIFFERENT keys:
+    partial on (key, salt), final on key — visible as >=4 HashAggregate
+    nodes (partial+final per level)."""
+    plan = _plan(spark, "salted_event_counts")
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_salted_join_key_includes_salt(spark):
+    """The salted join's equi-key must include the salt column so each
+    (key, salt) pair lands on its own reducer."""
+    plan = _plan(spark, "salted_join_value_by_type")
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "event_type" in l]
+    assert join_lines and all("__salt" in l for l in join_lines), join_lines
