@@ -72,3 +72,60 @@ def test_token_count_nonnegative_and_stable(spark, strings):
     b = [r[0] for r in df.select(F.size(tokens("s"))).collect()]
     assert a == b
     assert all(x >= 0 for x in a)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=60,
+))
+def test_connected_components_matches_union_find(spark, pairs):
+    """Path-doubling CC labels equal a plain-Python union-find's component
+    minima on arbitrary random graphs."""
+    from cliqz_etl_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"])
+    got = {r["node"]: r["label"]
+           for r in connected_components(edges, max_rounds=12).collect()}
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.sampled_from("abc"), min_size=1, max_size=40))
+def test_scd2_changelog_roundtrip(spark, values):
+    """SCD2 compression invariants on one key's log: versions alternate in
+    value, n_rows sums to the log length, [valid_from, valid_to) intervals
+    chain exactly, and exactly one version is current."""
+    from cliqz_etl_spark.operators.merge import scd2_from_changelog
+
+    rows = [(1, v, f"2024-01-01 00:{i:02d}:00", i) for i, v in enumerate(values)]
+    log = spark.createDataFrame(rows, ["k", "val", "ts_s", "seq"]).select(
+        "k", "val", F.to_timestamp("ts_s").alias("ts"), "seq")
+    hist = (scd2_from_changelog(log, "k", "val", "ts", "seq")
+            .orderBy("valid_from").collect())
+    assert sum(r["n_rows"] for r in hist) == len(values)
+    assert [r["is_current"] for r in hist] == [0] * (len(hist) - 1) + [1]
+    assert hist[-1]["valid_to"] is None
+    for prev, cur in zip(hist, hist[1:]):
+        assert prev["valid_to"] == cur["valid_from"]
+        assert prev["val"] != cur["val"]
+    # compressed values = run-length-collapsed input
+    collapsed = [v for i, v in enumerate(values) if i == 0 or v != values[i - 1]]
+    assert [r["val"] for r in hist] == collapsed
