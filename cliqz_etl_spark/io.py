@@ -290,3 +290,57 @@ def write_parquet(df: DataFrame, path: str, *,
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         writer = writer.partitionBy(*cols)
     writer.parquet(path)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet laid out along a Morton (z-order) curve over
+    two numeric columns, so per-file min/max statistics stay tight in BOTH
+    dimensions and a filter on EITHER column prunes most files at scan
+    time (the multi-column data-skipping layout Delta/Iceberg call
+    OPTIMIZE ZORDER; plain range-partitioned parquet gives it to any
+    reader that consumes row-group stats, Spark included).
+
+    Mechanics: each column is affinely scaled to ``bits`` bits using a
+    1-row global min/max aggregate (broadcast cross join — no driver
+    round-trip), the two bit strings are interleaved with JVM-side
+    shift/or expressions (whole-stage codegen, no UDF), and the frame is
+    range-partitioned and sorted by the z-value. Cost: the min/max pass
+    plus one range exchange — same shuffle count as a plain global sort.
+    """
+    if len(cols) != 2:
+        raise ValueError("zorder_write interleaves exactly two columns")
+    a, b = cols
+    mm = df.agg(
+        F.min(a).alias("__mna"), F.max(a).alias("__mxa"),
+        F.min(b).alias("__mnb"), F.max(b).alias("__mxb"),
+    )
+    j = df.crossJoin(F.broadcast(mm))
+    top = (1 << bits) - 1
+
+    def scaled(col: str, mn: str, mx: str):
+        rng = F.col(mx).cast("double") - F.col(mn).cast("double")
+        frac = F.when(rng > 0,
+                      (F.col(col).cast("double") - F.col(mn).cast("double")) / rng
+                      ).otherwise(F.lit(0.0))
+        return F.floor(frac * top).cast("long")
+    sa, sb = scaled(a, "__mna", "__mxa"), scaled(b, "__mnb", "__mxb")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(sa, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+             .bitwiseOR(F.shiftleft(F.shiftright(sb, i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    (
+        j.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", "__mna", "__mxa", "__mnb", "__mxb")
+        .write.mode("overwrite").parquet(path)
+    )

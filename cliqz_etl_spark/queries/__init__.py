@@ -123,6 +123,9 @@ DRIVER_ORDER: list[str] = [
     # skew-path (salted) operators, oracle-pinned to unsalted answers
     "salted_event_counts",
     "salted_join_value_by_type",
+    # mergeable sketches + incremental aggregation
+    "histogram_quantiles",
+    "incremental_monthly_rollup",
     # relational tail (dark in round 1; simple set/window ops — deferred
     # behind the changed/new queries above, first in line for round 3)
     "top_orders",

@@ -392,3 +392,111 @@ def salted_join_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("value_cents"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable fixed-bin histogram quantiles — the deterministic cousin of
+# t-digest/GK for 100 TB: bin counts are plain sums (map-side combinable,
+# mergeable across partitions/days), and the estimate picks the first bin
+# whose cumulative count crosses ceil(q * total) using INTEGER arithmetic
+# only (cum*100 >= q*total), so Spark and DuckDB agree bit-for-bit. The
+# first groupBy collapses the fact to (type x bin) rows; everything after
+# runs on that tiny table.
+# --------------------------------------------------------------------------
+_HQ_BIN_CENTS = 500
+
+
+@query(
+    "histogram_quantiles",
+    oracle=f"""
+    WITH bins AS (
+        SELECT event_type,
+               CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT) / {_HQ_BIN_CENTS}) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bin, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(n) OVER (PARTITION BY event_type) AS total
+        FROM bins
+    )
+    SELECT event_type AS event_type,
+           MIN(CASE WHEN c * 100 >= 50 * total THEN (bin + 1) * {_HQ_BIN_CENTS} END) AS p50_ub_cents,
+           MIN(CASE WHEN c * 100 >= 90 * total THEN (bin + 1) * {_HQ_BIN_CENTS} END) AS p90_ub_cents,
+           MIN(CASE WHEN c * 100 >= 99 * total THEN (bin + 1) * {_HQ_BIN_CENTS} END) AS p99_ub_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 upper-bound estimates from a 5-dollar-bin histogram.
+    Max error = one bin width, traded for a sketch that merges with a
+    single integer sum per bin."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    bins = (
+        ev.select("event_type", F.floor(cents / _HQ_BIN_CENTS).cast("long").alias("bin"))
+        .groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = (Window.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("event_type")
+    cum = bins.select(
+        "event_type", "bin", "n",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("total"),
+    )
+
+    def est(q: int, name: str):
+        return F.min(
+            F.when(F.col("c") * 100 >= q * F.col("total"),
+                   (F.col("bin") + 1) * _HQ_BIN_CENTS)
+        ).alias(name)
+
+    return cum.groupBy("event_type").agg(
+        est(50, "p50_ub_cents"), est(90, "p90_ub_cents"), est(99, "p99_ub_cents"))
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregation: the daily-partials -> monthly-rollup merge.
+# The partial table is what an incremental pipeline PERSISTS each day
+# (mergeable integer state, same discipline as the sketches above); the
+# monthly report is a re-aggregation of partials only — the raw fact is
+# never rescanned. The oracle aggregates the raw facts directly, proving
+# the partial-merge is exactly associative.
+# --------------------------------------------------------------------------
+@query(
+    "incremental_monthly_rollup",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month, event_type AS event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           COUNT(DISTINCT user_id) AS n_users_lb
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds the per-day partial state table, then produces the monthly
+    answer purely from partials. Counts and sums merge exactly; the
+    distinct-user count is carried as per-day HLL-style exact sets ONLY
+    within the partial (collect_set per day would not merge by sum), so
+    the monthly distinct is recomputed from day-level (day, user) pairs —
+    still never touching the raw fact twice."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    day_user = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "event_type", "user_id", cents.alias("cents"),
+    )
+    daily = day_user.groupBy("day", "month", "event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("vc"))
+    return (
+        daily.groupBy("month", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("vc").cast("long").alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users_lb"),
+        )
+    )

@@ -135,3 +135,43 @@ def test_swap_leaves_no_staging_siblings(spark):
     compact_parquet(spark, frag, target_bytes=128 * 1024 * 1024)
     assert sorted(os.listdir(root)) == ["t", "t2"]
     assert spark.read.parquet(frag).count() == 300
+
+
+def test_zorder_write_skips_in_both_dims(spark, tmp_path):
+    """Z-order layout must keep per-file min/max tight in BOTH dimensions:
+    a point-ish filter on either column may touch only a minority of
+    files. (A single-column sort gives ~1 file for that column but ALL
+    files for the other — the property under test is the 'both' part.)"""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from cliqz_etl_spark.io import zorder_write
+    from cliqz_etl_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, str(SF_SMOKE), "events").select(
+        "user_id", (F.floor(F.col("value") * 100 + F.lit(0.5))).cast("long").alias("cents"))
+    out = str(tmp_path / "zorder")
+    zorder_write(ev, out, ["user_id", "cents"], n_files=16)
+
+    con = duckdb.connect()
+    stats = con.execute(
+        f"""SELECT file_name,
+                   MIN(CASE WHEN path_in_schema='user_id' THEN stats_min_value::BIGINT END),
+                   MAX(CASE WHEN path_in_schema='user_id' THEN stats_max_value::BIGINT END),
+                   MIN(CASE WHEN path_in_schema='cents' THEN stats_min_value::BIGINT END),
+                   MAX(CASE WHEN path_in_schema='cents' THEN stats_max_value::BIGINT END)
+            FROM parquet_metadata('{out}/*.parquet') GROUP BY file_name"""
+    ).fetchall()
+    n = len(stats)
+    assert n >= 8
+    gu_min = min(s[1] for s in stats); gu_max = max(s[2] for s in stats)
+    gc_min = min(s[3] for s in stats); gc_max = max(s[4] for s in stats)
+
+    def files_touched(lo_i, hi_i, probe):  # fraction of files a point filter hits
+        return sum(1 for s in stats if s[lo_i] <= probe <= s[hi_i]) / n
+
+    u_mid = (gu_min + gu_max) // 2
+    c_mid = (gc_min + gc_max) // 2
+    assert files_touched(1, 2, u_mid) <= 0.5, stats
+    assert files_touched(3, 4, c_mid) <= 0.5, stats
