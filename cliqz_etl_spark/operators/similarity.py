@@ -144,6 +144,61 @@ def ivf_assign_q(projected: DataFrame, cids: list[int],
     return projected.mapInPandas(assign, schema=schema)
 
 
+def _collect_centroids(centroids: DataFrame, id_col: str,
+                       vec_col: str) -> list[tuple[int, list[int]]]:
+    """Collect the K-row centroid MODEL to the driver (the legitimate
+    collect: model fitting, not data movement)."""
+    return [
+        (int(r["cid"]), [int(x) for x in r["cv"]])
+        for r in centroids.select(
+            F.col(id_col).alias("cid"), quantize(vec_col).alias("cv")
+        ).collect()
+    ]
+
+
+def ivf_assign_multi_q(projected: DataFrame, cids: list[int],
+                       cents: list[list[int]], n_probe: int) -> DataFrame:
+    """Top-``n_probe`` nearest centroids per vector — the query-side half
+    of multi-probe IVF search. Same broadcast-model numpy scoring as
+    ivf_assign_q, but each input row expands to ``n_probe`` output rows
+    (cluster, probe 1..n_probe). Ties break to the lowest centroid id
+    (stable argsort over cid-sorted rows), bit-matching the oracle's
+    ORDER BY d ASC, cid ASC. Still a pure map — no shuffle; only ever run
+    this on the QUERY side (small), never the corpus."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order = sorted(range(len(cids)), key=lambda i: cids[i])
+    model = ([int(cids[i]) for i in order], [[int(x) for x in cents[i]] for i in order])
+    bc = projected.sparkSession.sparkContext.broadcast(model)
+    schema = StructType(list(projected.schema.fields)
+                        + [StructField("cluster", LongType(), False),
+                           StructField("probe", LongType(), False)])
+
+    def expand(batches):
+        import numpy as np
+
+        cid_arr, cent_mat = bc.value
+        C = np.asarray(cent_mat, dtype=np.int64)
+        cids_np = np.asarray(cid_arr, dtype=np.int64)
+        c_norm = (C * C).sum(axis=1)
+        p = min(n_probe, len(cid_arr))
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cluster=np.array([], dtype=np.int64),
+                                 probe=np.array([], dtype=np.int64))
+                continue
+            V = np.array([np.asarray(v, dtype=np.int64) for v in pdf["_qv"]],
+                         dtype=np.int64)
+            dist = c_norm[None, :] - 2 * (V @ C.T)
+            idx = np.argsort(dist, axis=1, kind="stable")[:, :p]
+            out = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
+            out["cluster"] = cids_np[idx.ravel()]
+            out["probe"] = np.tile(np.arange(1, p + 1), len(pdf))
+            yield out
+
+    return projected.mapInPandas(expand, schema=schema)
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
                vec_col: str) -> DataFrame:
     """Assign every vector to its nearest centroid by squared L2 (integer-
@@ -153,12 +208,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
     driver is the correct move (same as fitting any broadcast model); the
     corpus-side work runs through ivf_assign_q's broadcast + numpy argmin
     map. Returns (id, cluster, qv)."""
-    cent_rows = [
-        (int(r["cid"]), [int(x) for x in r["cv"]])
-        for r in centroids.select(
-            F.col(id_col).alias("cid"), quantize(vec_col).alias("cv")
-        ).collect()
-    ]
+    cent_rows = _collect_centroids(centroids, id_col, vec_col)
     projected = corpus.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
     return ivf_assign_q(projected, [c for c, _ in cent_rows], [v for _, v in cent_rows])
 
@@ -213,22 +263,41 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
 
 
 def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-             id_col: str, vec_col: str, k: int = 3) -> DataFrame:
-    """IVF search: rank only within the query's own cluster (n_probe=1).
-    Recall < 1.0 by design; the bucketed join is the scale path — at
-    100 TB, `assigned` is a table bucketed by ``cluster``."""
+             id_col: str, vec_col: str, k: int = 3,
+             n_probe: int = 1) -> DataFrame:
+    """IVF search: rank within the query's ``n_probe`` nearest clusters.
+    n_probe=1 is the cheapest/lowest-recall point; raising it trades a
+    linear increase in scored candidates for recall, while the corpus
+    side stays put (each corpus vector lives in exactly one bucket — only
+    the tiny query side fans out, so probed buckets stay disjoint and no
+    dedup is needed). The bucketed join is the scale path — at 100 TB,
+    `assigned` is a table bucketed by ``cluster``."""
     from pyspark.sql import Window
 
     from cliqz_etl_spark.operators.dedup import _materialize
 
-    # both join sides derive from `assigned`; persist so the centroid
-    # argmin (a large literal expression) evaluates once, not per side
-    assigned = _materialize(ivf_assign(corpus, centroids, id_col, vec_col))
-    q = assigned.select(
-        F.col("_id").alias("query_id"), F.col("_qv").alias("qv"),
-        F.col("cluster").alias("qcluster"),
-        norm2_q(F.col("_qv")).cast("double").alias("qn"),
-    ).join(queries.select(F.col(id_col).alias("query_id")), "query_id")
+    cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    cids = [c for c, _ in cent_rows]
+    cents = [v for _, v in cent_rows]
+    projected = corpus.select(
+        F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+    # both join sides derive from `assigned`; persist so the assignment
+    # map evaluates once, not per side
+    assigned = _materialize(ivf_assign_q(projected, cids, cents))
+    if n_probe == 1:
+        q = assigned.select(
+            F.col("_id").alias("query_id"), F.col("_qv").alias("qv"),
+            F.col("cluster").alias("qcluster"),
+            norm2_q(F.col("_qv")).cast("double").alias("qn"),
+        ).join(queries.select(F.col(id_col).alias("query_id")), "query_id")
+    else:
+        qvecs = assigned.select("_id", "_qv").join(
+            queries.select(F.col(id_col).alias("_id")), "_id")
+        q = ivf_assign_multi_q(qvecs, cids, cents, n_probe).select(
+            F.col("_id").alias("query_id"), F.col("_qv").alias("qv"),
+            F.col("cluster").alias("qcluster"),
+            norm2_q(F.col("_qv")).cast("double").alias("qn"),
+        )
     c = assigned.select(
         F.col("_id").alias("neighbor_id"), F.col("_qv").alias("cv"), "cluster",
         norm2_q(F.col("_qv")).cast("double").alias("cn"),

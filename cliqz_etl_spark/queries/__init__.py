@@ -70,6 +70,7 @@ DRIVER_ORDER: list[str] = [
     "ann_topk",
     "ivf_clusters",
     "ann_ivf",
+    "ann_ivf_multiprobe",
     "kmeans_centroids",
     "ivf_clusters_trained",
     "embedding_near_pairs",
@@ -93,11 +94,8 @@ DRIVER_ORDER: list[str] = [
     "doc_fingerprint",
     # timeseries / misc (dark in round 1; tfidf_search plan changed)
     "daily_activity_filled",
-    "order_cube",
     "json_flatten",
     "tfidf_search",
-    "sliding_event_counts",
-    "moving_avg_value",
     # new curation / training-data ops this round
     "pack_sequences",
     "mask_terms",
@@ -126,6 +124,10 @@ DRIVER_ORDER: list[str] = [
     # mergeable sketches + incremental aggregation
     "histogram_quantiles",
     "incremental_monthly_rollup",
+    # timeseries extras (family already represented in the window above)
+    "order_cube",
+    "sliding_event_counts",
+    "moving_avg_value",
     # relational tail (dark in round 1; simple set/window ops — deferred
     # behind the changed/new queries above, first in line for round 3)
     "top_orders",

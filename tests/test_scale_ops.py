@@ -59,3 +59,26 @@ def test_connected_components_path_doubling_on_long_chain(spark):
     labels = connected_components(edges, max_rounds=10)
     got = {r["node"]: r["label"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """Probing 2 clusters must retrieve at least as many of the brute-force
+    true top-k as probing 1 — and the scored candidate set only grows."""
+    from tests.conftest import SF_SMOKE
+
+    from cliqz_etl_spark.queries import load_all
+
+    reg = load_all()
+    truth = {}
+    for r in reg["ann_topk"].fn(spark, SF_SMOKE).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(name):
+        got = {}
+        for r in reg[name].fn(spark, SF_SMOKE).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r1, r2 = recall("ann_ivf"), recall("ann_ivf_multiprobe")
+    assert r2 >= r1, (r1, r2)
