@@ -43,7 +43,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # propagate: l(u) <- min(l(u), min over neighbors' labels)
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -58,17 +58,22 @@ def connected_components(
         )
         # shortcut (path doubling): l(u) <- l(l(u)). Labels are node ids
         # of the same component, so the lookup side is labels itself.
-        lookup = propagated.select(
-            F.col("node").alias("l_node"), F.col("label").alias("l_label")
-        )
-        new_labels = (
-            propagated.join(lookup, propagated.label == F.col("l_node"), "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("l_label", "label")).alias("label"),
+        # Deferred until round 2: clique-shaped dedup graphs converge in
+        # 1-2 propagation rounds and would pay the extra self-join for
+        # nothing; deep chains (where doubling matters) still get
+        # log-diameter behavior, just offset by two cheap rounds.
+        if rnd >= 2:
+            lookup = propagated.select(
+                F.col("node").alias("l_node"), F.col("label").alias("l_label")
             )
-            .localCheckpoint(eager=True)
-        )
+            propagated = (
+                propagated.join(lookup, propagated.label == F.col("l_node"), "left")
+                .select(
+                    "node",
+                    F.least("label", F.coalesce("l_label", "label")).alias("label"),
+                )
+            )
+        new_labels = propagated.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label")).count()

@@ -124,6 +124,8 @@ DRIVER_ORDER: list[str] = [
     # mergeable sketches + incremental aggregation
     "histogram_quantiles",
     "incremental_monthly_rollup",
+    # training-order shuffle (llmdata family)
+    "assign_shards",
     # timeseries extras (family already represented in the window above)
     "order_cube",
     "sliding_event_counts",

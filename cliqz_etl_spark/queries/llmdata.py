@@ -245,3 +245,38 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("doc_id", "lang", "quality_x10k", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global training-order shuffle. Training pipelines need the
+# corpus in pseudo-random order, split into fixed shards, reproducibly —
+# rerunning on the same corpus must produce byte-identical shards. The
+# md5 hash IS the shuffle: shard = h mod N spreads documents uniformly,
+# and (h, doc_id) orders within the shard. One exchange on shard id; the
+# within-shard sort is per-partition (no global orderBy / range exchange).
+# --------------------------------------------------------------------------
+N_SHARDS = 8
+
+
+@query(
+    "assign_shards",
+    oracle=f"""
+    SELECT doc_id AS doc_id,
+           h % {N_SHARDS} AS shard,
+           ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS}
+                              ORDER BY h ASC, doc_id ASC) AS pos
+    FROM (SELECT doc_id, {md5_long_sql('doc_id')} AS h FROM documents)
+    """,
+)
+def assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible shuffle-to-shards: (shard, pos) for every document,
+    stable under re-runs and engine-portable (the 'random' order is
+    md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long("doc_id")
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", h.alias("h"), (h % N_SHARDS).alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
