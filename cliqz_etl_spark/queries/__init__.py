@@ -124,8 +124,9 @@ DRIVER_ORDER: list[str] = [
     # mergeable sketches + incremental aggregation
     "histogram_quantiles",
     "incremental_monthly_rollup",
-    # training-order shuffle (llmdata family)
+    # training-order shuffle + interpolation gap fill (new this round)
     "assign_shards",
+    "interpolate_user_values",
     # timeseries extras (family already represented in the window above)
     "order_cube",
     "sliding_event_counts",
@@ -137,6 +138,7 @@ DRIVER_ORDER: list[str] = [
     "nations_with_both",
     "all_account_balances",
     "order_rollup",
+    "order_grouping_sets",
     "running_total",
     # ---- driver-green in round 1, unchanged since ------------------------
     "asof_last_click_before_purchase",

@@ -774,3 +774,41 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_cand & F.col("__mx").isNotNull(), 1).otherwise(0))
         .cast("long").alias("n_matched"),
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping_id — the general form of
+# rollup/cube: only the requested aggregation levels are computed (here:
+# per (status, priority), per status, and grand total — NOT per priority),
+# and grouping_id disambiguates a real NULL key from a superaggregate row.
+# Spark expands this to one Expand + single aggregate: one shuffle for all
+# three levels.
+# --------------------------------------------------------------------------
+@query(
+    "order_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus, o_orderpriority AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+               AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three explicit aggregation levels in one pass via SQL GROUPING SETS
+    (the DataFrame API has no grouping-sets builder — spark.sql on a
+    registered temp view is the idiomatic route; the plan is the same
+    Expand + partial/final aggregate pair as rollup)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)

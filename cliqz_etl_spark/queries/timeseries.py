@@ -224,3 +224,107 @@ def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.floor(F.avg("value").over(w) * 10000 + 0.5).cast("long").alias("ma5_x10k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-interpolation gap fill — the numeric sibling of the zero-fill
+# above: missing days between two observed days take the straight-line
+# value between them (exact integer arithmetic: floor of the rational
+# interpolant, so both engines agree bit-for-bit); leading/trailing gaps
+# clamp to the nearest observation. Two IGNORE NULLS window scans (one
+# backward, one forward) over the densified calendar — no self-join, one
+# shuffle on user_id shared by both windows.
+# --------------------------------------------------------------------------
+@query(
+    "interpolate_user_values",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY user_id
+    ), calendar AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    ), actual AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), joined AS (
+        SELECT c.user_id, c.day, a.cents,
+               date_diff('day', DATE '2024-01-01', c.day) AS dn
+        FROM calendar c LEFT JOIN actual a ON a.user_id = c.user_id AND a.day = c.day
+    ), ctx AS (
+        SELECT user_id, day, cents, dn,
+               last_value(cents IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN cents IS NOT NULL THEN dn END IGNORE NULLS) OVER wb AS pd,
+               first_value(cents IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN cents IS NOT NULL THEN dn END IGNORE NULLS) OVER wf AS nd
+        FROM joined
+        WINDOW wb AS (PARTITION BY user_id ORDER BY dn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY dn
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id AS user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(CASE
+                WHEN cents IS NOT NULL THEN cents
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + CAST(floor(CAST((nv - pv) * (dn - pd) AS DOUBLE)
+                                     / (nd - pd)) AS BIGINT)
+                END AS BIGINT) AS cents_filled,
+           (cents IS NULL) AS interpolated
+    FROM ctx
+    """,
+)
+def interpolate_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily value series with straight-line integer interpolation
+    across gaps (endpoints clamp). The interpolant is
+    pv + floor((nv-pv)*(d-pd)/(nd-pd)) on exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    actual = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+          .cast("long").alias("cents"))
+    joined = (
+        calendar.join(actual, ["user_id", "day"], "left")
+        .withColumn("dn", F.datediff("day", F.lit("2024-01-01").cast("date")).cast("long"))
+    )
+    wb = (Window.partitionBy("user_id").orderBy("dn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("dn")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    known_dn = F.when(F.col("cents").isNotNull(), F.col("dn"))
+    ctx = joined.select(
+        "user_id", "day", "cents", "dn",
+        F.last("cents", ignorenulls=True).over(wb).alias("pv"),
+        F.last(known_dn, ignorenulls=True).over(wb).alias("pd"),
+        F.first("cents", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_dn, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = (
+        F.col("pv")
+        + F.floor((F.col("nv") - F.col("pv")).cast("double")
+                  * (F.col("dn") - F.col("pd")).cast("double")
+                  / (F.col("nd") - F.col("pd")).cast("double")).cast("long")
+    )
+    filled = (
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+    )
+    return ctx.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        filled.cast("long").alias("cents_filled"),
+        F.col("cents").isNull().alias("interpolated"),
+    )
