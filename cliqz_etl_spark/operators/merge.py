@@ -155,3 +155,58 @@ def scd2_from_changelog(
         .otherwise(F.lit(0))
         .alias("is_current"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    fact_ts: str,
+    version_ts: str,
+    value_col: str,
+) -> DataFrame:
+    """As-of join of facts against SCD2 version history: each fact row
+    picks the version with the latest ``version_ts`` <= ``fact_ts`` (both
+    sortable strings/dates) — the point-in-time-correct feature lookup
+    that keeps training pipelines free of future leakage.
+
+    Scale shape: NO range join and no per-key explosion — both sides are
+    tagged and unioned, sorted once per key by (time, side) with history
+    sorting before facts at equal timestamps (a version effective exactly
+    at the fact's timestamp IS visible), and the value propagates with one
+    last(ignorenulls) window. One shuffle on the key; state per row is a
+    single value, not an interval index.
+
+    Returns the fact rows plus ``value_col`` (NULL when no version was in
+    effect yet).
+    """
+    h = history.select(
+        F.col(key),
+        F.col(version_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(value_col).alias("__v"),
+    )
+    f = facts.select(
+        F.col(key),
+        F.col(fact_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(h.schema["__v"].dataType).alias("__v"),
+        *[c for c in facts.columns if c != key],
+    )
+    # align schemas: history side carries NULLs for fact payload columns
+    payload = [c for c in facts.columns if c != key]
+    h = h.select(
+        key, "__t", "__side", "__v",
+        *[F.lit(None).cast(f.schema[c].dataType).alias(c) for c in payload],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        h.unionByName(f)
+        .withColumn(value_col, F.last("__v", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+        .select(key, *payload, value_col)
+    )

@@ -115,6 +115,7 @@ DRIVER_ORDER: list[str] = [
     # CDC / SCD2 history (operators/merge.py)
     "scd2_customer_balance",
     "user_type_history",
+    "pit_order_balance",
     # bloom-prefiltered semi-join (runtime-filter pattern)
     "bloom_semi_join_revenue",
     "bloom_prefilter_stats",

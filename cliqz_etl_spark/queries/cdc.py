@@ -26,9 +26,8 @@ def _cents(col) -> F.Column:
 # branch (contrast the naive closed UNION new UNION unchanged plan, which
 # runs the join three times unless the optimizer rescues it).
 # --------------------------------------------------------------------------
-@query(
-    "scd2_customer_balance",
-    oracle="""
+# History CTE shared by the merge oracle and the point-in-time join oracle.
+_SCD2_CTE = """
     WITH upd AS (
         SELECT o_custkey AS c_custkey,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS new_bal,
@@ -45,18 +44,29 @@ def _cents(col) -> F.Column:
                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
                '1995-01-01' AS vfrom
         FROM customer
+    ), hist AS (
+        SELECT b.c_custkey AS c_custkey, b.bal_cents AS bal_cents,
+               b.vfrom AS valid_from,
+               CASE WHEN u.new_bal IS NOT NULL AND u.new_bal != b.bal_cents
+                    THEN u.eff END AS valid_to,
+               CASE WHEN u.new_bal IS NOT NULL AND u.new_bal != b.bal_cents
+                    THEN 0 ELSE 1 END AS is_current
+        FROM base b LEFT JOIN upd u USING (c_custkey)
+        UNION ALL
+        SELECT b.c_custkey, u.new_bal, u.eff, CAST(NULL AS VARCHAR), 1
+        FROM base b JOIN upd u USING (c_custkey)
+        WHERE u.new_bal != b.bal_cents
     )
-    SELECT b.c_custkey AS c_custkey, b.bal_cents AS bal_cents,
-           b.vfrom AS valid_from,
-           CASE WHEN u.new_bal IS NOT NULL AND u.new_bal != b.bal_cents
-                THEN u.eff END AS valid_to,
-           CASE WHEN u.new_bal IS NOT NULL AND u.new_bal != b.bal_cents
-                THEN 0 ELSE 1 END AS is_current
-    FROM base b LEFT JOIN upd u USING (c_custkey)
-    UNION ALL
-    SELECT b.c_custkey, u.new_bal, u.eff, CAST(NULL AS VARCHAR), 1
-    FROM base b JOIN upd u USING (c_custkey)
-    WHERE u.new_bal != b.bal_cents
+"""
+
+
+@query(
+    "scd2_customer_balance",
+    oracle=_SCD2_CTE + """
+    SELECT c_custkey AS c_custkey, bal_cents AS bal_cents,
+           valid_from AS valid_from, valid_to AS valid_to,
+           is_current AS is_current
+    FROM hist
     """,
 )
 def scd2_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,3 +142,36 @@ def user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     version row with [valid_from, valid_to) bounds and a backing count."""
     ev = load_table(spark, sf_dir, "events")
     return scd2_from_changelog(ev, "user_id", "event_type", "ts", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Point-in-time feature join: each order reads the balance version in
+# effect AT ITS ORDER DATE. The Spark side is the leakage-safe as-of
+# idiom (union + one last(ignorenulls) window — no range join); the
+# oracle is an INDEPENDENT interval join over the same history, so the
+# check validates semantics, not a shared implementation.
+# --------------------------------------------------------------------------
+@query(
+    "pit_order_balance",
+    oracle=_SCD2_CTE + """
+    SELECT o.o_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+           h.bal_cents AS bal_cents
+    FROM orders o JOIN hist h ON h.c_custkey = o.o_custkey
+     AND h.valid_from <= strftime(o.o_orderdate, '%Y-%m-%d')
+     AND (h.valid_to IS NULL OR strftime(o.o_orderdate, '%Y-%m-%d') < h.valid_to)
+    """,
+)
+def pit_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every order annotated with its point-in-time customer balance."""
+    from cliqz_etl_spark.operators.merge import point_in_time_join
+
+    hist = scd2_customer_balance(spark, sf_dir)
+    facts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+    )
+    return point_in_time_join(
+        facts, hist, "c_custkey", "odate", "valid_from", "bal_cents"
+    )

@@ -159,3 +159,12 @@ def test_salted_join_key_includes_salt(spark):
     plan = _plan(spark, "salted_join_value_by_type")
     join_lines = [l for l in plan.splitlines() if "Join" in l and "event_type" in l]
     assert join_lines and all("__salt" in l for l in join_lines), join_lines
+
+
+def test_pit_join_has_no_range_join(spark):
+    """The point-in-time join must be the union+window as-of idiom: no
+    nested-loop/theta join anywhere (an interval join would appear as
+    BroadcastNestedLoopJoin), and exactly one Window does the lookup."""
+    plan = _plan(spark, "pit_order_balance")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert plan.count("Window") == 1
