@@ -128,6 +128,9 @@ DRIVER_ORDER: list[str] = [
     # training-order shuffle + interpolation gap fill (new this round)
     "assign_shards",
     "interpolate_user_values",
+    # SQL-surface gauntlets (higher-order arrays, null-safe join)
+    "array_ops_gauntlet",
+    "nullsafe_join_counts",
     # timeseries extras (family already represented in the window above)
     "order_cube",
     "sliding_event_counts",

@@ -812,3 +812,40 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """)
+
+
+# --------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH each
+# other — the semantics regular equi-joins silently drop. The derived key
+# is NULL for low-value events, so the gate pins that the NULL bucket
+# survives the join on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "nullsafe_join_counts",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN value < 10 THEN NULL ELSE event_type END AS k,
+               COUNT(*) AS n_all
+        FROM events GROUP BY 1
+    ), b AS (
+        SELECT CASE WHEN value < 10 THEN NULL ELSE event_type END AS k,
+               COUNT(*) AS n_purchase
+        FROM events WHERE event_type = 'purchase' OR value < 10
+        GROUP BY 1
+    )
+    SELECT a.k AS k, a.n_all AS n_all, b.n_purchase AS n_purchase
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("event_type"))
+    a = ev.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_all"))
+    b = (
+        ev.where((F.col("event_type") == "purchase") | (F.col("value") < 10))
+        .groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_purchase"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"].alias("k"), "n_all", "n_purchase")
+    )

@@ -157,3 +157,56 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", T.fingerprint("text", 8).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Higher-order array-function gauntlet: transform / filter / exists /
+# aggregate / array_distinct / array_sort / slice / array_join in ONE
+# registered query, oracle-mirrored by DuckDB's list_* family. These are
+# the JVM-side lambda expressions that keep per-element work out of
+# Python (the dedup operators lean on them heavily — this pins the
+# cross-engine semantics in the gate).
+# --------------------------------------------------------------------------
+@query(
+    "array_ops_gauntlet",
+    oracle=f"""
+    SELECT doc_id AS doc_id,
+           {_DUCK_NTOK} AS n_tok,
+           CAST(len(list_filter({_DUCK_TOKENS}, x -> length(x) > 4)) AS INT)
+               AS n_long_tok,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE list_sum(list_transform({_DUCK_TOKENS}, x -> length(x)))
+                END AS BIGINT) AS total_chars,
+           (len(list_filter({_DUCK_TOKENS}, x -> x = 'the')) > 0) AS has_the,
+           array_to_string(
+               list_sort(list_distinct(
+                   list_transform({_DUCK_TOKENS}, x -> lower(x))))[1:3],
+               ',') AS first3_norm
+    FROM documents
+    """,
+)
+def array_ops_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every higher-order function evaluated once per document over the
+    token array — a single projection, no shuffle, whole-stage codegen."""
+    from cliqz_etl_spark.functions.text import token_count, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    empty = F.trim(F.col("text")) == ""
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.filter(toks, lambda t: F.length(t) > 4)))
+        .cast("int").alias("n_long_tok"),
+        F.when(empty, F.lit(0))
+        .otherwise(F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0), lambda acc, x: acc + x))
+        .cast("long").alias("total_chars"),
+        F.exists(toks, lambda t: t == F.lit("the")).alias("has_the"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(F.transform(toks, F.lower))),
+                    1, 3),
+            ",").alias("first3_norm"),
+    )
