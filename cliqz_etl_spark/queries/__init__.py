@@ -131,6 +131,8 @@ DRIVER_ORDER: list[str] = [
     # SQL-surface gauntlets (higher-order arrays, null-safe join)
     "array_ops_gauntlet",
     "nullsafe_join_counts",
+    # stream-static enrichment (streaming family already in window above)
+    "streaming_enriched_counts",
     # timeseries extras (family already represented in the window above)
     "order_cube",
     "sliding_event_counts",

@@ -168,3 +168,32 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, verifying the programmable-state path end to end."""
     ev = _event_stream(spark, sf_dir)
     return _drain(running_user_totals(ev), "running_totals", mode="update")
+
+
+@query(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type AS event_type,
+           COUNT(*) AS n_events
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the customer
+    dimension (broadcast, zero streaming state) and rolls up per
+    (segment, type) — must equal the batch join exactly."""
+    from cliqz_etl_spark.streaming.jobs import enrich_with_dim
+    from cliqz_etl_spark.tables import load_table
+
+    ev = _event_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    counts = (
+        enrich_with_dim(ev, dim)
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _drain(counts, "enriched", mode="complete")

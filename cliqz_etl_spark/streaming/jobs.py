@@ -114,6 +114,17 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame,
+                    on: str = "user_id") -> DataFrame:
+    """Stream-static join: each micro-batch of the stream joins the
+    (batch) dimension snapshot — Spark re-plans the static side per batch,
+    so a broadcast dimension costs no streaming state at all (unlike
+    stream-stream joins there is nothing to buffer: the static side is
+    complete by definition). The standard shape for enriching an event
+    stream with reference data."""
+    return events.join(F.broadcast(dim), on)
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Arbitrary stateful streaming op: a custom per-key accumulator
     (running event count + integer-cents value total per user) that
