@@ -129,3 +129,35 @@ def test_scd2_changelog_roundtrip(spark, values):
     # compressed values = run-length-collapsed input
     collapsed = [v for i, v in enumerate(values) if i == 0 or v != values[i - 1]]
     assert [r["val"] for r in hist] == collapsed
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 99)),
+             min_size=1, max_size=15),  # history: (key, t, value)
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+             min_size=1, max_size=15),  # facts: (key, t)
+)
+def test_point_in_time_join_matches_model(spark, hist_rows, fact_rows):
+    """PIT join equals the brute-force 'latest version with t <= fact t'
+    model on random inputs (versions deduped per (key, t) — SCD2 histories
+    have unique version starts)."""
+    from cliqz_etl_spark.operators.merge import point_in_time_join
+
+    hist = {}
+    for k, t, v in hist_rows:     # last write wins per (key, t) for the model
+        hist[(k, t)] = v
+    hist_list = [(k, f"{t:04d}", v) for (k, t), v in hist.items()]
+
+    def model(k, t):
+        versions = [(vt, v) for (hk, vt), v in hist.items() if hk == k and vt <= t]
+        return max(versions)[1] if versions else None
+
+    h = spark.createDataFrame(hist_list, ["k", "vt", "val"])
+    f = spark.createDataFrame(
+        [(k, f"{t:04d}", i) for i, (k, t) in enumerate(fact_rows)],
+        ["k", "ft", "fid"])
+    got = {r["fid"]: r["val"]
+           for r in point_in_time_join(f, h, "k", "ft", "vt", "val").collect()}
+    want = {i: model(k, t) for i, (k, t) in enumerate(fact_rows)}
+    assert got == want
