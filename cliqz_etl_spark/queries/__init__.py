@@ -133,6 +133,8 @@ DRIVER_ORDER: list[str] = [
     "nullsafe_join_counts",
     # stream-static enrichment (streaming family already in window above)
     "streaming_enriched_counts",
+    # fractional ranking window family
+    "rank_fraction_family",
     # timeseries extras (family already represented in the window above)
     "order_cube",
     "sliding_event_counts",

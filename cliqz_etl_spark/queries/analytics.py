@@ -500,3 +500,36 @@ def incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users_lb"),
         )
     )
+
+
+@query(
+    "rank_fraction_family",
+    oracle="""
+    SELECT o_orderkey AS o_orderkey, o_custkey AS o_custkey,
+           CAST(floor(percent_rank() OVER w * 10000 + 0.5) AS BIGINT) AS pct_rank_x10k,
+           CAST(floor(cume_dist() OVER w * 10000 + 0.5) AS BIGINT) AS cume_dist_x10k,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_best_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def rank_fraction_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value over one shared window — the
+    fractional half of the ranking family (rank/dense_rank/ntile live in
+    order_rank_family). Fractions are (rank-1)/(n-1) and rank/n on exact
+    integers, quantized with the floor(x*10000+0.5) discipline."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.percent_rank().over(w) * 10000 + F.lit(0.5))
+        .cast("long").alias("pct_rank_x10k"),
+        F.floor(F.cume_dist().over(w) * 10000 + F.lit(0.5))
+        .cast("long").alias("cume_dist_x10k"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_best_order"),
+    )
