@@ -38,6 +38,34 @@ def read_parquet(spark: SparkSession, path: str, *,
     return df
 
 
+def read_orc(spark: SparkSession, path: str, *,
+             schema: StructType | None = None,
+             view: str | None = None, **predicates) -> DataFrame:
+    """ORC scan — same pushdown contract as read_parquet (ORC carries
+    row-group statistics and bloom filters; Catalyst pushes the equality
+    predicates into the native reader). ORC support ships in Spark core,
+    so warehouses migrating from Hive/ORC estates read in place."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.orc(path)
+    for col, value in predicates.items():
+        df = df.where(F.col(col) == F.lit(value))
+    if view:
+        df.createOrReplaceTempView(view)
+    return df
+
+
+def write_orc(df: DataFrame, path: str, *,
+              partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    """ORC sink, mirroring write_parquet's partitioned layout."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_csv(spark: SparkSession, path: str, *,
              schema: StructType | None = None, header: bool = True) -> DataFrame:
     """CSV scan with header (S2). Stays a DataFrame end-to-end — the

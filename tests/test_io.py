@@ -175,3 +175,26 @@ def test_zorder_write_skips_in_both_dims(spark, tmp_path):
     c_mid = (gc_min + gc_max) // 2
     assert files_touched(1, 2, u_mid) <= 0.5, stats
     assert files_touched(3, 4, c_mid) <= 0.5, stats
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/source round-trip: bytes survive, and an equality
+    predicate reaches the ORC scan (PushedFilters in the plan)."""
+    from pyspark.sql import functions as F
+
+    from cliqz_etl_spark.io import read_orc, write_orc
+    from cliqz_etl_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, str(SF_SMOKE), "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"))
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out, o_orderstatus="F")
+    want = src.where(F.col("o_orderstatus") == "F")
+    assert back.count() == want.count()
+    assert (sorted(tuple(r) for r in back.collect())
+            == sorted(tuple(r) for r in want.collect()))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderstatus" in plan, plan
