@@ -135,6 +135,9 @@ DRIVER_ORDER: list[str] = [
     "streaming_enriched_counts",
     # fractional ranking window family
     "rank_fraction_family",
+    # weighted corpus sampling + integer-exact anomaly flags
+    "weighted_sample",
+    "anomalous_days",
     # timeseries extras (family already represented in the window above)
     "order_cube",
     "sliding_event_counts",

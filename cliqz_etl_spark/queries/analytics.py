@@ -533,3 +533,59 @@ def rank_fraction_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("cume_dist_x10k"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_best_order"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection with INTEGER-EXACT flagging. The
+# 2-sigma test z^2 > 4 on a trailing window rearranges to
+# (n*x - S)^2 > 4*(n*Q - S^2) with S = trailing sum, Q = trailing sum of
+# squares — all integers, so the flag never sits on a float boundary and
+# both engines agree exactly. Mergeable state (n, S, Q) is the same
+# integer-moment discipline as price_quantity_corr.
+# --------------------------------------------------------------------------
+@query(
+    "anomalous_days",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), ctx AS (
+        SELECT event_type, day, x,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS s,
+               SUM(x * x) OVER w AS q
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type AS event_type, strftime(day, '%Y-%m-%d') AS day,
+           x AS n_events,
+           ((n * x - s) * (n * x - s) > 4 * (n * q - s * s)
+            AND n >= 3) AS is_anomaly
+    FROM ctx WHERE n >= 1
+    """,
+)
+def anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event count sits >2 trailing-window sigmas from the
+    7-day mean. One shuffle on event_type; the three window aggregates
+    share a frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-7, -1))
+    ctx = daily.select(
+        "event_type", "day", "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+    ).where(F.col("n") >= 1)
+    dev = F.col("n") * F.col("x") - F.col("s")
+    nvar = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return ctx.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("n_events"),
+        ((dev * dev > 4 * nvar) & (F.col("n") >= 3)).alias("is_anomaly"),
+    )

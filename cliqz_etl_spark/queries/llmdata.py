@@ -280,3 +280,40 @@ def assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling: include a document with probability
+# proportional to its token count (capped at 1) by comparing a uniform
+# md5 draw against an integer weight — the quality/length-weighted corpus
+# draw, reproducible across runs and engines because the "randomness" is
+# the id hash. Pure scan-side filter: no shuffle at all.
+# --------------------------------------------------------------------------
+_WS_SCALE = 200  # weight = ntok * _WS_SCALE out of 10000 => 50 tokens saturate
+
+
+@query(
+    "weighted_sample",
+    oracle=f"""
+    SELECT doc_id AS doc_id, lang AS lang,
+           CAST(least({{NTOK}} * {_WS_SCALE}, 10000) AS BIGINT) AS weight_x10k
+    FROM documents
+    WHERE ({{H}} % 10000) < least({{NTOK}} * {_WS_SCALE}, 10000)
+    """.replace("{NTOK}", "(CASE WHEN trim(text) = '' THEN 0 ELSE "
+                "len(string_split_regex(trim(text), '\\s+')) END)")
+       .replace("{H}", md5_long_sql("doc_id || '-wsample'")),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(include) = min(ntok * scale, 10000) / 10000, decided by an
+    integer compare between the salted id hash and the weight."""
+    from cliqz_etl_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.least(token_count("text") * _WS_SCALE, F.lit(10000)).cast("long")
+    draw = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("-wsample"))) % 10000
+    return (
+        docs.select("doc_id", "lang", weight.alias("weight_x10k"),
+                    draw.alias("__draw"))
+        .where(F.col("__draw") < F.col("weight_x10k"))
+        .drop("__draw")
+    )
