@@ -22,14 +22,23 @@ from pyspark.sql.types import StructType
 
 def read_parquet(spark: SparkSession, path: str, *,
                  schema: StructType | None = None,
-                 view: str | None = None, **predicates) -> DataFrame:
+                 view: str | None = None,
+                 merge_schema: bool = False, **predicates) -> DataFrame:
     """Parquet scan; keyword predicates become equality filters that Catalyst
     pushes into the scan (partition pruning when the column is a partition
     key — the rebuild of S1's `.where(submissionDate=day)` pushdown,
-    testpilot_data.py:90-94)."""
+    testpilot_data.py:90-94).
+
+    ``merge_schema=True`` reconciles footer schemas across files (schema
+    evolution: columns added over time come back NULL-filled for old
+    files). Off by default — the footer sweep costs one extra metadata
+    pass over every file, which matters at millions of files; evolved
+    tables should carry an explicit ``schema`` once stabilized."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     df = reader.parquet(path)
     for col, value in predicates.items():
         df = df.where(F.col(col) == F.lit(value))

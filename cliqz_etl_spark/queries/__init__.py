@@ -138,6 +138,7 @@ DRIVER_ORDER: list[str] = [
     # weighted corpus sampling + integer-exact anomaly flags
     "weighted_sample",
     "anomalous_days",
+    "mixture_sample",
     # timeseries extras (family already represented in the window above)
     "order_cube",
     "sliding_event_counts",

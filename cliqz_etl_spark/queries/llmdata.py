@@ -317,3 +317,51 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__draw") < F.col("weight_x10k"))
         .drop("__draw")
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture sampling: assemble a training mix with TARGET proportions per
+# domain (here: language), regardless of the corpus's natural skew. Each
+# domain contributes floor(total * weight) documents, drawn in salted-hash
+# order (deterministic "random"), capped at availability. One shuffle on
+# the domain key for the quota window — the domain-mixing step every
+# multi-source training-corpus assembly runs.
+# --------------------------------------------------------------------------
+_MIX_TOTAL = 100
+_MIX_WEIGHTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}  # /100
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    WITH quota AS (
+        SELECT * FROM (VALUES {", ".join(f"('{k}', {_MIX_TOTAL * v // 100})"
+                                         for k, v in sorted(_MIX_WEIGHTS.items()))})
+            AS t(lang, q)
+    ), ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY {md5_long_sql("doc_id || '-mix'")} ASC, doc_id ASC) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id AS doc_id, r.lang AS lang, CAST(r.rn AS BIGINT) AS rn
+    FROM ranked r JOIN quota USING (lang)
+    WHERE r.rn <= quota.q
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """40/15/15/15/15 en/de/es/fr/zh mix of 100 docs, drawn in salted-hash
+    order per language — rebalances the corpus's natural skew into the
+    target training proportions, reproducibly."""
+    docs = load_table(spark, sf_dir, "documents")
+    quota = F.create_map(
+        *[F.lit(x) for kv in sorted(_MIX_WEIGHTS.items())
+          for x in (kv[0], _MIX_TOTAL * kv[1] // 100)])
+    w = Window.partitionBy("lang").orderBy(
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("-mix"))).asc(),
+        F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= quota[F.col("lang")])
+        .select("doc_id", "lang", "rn")
+    )

@@ -198,3 +198,17 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
             == sorted(tuple(r) for r in want.collect()))
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderstatus" in plan, plan
+
+
+def test_merge_schema_reads_evolved_table(spark, tmp_path):
+    """Schema evolution: files written before a column existed come back
+    NULL-filled when merge_schema reconciles footers."""
+    from cliqz_etl_spark.io import read_parquet
+
+    base = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(base)
+    spark.createDataFrame([(2, "b", 99)], ["k", "v", "extra"]) \
+        .write.mode("append").parquet(base)
+    got = {r["k"]: (r["v"], r["extra"])
+           for r in read_parquet(spark, base, merge_schema=True).collect()}
+    assert got == {1: ("a", None), 2: ("b", 99)}
