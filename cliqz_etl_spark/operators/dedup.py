@@ -364,3 +364,50 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         .where(F.col("jaccard_x10k") >= int(threshold * 10000))
     )
+
+
+def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                       n_perm: int = 16, n_bands: int = 4,
+                       shingle_k: int = 3,
+                       threshold: float = 0.5) -> DataFrame:
+    """The production dedup cascade: cheap LSH candidate generation, then
+    EXACT Jaccard verification on candidates only. LSH trades recall for
+    a bounded candidate count; the verify stage removes its false
+    positives, so surviving pairs carry true similarities — the standard
+    two-stage design (generate loosely, verify exactly) that keeps the
+    expensive exact comparison off the full pair space.
+
+    Scale shape: the verify stage touches only documents that appear in
+    some candidate pair (a broadcast semi-filter on the postings), and
+    the exact-overlap count is one join keyed on (doc, shingle-hash) —
+    never an all-pairs pass. Returns (id_a, id_b, jaccard_x10k).
+    """
+    cand = _materialize(
+        lsh_candidate_pairs(df, id_col, text_col, n_perm, n_bands, shingle_k)
+        .select("id_a", "id_b")
+    )
+    ids = (cand.select(F.col("id_a").alias("_id"))
+           .union(cand.select(F.col("id_b").alias("_id"))).distinct())
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .join(F.broadcast(ids), "_id", "left_semi")
+        .select("_id", tokens(F.col("_text")).alias("_toks"))
+        .select("_id", F.array_distinct(
+            word_shingles_from(F.col("_toks"), shingle_k)).alias("_sh"))
+        .select("_id", F.size("_sh").alias("sz"),
+                F.explode(F.transform("_sh", md5_long)).alias("s"))
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("s"),
+                  F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("_id").alias("_rb"), F.col("s").alias("s_b"),
+                  F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("_rb")) & (F.col("s") == F.col("s_b")))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("id_a", "id_b",
+                F.floor(jac * 10000 + 0.5).cast("long").alias("jaccard_x10k"))
+        .where(F.col("jaccard_x10k") >= int(threshold * 10000))
+    )

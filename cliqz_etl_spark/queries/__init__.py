@@ -139,6 +139,7 @@ DRIVER_ORDER: list[str] = [
     "weighted_sample",
     "anomalous_days",
     "mixture_sample",
+    "dedup_cascade",
     # timeseries extras (family already represented in the window above)
     "order_cube",
     "sliding_event_counts",

@@ -238,3 +238,60 @@ def dedup_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", SHINGLE_K,
                                threshold=0.1, max_shingle_freq=5)
+
+
+# --------------------------------------------------------------------------
+# The two-stage cascade: LSH candidates verified with EXACT Jaccard — the
+# production dedup shape (generate loosely within bucket bounds, verify
+# exactly on the small candidate set). The oracle composes the banding
+# CTE with an exact-overlap count over hashed shingles, mirroring both
+# stages value-for-value.
+# --------------------------------------------------------------------------
+_CASCADE_THRESHOLD_X10K = 9600
+
+_HASHED_SHINGLES_CTE = f"""
+    , shd AS (
+        SELECT doc_id, {md5_long_sql('s')} AS s
+        FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
+              FROM documents)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_cascade",
+    oracle=_BUCKETS_CTE + _HASHED_SHINGLES_CTE + f"""
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN shd a ON a.doc_id = c.id_a
+        JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+        GROUP BY 1, 2
+    )
+    SELECT id_a AS id_a, id_b AS id_b,
+           CAST(floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                      * 10000 + 0.5) AS BIGINT) AS jaccard_x10k
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                     * 10000 + 0.5) AS BIGINT) >= {_CASCADE_THRESHOLD_X10K}
+    """,
+)
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates (4x4 banding) -> exact Jaccard >= 0.96 verification
+    on candidates only; the exact stage touches only docs appearing in a
+    candidate pair, and the threshold sits inside the corpus's candidate
+    similarity range so the gate exercises the pruning path (5 of 25
+    candidates drop at sf0.01)."""
+    from cliqz_etl_spark.operators.dedup import lsh_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_verified_pairs(docs, "doc_id", "text", N_PERM, N_BANDS,
+                              SHINGLE_K, _CASCADE_THRESHOLD_X10K / 10000)
