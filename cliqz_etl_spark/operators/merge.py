@@ -210,3 +210,57 @@ def point_in_time_join(
         .where(F.col("__side") == 1)
         .select(key, *payload, value_col)
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed.
+
+    The reference's daily jobs overwrite partitions wholesale
+    (/root/reference/cliqz_etl/testpilot_data.py:72-82), so "what changed
+    since yesterday" is unanswerable there; this operator reconstructs a
+    changelog from two keyed snapshots — the primitive behind incremental
+    downstream refresh and CDC backfills.
+
+    ONE full-outer equi-join on the key (a single shuffle; at 100 TB both
+    snapshots shuffle-partition on the same key, and if the snapshots were
+    written bucketed on the key — operators/bucketing.py — even that
+    shuffle disappears). Comparison is null-safe (``<=>``) per column.
+    Unchanged keys are dropped, so output size tracks the delta, not the
+    table.
+
+    Returns: ``key, change_type`` + ``old_<c>, new_<c>`` per compare col.
+    """
+    # explicit presence markers — a NULL value column must not read as an
+    # absent row
+    o = old.select(
+        F.col(key), F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key), F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key, "full_outer")
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(key, "change_type",
+                *[f"old_{c}" for c in compare_cols],
+                *[f"new_{c}" for c in compare_cols])
+    )

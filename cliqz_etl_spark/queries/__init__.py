@@ -153,6 +153,8 @@ DRIVER_ORDER: list[str] = [
     "order_rollup",
     "order_grouping_sets",
     "running_total",
+    "bucketed_join_revenue",
+    "snapshot_diff_customers",
     # ---- driver-green in round 1, unchanged since ------------------------
     "asof_last_click_before_purchase",
     "pivot_event_counts",

@@ -589,3 +589,59 @@ def anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("n_events"),
         ((dev * dev > 4 * nvar) & (F.col("n") >= 3)).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed-storage co-located join: pay the orderkey shuffle ONCE at write
+# time, then every orders x lineitem join reads bucket-pairs with no
+# Exchange on either side (plan contract asserted in
+# tests/test_scale_ops.py::test_bucketed_join_has_no_shuffle and
+# test_registered_bucketed_join_plan). The oracle joins the unbucketed
+# tables — bucketing must change the PLAN, never the answer.
+# --------------------------------------------------------------------------
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order-year via a fact-fact join of two bucketed tables.
+
+    Both sides are persisted bucketed+sorted on the orderkey (the join key
+    of ~every fact-fact query in the schema), so the join itself plans with
+    zero Exchange — the 100 TB strategy for a join that recurs across a
+    query workload. The bucketed copies project only the needed columns
+    (column pruning at WRITE time, not just scan time).
+    """
+    import hashlib
+
+    from cliqz_etl_spark.operators.relational import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    line = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice", "l_discount")
+    write_bucketed(orders, f"bkt_orders_{tag}", "o_orderkey", 8,
+                   sort_by="o_orderkey")
+    write_bucketed(line, f"bkt_lineitem_{tag}", "o_orderkey", 8,
+                   sort_by="o_orderkey")
+    j = spark.table(f"bkt_orders_{tag}").join(
+        spark.table(f"bkt_lineitem_{tag}"), "o_orderkey")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -175,3 +175,72 @@ def pit_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_time_join(
         facts, hist, "c_custkey", "odate", "valid_from", "bal_cents"
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff: reconstruct a changelog from two keyed snapshots — the
+# primitive behind incremental refresh when the upstream (like the
+# reference's daily full-rewrite jobs) publishes only full snapshots.
+# One full-outer join; output tracks the delta, not the table.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_diff_customers",
+    oracle="""
+    WITH old AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+        FROM customer
+    ), new AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               CASE WHEN c_custkey % 13 = 0
+                    THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 500
+                    ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               END AS bal
+        FROM customer WHERE c_custkey % 97 != 0
+        UNION ALL
+        SELECT 10000000 + CAST(s_suppkey AS BIGINT),
+               CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+        FROM supplier
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.bal AS old_bal_cents,
+           n.bal AS new_bal_cents
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL OR o.bal != n.bal
+    """,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff today's customer snapshot against a simulated next-day one:
+    ~1% of keys dropped, balances restated for a deterministic slice, and
+    a batch of brand-new keys appended. Classifies added/removed/changed
+    via operators/merge.py table_diff (single full-outer shuffle)."""
+    from cliqz_etl_spark.operators.merge import table_diff
+
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.select(
+        F.col("c_custkey").cast("long"),
+        _cents(F.col("c_acctbal")).alias("bal_cents"),
+    )
+    new = (
+        cust.where(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey").cast("long"),
+            F.when(F.col("c_custkey") % 13 == 0,
+                   _cents(F.col("c_acctbal")) + 500)
+            .otherwise(_cents(F.col("c_acctbal"))).alias("bal_cents"),
+        )
+        .unionByName(
+            load_table(spark, sf_dir, "supplier").select(
+                (F.lit(10000000).cast("long")
+                 + F.col("s_suppkey").cast("long")).alias("c_custkey"),
+                _cents(F.col("s_acctbal")).alias("bal_cents"),
+            )
+        )
+    )
+    return table_diff(old, new, "c_custkey", ["bal_cents"]).select(
+        "c_custkey", "change_type",
+        F.col("old_bal_cents"), F.col("new_bal_cents"),
+    )

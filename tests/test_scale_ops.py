@@ -82,3 +82,39 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
 
     r1, r2 = recall("ann_ivf"), recall("ann_ivf_multiprobe")
     assert r2 >= r1, (r1, r2)
+
+
+def test_registered_bucketed_join_plan(spark):
+    """The gate query joins its bucketed tables with no join-side Exchange:
+    the only shuffle in the whole plan is the year-grouping aggregate."""
+    from cliqz_etl_spark.queries import load_all
+    from tests.conftest import SF_SMOKE
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = load_all()["bucketed_join_revenue"].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the groupBy agg only
+
+
+def test_table_diff_null_semantics(spark):
+    """A key whose value is NULL in both snapshots is UNCHANGED (dropped);
+    NULL->value and value->NULL are 'changed'; presence is judged by the
+    row, never by a value column's null-ness."""
+    from cliqz_etl_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, 30), (4, 40)], "k int, v int")
+    new = spark.createDataFrame(
+        [(1, None), (2, 20), (3, None), (5, 50)], "k int, v int")
+    got = {r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+           for r in table_diff(old, new, "k", ["v"]).collect()}
+    assert got == {
+        2: ("changed", None, 20),
+        3: ("changed", 30, None),
+        4: ("removed", 40, None),
+        5: ("added", None, 50),
+    }
