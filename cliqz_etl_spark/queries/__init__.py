@@ -155,6 +155,7 @@ DRIVER_ORDER: list[str] = [
     "running_total",
     "bucketed_join_revenue",
     "snapshot_diff_customers",
+    "linear_attribution",
     # ---- driver-green in round 1, unchanged since ------------------------
     "asof_last_click_before_purchase",
     "pivot_event_counts",

@@ -645,3 +645,72 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution: each purchase splits 1,000,000 micro-
+# credits equally across the user's touch events (click/view/signup) in
+# the preceding 24 h. The touch-purchase pairing is the bucketed range
+# join (purchase probes its own 24 h bucket + the previous one, so a
+# power user never goes quadratic); credit arithmetic is integer-exact
+# (floor(1e6/n) per touch) so both engines agree to the last credit.
+# --------------------------------------------------------------------------
+@query(
+    "linear_attribution",
+    oracle="""
+    WITH touches AS (
+        SELECT user_id, ts, event_type AS channel FROM events
+        WHERE event_type IN ('click', 'view', 'signup')
+    ), purch AS (
+        SELECT user_id, event_id AS purchase_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), per AS (
+        SELECT p.purchase_id, t.channel, COUNT(*) AS c
+        FROM purch p JOIN touches t
+          ON t.user_id = p.user_id
+         AND CAST(date_diff('second', t.ts, p.ts) AS BIGINT) BETWEEN 1 AND 86400
+        GROUP BY 1, 2
+    ), withn AS (
+        SELECT channel, c, SUM(c) OVER (PARTITION BY purchase_id) AS n
+        FROM per
+    )
+    SELECT channel AS channel,
+           CAST(SUM(c * CAST(floor(1000000.0 / n) AS BIGINT)) AS BIGINT)
+               AS credit_micros,
+           CAST(SUM(c) AS BIGINT) AS n_touches
+    FROM withn GROUP BY 1
+    """,
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel linear attribution credit over a 24 h lookback."""
+    ev = load_table(spark, sf_dir, "events")
+    t_bucket = F.floor(F.col("ts").cast("long") / 86400)
+    touches = ev.where(F.col("event_type").isin("click", "view", "signup")).select(
+        "user_id",
+        F.col("ts").cast("long").alias("t_sec"),
+        F.col("event_type").alias("channel"),
+        t_bucket.alias("bkt"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("long").alias("p_sec"),
+        F.explode(F.array(t_bucket - 1, t_bucket)).alias("bkt"),
+    )
+    gap = F.col("p_sec") - F.col("t_sec")
+    per = (
+        purch.join(touches, ["user_id", "bkt"])
+        .where(gap.between(1, 86400))
+        .groupBy("purchase_id", "channel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wn = Window.partitionBy("purchase_id")
+    withn = per.withColumn("n", F.sum("c").over(wn))
+    share = F.floor(F.lit(1000000.0) / F.col("n")).cast("long")
+    return (
+        withn.groupBy("channel")
+        .agg(
+            F.sum(F.col("c") * share).cast("long").alias("credit_micros"),
+            F.sum("c").cast("long").alias("n_touches"),
+        )
+    )
