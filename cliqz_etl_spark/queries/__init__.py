@@ -156,6 +156,7 @@ DRIVER_ORDER: list[str] = [
     "bucketed_join_revenue",
     "snapshot_diff_customers",
     "linear_attribution",
+    "event_transition_matrix",
     # ---- driver-green in round 1, unchanged since ------------------------
     "asof_last_click_before_purchase",
     "pivot_event_counts",

@@ -714,3 +714,54 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("n_touches"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: P(next=b | cur=a)
+# as integer parts-per-million. ONE window pass builds the bigrams (the
+# (user, ts) sort is the only shuffle; the two tiny grouped aggs that
+# follow combine map-side), so at 100 TB this is a single sort-shuffle of
+# the event log — the same cost as any sessionization pass.
+# --------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), pair AS (
+        SELECT cur, nxt, COUNT(*) AS n_pairs FROM seq
+        WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT cur AS cur, nxt AS nxt,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(floor(n_pairs * 1000000.0 / n_cur) AS BIGINT) AS p_ppm
+    FROM (
+        SELECT p.cur, p.nxt, p.n_pairs,
+               SUM(p.n_pairs) OVER (PARTITION BY p.cur) AS n_cur
+        FROM pair p
+    )
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event transition counts and probabilities (integer ppm)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pair = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    wc = Window.partitionBy("cur")
+    return pair.select(
+        "cur", "nxt",
+        F.col("n_pairs").cast("long"),
+        F.floor(F.col("n_pairs") * 1000000.0 / F.sum("n_pairs").over(wc))
+        .cast("long").alias("p_ppm"),
+    )
