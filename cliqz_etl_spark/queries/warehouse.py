@@ -151,9 +151,9 @@ def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_line_counts",
     oracle=f"""
     SELECT l_returnflag AS l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('{_HIGH[0]}', '{_HIGH[1]}') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderpriority IN ('{_HIGH[0]}', '{_HIGH[1]}') THEN 1 ELSE 0 END) AS BIGINT)
                AS high_count,
-           SUM(CASE WHEN o_orderpriority IN ('{_HIGH[0]}', '{_HIGH[1]}') THEN 0 ELSE 1 END)
+           CAST(SUM(CASE WHEN o_orderpriority IN ('{_HIGH[0]}', '{_HIGH[1]}') THEN 0 ELSE 1 END) AS BIGINT)
                AS low_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -502,10 +502,10 @@ def idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            nation_cents, total_cents
     FROM (
         SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-               SUM(CASE WHEN ns.n_name = 'NATION_7'
+               CAST(SUM(CASE WHEN ns.n_name = 'NATION_7'
                    THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
-                   ELSE 0 END) AS nation_cents,
-               SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                   ELSE 0 END) AS BIGINT) AS nation_cents,
+               CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
                    AS total_cents
         FROM lineitem l
         JOIN part p      ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
