@@ -47,13 +47,58 @@ from cliqz_etl_spark.functions.hashing import md5_long, md5_long32, perm_col, pe
 from cliqz_etl_spark.functions.text import tokens, word_shingles_from
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition ahead of compute-heavy per-row work iff the scan has
-    fewer partitions than the cluster has slots (a single dense parquet
-    file otherwise serializes all hashing onto one core; the shuffle moves
-    only the raw text once and is immediately amortized)."""
+def _size_bytes(s: str) -> int:
+    """Parse a Spark size conf value ("134217728b", "128MB", "1g")."""
+    s = s.strip().lower()
+    for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mult)
+    return int(s)
+
+
+def _scan_partition_estimate(df: DataFrame) -> int | None:
+    """Estimate how many partitions the source scan will produce, the way
+    Spark sizes file splits (total bytes / maxPartitionBytes, each file
+    contributing at least one split) — from catalog metadata only, no job.
+    None when the frame has no file source to introspect."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(files) >= target:
+        return len(files)  # >=1 split per file: already enough
+    max_pb = _size_bytes(df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 << 20)))
+    sc = df.sparkSession.sparkContext
+    jvm, hconf = sc._jvm, sc._jsc.hadoopConfiguration()
+    total = 0
+    for uri in files:
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(uri)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:
+            return None
+    return max(len(files), total // max_pb)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ahead of compute-heavy per-row work iff the source scan
+    cannot supply enough partitions to fill the cluster (a small dense
+    parquet file otherwise serializes all hashing onto one core; the
+    shuffle moves only the raw text once and is immediately amortized).
+
+    Partition count is estimated plan-side from the scan's file metadata
+    rather than probing ``df.rdd.getNumPartitions()``, which forces
+    physical planning — and, under AQE, can materialize upstream query
+    stages — on every dedup build."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    est = _scan_partition_estimate(df)
+    if est is None or est < target:
         return df.repartition(target)
     return df
 

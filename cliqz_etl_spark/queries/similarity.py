@@ -278,19 +278,28 @@ def _kmeans_cte(k: int, n_iter: int) -> str:
 @query(
     "kmeans_centroids",
     oracle=_kmeans_cte(KM_K, KM_ITER) + f"""
-    SELECT cid AS cid, cv AS centroid FROM c{KM_ITER}
+    SELECT CAST(cid AS BIGINT) AS cid,
+           generate_subscripts(cv, 1) AS dim_idx,
+           unnest(cv) AS component
+    FROM c{KM_ITER}
     """,
 )
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained K=50 coarse quantizer itself, value-checked component by
     component: sampled init + 2 Lloyd's rounds, each round one broadcast
     argmin map + one K-row-wide integer aggregate. Only the K x 64 model
-    crosses the driver; the oracle replays the identical training loop."""
+    crosses the driver; the oracle replays the identical training loop.
+    Emitted exploded — one (cid, dim_idx, component) row per coordinate
+    (K*dim = 3200 rows) — so the result is flat scalar columns the
+    harness can sort and hash; dim_idx is 1-based to match SQL
+    generate_subscripts."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM)
     return spark.createDataFrame(
-        [(i, v) for i, v in enumerate(cents)],
-        "cid: bigint, centroid: array<bigint>",
+        [(i, d, int(v))
+         for i, vec in enumerate(cents)
+         for d, v in enumerate(vec, start=1)],
+        "cid: bigint, dim_idx: bigint, component: bigint",
     )
 
 

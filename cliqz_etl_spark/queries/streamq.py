@@ -28,17 +28,31 @@ _SINK_IDS = itertools.count()
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the events file stores TIMESTAMP(NANOS): stream it as int64 nanos and
-    # convert, mirroring tables.load_table
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
+    # Probe the parquet footer once (cached) to learn how ts is stored:
+    # file-stream sources require an explicit schema, and forcing the wrong
+    # one silently reinterprets the raw int64 (micros read as nanos lands
+    # every event in 1970). Mirrors tables.load_table's dtype branch.
+    import os
+
+    from cliqz_etl_spark.tables import events_ts_is_native
+
+    native = events_ts_is_native(os.path.join(sf_dir, "events.parquet"))
+    # LTZ, not NTZ: EventTimeWatermark only accepts TIMESTAMP, and with the
+    # session timezone pinned to UTC (session.py) the parquet NTZ micros
+    # read as identical instants.
+    ts_type = "timestamp" if native else "long"
+    schema = (f"event_id long, ts {ts_type}, user_id long, "
+              "event_type string, value double, props string")
+    if not native:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source wants a directory; glob-filter to the one table
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if native:
+        return raw
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -10,6 +10,7 @@ column pruning + filter pushdown for free.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,18 +23,44 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+@lru_cache(maxsize=32)
+def events_ts_is_native(path: str) -> bool:
+    """True when ``path`` stores ``ts`` as a parquet timestamp Spark can
+    read natively (us/ms/s precision); False for legacy files that store
+    TIMESTAMP(NANOS) or raw int64 epoch-nanos, which need the
+    nanos-as-long workaround. Probed from the parquet footer (pyarrow) so
+    the answer doesn't depend on any Spark session conf; cached per path —
+    one footer read per file per process."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_schema(path).field("ts").type
+    return pa.types.is_timestamp(t) and t.unit != "ns"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and convert. `div` keeps
-        # the arithmetic integral (a double division would lose microsecond
-        # precision at epoch-nanos magnitude).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if not events_ts_is_native(path):
+            # Legacy layout: epoch-nanos (TIMESTAMP(NANOS) annotation or
+            # raw int64), which Spark's vectorized reader rejects; read the
+            # raw int64 nanos and convert. `div` keeps the arithmetic
+            # integral (a double division would lose microsecond precision
+            # at epoch-nanos magnitude).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Native timestamp[us]: read the NTZ annotation as classic
+        # TIMESTAMP (session TZ is pinned to UTC, so the instants are
+        # identical). Doing it via the inference conf — rather than a
+        # post-scan cast — keeps ts filters pushable at the parquet scan
+        # and keeps every downstream consumer (epoch-second casts, window
+        # watermarks) on the same TimestampType they were built against.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    return spark.read.parquet(path)
 
 
 def register_tables(spark: SparkSession, sf_dir: str,

@@ -33,3 +33,28 @@ def test_entry_runs_and_returns_rows(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["n_name", "revenue_cents"]
+
+
+def test_testdata_schema_contract(spark):
+    """Contract check for the driver-generated parquet: every table loads
+    and events.ts comes out as a plain TIMESTAMP regardless of how the
+    file physically stores it (the r3 regeneration flipped it from
+    TIMESTAMP(NANOS) to timestamp[us]; this test exists so the next
+    format change fails here, loudly, instead of as ~90 confusing
+    downstream failures)."""
+    import glob
+
+    from pyspark.sql.types import TimestampType
+
+    from cliqz_etl_spark.tables import TABLES, load_table
+
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*")) or ["/root/testdata/sf0.001"]
+    for sf_dir in sf_dirs:
+        for name in TABLES:
+            df = load_table(spark, sf_dir, name)
+            assert df.columns, f"{sf_dir}/{name}: empty schema"
+        ev = load_table(spark, sf_dir, "events")
+        ts_type = ev.schema["ts"].dataType
+        assert isinstance(ts_type, TimestampType), (
+            f"{sf_dir}/events.ts loaded as {ts_type}; downstream queries "
+            "require TIMESTAMP — extend tables.load_table's dtype branch")
