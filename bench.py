@@ -38,6 +38,24 @@ def main() -> None:
     # plan, not session bootstrap.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Host-speed calibration: identical deterministic work every round, so
+    # cross-round query times can be normalized for machine noise (the same
+    # commit has measured 1.5x apart on different days on this shared box).
+    def _calibrate() -> dict[str, float]:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i
+        py = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1)").collect()
+        jvm = time.perf_counter() - t0
+        return {"python_loop_sec": round(py, 3),
+                "spark_job_sec": round(jvm, 3)}
+
+    calibration = _calibrate()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry.get(name)
@@ -72,6 +90,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration": calibration,
     }))
     spark.stop()
 

@@ -189,11 +189,11 @@ def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(10000.0 * promo_cents / total_cents) AS BIGINT) AS promo_pct_x100
     FROM (
         SELECT
-            SUM(CASE WHEN p_type = 'PROMO'
+            CAST(SUM(CASE WHEN p_type = 'PROMO'
                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
-                ELSE 0 END) AS promo_cents,
-            SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
-                AS total_cents
+                ELSE 0 END) AS BIGINT) AS promo_cents,
+            CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
     )
@@ -585,7 +585,7 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand IN ('Brand#21', 'Brand#22')
     ), stats AS (
-        SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_lines
+        SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty, COUNT(*) AS n_lines
         FROM brand_lines GROUP BY l_partkey
     )
     SELECT b.p_brand AS p_brand,

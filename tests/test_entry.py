@@ -58,3 +58,36 @@ def test_testdata_schema_contract(spark):
         assert isinstance(ts_type, TimestampType), (
             f"{sf_dir}/events.ts loaded as {ts_type}; downstream queries "
             "require TIMESTAMP — extend tables.load_table's dtype branch")
+
+
+def test_events_loader_handles_legacy_nanos_layout(spark, tmp_path):
+    """The dtype branch in tables.load_table must keep reading the legacy
+    TIMESTAMP(NANOS) events layout (the driver shipped it through round 2)
+    and yield the same instants as the native timestamp[us] layout."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from cliqz_etl_spark.tables import load_table
+
+    instants = [datetime.datetime(2024, 1, 1, 0, 0, 7, 179575),
+                datetime.datetime(2024, 6, 15, 12, 30, 0, 1)]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(instants, pa.timestamp("ns")),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "purchase"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    # version 2.6 is what preserves the NANOS annotation on disk
+    pq.write_table(pa.table(cols), legacy / "events.parquet", version="2.6")
+    df = load_table(spark, str(legacy), "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = sorted(r.ts for r in df.select("ts").collect())
+    # nanos -> micros is exact for these values (they are micro-aligned)
+    assert got == instants
