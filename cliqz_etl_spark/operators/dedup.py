@@ -207,6 +207,35 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def incremental_lsh_matches(batch: DataFrame, corpus: DataFrame,
+                            id_col: str, text_col: str,
+                            n_perm: int = 16, n_bands: int = 4,
+                            shingle_k: int = 3) -> DataFrame:
+    """Batch-vs-corpus near-dup candidates: (new_id, corpus_id) for every
+    new document sharing an LSH band bucket with an existing one — the
+    ingest-time dedup shape, where each arriving batch is screened against
+    the accumulated corpus instead of re-pairing the corpus with itself.
+
+    Only the (small) batch side computes signatures at ingest time in the
+    production layout: the corpus's (band, bucket) index is precomputed
+    once and stored bucketed/sorted by (band, bucket), so this equi-join
+    shuffles just the batch rows while corpus partitions are read in
+    place. Here both sides derive from one table; the join shape — and
+    the shuffle-width bound of n_bands x n_batch_docs — is the same."""
+    bb_new = minhash_band_buckets(batch, id_col, text_col,
+                                  n_perm, n_bands, shingle_k)
+    bb_old = minhash_band_buckets(corpus, id_col, text_col,
+                                  n_perm, n_bands, shingle_k)
+    a, b = bb_new.alias("a"), bb_old.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket")))
+        .select(F.col("a._id").alias("new_id"),
+                F.col("b._id").alias("corpus_id"))
+        .distinct()
+    )
+
+
 # -------------------------------------------------------------- SimHash --
 
 # 60 bits in 3 x 20-bit chunks: ~1M buckets per band makes random collisions

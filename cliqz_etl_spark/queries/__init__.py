@@ -106,6 +106,9 @@ DRIVER_ORDER: list[str] = [
     "scalar_gauntlet",
     "full_outer_rollup",
     "two_key_join",
+    # ---- new in round 4 (locally oracle-green; first in line for the
+    # round-5 window) --------------------------------------------------
+    "dedup_incremental",
     # ---- driver-green in round 1, unchanged since ------------------------
     "asof_last_click_before_purchase",
     "pivot_event_counts",

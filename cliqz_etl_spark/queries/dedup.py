@@ -108,6 +108,30 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental",
+    oracle=_BUCKETS_CTE + """
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: the 'new batch' (doc_id % 5 == 0, a fifth of the
+    table) screened against the 'corpus' (the rest) via the LSH band
+    index — batch-vs-corpus equi-join instead of corpus self-join, so a
+    daily ingest pays for its own signatures only. The oracle replays the
+    identical banding CTE with the same split predicate."""
+    from cliqz_etl_spark.operators.dedup import incremental_lsh_matches
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return incremental_lsh_matches(batch, corpus, "doc_id", "text",
+                                   N_PERM, N_BANDS, SHINGLE_K)
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=_BUCKETS_CTE + """
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
