@@ -84,19 +84,20 @@ def extract_media_meta(df: DataFrame, id_col: str, blob_col: str,
 
 
 def frame_sample(df: DataFrame, id_col: str, blob_col: str,
-                 every_n: int = 10) -> DataFrame:
+                 every_n: int = 10, chunk_bytes: int = 1024) -> DataFrame:
     """Video frame sampling STUB: emits (id, frame_idx, frame_blob) rows,
-    one per sampled frame. The fake treats each 1 KiB slice as a 'frame';
-    a real implementation decodes with ffmpeg/pyav per batch. The 1->N
-    row expansion shape (mapInPandas, not explode over a UDF-built array)
-    is the part that matters at scale: frames stream out without the whole
-    decoded video ever being a single row value."""
+    one per sampled frame. The fake treats each ``chunk_bytes`` slice as a
+    'frame'; a real implementation decodes with ffmpeg/pyav per batch. The
+    1->N row expansion shape (mapInPandas, not explode over a UDF-built
+    array) is the part that matters at scale: frames stream out without
+    the whole decoded video ever being a single row value."""
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for rid, blob in zip(pdf["id"], pdf[blob_col]):
                 b = bytes(blob) if blob is not None else b""
-                chunks = [b[i:i + 1024] for i in range(0, len(b), 1024)]
+                chunks = [b[i:i + chunk_bytes]
+                          for i in range(0, len(b), chunk_bytes)]
                 for i, chunk in enumerate(chunks[::every_n]):
                     ids.append(rid)
                     idxs.append(i * every_n)

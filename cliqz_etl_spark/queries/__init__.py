@@ -109,6 +109,7 @@ DRIVER_ORDER: list[str] = [
     # ---- new in round 4 (locally oracle-green; first in line for the
     # round-5 window) --------------------------------------------------
     "dedup_incremental",
+    "frame_sample_stats",
     # ---- driver-green in round 1, unchanged since ------------------------
     "asof_last_click_before_purchase",
     "pivot_event_counts",
