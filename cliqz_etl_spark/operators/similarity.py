@@ -102,6 +102,113 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+SQ8_LEVELS = 255
+
+
+def sq8_reconstructed(emb: DataFrame, id_col: str, vec_col: str,
+                      dim: int) -> DataFrame:
+    """(_id, _qv, _rv): quantized vector plus its SQ8 round-trip — each
+    dimension coded to 0..255 against a per-dimension min/max model, then
+    decoded back as a 255-scaled integer (rv_d = mn_d*255 + code_d*rng_d,
+    integer-exact, so approximate cosines are engine-portable).
+
+    This is the memory story of production vector search: the corpus scan
+    reads 1-byte codes (4x smaller than float32; here the decoded ints
+    stand in for them), and only rerank touches full vectors. The 2x64
+    min/max model comes from one aggregate and rides along as a broadcast
+    1-row frame — no driver collect, no shuffle on the corpus."""
+    q = emb.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+    stats = q.agg(*(
+        [F.min(F.element_at("_qv", d + 1)).alias(f"_mn{d}") for d in range(dim)]
+        + [F.max(F.element_at("_qv", d + 1)).alias(f"_mx{d}") for d in range(dim)]
+    ))
+
+    def rv_dim(d: int):
+        v = F.element_at("_qv", d + 1)
+        mn, mx = F.col(f"_mn{d}"), F.col(f"_mx{d}")
+        rng = mx - mn
+        code = F.when(rng == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(((v - mn) * SQ8_LEVELS).cast("double") / rng + 0.5)
+            .cast("long"))
+        return mn * SQ8_LEVELS + code * rng
+
+    return (
+        q.crossJoin(F.broadcast(stats))
+        .select("_id", "_qv",
+                F.array(*[rv_dim(d) for d in range(dim)]).alias("_rv"))
+    )
+
+
+def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, dim: int, k: int = 5,
+             rerank: int = 20) -> DataFrame:
+    """ANN via SQ8: approximate cosine (query exact-milli x corpus SQ8
+    decode) prunes to ``rerank`` candidates per query, then exact cosine
+    reranks candidates only. At 100 TB the pair stage streams the 1-byte
+    code corpus against broadcast queries; the rerank join touches full
+    vectors for Q x rerank rows — the only rows whose float payload is
+    ever read. Cosine is scale-invariant, so the 255x decode scale drops
+    out and scores stay deterministic doubles over exact integers."""
+    from pyspark.sql import Window
+
+    rec = _materialize_model(sq8_reconstructed(corpus, id_col, vec_col, dim))
+    qs = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       quantize(vec_col).alias("qv"))
+        .withColumn("qn", norm2_q(F.col("qv")).cast("double"))
+    )
+    approx = (
+        rec.withColumn("rn", norm2_q(F.col("_rv")).cast("double"))
+        .join(F.broadcast(qs), F.col("query_id") != F.col("_id"))
+        .select(
+            "query_id", F.col("_id").alias("neighbor_id"),
+            (dot_q(F.col("qv"), F.col("_rv")).cast("double")
+             / F.sqrt(F.col("qn") * F.col("rn"))).alias("acos"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("acos"),
+                                                F.asc("neighbor_id"))
+    cand = (
+        approx.withColumn("arn", F.row_number().over(wa))
+        .where(F.col("arn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cq = rec.select(F.col("_id").alias("neighbor_id"),
+                    F.col("_qv").alias("cv"))
+    exact = (
+        F.broadcast(cand)
+        .join(cq, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            (dot_q(F.col("qv"), F.col("cv")).cast("double")
+             / F.sqrt(F.col("qn") * norm2_q(F.col("cv")).cast("double")))
+            .alias("cos"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.floor(F.col("cos") * 10000 + 0.5).cast("long")
+                .alias("cos_x10k"))
+    )
+
+
+def _materialize_model(df: DataFrame) -> DataFrame:
+    """Persist + force a derived corpus frame that two stages (approx scan
+    and rerank) both consume — without it the SQ8 decode subtree runs once
+    per consumer."""
+    from cliqz_etl_spark.operators.cache import track
+    from pyspark.storagelevel import StorageLevel
+
+    df = track(df.persist(StorageLevel.MEMORY_AND_DISK))
+    df.count()
+    return df
+
+
 def ivf_assign_q(projected: DataFrame, cids: list[int],
                  cents: list[list[int]]) -> DataFrame:
     """Nearest-centroid assignment for an already-quantized (_id, _qv)

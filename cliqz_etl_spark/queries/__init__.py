@@ -110,6 +110,7 @@ DRIVER_ORDER: list[str] = [
     # round-5 window) --------------------------------------------------
     "dedup_incremental",
     "frame_sample_stats",
+    "ann_sq8",
     # ---- driver-green in round 1, unchanged since ------------------------
     "asof_last_click_before_purchase",
     "pivot_event_counts",

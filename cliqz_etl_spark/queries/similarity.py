@@ -465,3 +465,74 @@ def ann_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id",
                 F.floor(F.col("cos") * 10000 + 0.5).cast("long").alias("cos_x10k"))
     )
+
+
+# ---- SQ8: scalar-quantized approximate scan + exact rerank -----------------
+
+SQ_RERANK = 20
+
+_SQ8_MN = ", ".join(f"MIN(v[{d + 1}])" for d in range(VEC_DIM))
+_SQ8_MX = ", ".join(f"MAX(v[{d + 1}])" for d in range(VEC_DIM))
+_SQ8_CTE = _QCTE + f"""
+    , mm AS (
+        SELECT list_value({_SQ8_MN}) AS mn, list_value({_SQ8_MX}) AS mx
+        FROM q
+    ), rec AS (
+        SELECT q.vec_id, q.v,
+               list_transform(range(1, {VEC_DIM} + 1), i ->
+                   mm.mn[i] * 255
+                   + (CASE WHEN mm.mx[i] = mm.mn[i] THEN 0
+                      ELSE CAST(floor(CAST((q.v[i] - mm.mn[i]) * 255 AS DOUBLE)
+                                      / (mm.mx[i] - mm.mn[i]) + 0.5) AS BIGINT)
+                      END) * (mm.mx[i] - mm.mn[i])) AS rv
+        FROM q, mm
+    )
+"""
+
+
+@query(
+    "ann_sq8",
+    oracle=_SQ8_CTE + f"""
+    , approx AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ({_dot('a.v', 'b.rv')}
+                / sqrt({_dot('a.v', 'a.v')} * {_dot('b.rv', 'b.rv')})) AS acos
+        FROM rec a JOIN rec b ON a.vec_id != b.vec_id
+        WHERE a.vec_id % {QUERY_MOD} = 0
+    ), cand AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY acos DESC, neighbor_id ASC) AS arn
+              FROM approx)
+        WHERE arn <= {SQ_RERANK}
+    )
+    SELECT query_id AS query_id, rank AS rank,
+           neighbor_id AS neighbor_id, cos_x10k AS cos_x10k
+    FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY {_cos('qa.v', 'qb.v')} DESC,
+                                           c.neighbor_id ASC) AS rank,
+               CAST(floor({_cos('qa.v', 'qb.v')} * 10000 + 0.5) AS BIGINT) AS cos_x10k
+        FROM cand c
+        JOIN q qa ON qa.vec_id = c.query_id
+        JOIN q qb ON qb.vec_id = c.neighbor_id
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: the corpus scan scores 8-bit codes (via their
+    integer-exact 255-scaled decode) against broadcast queries, keeps the
+    top-{SQ_RERANK} candidates per query, and reranks only those with
+    exact cosine — the compression layout (4x smaller resident corpus;
+    full vectors read for Q x rerank rows only) that complements IVF's
+    partition pruning. The oracle replays code/decode/prune/rerank
+    value-for-value."""
+    from cliqz_etl_spark.operators.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return sq8_topk(emb, queries, "vec_id", "embedding", VEC_DIM,
+                    k=TOP_K, rerank=SQ_RERANK)

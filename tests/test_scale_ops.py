@@ -84,6 +84,24 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     assert r2 >= r1, (r1, r2)
 
 
+def test_sq8_rerank_recovers_exact_topk(spark):
+    """With rerank depth 4x k, the SQ8 approximate scan must not lose any
+    of the brute-force true top-k on this corpus — 8-bit scalar
+    quantization distorts cosines far less than the top-5/top-20 gap."""
+    from tests.conftest import SF_SMOKE
+
+    from cliqz_etl_spark.queries import load_all
+
+    reg = load_all()
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in reg["ann_topk"].fn(spark, SF_SMOKE).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in reg["ann_sq8"].fn(spark, SF_SMOKE).collect()}
+    assert truth, "brute-force baseline returned no pairs"
+    assert truth <= got, (
+        f"SQ8 lost {len(truth - got)} of {len(truth)} true neighbors")
+
+
 def test_registered_bucketed_join_plan(spark):
     """The gate query joins its bucketed tables with no join-side Exchange:
     the only shuffle in the whole plan is the year-grouping aggregate."""
