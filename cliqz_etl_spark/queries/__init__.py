@@ -111,6 +111,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_incremental",
     "frame_sample_stats",
     "ann_sq8",
+    "dedup_canonicalize",
     # ---- driver-green in round 1, unchanged since ------------------------
     "asof_last_click_before_purchase",
     "pivot_event_counts",

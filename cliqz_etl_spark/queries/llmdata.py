@@ -160,6 +160,86 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# The connected-components oracle fragment shared by dedup_clusters and
+# dedup_canonicalize (identical edge definition and transitive closure).
+_CLUSTERS_SQL = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+            i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))) AS s
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING CAST(floor(CAST(COUNT(*) AS DOUBLE) /
+                   (ANY_VALUE((SELECT sz FROM sizes WHERE doc_id = a.doc_id)) +
+                    ANY_VALUE((SELECT sz FROM sizes WHERE doc_id = b.doc_id)) - COUNT(*))
+                   * 10000 + 0.5) AS BIGINT) >= 2000
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM r JOIN edges e ON e.a = r.b
+        ) SELECT * FROM r
+    ), members AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    )
+"""
+
+
+@query(
+    "dedup_canonicalize",
+    oracle=_CLUSTERS_SQL + """
+    SELECT doc_id, cluster_id, canonical_id,
+           (doc_id = canonical_id) AS keep
+    FROM (
+        SELECT m.doc_id AS doc_id, m.cluster_id AS cluster_id,
+               FIRST_VALUE(m.doc_id) OVER (
+                   PARTITION BY m.cluster_id
+                   ORDER BY octet_length(encode(d.text)) DESC, m.doc_id ASC
+               ) AS canonical_id
+        FROM members m JOIN documents d ON d.doc_id = m.doc_id
+    )
+    """,
+)
+def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-product of corpus dedup: each near-dup cluster member gets
+    its cluster's canonical representative (longest text wins, ties to the
+    lowest doc_id) and a keep/drop flag — the decision table a training
+    pipeline anti-joins against its corpus. Built on the same
+    jaccard-edge connected components as dedup_clusters plus one
+    broadcast-sized join back to documents for lengths and one window."""
+    from cliqz_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from cliqz_etl_spark.operators.graph import connected_components
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3,
+                                threshold=0.2).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
+    edges = edges.persist()
+    members = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    sized = members.join(
+        docs.select("doc_id", F.octet_length("text").alias("_blen")), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_blen"),
+                                                 F.asc("doc_id"))
+    out = (
+        sized.withColumn("canonical_id", F.first("doc_id").over(w))
+        .select("doc_id", "cluster_id", "canonical_id",
+                (F.col("doc_id") == F.col("canonical_id")).alias("keep"))
+    )
+    edges.unpersist()
+    return out
+
+
 # Shared SQL fragments for the composed curation pipeline oracle.
 _Q_TOKENS = "string_split_regex(trim(text), '\\s+')"
 _Q_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_Q_TOKENS}) END"
