@@ -48,10 +48,12 @@ from cliqz_etl_spark.functions.text import tokens, word_shingles_from
 
 
 def _size_bytes(s: str) -> int:
-    """Parse a Spark size conf value ("134217728b", "128MB", "1g")."""
+    """Parse a Spark size conf value ("134217728b", "128MB", "1t")."""
     s = s.strip().lower()
     for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("tb", 1 << 40), ("pb", 1 << 50),
                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("t", 1 << 40), ("p", 1 << 50),
                       ("b", 1)):
         if s.endswith(suf):
             return int(float(s[: -len(suf)]) * mult)
@@ -60,30 +62,37 @@ def _size_bytes(s: str) -> int:
 
 def _scan_partition_estimate(df: DataFrame) -> int | None:
     """Estimate how many partitions the source scan will produce, the way
-    Spark sizes file splits (total bytes / maxPartitionBytes, each file
-    contributing at least one split) — from catalog metadata only, no job.
-    None when the frame has no file source to introspect."""
+    Spark sizes file splits: maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore)), each file contributing at least
+    one split — from catalog metadata only, no job. The bytesPerCore term
+    matters: a single mid-size file already splits across the cluster, so
+    without it the estimate would trigger a needless repartition shuffle
+    of the raw text. None when the frame has no file source to
+    introspect or any probe fails (callers then repartition, the safe
+    default)."""
     try:
         files = df.inputFiles()
-    except Exception:
-        return None
-    if not files:
-        return None
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(files) >= target:
-        return len(files)  # >=1 split per file: already enough
-    max_pb = _size_bytes(df.sparkSession.conf.get(
-        "spark.sql.files.maxPartitionBytes", str(128 << 20)))
-    sc = df.sparkSession.sparkContext
-    jvm, hconf = sc._jvm, sc._jsc.hadoopConfiguration()
-    total = 0
-    for uri in files:
-        try:
+        if not files:
+            return None
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if len(files) >= target:
+            return len(files)  # >=1 split per file: already enough
+        conf = df.sparkSession.conf
+        max_pb = _size_bytes(conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 << 20)))
+        open_cost = _size_bytes(conf.get(
+            "spark.sql.files.openCostInBytes", str(4 << 20)))
+        sc = df.sparkSession.sparkContext
+        jvm, hconf = sc._jvm, sc._jsc.hadoopConfiguration()
+        total = 0
+        for uri in files:
             p = jvm.org.apache.hadoop.fs.Path(uri)
             total += p.getFileSystem(hconf).getFileStatus(p).getLen()
-        except Exception:
-            return None
-    return max(len(files), total // max_pb)
+        bytes_per_core = (total + len(files) * open_cost) // target
+        max_split = max(1, min(max_pb, max(open_cost, bytes_per_core)))
+        return max(len(files), -(-total // max_split))
+    except Exception:
+        return None
 
 
 def _spread(df: DataFrame) -> DataFrame:

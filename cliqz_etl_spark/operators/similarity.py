@@ -151,7 +151,11 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     out and scores stay deterministic doubles over exact integers."""
     from pyspark.sql import Window
 
-    rec = _materialize_model(sq8_reconstructed(corpus, id_col, vec_col, dim))
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    # persist the decoded corpus: the approx scan and the rerank join both
+    # consume it, and without forcing, the SQ8 decode subtree runs twice
+    rec = _materialize(sq8_reconstructed(corpus, id_col, vec_col, dim))
     qs = (
         queries.select(F.col(id_col).alias("query_id"),
                        quantize(vec_col).alias("qv"))
@@ -195,18 +199,6 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 F.floor(F.col("cos") * 10000 + 0.5).cast("long")
                 .alias("cos_x10k"))
     )
-
-
-def _materialize_model(df: DataFrame) -> DataFrame:
-    """Persist + force a derived corpus frame that two stages (approx scan
-    and rerank) both consume — without it the SQ8 decode subtree runs once
-    per consumer."""
-    from cliqz_etl_spark.operators.cache import track
-    from pyspark.storagelevel import StorageLevel
-
-    df = track(df.persist(StorageLevel.MEMORY_AND_DISK))
-    df.count()
-    return df
 
 
 def ivf_assign_q(projected: DataFrame, cids: list[int],

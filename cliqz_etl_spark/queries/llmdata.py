@@ -105,69 +105,25 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters",
-    oracle="""
-    WITH sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-            range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-            i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))) AS s
-        FROM documents
-    ), sizes AS (
-        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-        HAVING CAST(floor(CAST(COUNT(*) AS DOUBLE) /
-                   (ANY_VALUE((SELECT sz FROM sizes WHERE doc_id = a.doc_id)) +
-                    ANY_VALUE((SELECT sz FROM sizes WHERE doc_id = b.doc_id)) - COUNT(*))
-                   * 10000 + 0.5) AS BIGINT) >= 2000
-    ), edges AS (
-        SELECT id_a AS a, id_b AS b FROM pairs
-        UNION SELECT id_b, id_a FROM pairs
-    ), reach AS (
-        WITH RECURSIVE r(a, b) AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM r JOIN edges e ON e.a = r.b
-        ) SELECT * FROM r
-    )
-    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-    FROM reach GROUP BY a
-    """,
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-duplicate graph (jaccard >= 0.2
-    edges): every clustered doc labeled with its component's minimum id —
-    the canonical-representative assignment that turns pairwise dedup into
-    group dedup.
-
-    Spark side: min-label propagation interleaved with pointer-jumping
-    shortcuts (operators/graph.py: connected_components) — O(log diameter)
-    rounds, each a bounded number of shuffles, instead of one round per
-    diameter unit. The oracle is the recursive-CTE transitive closure."""
-    from cliqz_etl_spark.operators.dedup import ngram_jaccard_pairs
-    from cliqz_etl_spark.operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.2).select("id_a", "id_b")
-    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
-    edges = edges.persist()
-    labels = connected_components(edges)
-    result = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
-    edges.unpersist()
-    return result
-
-
 # The connected-components oracle fragment shared by dedup_clusters and
 # dedup_canonicalize (identical edge definition and transitive closure).
-_CLUSTERS_SQL = """
-    WITH sh AS (
+# Mirrors ngram_jaccard_pairs faithfully INCLUDING the default
+# doc-frequency skew guard (max_shingle_freq=1000): the Spark side drops
+# shingles hotter than the cutoff and recounts Jaccard denominators on the
+# survivors, so the oracle must too — no shingle exceeds the cutoff at the
+# checked scale factors, but a corpus where one does would otherwise
+# produce different edges on an otherwise-correct query.
+_CLUSTERS_MAX_FREQ = 1000
+_CLUSTERS_SQL = f"""
+    WITH sh0 AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
             range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
             i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))) AS s
         FROM documents
+    ), keep AS (
+        SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {_CLUSTERS_MAX_FREQ}
+    ), sh AS (
+        SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep ON keep.s = sh0.s
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
     ), pairs AS (
@@ -194,6 +150,43 @@ _CLUSTERS_SQL = """
 """
 
 
+def _cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) via jaccard >= 0.2 edges + connected components
+    — the Spark build shared by dedup_clusters and dedup_canonicalize.
+
+    Min-label propagation interleaved with pointer-jumping shortcuts
+    (operators/graph.py: connected_components) — O(log diameter) rounds,
+    each a bounded number of shuffles, instead of one round per diameter
+    unit."""
+    from cliqz_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from cliqz_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3,
+                                threshold=0.2).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
+    edges = edges.persist()
+    labels = connected_components(edges)
+    members = labels.select(F.col("node").alias("doc_id"),
+                            F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return members
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CLUSTERS_SQL + """
+    SELECT doc_id AS doc_id, cluster_id AS cluster_id FROM members
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate graph (jaccard >= 0.2
+    edges): every clustered doc labeled with its component's minimum id —
+    the canonical-representative assignment that turns pairwise dedup into
+    group dedup. The oracle is the recursive-CTE transitive closure."""
+    return _cluster_members(spark, sf_dir)
+
+
 @query(
     "dedup_canonicalize",
     oracle=_CLUSTERS_SQL + """
@@ -216,28 +209,19 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline anti-joins against its corpus. Built on the same
     jaccard-edge connected components as dedup_clusters plus one
     broadcast-sized join back to documents for lengths and one window."""
-    from cliqz_etl_spark.operators.dedup import ngram_jaccard_pairs
-    from cliqz_etl_spark.operators.graph import connected_components
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3,
-                                threshold=0.2).select("id_a", "id_b")
-    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
-    edges = edges.persist()
-    members = connected_components(edges).select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    members = _cluster_members(spark, sf_dir)
     sized = members.join(
         docs.select("doc_id", F.octet_length("text").alias("_blen")), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("_blen"),
                                                  F.asc("doc_id"))
-    out = (
+    return (
         sized.withColumn("canonical_id", F.first("doc_id").over(w))
         .select("doc_id", "cluster_id", "canonical_id",
                 (F.col("doc_id") == F.col("canonical_id")).alias("keep"))
     )
-    edges.unpersist()
-    return out
 
 
 # Shared SQL fragments for the composed curation pipeline oracle.

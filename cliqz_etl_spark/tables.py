@@ -23,14 +23,27 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-@lru_cache(maxsize=32)
 def events_ts_is_native(path: str) -> bool:
     """True when ``path`` stores ``ts`` as a parquet timestamp Spark can
     read natively (us/ms/s precision); False for legacy files that store
     TIMESTAMP(NANOS) or raw int64 epoch-nanos, which need the
     nanos-as-long workaround. Probed from the parquet footer (pyarrow) so
-    the answer doesn't depend on any Spark session conf; cached per path —
-    one footer read per file per process."""
+    the answer doesn't depend on any Spark session conf. The verdict is
+    cached only for the read-only driver test data — a mutable user path
+    can be rewritten with a different layout between reads, and a stale
+    verdict there would reintroduce the silent micros-as-nanos misread
+    this probe exists to prevent."""
+    if os.path.realpath(path).startswith(_CACHEABLE_PREFIX):
+        return _events_ts_is_native_cached(path)
+    return _probe_events_ts(path)
+
+
+@lru_cache(maxsize=32)
+def _events_ts_is_native_cached(path: str) -> bool:
+    return _probe_events_ts(path)
+
+
+def _probe_events_ts(path: str) -> bool:
     import pyarrow.parquet as pq
     import pyarrow as pa
 
@@ -83,7 +96,16 @@ def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
         # post-scan cast — keeps ts filters pushable at the parquet scan
         # and keeps every downstream consumer (epoch-second casts, window
         # watermarks) on the same TimestampType they were built against.
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Scoped save/restore: schema inference is eager in read.parquet,
+        # so the conf only needs to hold across this call — other reads in
+        # the session must keep their own NTZ inference behavior.
+        conf_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+        prev = spark.conf.get(conf_key, "true")
+        spark.conf.set(conf_key, "false")
+        try:
+            return spark.read.parquet(path)
+        finally:
+            spark.conf.set(conf_key, prev)
     return spark.read.parquet(path)
 
 
