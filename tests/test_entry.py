@@ -91,3 +91,24 @@ def test_events_loader_handles_legacy_nanos_layout(spark, tmp_path):
     got = sorted(r.ts for r in df.select("ts").collect())
     # nanos -> micros is exact for these values (they are micro-aligned)
     assert got == instants
+
+
+def test_catalog_cache_scope(spark, tmp_path):
+    """The per-session scan cache must hit for the read-only test data
+    (same DataFrame object back) and must NOT cache mutable user paths —
+    a rewritten file there has to be re-probed and re-read."""
+    import shutil
+
+    from cliqz_etl_spark.tables import load_table
+
+    a = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    b = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    assert a is b, "testdata frames should be memoized per session"
+
+    scratch = tmp_path / "mut"
+    scratch.mkdir()
+    shutil.copy("/root/testdata/sf0.001/region.parquet",
+                scratch / "region.parquet")
+    c = load_table(spark, str(scratch), "region")
+    d = load_table(spark, str(scratch), "region")
+    assert c is not d, "mutable paths must not be memoized"
