@@ -18,10 +18,49 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# The engines' raw try-casts diverge on string→integer inputs: Spark's
+# UTF8String.trimAll strips *any* leading/trailing whitespace-or-ISO-control
+# char ('\x1f42' -> 42, '0\x1f' -> 0), while DuckDB trims only standard
+# whitespace and additionally accepts decimal/scientific/hex forms
+# ('4.0'/'1e3'/'0x10' -> BIGINT). clean_cast therefore pins an explicit
+# contract — the conservative intersection — and clean_cast_sql() emits the
+# byte-identical DuckDB fragment, so every casting oracle compares the same
+# semantics (tests/test_properties.py holds the pair together).
+_INT_DTYPES = {"byte", "tinyint", "short", "smallint", "int", "integer",
+               "long", "bigint"}
+# Explicit class, not \s: Java and RE2 disagree on \s membership (\x0b).
+_INT_PATTERN = "^[ \\t\\n\\x0b\\x0c\\r]*[+-]?[0-9]+[ \\t\\n\\x0b\\x0c\\r]*$"
+_DUCK_INT_TYPES = {"byte": "TINYINT", "tinyint": "TINYINT",
+                   "short": "SMALLINT", "smallint": "SMALLINT",
+                   "int": "INTEGER", "integer": "INTEGER",
+                   "long": "BIGINT", "bigint": "BIGINT"}
+
+
 def clean_cast(col: Column | str, dtype: str) -> Column:
     """Error-tolerant cast (P4/F4): bad input -> NULL, never an error.
-    Rebuild of build_cell's try/except→None (testpilot_data.py:53-63)."""
-    return _c(col).try_cast(dtype)
+    Rebuild of build_cell's try/except→None (testpilot_data.py:53-63).
+
+    For integer dtypes the accepted grammar is pinned to
+    ``[ws]* [+-]? [0-9]+ [ws]*`` (ws = space \\t \\n \\x0b \\x0c \\r);
+    anything else — embedded control chars, decimals, hex — is NULL on
+    both engines via the mirrored guard in clean_cast_sql(). Overflow
+    still NULLs through try_cast. Non-integer dtypes pass straight to
+    try_cast (no known cross-engine divergence in gate use)."""
+    c = _c(col)
+    if dtype.lower() in _INT_DTYPES:
+        return F.when(c.rlike(_INT_PATTERN), c).try_cast(dtype)
+    return c.try_cast(dtype)
+
+
+def clean_cast_sql(expr: str, dtype: str) -> str:
+    """The DuckDB oracle fragment matching clean_cast() exactly: same
+    guard regex (RE2 reads the identical escape sequence), same NULL-out,
+    same overflow behavior through TRY_CAST."""
+    d = dtype.lower()
+    if d in _DUCK_INT_TYPES:
+        return (f"CASE WHEN regexp_matches({expr}, '{_INT_PATTERN}') "
+                f"THEN TRY_CAST({expr} AS {_DUCK_INT_TYPES[d]}) END")
+    return f"TRY_CAST({expr} AS {dtype})"
 
 
 def split_select(col: Column | str, sep: str = r"\|", index: int = 0) -> Column:

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cliqz_etl_spark.functions.scalars import hours, indicator
+from cliqz_etl_spark.functions.scalars import clean_cast_sql, hours, indicator
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
 
@@ -444,10 +444,10 @@ def per_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "scalar_gauntlet",
-    oracle="""
+    oracle=f"""
     SELECT event_id AS event_id,
            CAST(json_extract(props, '$.k') AS BIGINT)            AS prop_k,
-           CAST(TRY_CAST(event_type AS BIGINT) AS BIGINT)        AS bad_cast,
+           {clean_cast_sql('event_type', 'long')}                AS bad_cast,
            (event_type IN ('click', 'view'))                     AS is_engagement,
            (event_type || '-' || CAST(user_id AS VARCHAR))       AS type_user,
            ROUND(COALESCE(value, 0.0), 2)                        AS value_or_zero,
