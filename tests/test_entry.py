@@ -27,6 +27,28 @@ def test_contract_shape():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
 
 
+def test_new_queries_sit_inside_driver_window():
+    """Window-rotation discipline (round-4 process bug): the driver checks
+    only the first 50 DRIVER_ORDER slots per round, so any registry entry
+    that has never appeared in a committed CORRECTNESS_r*.json must sit
+    inside slots 1-50 of the NEXT window — otherwise a new operator ships
+    with no hard correctness evidence, unnoticed."""
+    import glob
+    import json
+
+    from cliqz_etl_spark.queries import DRIVER_ORDER
+
+    checked: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        with open(path) as f:
+            checked.update(json.load(f).keys())
+    never_checked = [n for n in DRIVER_ORDER if n not in checked]
+    outside = [n for n in never_checked if DRIVER_ORDER.index(n) >= 50]
+    assert not outside, (
+        f"queries with zero driver evidence sit past the 50-slot check "
+        f"window: {outside} — move them into slots 1-50 of DRIVER_ORDER")
+
+
 def test_entry_runs_and_returns_rows(spark):
     mod = _load()
     df = mod.entry(spark)
