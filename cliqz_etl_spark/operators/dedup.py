@@ -230,7 +230,13 @@ def incremental_lsh_matches(batch: DataFrame, corpus: DataFrame,
     once and stored bucketed/sorted by (band, bucket), so this equi-join
     shuffles just the batch rows while corpus partitions are read in
     place. Here both sides derive from one table; the join shape — and
-    the shuffle-width bound of n_bands x n_batch_docs — is the same."""
+    the shuffle-width bound of n_bands x n_batch_docs — is the same.
+
+    Batch and corpus need not be disjoint: re-delivered documents (the
+    normal at-least-once ingest case, where the batch was already
+    appended to the corpus index) are excluded from their own match list
+    by the new_id != corpus_id join condition rather than surfacing as
+    degenerate (x, x) self-pairs."""
     bb_new = minhash_band_buckets(batch, id_col, text_col,
                                   n_perm, n_bands, shingle_k)
     bb_old = minhash_band_buckets(corpus, id_col, text_col,
@@ -238,7 +244,8 @@ def incremental_lsh_matches(batch: DataFrame, corpus: DataFrame,
     a, b = bb_new.alias("a"), bb_old.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket")))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a._id") != F.col("b._id")))
         .select(F.col("a._id").alias("new_id"),
                 F.col("b._id").alias("corpus_id"))
         .distinct()

@@ -10,7 +10,9 @@ date_trunc('hour'), and gap sessions must equal the lag+cumsum CTE.
 
 from __future__ import annotations
 
+import functools
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,13 +29,37 @@ from cliqz_etl_spark.streaming.jobs import (
 _SINK_IDS = itertools.count()
 
 
+def _scoped_legacy_nanos(fn):
+    """Hold spark.sql.legacy.parquet.nanosAsLong=true across a streaming
+    query's whole build+drain span when the events layout is legacy nanos,
+    and restore the previous value afterwards. Streams execute at
+    ``start()``, not at ``readStream`` — so unlike the batch reader's
+    creation-time snapshot the conf must stay live until awaitTermination
+    returns; a bare ``conf.set`` here used to leak session-wide and make
+    any later nanos-annotated parquet read silently surface bigint."""
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cliqz_etl_spark.tables import events_ts_is_native
+
+        if events_ts_is_native(os.path.join(sf_dir, "events.parquet")):
+            return fn(spark, sf_dir)
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, "false")
+        spark.conf.set(conf_key, "true")
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set(conf_key, prev)
+    return wrapper
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Probe the parquet footer once (cached) to learn how ts is stored:
     # file-stream sources require an explicit schema, and forcing the wrong
     # one silently reinterprets the raw int64 (micros read as nanos lands
-    # every event in 1970). Mirrors tables.load_table's dtype branch.
-    import os
-
+    # every event in 1970). Mirrors tables.load_table's dtype branch; the
+    # legacy-layout session conf is owned by @_scoped_legacy_nanos on the
+    # enclosing query so it outlives start() and is restored after drain.
     from cliqz_etl_spark.tables import events_ts_is_native
 
     native = events_ts_is_native(os.path.join(sf_dir, "events.parquet"))
@@ -43,8 +69,6 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = "timestamp" if native else "long"
     schema = (f"event_id long, ts {ts_type}, user_id long, "
               "event_type string, value double, props string")
-    if not native:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source wants a directory; glob-filter to the one table
     raw = (
         spark.readStream.schema(schema)
@@ -77,6 +101,7 @@ def _drain(df: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
 )
+@_scoped_legacy_nanos
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-hour rollup, drained to completion: streaming
     output must equal the SQL date_trunc grouping exactly (epoch-aligned
@@ -107,6 +132,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sessioned GROUP BY user_id, session_seq
     """,
 )
+@_scoped_legacy_nanos
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session_window rollup, drained to completion — must agree
     with the batch lag+cumsum sessionizer's oracle (third independent
@@ -128,6 +154,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1
     """,
 )
+@_scoped_legacy_nanos
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-stream exactly-once dedup: the source is unioned with itself
     (every event delivered twice — an at-least-once source), then
@@ -156,6 +183,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
     """,
 )
+@_scoped_legacy_nanos
 def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (purchases x same-user clicks in the
     preceding hour), both sides watermarked and the join range bounded in
@@ -175,6 +203,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1
     """,
 )
+@_scoped_legacy_nanos
 def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (transformWithStateInPandas): per-user
     running totals held in ValueState. Drained with availableNow — the
@@ -193,6 +222,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
 )
+@_scoped_legacy_nanos
 def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream joins the customer
     dimension (broadcast, zero streaming state) and rolls up per

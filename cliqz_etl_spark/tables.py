@@ -29,17 +29,21 @@ def events_ts_is_native(path: str) -> bool:
     TIMESTAMP(NANOS) or raw int64 epoch-nanos, which need the
     nanos-as-long workaround. Probed from the parquet footer (pyarrow) so
     the answer doesn't depend on any Spark session conf. The verdict is
-    cached only for the read-only driver test data — a mutable user path
-    can be rewritten with a different layout between reads, and a stale
-    verdict there would reintroduce the silent micros-as-nanos misread
-    this probe exists to prevent."""
+    cached only for the driver test data, keyed by the file's
+    (mtime, size) identity: the driver rewrites those files between
+    rounds — the documented case where the ts dtype changes — so a
+    process that outlives a regeneration re-probes instead of serving a
+    stale verdict, which would reintroduce the silent micros-as-nanos
+    misread this probe exists to prevent. Arbitrary user paths are never
+    cached at all."""
     if os.path.realpath(path).startswith(_CACHEABLE_PREFIX):
-        return _events_ts_is_native_cached(path)
+        st = os.stat(path)
+        return _events_ts_is_native_cached(path, st.st_mtime_ns, st.st_size)
     return _probe_events_ts(path)
 
 
-@lru_cache(maxsize=32)
-def _events_ts_is_native_cached(path: str) -> bool:
+@lru_cache(maxsize=64)
+def _events_ts_is_native_cached(path: str, mtime_ns: int, size: int) -> bool:
     return _probe_events_ts(path)
 
 
@@ -68,7 +72,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     cacheable = os.path.realpath(path).startswith(_CACHEABLE_PREFIX)
     if cacheable:
-        key = (spark.sparkContext.applicationId, path)
+        # applicationId scopes the plan to its JVM; the file identity
+        # invalidates the entry when the driver regenerates the test data
+        # under a still-running process (same reasoning as the footer
+        # probe's cache key above).
+        st = os.stat(path)
+        key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
         hit = _CATALOG_CACHE.get(key)
         if hit is not None:
             return hit
@@ -85,9 +94,19 @@ def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
             # raw int64), which Spark's vectorized reader rejects; read the
             # raw int64 nanos and convert. `div` keeps the arithmetic
             # integral (a double division would lose microsecond precision
-            # at epoch-nanos magnitude).
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path)
+            # at epoch-nanos magnitude). Scoped save/restore: the relation
+            # snapshots its hadoopConf when the DataFrame is created
+            # (verified: collect() after restore still reads long), so the
+            # flipped conf must not leak into other parquet reads in the
+            # session, where it would silently surface nanos columns as
+            # bigint.
+            conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+            prev = spark.conf.get(conf_key, "false")
+            spark.conf.set(conf_key, "true")
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                spark.conf.set(conf_key, prev)
             return df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
         # Native timestamp[us]: read the NTZ annotation as classic

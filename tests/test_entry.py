@@ -110,6 +110,10 @@ def test_events_loader_handles_legacy_nanos_layout(spark, tmp_path):
     pq.write_table(pa.table(cols), legacy / "events.parquet", version="2.6")
     df = load_table(spark, str(legacy), "events")
     assert isinstance(df.schema["ts"].dataType, TimestampType)
+    # the legacy read must not leak nanosAsLong into the session (the
+    # relation snapshots its conf at creation, so collect still works)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+                          "false") == "false"
     got = sorted(r.ts for r in df.select("ts").collect())
     # nanos -> micros is exact for these values (they are micro-aligned)
     assert got == instants

@@ -136,3 +136,22 @@ def test_table_diff_null_semantics(spark):
         4: ("removed", 40, None),
         5: ("added", None, 50),
     }
+
+
+def test_incremental_lsh_excludes_self_pairs_on_overlap(spark):
+    """A document present in BOTH batch and corpus (at-least-once
+    redelivery) must not match itself, while genuine near-dups of it in
+    the corpus still surface."""
+    from cliqz_etl_spark.operators.dedup import incremental_lsh_matches
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog every day")
+            for i in (1, 2)] + [(3, "a completely different sentence "
+                                    "about distributed query engines")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # batch = {1}; corpus = everything INCLUDING 1 (already ingested)
+    got = {(r["new_id"], r["corpus_id"])
+           for r in incremental_lsh_matches(
+               docs.where("doc_id = 1"), docs,
+               "doc_id", "text").collect()}
+    assert (1, 1) not in got
+    assert (1, 2) in got

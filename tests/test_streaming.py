@@ -214,3 +214,41 @@ def test_stream_stream_join_matches_batch(spark):
     got = [(r["user_id"], r["purchase_id"], r["click_id"], r["gap_sec"])
            for r in spark.table("ssj_out").collect()]
     assert got == [(1, 3, 1, 3540)]
+
+
+def test_streaming_legacy_nanos_layout_and_conf_restore(spark, tmp_path):
+    """The streaming gate queries must read the legacy TIMESTAMP(NANOS)
+    events layout (driver shipped it through round 2) AND restore the
+    session-wide nanosAsLong conf after draining — a leaked 'true' makes
+    any later nanos-annotated parquet read silently surface bigint."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cliqz_etl_spark.queries.streamq import streaming_hourly_counts
+
+    instants = [datetime.datetime(2024, 1, 1, 10, 0, 7),
+                datetime.datetime(2024, 1, 1, 10, 30, 0),
+                datetime.datetime(2024, 1, 1, 11, 5, 0)]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(instants, pa.timestamp("ns")),
+        "user_id": pa.array([10, 10, 20], pa.int64()),
+        "event_type": pa.array(["click", "click", "purchase"]),
+        "value": pa.array([1.5, 2.5, 4.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    legacy = tmp_path / "legacy_stream"
+    legacy.mkdir()
+    pq.write_table(pa.table(cols), legacy / "events.parquet", version="2.6")
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    assert spark.conf.get(conf_key, "false") == "false"
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_cents"])
+           for r in streaming_hourly_counts(spark, str(legacy)).collect()}
+    assert got == {
+        ("2024-01-01 10:00:00", "click"): (2, 400),
+        ("2024-01-01 11:00:00", "purchase"): (1, 400),
+    }
+    assert spark.conf.get(conf_key, "false") == "false", "conf leaked"
