@@ -36,6 +36,18 @@ def _duck_stop_hits(lang: str) -> str:
     return f"len(list_filter({_DUCK_TOKENS}, x -> x IN ({words})))"
 
 
+def _spread_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """Documents scan repartitioned for per-character compute: the sf0.1
+    corpus is one small parquet file -> one scan split, which serializes
+    the 4-language stopword filters / per-offset hashing onto a single
+    core of 32. _spread shuffles only the projected columns once, and
+    only when the scan cannot already fill the cluster — at real file
+    counts (100 TB) it is a no-op, so the plan stays scan-side map."""
+    from cliqz_etl_spark.operators.dedup import _spread
+
+    return _spread(load_table(spark, sf_dir, "documents").select(*cols))
+
+
 @query(
     "text_stats",
     oracle=f"""
@@ -96,7 +108,7 @@ def _duck_lang_case() -> str:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language heuristic: per-language hit counts ->
     deterministic argmax via array_min over (neg_score, lang) structs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text", "lang")
     scores = T.lang_scores("text")
     candidates = F.array(*[
         F.struct((-cnt).alias("neg"), F.lit(lang).alias("lang")) for lang, cnt in scores
@@ -129,7 +141,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (length, stopword ratio, punctuation)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text")
     return docs.select(
         "doc_id",
         F.floor(T.quality_score("text") * 10000 + 0.5).cast("long").alias("quality_x10k"),
@@ -153,9 +165,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's generate_series is the exploded equivalent. The scan is
     repartitioned first — ~len(text) md5s per row serialize onto one core
     when the input is a single parquet split."""
-    from cliqz_etl_spark.operators.dedup import _spread
-
-    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text")
     return docs.select("doc_id", T.fingerprint("text", 8).alias("fingerprint"))
 
 
