@@ -221,8 +221,10 @@ BENCH_HEADLINE: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_incremental",
     "ann_topk",
     "ann_ivf",
+    "ann_sq8",
     "text_quality",
     "lang_id",
     "doc_fingerprint",

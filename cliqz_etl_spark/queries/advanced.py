@@ -277,17 +277,36 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    # HLL sketch values are engine-specific, so the raw estimate cannot be
+    # hash-compared — but its ERROR BOUND can: the query emits the exact
+    # count plus a within-5%-of-exact flag computed from its own estimate,
+    # and the oracle asserts that flag literally TRUE next to DuckDB's
+    # exact count. A sketch drifting past the bound flips the flag and
+    # fails the value-hash, making the last rows-only registry row a full
+    # three-check gate entry. (Bound: rsd=0.01 -> ~1% typical HLL++ error,
+    # and at these group cardinalities the sparse encoding is exact; 5%
+    # is a deliberate margin over both.)
+    oracle="""
+    SELECT event_type AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY 1
+    """,
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the sketch
-    path for 100 TB cardinalities. No cross-engine oracle (sketch estimates
-    differ by implementation); the exact twin is `monthly_revenue`'s
-    countDistinct and this query's own exact column for eyeballing."""
+    path for 100 TB cardinalities — checked against the exact distinct
+    count via a relative-error bound the oracle can express in SQL."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    per_type = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return per_type.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).alias("approx_within_5pct"),
     )
 
 

@@ -20,8 +20,9 @@ def test_contract_shape():
     qs, osql = mod.queries(), mod.oracle_sql()
     assert len(qs) >= 75
     assert set(osql) <= set(qs)
-    # only approx_distinct is allowed to be rows-only
-    assert set(qs) - set(osql) == {"approx_distinct_users"}
+    # every registered query is fully oracle-checked (approx_distinct_users
+    # was the last rows-only entry until its error-bound oracle)
+    assert set(qs) - set(osql) == set()
     assert all(re.fullmatch(r"[a-z0-9_]+", n) for n in qs)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
