@@ -114,29 +114,54 @@ def sq8_reconstructed(emb: DataFrame, id_col: str, vec_col: str,
 
     This is the memory story of production vector search: the corpus scan
     reads 1-byte codes (4x smaller than float32; here the decoded ints
-    stand in for them), and only rerank touches full vectors. The 2x64
-    min/max model comes from one aggregate and rides along as a broadcast
-    1-row frame — no driver collect, no shuffle on the corpus."""
+    stand in for them), and only rerank touches full vectors.
+
+    The min/max model comes from posexplode -> partial-aggregated groupBy
+    (one shuffle of dim rows per input partition) and is fetched to the
+    driver as ``dim`` rows — the same K-row model policy as the IVF
+    centroid fit — so the decode compiles to ONE transform over literal
+    arrays. The previous shape (a 2*dim-column aggregate plus a
+    dim-expression decode projection) spent ~2 s per call in whole-stage
+    codegen compilation at dim=64, dwarfing the actual work at bench
+    scale and growing with dim; this one is O(1) expressions in dim."""
     q = emb.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
-    stats = q.agg(*(
-        [F.min(F.element_at("_qv", d + 1)).alias(f"_mn{d}") for d in range(dim)]
-        + [F.max(F.element_at("_qv", d + 1)).alias(f"_mx{d}") for d in range(dim)]
-    ))
 
-    def rv_dim(d: int):
-        v = F.element_at("_qv", d + 1)
-        mn, mx = F.col(f"_mn{d}"), F.col(f"_mx{d}")
-        rng = mx - mn
-        code = F.when(rng == 0, F.lit(0).cast("long")).otherwise(
-            F.floor(((v - mn) * SQ8_LEVELS).cast("double") / rng + 0.5)
+    # Partial min/max per Arrow batch (narrow map, no shuffle), reduced on
+    # the driver: the collected payload is n_batches x 2 rows of dim-long
+    # arrays — a model fetch. An explode+groupBy formulation shuffles
+    # N x dim rows and pays a two-stage job; this is one stage.
+    def _minmax(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.int64) for v in pdf["_qv"]],
+                         dtype=np.int64)
+            yield pd.DataFrame({"mn": [V.min(axis=0).tolist()],
+                                "mx": [V.max(axis=0).tolist()]})
+
+    parts = q.select("_qv").mapInPandas(
+        _minmax, schema="mn array<long>, mx array<long>").collect()
+    if parts:
+        mn = [min(int(p["mn"][d]) for p in parts) for d in range(dim)]
+        rng = [max(int(p["mx"][d]) for p in parts) - mn[d]
+               for d in range(dim)]
+    else:
+        mn, rng = [0] * dim, [0] * dim
+    mn_lit = F.array(*[F.lit(x).cast("long") for x in mn])
+    rng_lit = F.array(*[F.lit(x).cast("long") for x in rng])
+
+    def decode(v: Column, i: Column) -> Column:
+        m = F.element_at(mn_lit, i + 1)
+        r = F.element_at(rng_lit, i + 1)
+        code = F.when(r == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(((v - m) * SQ8_LEVELS).cast("double") / r + 0.5)
             .cast("long"))
-        return mn * SQ8_LEVELS + code * rng
+        return m * SQ8_LEVELS + code * r
 
-    return (
-        q.crossJoin(F.broadcast(stats))
-        .select("_id", "_qv",
-                F.array(*[rv_dim(d) for d in range(dim)]).alias("_rv"))
-    )
+    return q.select("_id", "_qv", F.transform("_qv", decode).alias("_rv"))
 
 
 def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
@@ -151,25 +176,72 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     out and scores stay deterministic doubles over exact integers."""
     from pyspark.sql import Window
 
-    from cliqz_etl_spark.operators.dedup import _materialize
-
-    # persist the decoded corpus: the approx scan and the rerank join both
-    # consume it, and without forcing, the SQ8 decode subtree runs twice
-    rec = _materialize(sq8_reconstructed(corpus, id_col, vec_col, dim))
+    # No persist on the decoded corpus: the approx scan reads (_id, _rv)
+    # and the rerank join reads (_id, _qv), so column pruning gives each
+    # branch only its own cheap transform over the scan — an eager
+    # persist+count cost a whole extra job, which dominates at bench
+    # scale now that the decode is O(1) expressions.
+    rec = sq8_reconstructed(corpus, id_col, vec_col, dim)
     qs = (
         queries.select(F.col(id_col).alias("query_id"),
                        quantize(vec_col).alias("qv"))
         .withColumn("qn", norm2_q(F.col("qv")).cast("double"))
     )
-    approx = (
-        rec.withColumn("rn", norm2_q(F.col("_rv")).cast("double"))
-        .join(F.broadcast(qs), F.col("query_id") != F.col("_id"))
-        .select(
-            "query_id", F.col("_id").alias("neighbor_id"),
-            (dot_q(F.col("qv"), F.col("_rv")).cast("double")
-             / F.sqrt(F.col("qn") * F.col("rn"))).alias("acos"),
-        )
-    )
+    # Approx scoring: the query set is the MODEL here (few rows by
+    # contract, like brute_force_topk's broadcast side), so ship it as a
+    # broadcast variable and score each Arrow batch of the decoded corpus
+    # with one int64 numpy matmul — the same shape as ivf_assign_q, and
+    # ~dim x cheaper than the interpreted per-pair zip_with dot. Each
+    # batch emits only its LOCAL top-``rerank`` per query (output bounded
+    # by n_batches x Q x rerank, never N x Q), and a global window
+    # narrows to the true top-``rerank``. Values are bit-identical to the
+    # expression form: integer dot/norms are exact in int64, their
+    # float64 conversions are exact (< 2^53), and the final
+    # divide-by-sqrt follows the same IEEE order as the SQL fragment.
+    q_rows = qs.collect()  # Q-row model fetch
+    q_model = ([int(r["query_id"]) for r in q_rows],
+               [[int(x) for x in r["qv"]] for r in q_rows])
+    bc = rec.sparkSession.sparkContext.broadcast(q_model)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qid_arr, q_mat = bc.value
+        if not qid_arr:
+            yield pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                "neighbor_id": pd.Series(dtype="int64"),
+                                "acos": pd.Series(dtype="float64")})
+            return
+        Qm = np.asarray(q_mat, dtype=np.int64)
+        qid = np.asarray(qid_arr, dtype=np.int64)
+        qn = (Qm * Qm).sum(axis=1).astype(np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nid = pdf["_id"].to_numpy(dtype=np.int64)
+            V = np.array([np.asarray(v, dtype=np.int64) for v in pdf["_rv"]],
+                         dtype=np.int64)
+            rn = (V * V).sum(axis=1).astype(np.float64)
+            acos = (V @ Qm.T).astype(np.float64) / np.sqrt(
+                rn[:, None] * qn[None, :])
+            out_q, out_n, out_a = [], [], []
+            for j in range(len(qid)):
+                col = acos[:, j]
+                keep = nid != qid[j]  # self-match excluded, as in the join
+                # batch-local top-`rerank` by (acos DESC, neighbor_id ASC)
+                order = np.lexsort((nid[keep], -col[keep]))[:rerank]
+                out_q.append(np.full(len(order), qid[j], dtype=np.int64))
+                out_n.append(nid[keep][order])
+                out_a.append(col[keep][order])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "acos": np.concatenate(out_a),
+            })
+
+    approx = rec.select("_id", "_rv").mapInPandas(
+        score, schema="query_id long, neighbor_id long, acos double")
     wa = Window.partitionBy("query_id").orderBy(F.desc("acos"),
                                                 F.asc("neighbor_id"))
     cand = (
