@@ -113,16 +113,19 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _shingle_hashes(df: DataFrame, id_col: str, text_col: str,
-                    shingle_k: int) -> DataFrame:
-    """(_id, _hs): 32-bit md5 per k-word shingle, computed through staged
-    projections so tokens/shingles/hashes are each materialized once per
-    row (inline subtrees inside transform lambdas re-evaluate per element
-    — measured 6x slower)."""
+                    shingle_k: int, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(_id, *carry, _hs): 32-bit md5 per k-word shingle, computed through
+    staged projections so tokens/shingles/hashes are each materialized
+    once per row (inline subtrees inside transform lambdas re-evaluate
+    per element — measured 6x slower). ``carry`` columns ride the
+    pipeline untouched (e.g. a batch/corpus tag)."""
     return (
-        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
-        .select("_id", tokens(F.col("_text")).alias("_toks"))
-        .select("_id", word_shingles_from(F.col("_toks"), shingle_k).alias("_sh"))
-        .select("_id", F.transform("_sh", md5_long32).alias("_hs"))
+        _spread(df.select(F.col(id_col).alias("_id"), *carry,
+                          F.col(text_col).alias("_text")))
+        .select("_id", *carry, tokens(F.col("_text")).alias("_toks"))
+        .select("_id", *carry,
+                word_shingles_from(F.col("_toks"), shingle_k).alias("_sh"))
+        .select("_id", *carry, F.transform("_sh", md5_long32).alias("_hs"))
     )
 
 # ---------------------------------------------------------------- exact --
@@ -142,7 +145,8 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # -------------------------------------------------------------- MinHash --
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n_perm: int = 16, shingle_k: int = 3) -> DataFrame:
+                       n_perm: int = 16, shingle_k: int = 3,
+                       carry: tuple[str, ...] = ()) -> DataFrame:
     """(_id, mh_0..mh_{n-1}): the MinHash signature per row.
 
     Two-stage columnar plan, no explode, no shuffle:
@@ -156,13 +160,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     NB: per-seed lambdas are built by arity-1 factories — F.transform
     dispatches on lambda arity, and a `lambda h, a=a` binding would
     receive the array INDEX as its second argument."""
-    hashed = _shingle_hashes(df, id_col, text_col, shingle_k)
+    hashed = _shingle_hashes(df, id_col, text_col, shingle_k, carry)
 
     def perm(a: int, b: int):
         return lambda h: perm_col(h, a, b)
 
     return hashed.select(
-        "_id",
+        "_id", *carry,
         *[F.array_min(F.transform("_hs", perm(a, b))).alias(f"mh_{i}")
           for i, (a, b) in enumerate(perm_params(n_perm))],
     )
@@ -171,7 +175,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
                          n_perm: int = 16, n_bands: int = 4,
                          shingle_k: int = 3,
-                         materialize_sigs: bool = True) -> DataFrame:
+                         materialize_sigs: bool = True,
+                         carry: tuple[str, ...] = ()) -> DataFrame:
     """(id, band, bucket) rows: each doc lands in n_bands buckets, where
     bucket = md5 of its band's signature slice. Docs agreeing on all rows
     of any band share a bucket (the LSH S-curve: t ~ (1/b)^(1/r)).
@@ -180,7 +185,7 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
     re-evaluates its child array expression per emitted row, which would
     re-run the whole signature computation n_bands times (measured ~4x)."""
     rows_per_band = n_perm // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, n_perm, shingle_k)
+    sigs = minhash_signatures(df, id_col, text_col, n_perm, shingle_k, carry)
     if materialize_sigs:
         sigs = _materialize(sigs)
     bands = F.array(*[
@@ -193,8 +198,9 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
         for b in range(n_bands)
     ])
     return (
-        sigs.select("_id", F.explode(bands).alias("bb"))
-        .select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        sigs.select("_id", *carry, F.explode(bands).alias("bb"))
+        .select("_id", *carry, F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
     )
 
 
@@ -236,15 +242,32 @@ def incremental_lsh_matches(batch: DataFrame, corpus: DataFrame,
     normal at-least-once ingest case, where the batch was already
     appended to the corpus index) are excluded from their own match list
     by the new_id != corpus_id join condition rather than surfacing as
-    degenerate (x, x) self-pairs."""
-    bb_new = minhash_band_buckets(batch, id_col, text_col,
-                                  n_perm, n_bands, shingle_k)
-    bb_old = minhash_band_buckets(corpus, id_col, text_col,
-                                  n_perm, n_bands, shingle_k)
-    a, b = bb_new.alias("a"), bb_old.alias("b")
+    degenerate (x, x) self-pairs.
+
+    Execution shape: both sides union into ONE tagged frame whose band
+    buckets are computed (and persisted) once, then self-joined with the
+    batch/corpus direction expressed in the join condition — so the
+    signature pipeline runs once and the join's shuffle is a
+    ReusedExchange, exactly like the corpus self-join in
+    lsh_candidate_pairs (two separately-built sides cost two signature
+    pipelines and two persists; measured ~1.6x slower at sf0.1). When
+    the corpus index is precomputed and stored bucketed by (band,
+    bucket) — the ingest-time layout in the docstring above — callers
+    join the batch's buckets against it directly instead."""
+    tagged = (
+        batch.select(F.col(id_col), F.col(text_col),
+                     F.lit(True).alias("_is_new"))
+        .unionByName(corpus.select(F.col(id_col), F.col(text_col),
+                                   F.lit(False).alias("_is_new")))
+    )
+    bb = minhash_band_buckets(tagged, id_col, text_col,
+                              n_perm, n_bands, shingle_k,
+                              carry=("_is_new",))
+    a, b = bb.alias("a"), bb.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
+               & F.col("a._is_new") & ~F.col("b._is_new")
                & (F.col("a._id") != F.col("b._id")))
         .select(F.col("a._id").alias("new_id"),
                 F.col("b._id").alias("corpus_id"))
