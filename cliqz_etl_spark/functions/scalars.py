@@ -29,7 +29,11 @@ def _c(col: Column | str) -> Column:
 _INT_DTYPES = {"byte", "tinyint", "short", "smallint", "int", "integer",
                "long", "bigint"}
 # Explicit class, not \s: Java and RE2 disagree on \s membership (\x0b).
-_INT_PATTERN = "^[ \\t\\n\\x0b\\x0c\\r]*[+-]?[0-9]+[ \\t\\n\\x0b\\x0c\\r]*$"
+# \A/\z anchors, not ^/$: Java's $ also matches BEFORE a final line
+# terminator (so '42'/'42 '/'42 ' would pass rlike while
+# RE2's $ rejects them); \A and \z mean begin/end-of-input in both.
+_INT_PATTERN = ("\\A[ \\t\\n\\x0b\\x0c\\r]*[+-]?[0-9]+"
+                "[ \\t\\n\\x0b\\x0c\\r]*\\z")
 _DUCK_INT_TYPES = {"byte": "TINYINT", "tinyint": "TINYINT",
                    "short": "SMALLINT", "smallint": "SMALLINT",
                    "int": "INTEGER", "integer": "INTEGER",

@@ -123,8 +123,16 @@ def sq8_reconstructed(emb: DataFrame, id_col: str, vec_col: str,
     arrays. The previous shape (a 2*dim-column aggregate plus a
     dim-expression decode projection) spent ~2 s per call in whole-stage
     codegen compilation at dim=64, dwarfing the actual work at bench
-    scale and growing with dim; this one is O(1) expressions in dim."""
-    q = emb.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+    scale and growing with dim; this one is O(1) expressions in dim.
+
+    Rows without a valid ``dim``-length vector are dropped up front: an
+    un-codable vector cannot enter the index, and the numpy kernels
+    (unlike the old null-propagating expressions) would raise on a NULL
+    or ragged array instead of ignoring it."""
+    q = (
+        emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+    )
 
     # Partial min/max per Arrow batch (narrow map, no shuffle), reduced on
     # the driver: the collected payload is n_batches x 2 rows of dim-long
@@ -183,8 +191,10 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     # scale now that the decode is O(1) expressions.
     rec = sq8_reconstructed(corpus, id_col, vec_col, dim)
     qs = (
-        queries.select(F.col(id_col).alias("query_id"),
-                       quantize(vec_col).alias("qv"))
+        queries.where(F.col(vec_col).isNotNull()
+                      & (F.size(vec_col) == dim))  # un-scorable, see above
+        .select(F.col(id_col).alias("query_id"),
+                quantize(vec_col).alias("qv"))
         .withColumn("qn", norm2_q(F.col("qv")).cast("double"))
     )
     # Approx scoring: the query set is the MODEL here (few rows by

@@ -84,7 +84,6 @@ DRIVER_ORDER: list[str] = [
     "nation_trade_volume",
     "parts_supplier_stats",
     "above_avg_balance_customers",
-    "nations_in_region",
     "data_quality_checks",
     "order_rank_family",
     "region_status_grid",
@@ -93,7 +92,6 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_lsh",
     "simhash_values",
     "dedup_simhash",
-    "sample_10pct",
     "stratified_sample",
     "train_test_split",
     "normalize_text",
@@ -111,7 +109,18 @@ DRIVER_ORDER: list[str] = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    # ---- also changed in round 5: all six streaming gate queries now run
+    # under the @_scoped_legacy_nanos conf-restoring decorator; these two
+    # (tumbling-window agg + the double-delivery dedup, the most complex
+    # state shape) re-verify the shared mechanism with fresh rows --------
+    "streaming_hourly_counts",
+    "streaming_dedup",
     # ================ past the window (fresh evidence) ===================
+    # ---- displaced from the round-5 window by the streaming re-verifies
+    # (lowest-risk stale entries: trivial dimension join + deterministic
+    # hash sample) — first in line for the round-6 window ----------------
+    "nations_in_region",
+    "sample_10pct",
     # ---- driver-green in round 3, unchanged since ----------------------
     "revenue_by_nation",
     "price_quantity_corr",
@@ -134,7 +143,6 @@ DRIVER_ORDER: list[str] = [
     "embedding_near_pairs",
     "rhp_signatures",
     "ann_rhp",
-    "streaming_dedup",
     "streaming_running_totals",
     "text_stats",
     "tfidf_search",
@@ -152,7 +160,6 @@ DRIVER_ORDER: list[str] = [
     "session_stats",
     "sessionize_native",
     "longest_streak",
-    "streaming_hourly_counts",
     "streaming_sessions",
     "streaming_stream_join",
     "daily_activity_filled",

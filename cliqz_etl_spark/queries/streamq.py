@@ -39,17 +39,13 @@ def _scoped_legacy_nanos(fn):
     any later nanos-annotated parquet read silently surface bigint."""
     @functools.wraps(fn)
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from cliqz_etl_spark.tables import events_ts_is_native
+        from cliqz_etl_spark.tables import events_ts_is_native, scoped_conf
 
         if events_ts_is_native(os.path.join(sf_dir, "events.parquet")):
             return fn(spark, sf_dir)
-        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(conf_key, "false")
-        spark.conf.set(conf_key, "true")
-        try:
+        with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong",
+                         "true", default="false"):
             return fn(spark, sf_dir)
-        finally:
-            spark.conf.set(conf_key, prev)
     return wrapper
 
 

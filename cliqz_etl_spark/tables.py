@@ -10,10 +10,25 @@ column pruning + filter pushdown for free.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str, default: str):
+    """Set a runtime SQL conf for the duration of the block and restore
+    the previous value (``default`` when unset) afterwards — the one
+    save/set/try/finally idiom shared by every conf-sensitive reader so
+    a fix to the scoping logic lands everywhere at once."""
+    prev = spark.conf.get(key, default)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -59,10 +74,13 @@ def _probe_events_ts(path: str) -> bool:
 # footer schema read (~0.1 s) on every call, and analytic queries reference
 # the same immutable inputs several times each. Real engines memoize this
 # in a catalog/metastore; here the loaded DataFrame (a reusable immutable
-# logical plan, not data) is cached per (SparkContext, path). Only the
-# read-only driver test data is cached — arbitrary user paths may be
-# rewritten between reads.
-_CATALOG_CACHE: dict[tuple[str, str], DataFrame] = {}
+# logical plan, not data) is cached per (applicationId, path), with the
+# file's (mtime, size) identity stored IN the value: a driver testdata
+# regeneration under a still-running process replaces the entry (same
+# reasoning as the footer probe's cache key above) instead of both
+# serving a stale plan and accumulating dead ones. Only the driver test
+# data is cached — arbitrary user paths may be rewritten between reads.
+_CATALOG_CACHE: dict[tuple[str, str], tuple[tuple[int, int], DataFrame]] = {}
 _CACHEABLE_PREFIX = "/root/testdata/"
 
 
@@ -72,18 +90,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     cacheable = os.path.realpath(path).startswith(_CACHEABLE_PREFIX)
     if cacheable:
-        # applicationId scopes the plan to its JVM; the file identity
-        # invalidates the entry when the driver regenerates the test data
-        # under a still-running process (same reasoning as the footer
-        # probe's cache key above).
         st = os.stat(path)
-        key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+        key = (spark.sparkContext.applicationId, path)
+        ident = (st.st_mtime_ns, st.st_size)
         hit = _CATALOG_CACHE.get(key)
-        if hit is not None:
-            return hit
+        if hit is not None and hit[0] == ident:
+            return hit[1]
     df = _read_table(spark, path, name)
     if cacheable:
-        _CATALOG_CACHE[key] = df
+        _CATALOG_CACHE[key] = (ident, df)
     return df
 
 
@@ -100,13 +115,9 @@ def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
             # flipped conf must not leak into other parquet reads in the
             # session, where it would silently surface nanos columns as
             # bigint.
-            conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-            prev = spark.conf.get(conf_key, "false")
-            spark.conf.set(conf_key, "true")
-            try:
+            with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong",
+                             "true", default="false"):
                 df = spark.read.parquet(path)
-            finally:
-                spark.conf.set(conf_key, prev)
             return df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
         # Native timestamp[us]: read the NTZ annotation as classic
@@ -118,13 +129,9 @@ def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
         # Scoped save/restore: schema inference is eager in read.parquet,
         # so the conf only needs to hold across this call — other reads in
         # the session must keep their own NTZ inference behavior.
-        conf_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
-        prev = spark.conf.get(conf_key, "true")
-        spark.conf.set(conf_key, "false")
-        try:
+        with scoped_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled",
+                         "false", default="true"):
             return spark.read.parquet(path)
-        finally:
-            spark.conf.set(conf_key, prev)
     return spark.read.parquet(path)
 
 
