@@ -390,7 +390,15 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
     corpus-side work runs through ivf_assign_q's broadcast + numpy argmin
     map. Returns (id, cluster, qv)."""
     cent_rows = _collect_centroids(centroids, id_col, vec_col)
-    projected = corpus.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+    if not cent_rows:
+        raise ValueError("ivf_assign: centroid frame is empty")
+    dim = len(cent_rows[0][1])
+    # un-assignable rows (NULL/ragged vector) are dropped rather than fed
+    # to the numpy kernel, which would raise instead of propagating NULL
+    projected = (
+        corpus.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+    )
     return ivf_assign_q(projected, [c for c, _ in cent_rows], [v for _, v in cent_rows])
 
 
@@ -417,7 +425,9 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
     from cliqz_etl_spark.operators.dedup import _materialize
 
     proj = _materialize(
-        df.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+        df.where(F.col(vec_col).isNotNull()
+                 & (F.size(vec_col) == dim))  # numpy kernel guard
+        .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
     )
     init_rows = (
         proj.select("_id", "_qv", md5_long(F.col("_id").cast("string")).alias("_h"))
@@ -458,10 +468,16 @@ def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
     from cliqz_etl_spark.operators.dedup import _materialize
 
     cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    if not cent_rows:
+        raise ValueError("ivf_topk: centroid frame is empty")
     cids = [c for c, _ in cent_rows]
     cents = [v for _, v in cent_rows]
-    projected = corpus.select(
-        F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+    dim = len(cents[0])
+    projected = (
+        corpus.where(F.col(vec_col).isNotNull()
+                     & (F.size(vec_col) == dim))  # numpy kernel guard
+        .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+    )
     # both join sides derive from `assigned`; persist so the assignment
     # map evaluates once, not per side
     assigned = _materialize(ivf_assign_q(projected, cids, cents))
