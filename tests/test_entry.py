@@ -67,20 +67,54 @@ def test_testdata_schema_contract(spark):
     downstream failures)."""
     import glob
 
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import (ArrayType, NumericType, StringType,
+                                   TimestampType)
 
     from cliqz_etl_spark.tables import TABLES, load_table
 
+    # column-name contract: queries/oracles reference these by name, so a
+    # regeneration that renames/drops one should fail HERE; dtype checks
+    # stay loose (numeric/string/array) because physical types are
+    # allowed to drift — that is what the loader's probes absorb.
+    expected_cols = {
+        "region": ["r_regionkey", "r_name"],
+        "nation": ["n_nationkey", "n_name", "n_regionkey"],
+        "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                     "c_mktsegment"],
+        "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+        "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice", "o_orderdate", "o_orderpriority"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"],
+        "events": ["event_id", "ts", "user_id", "event_type", "value",
+                   "props"],
+        "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+        "embeddings": ["vec_id", "embedding", "label"],
+    }
     sf_dirs = sorted(glob.glob("/root/testdata/sf*")) or ["/root/testdata/sf0.001"]
     for sf_dir in sf_dirs:
         for name in TABLES:
             df = load_table(spark, sf_dir, name)
-            assert df.columns, f"{sf_dir}/{name}: empty schema"
+            assert df.columns == expected_cols[name], (
+                f"{sf_dir}/{name}: columns {df.columns} != contract "
+                f"{expected_cols[name]} — the driver regenerated the "
+                "schema; update queries/oracles before trusting results")
         ev = load_table(spark, sf_dir, "events")
         ts_type = ev.schema["ts"].dataType
         assert isinstance(ts_type, TimestampType), (
             f"{sf_dir}/events.ts loaded as {ts_type}; downstream queries "
             "require TIMESTAMP — extend tables.load_table's dtype branch")
+        assert isinstance(ev.schema["value"].dataType, NumericType)
+        docs = load_table(spark, sf_dir, "documents")
+        assert isinstance(docs.schema["text"].dataType, StringType)
+        emb = load_table(spark, sf_dir, "embeddings")
+        assert isinstance(emb.schema["embedding"].dataType, ArrayType), (
+            f"{sf_dir}/embeddings.embedding loaded as "
+            f"{emb.schema['embedding'].dataType}; ANN operators require "
+            "array<numeric>")
 
 
 def test_events_loader_handles_legacy_nanos_layout(spark, tmp_path):
