@@ -48,6 +48,16 @@ def get_spark(app_name: str = "cliqz_etl_spark", master: str | None = None,
     if master:
         builder = builder.master(master)
     conf = dict(_DEFAULT_CONF)
+    if master and master.startswith("local"):
+        # In local mode the driver heap IS the whole cluster: executors,
+        # shuffle buffers and broadcast blocks all live in this one JVM,
+        # and Spark's default spark.driver.memory=1g means 32 concurrent
+        # tasks share 1 GiB no matter how much RAM the box has (measured:
+        # GC-locker thrash, then OOM, on a 10x corpus with 123 GiB free).
+        # Only effective before the JVM launches, which get_spark
+        # controls; on a real cluster the submitter sizes memory instead.
+        conf.setdefault("spark.driver.memory",
+                        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
