@@ -7,9 +7,11 @@ ratios; expected results are sub-linear (job overhead dominates).
 
 Round-5 run (local[32], 16g heap): LSH 0.8x, simhash 2.4x,
 ngram-jaccard 2.9x, incremental LSH 1.5x, SQ8 0.8x wall-clock for 10x
-data. The same run at Spark's default 1g driver heap killed the JVM in
-the ngram inverted-index join — see session.py's local-mode heap
-sizing.
+data; events family (1M events / 1.5k Zipf-skewed users): sessionize
+2.5x, session_stats 0.9x, longest_streak 3.2x, as-of join 1.1x,
+weekly_retention 1.1x, funnel 1.7x, transition matrix 3.0x. The same
+run at Spark's default 1g driver heap killed the JVM in the ngram
+inverted-index join — see session.py's local-mode heap sizing.
 
 Usage: python tools/scale_stress.py   (not part of the pytest suite —
 it takes minutes and writes ~100 MB under /tmp/sfstress)."""
@@ -73,6 +75,25 @@ if not os.path.exists(f"{OUT}/embeddings.parquet"):
     })
     pq.write_table(t, f"{OUT}/embeddings.parquet")
 
+if not os.path.exists(f"{OUT}/events.parquet"):
+    # 1M events / 1.5k users over 6 months — 10x the sf0.1 event volume,
+    # with the same skew shape (a few hot users) the gate data has
+    n_ev = 1_000_000
+    n_users = 1_500
+    user = rng.zipf(1.5, size=n_ev) % n_users
+    base = np.int64(1_704_067_200_000_000)  # 2024-01-01 in micros
+    ts = base + rng.integers(0, np.int64(180 * 86_400_000_000), size=n_ev)
+    types = np.array(["click", "view", "purchase", "signup"])
+    t = pa.table({
+        "event_id": pa.array(range(n_ev), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(user, pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, 4, size=n_ev)]),
+        "value": pa.array(rng.random(n_ev) * 100, pa.float64()),
+        "props": pa.array(['{"k": 1}'] * n_ev),
+    })
+    pq.write_table(t, f"{OUT}/events.parquet")
+
 from cliqz_etl_spark.operators.cache import release_all
 from cliqz_etl_spark.operators.dedup import (
     lsh_candidate_pairs, ngram_jaccard_pairs, simhash_near_pairs,
@@ -124,3 +145,17 @@ for name, make in [
     t_small = run(f"{name} @small", make(SMALL))
     t_big = run(f"{name} @10x", make(OUT))
     print(f"{name:38s} ratio {t_big / t_small:5.1f}x for 10x data")
+
+# ---- events family (sessionization / as-of / retention shapes) ----------
+# registry queries take an sf_dir; the stress dir has its own 10x events
+# (other tables are read from sf0.1 via the small dir)
+from cliqz_etl_spark.queries import load_all
+
+registry = load_all()
+for qname in ["sessionize", "session_stats", "longest_streak",
+              "asof_last_click_before_purchase", "weekly_retention",
+              "funnel_counts", "event_transition_matrix"]:
+    fn = registry[qname].fn
+    t_small = run(f"{qname} @small", lambda: fn(spark, SMALL))
+    t_big = run(f"{qname} @10x", lambda: fn(spark, OUT))
+    print(f"{qname:38s} ratio {t_big / t_small:5.1f}x for 10x data")
