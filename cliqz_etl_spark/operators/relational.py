@@ -70,7 +70,24 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
                    sort_by: str | None = None) -> None:
     """Persist a table bucketed (and optionally sorted) by its join key:
     two tables bucketed the same way join with ZERO shuffle — the physical
-    co-location strategy for repeated fact-fact joins at 100 TB."""
+    co-location strategy for repeated fact-fact joins at 100 TB.
+
+    Robust to orphaned warehouse directories: a managed table written by
+    a PREVIOUS session leaves its directory under spark.sql.warehouse.dir
+    while the new session's catalog has no such table — saveAsTable then
+    fails with LOCATION_ALREADY_EXISTS (overwrite mode can't help: the
+    catalog entry it would overwrite doesn't exist). Drop the catalog
+    entry if present, then delete any leftover directory via the Hadoop
+    FS before writing."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    sc = spark.sparkContext
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = sc._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort_by:
         writer = writer.sortBy(sort_by)
