@@ -76,18 +76,27 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
     a PREVIOUS session leaves its directory under spark.sql.warehouse.dir
     while the new session's catalog has no such table — saveAsTable then
     fails with LOCATION_ALREADY_EXISTS (overwrite mode can't help: the
-    catalog entry it would overwrite doesn't exist). Drop the catalog
-    entry if present, then delete any leftover directory via the Hadoop
-    FS before writing."""
+    catalog entry it would overwrite doesn't exist). The leftover
+    directory is deleted ONLY in that orphaned state (location on disk,
+    no catalog entry); when the table exists in the catalog, the write
+    goes straight to saveAsTable so all of its safety analysis — e.g.
+    refusing to overwrite a table the plan also reads — still runs
+    before anything is touched. ``table`` must be an unqualified name in
+    the current (default) database: the orphan-location derivation below
+    does not model '<db>.db/' warehouse layouts."""
+    if "." in table:
+        raise ValueError(
+            f"write_bucketed requires an unqualified table name, got "
+            f"{table!r} — qualified names need database-aware orphan "
+            "cleanup")
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    sc = spark.sparkContext
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    jvm = sc._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
-    fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    if not spark.catalog.tableExists(table):
+        sc = spark.sparkContext
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = sc._jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+        fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort_by:
         writer = writer.sortBy(sort_by)

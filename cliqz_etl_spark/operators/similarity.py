@@ -33,6 +33,24 @@ def quantize(col: Column | str, scale: int = 1000) -> Column:
     )
 
 
+def valid_quantized(df: DataFrame, id_col: str, vec_col: str,
+                    dim: int) -> DataFrame:
+    """(_id, _qv): the quantized projection every numpy-kernel operator
+    consumes, restricted to rows whose vector is actually scorable —
+    non-NULL, exactly ``dim`` long, and free of NULL/NaN elements
+    (quantize turns a NaN element into a NULL long, and np.asarray of a
+    list containing None is an object array that crashes the kernel).
+    One definition so the validity rule can't drift between the six
+    operators that need it; the filter is a scan predicate that costs
+    nothing on clean corpora."""
+    c = F.col(vec_col)
+    return (
+        df.where(c.isNotNull() & (F.size(c) == dim)
+                 & ~F.exists(c, lambda x: x.isNull() | F.isnan(x)))
+        .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+    )
+
+
 def dot_q(a: Column, b: Column) -> Column:
     """Integer-exact dot product of two quantized vectors."""
     return F.aggregate(
@@ -129,10 +147,7 @@ def sq8_reconstructed(emb: DataFrame, id_col: str, vec_col: str,
     un-codable vector cannot enter the index, and the numpy kernels
     (unlike the old null-propagating expressions) would raise on a NULL
     or ragged array instead of ignoring it."""
-    q = (
-        emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
-        .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
-    )
+    q = valid_quantized(emb, id_col, vec_col, dim)
 
     # Partial min/max per Arrow batch (narrow map, no shuffle), reduced on
     # the driver: the collected payload is n_batches x 2 rows of dim-long
@@ -191,10 +206,8 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     # scale now that the decode is O(1) expressions.
     rec = sq8_reconstructed(corpus, id_col, vec_col, dim)
     qs = (
-        queries.where(F.col(vec_col).isNotNull()
-                      & (F.size(vec_col) == dim))  # un-scorable, see above
-        .select(F.col(id_col).alias("query_id"),
-                quantize(vec_col).alias("qv"))
+        valid_quantized(queries, id_col, vec_col, dim)
+        .select(F.col("_id").alias("query_id"), F.col("_qv").alias("qv"))
         .withColumn("qn", norm2_q(F.col("qv")).cast("double"))
     )
     # Approx scoring: the query set is the MODEL here (few rows by
@@ -393,12 +406,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
     if not cent_rows:
         raise ValueError("ivf_assign: centroid frame is empty")
     dim = len(cent_rows[0][1])
-    # un-assignable rows (NULL/ragged vector) are dropped rather than fed
-    # to the numpy kernel, which would raise instead of propagating NULL
-    projected = (
-        corpus.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
-        .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
-    )
+    projected = valid_quantized(corpus, id_col, vec_col, dim)
     return ivf_assign_q(projected, [c for c, _ in cent_rows], [v for _, v in cent_rows])
 
 
@@ -424,11 +432,7 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
     from cliqz_etl_spark.functions.hashing import md5_long
     from cliqz_etl_spark.operators.dedup import _materialize
 
-    proj = _materialize(
-        df.where(F.col(vec_col).isNotNull()
-                 & (F.size(vec_col) == dim))  # numpy kernel guard
-        .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
-    )
+    proj = _materialize(valid_quantized(df, id_col, vec_col, dim))
     init_rows = (
         proj.select("_id", "_qv", md5_long(F.col("_id").cast("string")).alias("_h"))
         .orderBy(F.asc("_h"), F.asc("_id"))
@@ -473,11 +477,7 @@ def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
     cids = [c for c, _ in cent_rows]
     cents = [v for _, v in cent_rows]
     dim = len(cents[0])
-    projected = (
-        corpus.where(F.col(vec_col).isNotNull()
-                     & (F.size(vec_col) == dim))  # numpy kernel guard
-        .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
-    )
+    projected = valid_quantized(corpus, id_col, vec_col, dim)
     # both join sides derive from `assigned`; persist so the assignment
     # map evaluates once, not per side
     assigned = _materialize(ivf_assign_q(projected, cids, cents))

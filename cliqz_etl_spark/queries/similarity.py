@@ -315,11 +315,9 @@ def ivf_clusters_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train on a sample, assign the full corpus, bucket by cluster)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM)
-    proj = (
-        emb.where(F.col("embedding").isNotNull()
-                  & (F.size("embedding") == VEC_DIM))  # numpy kernel guard
-        .select(F.col("vec_id").alias("_id"), quantize("embedding").alias("_qv"))
-    )
+    from cliqz_etl_spark.operators.similarity import valid_quantized
+
+    proj = valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
     return (
         ivf_assign_q(proj, list(range(KM_K)), cents)
         .groupBy("cluster")

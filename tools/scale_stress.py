@@ -5,11 +5,12 @@ look like real text, ~2% planted near-dups) and times the heavy
 operators at both scales. Quadratic blowups show up as >>10x time
 ratios; expected results are sub-linear (job overhead dominates).
 
-Round-5 run (local[32], 16g heap): LSH 0.8x, simhash 2.4x,
-ngram-jaccard 2.9x, incremental LSH 1.5x, SQ8 0.8x wall-clock for 10x
-data; events family (1M events / 1.5k Zipf-skewed users): sessionize
-2.5x, session_stats 0.9x, longest_streak 3.2x, as-of join 1.1x,
-weekly_retention 1.1x, funnel 1.7x, transition matrix 3.0x. The same
+Round-5 run (local[32], 16g heap; 10x docs, 16x vectors, 10x events
+vs sf0.1): LSH 0.8x, simhash 2.4x, ngram-jaccard 2.9x, incremental
+LSH 1.5x, SQ8 0.8x wall-clock; events family (1M events / 1.5k
+Zipf-skewed users): sessionize 2.5x, session_stats 0.9x,
+longest_streak 3.2x, as-of join 1.1x, weekly_retention 1.1x, funnel
+1.7x, transition matrix 3.0x. The same
 run at Spark's default 1g driver heap killed the JVM in the ngram
 inverted-index join — see session.py's local-mode heap sizing.
 
@@ -127,7 +128,18 @@ def run(label, fn):
 
 
 SMALL = "/root/testdata/sf0.1"
-print(f"small: 5k docs / 3.2k vecs   big: 50k docs / 32k vecs (10x)")
+
+
+def _rows(path, table):
+    return pq.ParquetFile(f"{path}/{table}.parquet").metadata.num_rows
+
+
+_sd, _bd = _rows(SMALL, "documents"), _rows(OUT, "documents")
+_sv, _bv = _rows(SMALL, "embeddings"), _rows(OUT, "embeddings")
+_se, _be = _rows(SMALL, "events"), _rows(OUT, "events")
+print(f"small: {_sd} docs / {_sv} vecs / {_se} events   "
+      f"big: {_bd} docs ({_bd/_sd:.0f}x) / {_bv} vecs ({_bv/_sv:.0f}x) / "
+      f"{_be} events ({_be/_se:.0f}x)")
 for name, make in [
     ("lsh_candidate_pairs", lambda p: lambda: lsh_candidate_pairs(
         docs_at(p), "doc_id", "text")),
@@ -144,7 +156,7 @@ for name, make in [
 ]:
     t_small = run(f"{name} @small", make(SMALL))
     t_big = run(f"{name} @10x", make(OUT))
-    print(f"{name:38s} ratio {t_big / t_small:5.1f}x for 10x data")
+    print(f"{name:38s} ratio {t_big / t_small:5.1f}x")
 
 # ---- events family (sessionization / as-of / retention shapes) ----------
 # registry queries take an sf_dir; the stress dir has its own 10x events
@@ -158,4 +170,4 @@ for qname in ["sessionize", "session_stats", "longest_streak",
     fn = registry[qname].fn
     t_small = run(f"{qname} @small", lambda: fn(spark, SMALL))
     t_big = run(f"{qname} @10x", lambda: fn(spark, OUT))
-    print(f"{qname:38s} ratio {t_big / t_small:5.1f}x for 10x data")
+    print(f"{qname:38s} ratio {t_big / t_small:5.1f}x")
