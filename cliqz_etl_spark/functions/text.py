@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from cliqz_etl_spark.functions.hashing import md5_long
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
 # language id. Deterministic and mirrored verbatim in the DuckDB oracle.

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cliqz_etl_spark.functions.scalars import clean_cast_sql, hours, indicator
+from cliqz_etl_spark.functions.scalars import clean_cast_sql, indicator
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
 

@@ -5,7 +5,6 @@ scoring on documents — rounding out the warehouse/text-analytics surface.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
