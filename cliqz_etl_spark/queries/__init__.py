@@ -51,16 +51,116 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # the driver's check window again.
 # --------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # ================= round-5 check window (slots 1-50) =================
-    # ---- new in round 4, zero driver evidence (sat at slots 51-54 last
-    # round, one past the window) — first-ever rows, highest priority ----
-    "dedup_incremental",
-    "frame_sample_stats",
+    # ================= round-6 check window (slots 1-50) =================
+    # Rotation rule (enforced by tests/test_entry.py): the window must hold
+    # every query whose latest green driver row is strictly older than the
+    # 50th-oldest query's — i.e. oldest evidence rotates in first. The
+    # testdata regenerates between rounds, so multi-round-old evidence
+    # decays (the r3 dtype flip proved it).
+    # ---- r1-stale (latest row: round 1) --------------------------------
+    "nations_in_region",
+    "sample_10pct",
+    # ---- r3-stale: ANN / embedding family ------------------------------
+    "ann_topk",
+    "ann_ivf",
+    "ann_ivf_multiprobe",
+    "ivf_clusters",
+    "ivf_clusters_trained",
+    "embedding_near_pairs",
+    "rhp_signatures",
+    "ann_rhp",
+    # ---- r3-stale: dedup / curation / text family ----------------------
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
+    "dedup_clusters",
+    "curation_pipeline",
+    "pack_sequences",
+    "mask_terms",
+    "contamination_check",
+    "repetition_ratio",
+    "tfidf_search",
+    "text_stats",
+    # ---- r3-stale: warehouse analogues ---------------------------------
+    "revenue_by_nation",
+    "price_quantity_corr",
+    "order_priority_checking",
+    "forecast_revenue",
+    "returned_item_top_customers",
+    "priority_line_counts",
+    "promo_revenue_pct",
+    "top_revenue_suppliers",
+    "large_volume_customers",
+    "brand_filtered_revenue",
+    "customer_order_distribution",
+    "sole_late_supplier_blame",
+    "idle_balance_customers",
+    "national_market_share",
+    # ---- r3-stale: streaming -------------------------------------------
+    "streaming_running_totals",
+    # ---- slots 36-50: round-6 churn — queries whose code paths changed
+    # this round (similarity Inf/id guards, write_bucketed db-aware
+    # cleanup, salted skew stress, streaming bench wiring) plus the
+    # heaviest r4/r5-reworked pipelines, so changed code re-verifies in
+    # the same round it changed ------------------------------------------
     "ann_sq8",
+    "dedup_incremental",
+    "bucketed_join_revenue",
+    "salted_event_counts",
+    "salted_join_value_by_type",
+    "sessionize",
+    "session_stats",
+    "sessionize_native",
+    "longest_streak",
+    "streaming_hourly_counts",
+    "streaming_dedup",
+    "kmeans_centroids",
+    "range_join_close_events",
+    "countmin_user_counts",
+    "kmv_distinct_users",
+    # ================ past the window (fresh evidence) ===================
+    # Ordered oldest-evidence-first (r4 block, then r5 block) so the next
+    # rotation is a prefix shift, not a reshuffle.
+    # ---- latest row: round 4 -------------------------------------------
+    "streaming_sessions",
+    "streaming_stream_join",
+    "daily_activity_filled",
+    "json_flatten",
+    "small_quantity_revenue",
+    "scd2_customer_balance",
+    "user_type_history",
+    "pit_order_balance",
+    "bloom_semi_join_revenue",
+    "bloom_prefilter_stats",
+    "histogram_quantiles",
+    "incremental_monthly_rollup",
+    "assign_shards",
+    "interpolate_user_values",
+    "array_ops_gauntlet",
+    "nullsafe_join_counts",
+    "streaming_enriched_counts",
+    "rank_fraction_family",
+    "weighted_sample",
+    "anomalous_days",
+    "mixture_sample",
+    "dedup_cascade",
+    "order_cube",
+    "sliding_event_counts",
+    "moving_avg_value",
+    "top_orders",
+    "nations_without_suppliers",
+    "nations_with_both",
+    "all_account_balances",
+    "order_rollup",
+    "order_grouping_sets",
+    "running_total",
+    "snapshot_diff_customers",
+    "linear_attribution",
+    "event_transition_matrix",
+    "full_outer_rollup",
+    "two_key_join",
+    # ---- latest row: round 5 (freshest) --------------------------------
+    "frame_sample_stats",
     "dedup_canonicalize",
-    # ---- r1-stale events-table §2 vehicles: their only driver row
-    # predates the round-4 events-loader rewrite, so the loader fix is
-    # only indirectly verified for them ----------------------------------
     "mode_per_user",
     "indicator_sums",
     "value_hours_per_user",
@@ -76,7 +176,6 @@ DRIVER_ORDER: list[str] = [
     "unpivot_event_counts",
     "value_histogram",
     "value_percentiles_by_type",
-    # ---- remaining r1-stale queries (no driver row since round 1) ------
     "word_counts",
     "monthly_revenue",
     "approx_distinct_users",
@@ -102,108 +201,10 @@ DRIVER_ORDER: list[str] = [
     "anti_join_customers",
     "map_valued_agg",
     "regex_validity_filter",
-    # ---- changed in round 5: scalar_gauntlet's oracle adopted the pinned
-    # clean_cast fragment; the three text queries got the spread-scan perf
-    # fix — their r3/r4 rows no longer cover current code ----------------
     "scalar_gauntlet",
     "text_quality",
     "lang_id",
     "doc_fingerprint",
-    # ---- also changed in round 5: all six streaming gate queries now run
-    # under the @_scoped_legacy_nanos conf-restoring decorator; these two
-    # (tumbling-window agg + the double-delivery dedup, the most complex
-    # state shape) re-verify the shared mechanism with fresh rows --------
-    "streaming_hourly_counts",
-    "streaming_dedup",
-    # ================ past the window (fresh evidence) ===================
-    # ---- displaced from the round-5 window by the streaming re-verifies
-    # (lowest-risk stale entries: trivial dimension join + deterministic
-    # hash sample) — first in line for the round-6 window ----------------
-    "nations_in_region",
-    "sample_10pct",
-    # ---- driver-green in round 3, unchanged since ----------------------
-    "revenue_by_nation",
-    "price_quantity_corr",
-    "order_priority_checking",
-    "forecast_revenue",
-    "returned_item_top_customers",
-    "priority_line_counts",
-    "promo_revenue_pct",
-    "top_revenue_suppliers",
-    "large_volume_customers",
-    "brand_filtered_revenue",
-    "customer_order_distribution",
-    "sole_late_supplier_blame",
-    "idle_balance_customers",
-    "ann_topk",
-    "ivf_clusters",
-    "ann_ivf",
-    "ann_ivf_multiprobe",
-    "ivf_clusters_trained",
-    "embedding_near_pairs",
-    "rhp_signatures",
-    "ann_rhp",
-    "streaming_running_totals",
-    "text_stats",
-    "tfidf_search",
-    "pack_sequences",
-    "mask_terms",
-    "repetition_ratio",
-    "contamination_check",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_clusters",
-    "curation_pipeline",
-    "national_market_share",
-    # ---- driver-green in round 4 (freshest evidence) — last ------------
-    "sessionize",
-    "session_stats",
-    "sessionize_native",
-    "longest_streak",
-    "streaming_sessions",
-    "streaming_stream_join",
-    "daily_activity_filled",
-    "json_flatten",
-    "countmin_user_counts",
-    "kmv_distinct_users",
-    "range_join_close_events",
-    "kmeans_centroids",
-    "small_quantity_revenue",
-    "scd2_customer_balance",
-    "user_type_history",
-    "pit_order_balance",
-    "bloom_semi_join_revenue",
-    "bloom_prefilter_stats",
-    "salted_event_counts",
-    "salted_join_value_by_type",
-    "histogram_quantiles",
-    "incremental_monthly_rollup",
-    "assign_shards",
-    "interpolate_user_values",
-    "array_ops_gauntlet",
-    "nullsafe_join_counts",
-    "streaming_enriched_counts",
-    "rank_fraction_family",
-    "weighted_sample",
-    "anomalous_days",
-    "mixture_sample",
-    "dedup_cascade",
-    "order_cube",
-    "sliding_event_counts",
-    "moving_avg_value",
-    "top_orders",
-    "nations_without_suppliers",
-    "nations_with_both",
-    "all_account_balances",
-    "order_rollup",
-    "order_grouping_sets",
-    "running_total",
-    "bucketed_join_revenue",
-    "snapshot_diff_customers",
-    "linear_attribution",
-    "event_transition_matrix",
-    "full_outer_rollup",
-    "two_key_join",
 ]
 
 # Bench headline set lives beside the driver order so both gates are

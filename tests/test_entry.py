@@ -28,26 +28,58 @@ def test_contract_shape():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
 
 
+def _latest_green_round() -> dict[str, int]:
+    """Latest round with a green (rows-match) driver row per query, from
+    the committed CORRECTNESS_r*.json artifacts. Never-checked -> 0."""
+    import glob
+    import json
+    import re as _re
+
+    from cliqz_etl_spark.queries import DRIVER_ORDER
+
+    latest = {n: 0 for n in DRIVER_ORDER}
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        rnd = int(_re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
+        with open(path) as f:
+            for name, res in json.load(f).items():
+                if name in latest and res.get("rows_match"):
+                    latest[name] = max(latest[name], rnd)
+    return latest
+
+
 def test_new_queries_sit_inside_driver_window():
     """Window-rotation discipline (round-4 process bug): the driver checks
     only the first 50 DRIVER_ORDER slots per round, so any registry entry
     that has never appeared in a committed CORRECTNESS_r*.json must sit
     inside slots 1-50 of the NEXT window — otherwise a new operator ships
     with no hard correctness evidence, unnoticed."""
-    import glob
-    import json
-
     from cliqz_etl_spark.queries import DRIVER_ORDER
 
-    checked: set[str] = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        with open(path) as f:
-            checked.update(json.load(f).keys())
-    never_checked = [n for n in DRIVER_ORDER if n not in checked]
-    outside = [n for n in never_checked if DRIVER_ORDER.index(n) >= 50]
+    latest = _latest_green_round()
+    outside = [n for n in DRIVER_ORDER[50:] if latest[n] == 0]
     assert not outside, (
         f"queries with zero driver evidence sit past the 50-slot check "
         f"window: {outside} — move them into slots 1-50 of DRIVER_ORDER")
+
+
+def test_driver_window_rotates_oldest_evidence_first():
+    """Freshness discipline (round-5 verdict): testdata regenerates between
+    rounds, so a driver row from three rounds ago is decayed evidence. The
+    50-slot window must therefore hold every query whose latest green row
+    is STRICTLY older than the 50th-oldest query's round (ties at the
+    boundary round may be traded for this round's code-churn re-verifies,
+    which is the other legitimate claim on a slot). Leaving DRIVER_ORDER
+    unrotated after a driver run fails here, structurally."""
+    from cliqz_etl_spark.queries import DRIVER_ORDER
+
+    latest = _latest_green_round()
+    boundary = sorted(latest.values())[49]  # round of the 50th-oldest query
+    must_be_in_window = {n for n, r in latest.items() if r < boundary}
+    stale_outside = [n for n in DRIVER_ORDER[50:] if n in must_be_in_window]
+    assert not stale_outside, (
+        f"queries with evidence older than the window boundary (round "
+        f"{boundary}) sit past slot 50: {stale_outside} — rotate "
+        "DRIVER_ORDER oldest-evidence-first")
 
 
 def test_entry_runs_and_returns_rows(spark):
