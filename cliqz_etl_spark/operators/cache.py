@@ -2,20 +2,26 @@
 them deterministically.
 
 Operators that persist a mid-plan frame (dedup signatures, IVF
-assignments, …) register it here via ``track``. The persisted frame must
+assignments, …) register it here via ``track``; operators that ship a
+model to executors as a broadcast variable (SQ8 query model, IVF
+centroids) register it via ``track_broadcast``. Either artifact must
 outlive the operator call — the returned DataFrame is lazy and still
-references it — so the operator itself cannot unpersist. Instead the
+references it — so the operator itself cannot release. Instead the
 *runner* (bench.py, tests/test_oracle.py, any driver loop) calls
 ``release_all()`` after its terminal action. Without that, repeated
-operator invocations in one session accumulate MEMORY_AND_DISK partitions
-until the storage layer evicts them, competing with shuffle memory.
+operator invocations in one session accumulate MEMORY_AND_DISK
+partitions and executor-side broadcast blocks until the storage layer
+evicts them, competing with shuffle memory.
 """
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+_LIVE_BC: list[Any] = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -24,11 +30,23 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_broadcast(bc):
+    """Record a broadcast variable for later release; returns it unchanged.
+    release_all() unpersists (drops executor copies; the driver keeps its
+    copy, so a still-referenced lazy plan re-broadcasts on demand) rather
+    than destroys, which would poison re-execution."""
+    _LIVE_BC.append(bc)
+    return bc
+
+
 def release_all(blocking: bool = False) -> int:
-    """Unpersist every tracked frame; returns how many were released.
-    Safe to call repeatedly; frames already evicted unpersist as a no-op."""
+    """Unpersist every tracked frame and broadcast; returns how many were
+    released. Safe to call repeatedly; already-evicted entries no-op."""
     n = 0
     while _LIVE:
         _LIVE.pop().unpersist(blocking)
+        n += 1
+    while _LIVE_BC:
+        _LIVE_BC.pop().unpersist(blocking)
         n += 1
     return n

@@ -73,7 +73,7 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
     co-location strategy for repeated fact-fact joins at 100 TB.
 
     Robust to orphaned warehouse directories: a managed table written by
-    a PREVIOUS session leaves its directory under spark.sql.warehouse.dir
+    a PREVIOUS session leaves its directory under its database's location
     while the new session's catalog has no such table — saveAsTable then
     fails with LOCATION_ALREADY_EXISTS (overwrite mode can't help: the
     catalog entry it would overwrite doesn't exist). The leftover
@@ -81,19 +81,30 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
     no catalog entry); when the table exists in the catalog, the write
     goes straight to saveAsTable so all of its safety analysis — e.g.
     refusing to overwrite a table the plan also reads — still runs
-    before anything is touched. ``table`` must be an unqualified name in
-    the current (default) database: the orphan-location derivation below
-    does not model '<db>.db/' warehouse layouts."""
-    if "." in table:
-        raise ValueError(
-            f"write_bucketed requires an unqualified table name, got "
-            f"{table!r} — qualified names need database-aware orphan "
-            "cleanup")
+    before anything is touched.
+
+    ``table`` may be unqualified (resolved against the session's CURRENT
+    database, which is also where saveAsTable writes it) or ``db.table``
+    qualified; either way the orphan path is derived from the owning
+    database's actual ``locationUri`` via spark.catalog — never from an
+    assumed '<warehouse>/<name>' layout, so a non-default current
+    database or a custom database location cannot misdirect the delete."""
     spark = df.sparkSession
+    parts = table.split(".")
+    if len(parts) == 1:
+        db, name = spark.catalog.currentDatabase(), parts[0]
+    elif len(parts) == 2 and all(parts):
+        db, name = parts
+    else:
+        raise ValueError(
+            f"write_bucketed accepts 'table' or 'db.table' names, got "
+            f"{table!r}")
     if not spark.catalog.tableExists(table):
+        # getDatabase also fail-fasts on a nonexistent database with a
+        # clearer error than saveAsTable's would be
+        db_loc = spark.catalog.getDatabase(db).locationUri
         sc = spark.sparkContext
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = sc._jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+        loc = sc._jvm.org.apache.hadoop.fs.Path(db_loc, name.lower())
         fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)

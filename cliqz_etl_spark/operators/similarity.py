@@ -37,16 +37,21 @@ def valid_quantized(df: DataFrame, id_col: str, vec_col: str,
                     dim: int) -> DataFrame:
     """(_id, _qv): the quantized projection every numpy-kernel operator
     consumes, restricted to rows whose vector is actually scorable —
-    non-NULL, exactly ``dim`` long, and free of NULL/NaN elements
-    (quantize turns a NaN element into a NULL long, and np.asarray of a
-    list containing None is an object array that crashes the kernel).
-    One definition so the validity rule can't drift between the six
-    operators that need it; the filter is a scan predicate that costs
-    nothing on clean corpora."""
+    non-NULL, exactly ``dim`` long, and free of NULL/NaN/±Inf elements
+    (quantize turns a NaN element into a NULL long, np.asarray of a
+    list containing None is an object array that crashes the kernel,
+    and an Inf element would saturate the non-ANSI double→long cast to
+    Long.MAX_VALUE, after which the int64 numpy dot products silently
+    WRAP — wrong scores, no error — so un-codable vectors are dropped
+    like every other invalid shape). One definition so the validity rule
+    can't drift between the six operators that need it; the filter is a
+    scan predicate that costs nothing on clean corpora."""
     c = F.col(vec_col)
+    inf = F.lit(float("inf"))
     return (
         df.where(c.isNotNull() & (F.size(c) == dim)
-                 & ~F.exists(c, lambda x: x.isNull() | F.isnan(x)))
+                 & ~F.exists(c, lambda x: x.isNull() | F.isnan(x)
+                             | (F.abs(x) == inf)))
         .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
     )
 
@@ -196,8 +201,23 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     code corpus against broadcast queries; the rerank join touches full
     vectors for Q x rerank rows — the only rows whose float payload is
     ever read. Cosine is scale-invariant, so the 255x decode scale drops
-    out and scores stay deterministic doubles over exact integers."""
+    out and scores stay deterministic doubles over exact integers.
+
+    ``id_col`` must be integral on both sides: the broadcast query model
+    and the kernel's output schema carry ids as int64 (unlike the older
+    join-based formulation, which was id-type-generic). Checked up front
+    so a string-id corpus fails with a clear error, not a cast crash deep
+    inside an Arrow batch."""
     from pyspark.sql import Window
+    from pyspark.sql.types import IntegralType
+
+    for side, frame in (("corpus", corpus), ("queries", queries)):
+        dt = frame.schema[id_col].dataType
+        if not isinstance(dt, IntegralType):
+            raise TypeError(
+                f"sq8_topk requires an integral id column "
+                f"({side}.{id_col} is {dt.simpleString()}) — the broadcast "
+                "query model and mapInPandas output schema are int64")
 
     # No persist on the decoded corpus: the approx scan reads (_id, _rv)
     # and the rerank join reads (_id, _qv), so column pruning gives each
@@ -224,7 +244,8 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     q_rows = qs.collect()  # Q-row model fetch
     q_model = ([int(r["query_id"]) for r in q_rows],
                [[int(x) for x in r["qv"]] for r in q_rows])
-    bc = rec.sparkSession.sparkContext.broadcast(q_model)
+    from cliqz_etl_spark.operators.cache import track_broadcast
+    bc = track_broadcast(rec.sparkSession.sparkContext.broadcast(q_model))
 
     def score(batches):
         import numpy as np
@@ -315,7 +336,8 @@ def ivf_assign_q(projected: DataFrame, cids: list[int],
 
     order = sorted(range(len(cids)), key=lambda i: cids[i])
     model = ([int(cids[i]) for i in order], [[int(x) for x in cents[i]] for i in order])
-    bc = projected.sparkSession.sparkContext.broadcast(model)
+    from cliqz_etl_spark.operators.cache import track_broadcast
+    bc = track_broadcast(projected.sparkSession.sparkContext.broadcast(model))
     schema = StructType(list(projected.schema.fields)
                         + [StructField("cluster", LongType(), False)])
 
@@ -363,7 +385,8 @@ def ivf_assign_multi_q(projected: DataFrame, cids: list[int],
 
     order = sorted(range(len(cids)), key=lambda i: cids[i])
     model = ([int(cids[i]) for i in order], [[int(x) for x in cents[i]] for i in order])
-    bc = projected.sparkSession.sparkContext.broadcast(model)
+    from cliqz_etl_spark.operators.cache import track_broadcast
+    bc = track_broadcast(projected.sparkSession.sparkContext.broadcast(model))
     schema = StructType(list(projected.schema.fields)
                         + [StructField("cluster", LongType(), False),
                            StructField("probe", LongType(), False)])

@@ -37,6 +37,17 @@ _DEFAULT_CONF = {
 }
 
 
+def _local_heap_default() -> str:
+    """min(16g, 70% of physical RAM), floored at 1g, in whole GiB — the
+    sysconf probe fails closed to 16g on platforms without SC_PHYS_PAGES
+    (the pre-sizing behavior)."""
+    try:
+        phys = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "16g"
+    return f"{max(1, min(16, int(phys * 0.7 / (1 << 30))))}g"
+
+
 def get_spark(app_name: str = "cliqz_etl_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) the session. ``master`` defaults to ``local[N]``
@@ -54,10 +65,14 @@ def get_spark(app_name: str = "cliqz_etl_spark", master: str | None = None,
         # and Spark's default spark.driver.memory=1g means 32 concurrent
         # tasks share 1 GiB no matter how much RAM the box has (measured:
         # GC-locker thrash, then OOM, on a 10x corpus with 123 GiB free).
-        # Only effective before the JVM launches, which get_spark
-        # controls; on a real cluster the submitter sizes memory instead.
+        # Sized to min(16g, ~70% of physical RAM) so a small box doesn't
+        # hand the whole machine to the JVM and invite the OS OOM killer;
+        # SPARK_GRAFT_DRIVER_MEM overrides. Only effective before the JVM
+        # launches, which get_spark controls; on a real cluster the
+        # submitter sizes memory instead.
         conf.setdefault("spark.driver.memory",
-                        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+                        os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                       _local_heap_default()))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

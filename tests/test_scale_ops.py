@@ -46,6 +46,90 @@ def test_bucketed_join_has_no_shuffle(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+def test_bucketed_write_qualified_name_from_dirty_warehouse(spark):
+    """db.table bucketed round-trip must survive an orphaned directory in
+    the OWNING database's location (written by a dead session), and the
+    orphan cleanup must scope to that database — a same-named directory
+    in the default warehouse root is not touched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+    try:
+        db_loc = spark.catalog.getDatabase("bktdb").locationUri
+        db_path = db_loc.removeprefix("file:")
+        orphan = os.path.join(db_path, "t_qual")
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "junk"), "w") as f:
+            f.write("stale")
+        # decoy with the same table name under the default db's layout:
+        # must survive the qualified write untouched
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        decoy = os.path.join(wh, "t_qual")
+        os.makedirs(decoy, exist_ok=True)
+        with open(os.path.join(decoy, "keep"), "w") as f:
+            f.write("mine")
+        df = spark.range(0, 100).withColumn("v", F.col("id") * 7)
+        write_bucketed(df, "bktdb.t_qual", "id", 4)
+        assert spark.table("bktdb.t_qual").count() == 100
+        assert os.path.exists(os.path.join(decoy, "keep"))
+        # second overwrite goes through saveAsTable's own analysis
+        write_bucketed(df.where("id < 50"), "bktdb.t_qual", "id", 4)
+        assert spark.table("bktdb.t_qual").count() == 50
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+        import shutil
+        shutil.rmtree(os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            "t_qual"), ignore_errors=True)
+
+
+def test_bucketed_write_rejects_three_part_names(spark):
+    import pytest
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="db.table"):
+        write_bucketed(df, "cat.db.t", "id", 4)
+
+
+def test_valid_quantized_drops_inf_vectors(spark):
+    """An Inf element saturates the double->long cast and then WRAPS in
+    the int64 numpy kernels — such vectors must be filtered out with the
+    other un-scorable shapes, never scored."""
+    from cliqz_etl_spark.operators.similarity import valid_quantized
+
+    rows = [(1, [1.0, 2.0]), (2, [float("inf"), 1.0]),
+            (3, [float("-inf"), 1.0]), (4, [float("nan"), 1.0]),
+            (5, None), (6, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["_id"] for r in valid_quantized(df, "vec_id", "embedding", 2).collect()}
+    assert got == {1}
+
+
+def test_sq8_topk_rejects_non_integral_ids(spark):
+    import pytest
+
+    from cliqz_etl_spark.operators.similarity import sq8_topk
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", [2.0, 1.0])],
+        "vec_id string, embedding array<double>")
+    with pytest.raises(TypeError, match="integral id"):
+        sq8_topk(df, df, "vec_id", "embedding", dim=2)
+
+
+def test_release_all_covers_broadcasts(spark):
+    """Broadcast models registered via track_broadcast are reclaimed by
+    the same runner hook that unpersists cached frames."""
+    from cliqz_etl_spark.operators.cache import release_all, track_broadcast
+
+    release_all()  # drain anything earlier tests left behind
+    bc = track_broadcast(spark.sparkContext.broadcast([1, 2, 3]))
+    assert release_all() == 1
+    assert bc.value == [1, 2, 3]  # driver copy survives unpersist
+
+
 def test_connected_components_path_doubling_on_long_chain(spark):
     """A 200-node chain converges within 10 rounds only if the pointer-
     jumping shortcut actually doubles label reach per round (plain
