@@ -240,6 +240,11 @@ BENCH_HEADLINE: list[str] = [
     "longest_streak",
     "stratified_sample",
     "word_counts",
+    # Streaming drain time (availableNow to completion): the only perf
+    # tracking the streaming family gets, since correctness gates don't
+    # time anything.
+    "streaming_hourly_counts",
+    "streaming_dedup",
 ]
 
 

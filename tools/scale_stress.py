@@ -1,9 +1,15 @@
 """Scale stress harness: does the dedup/ANN family scale ~linearly from
-sf0.1 to a 10x corpus? Generates a transient 50k-doc / 32k-vector
-dataset under /tmp (Zipfian 10k-word vocabulary so shingle frequencies
-look like real text, ~2% planted near-dups) and times the heavy
-operators at both scales. Quadratic blowups show up as >>10x time
-ratios; expected results are sub-linear (job overhead dominates).
+sf0.1 through 10x and 100x corpora? Generates transient datasets under
+/tmp (Zipfian 10k-word vocabulary so shingle frequencies look like real
+text, ~2% planted near-dups) and times the heavy operators at each
+scale. Quadratic blowups show up as >>scale time ratios; expected
+results are sub-linear at 10x (job overhead dominates) and ~linear by
+100x.
+
+Modes (combinable):
+    python tools/scale_stress.py            # 10x dedup/ANN + events run
+    python tools/scale_stress.py --100x     # 100x dedup/ANN run
+    python tools/scale_stress.py --skew     # salted-vs-plain skew bench
 
 Round-5 run (local[32], 16g heap; 10x docs, 16x vectors, 10x events
 vs sf0.1): LSH 0.8x, simhash 2.4x, ngram-jaccard 2.9x, incremental
@@ -16,12 +22,20 @@ inverted-index join — see session.py's local-mode heap sizing.
 
 A second data point at 200k docs (40x): LSH 2.3x, simhash 2.8x,
 ngram-jaccard 9.6x wall-clock vs sf0.1 — the curve stays sub-linear
-across both scale steps.
+across both scale steps. The round-6 100x sweep (500k docs / 200k
+vectors): LSH 4.0x, simhash 5.7x, ngram-jaccard 19.3x, incremental
+LSH 7.9x, SQ8 3.9x at 100x the data — sub-quadratic across three
+measured decades, no OOM at the 16g local heap. Round-6 skew bench
+(--skew): salted_join x32 2.12 s vs plain 5.23 s vs AQE-skew-join
+3.08 s on an 8M-row/75%-hot corpus; salted_count ties plain (partial
+agg already absorbs COUNT skew). Numbers and consequences in
+ARCHITECTURE.md's scale-design section.
 
-Usage: python tools/scale_stress.py   (not part of the pytest suite —
-it takes minutes and writes ~100 MB under /tmp/sfstress)."""
+Not part of the pytest suite — a full sweep takes minutes and writes
+up to ~400 MB under /tmp/sfstress*."""
 import os
 import random
+import string as _string
 import sys
 import time
 
@@ -30,99 +44,90 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-OUT = "/tmp/sfstress"
-os.makedirs(OUT, exist_ok=True)
-random.seed(11)
-rng = np.random.default_rng(11)
+SMALL = "/root/testdata/sf0.1"
+OUT10 = "/tmp/sfstress"
+OUT100 = "/tmp/sfstress100"
+SKEWDIR = "/tmp/sfstress_skew"
 
 # realistic shingle sparsity needs a real-sized vocabulary: 10k words
 # with a Zipfian skew (a 50-word vocab makes every trigram a hot shingle,
 # which no real corpus looks like)
-import string as _string
 _rw = random.Random(13)
 VOCAB = ["".join(_rw.choice(_string.ascii_lowercase)
                  for _ in range(_rw.randint(3, 9)))
          for _ in range(10_000)]
 _zipf_w = [1.0 / (i + 1) for i in range(len(VOCAB))]
 
-def _zipf_words(r, n):
-    return r.choices(VOCAB, weights=_zipf_w, k=n)
 
-if not os.path.exists(f"{OUT}/documents.parquet"):
-    n_docs = 50_000
-    texts = []
-    for i in range(n_docs):
-        n = random.randint(20, 80)
-        texts.append(" ".join(_zipf_words(random, n)))
-    # plant ~2% near-dups so candidate generation has real work
-    for i in range(0, n_docs, 50):
-        j = (i + 1) % n_docs
-        texts[j] = texts[i] + " extra"
-    t = pa.table({
-        "doc_id": pa.array(range(n_docs), pa.int64()),
-        "text": pa.array(texts),
-        "lang": pa.array([random.choice(["en", "de", "fr", "es"])
-                          for _ in range(n_docs)]),
-        "source": pa.array(["gen"] * n_docs),
-        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
-    })
-    pq.write_table(t, f"{OUT}/documents.parquet")
-
-if not os.path.exists(f"{OUT}/embeddings.parquet"):
-    n_vec = 32_000
-    V = rng.normal(size=(n_vec, 64)).astype(np.float32)
-    V /= np.linalg.norm(V, axis=1, keepdims=True)
-    t = pa.table({
-        "vec_id": pa.array(range(n_vec), pa.int64()),
-        "embedding": pa.array(V.tolist(),
-                              pa.list_(pa.float32())),
-        "label": pa.array([i % 7 for i in range(n_vec)], pa.int64()),
-    })
-    pq.write_table(t, f"{OUT}/embeddings.parquet")
-
-if not os.path.exists(f"{OUT}/events.parquet"):
-    # 1M events / 1.5k users over 6 months — 10x the sf0.1 event volume,
-    # with the same skew shape (a few hot users) the gate data has
-    n_ev = 1_000_000
-    n_users = 1_500
-    user = rng.zipf(1.5, size=n_ev) % n_users
-    base = np.int64(1_704_067_200_000_000)  # 2024-01-01 in micros
-    ts = base + rng.integers(0, np.int64(180 * 86_400_000_000), size=n_ev)
-    types = np.array(["click", "view", "purchase", "signup"])
-    t = pa.table({
-        "event_id": pa.array(range(n_ev), pa.int64()),
-        "ts": pa.array(ts, pa.timestamp("us")),
-        "user_id": pa.array(user, pa.int64()),
-        "event_type": pa.array(types[rng.integers(0, 4, size=n_ev)]),
-        "value": pa.array(rng.random(n_ev) * 100, pa.float64()),
-        "props": pa.array(['{"k": 1}'] * n_ev),
-    })
-    pq.write_table(t, f"{OUT}/events.parquet")
-
-from cliqz_etl_spark.operators.cache import release_all
-from cliqz_etl_spark.operators.dedup import (
-    lsh_candidate_pairs, ngram_jaccard_pairs, simhash_near_pairs,
-    incremental_lsh_matches,
-)
-from cliqz_etl_spark.operators.similarity import sq8_topk
-from cliqz_etl_spark.session import get_spark
-from pyspark.sql import functions as F
-
-spark = get_spark("stress", master="local[32]",
-                  extra_conf={"spark.ui.enabled": "false"})
-spark.sparkContext.setLogLevel("ERROR")
-spark.range(1000).selectExpr("sum(id)").collect()
+def gen_corpus(path: str, n_docs: int, n_vec: int, n_ev: int) -> None:
+    """Write documents/embeddings[/events] parquet at the given sizes
+    (idempotent per file). Same generator at every scale so ratios
+    compare like with like."""
+    os.makedirs(path, exist_ok=True)
+    r = random.Random(11)
+    rng = np.random.default_rng(11)
+    if n_docs and not os.path.exists(f"{path}/documents.parquet"):
+        texts = []
+        for _ in range(n_docs):
+            texts.append(" ".join(r.choices(VOCAB, weights=_zipf_w,
+                                            k=r.randint(20, 80))))
+        # plant ~2% near-dups so candidate generation has real work
+        for i in range(0, n_docs, 50):
+            texts[(i + 1) % n_docs] = texts[i] + " extra"
+        t = pa.table({
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([r.choice(["en", "de", "fr", "es"])
+                              for _ in range(n_docs)]),
+            "source": pa.array(["gen"] * n_docs),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        })
+        pq.write_table(t, f"{path}/documents.parquet")
+    if n_vec and not os.path.exists(f"{path}/embeddings.parquet"):
+        V = rng.normal(size=(n_vec, 64)).astype(np.float32)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        t = pa.table({
+            "vec_id": pa.array(range(n_vec), pa.int64()),
+            "embedding": pa.array(V.tolist(), pa.list_(pa.float32())),
+            "label": pa.array([i % 7 for i in range(n_vec)], pa.int64()),
+        })
+        pq.write_table(t, f"{path}/embeddings.parquet")
+    if n_ev and not os.path.exists(f"{path}/events.parquet"):
+        # n_ev events / 1.5k users over 6 months — same skew shape
+        # (a few hot users) the gate data has
+        n_users = 1_500
+        user = rng.zipf(1.5, size=n_ev) % n_users
+        base = np.int64(1_704_067_200_000_000)  # 2024-01-01 in micros
+        ts = base + rng.integers(0, np.int64(180 * 86_400_000_000), size=n_ev)
+        types = np.array(["click", "view", "purchase", "signup"])
+        t = pa.table({
+            "event_id": pa.array(range(n_ev), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(types[rng.integers(0, 4, size=n_ev)]),
+            "value": pa.array(rng.random(n_ev) * 100, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n_ev),
+        })
+        pq.write_table(t, f"{path}/events.parquet")
 
 
-def docs_at(path):
-    return spark.read.parquet(f"{path}/documents.parquet")
+def _rows(path, table):
+    return pq.ParquetFile(f"{path}/{table}.parquet").metadata.num_rows
 
 
-def emb_at(path):
-    return spark.read.parquet(f"{path}/embeddings.parquet")
+def _get_spark():
+    from cliqz_etl_spark.session import get_spark
+
+    spark = get_spark("stress", master="local[32]",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    return spark
 
 
 def run(label, fn):
+    from cliqz_etl_spark.operators.cache import release_all
+
     t0 = time.perf_counter()
     n = fn().count()
     dt = time.perf_counter() - t0
@@ -131,47 +136,171 @@ def run(label, fn):
     return dt
 
 
-SMALL = "/root/testdata/sf0.1"
+def family_sweep(spark, big_dir: str, scale_label: str,
+                 with_events: bool) -> None:
+    """Time the dedup/ANN family at sf0.1 and at ``big_dir``; print
+    per-operator wall-clock ratios."""
+    from pyspark.sql import functions as F
+
+    from cliqz_etl_spark.operators.dedup import (
+        incremental_lsh_matches,
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from cliqz_etl_spark.operators.similarity import sq8_topk
+
+    def docs_at(path):
+        return spark.read.parquet(f"{path}/documents.parquet")
+
+    def emb_at(path):
+        return spark.read.parquet(f"{path}/embeddings.parquet")
+
+    _sd, _bd = _rows(SMALL, "documents"), _rows(big_dir, "documents")
+    _sv, _bv = _rows(SMALL, "embeddings"), _rows(big_dir, "embeddings")
+    print(f"small: {_sd} docs / {_sv} vecs   "
+          f"big({scale_label}): {_bd} docs ({_bd/_sd:.0f}x) / "
+          f"{_bv} vecs ({_bv/_sv:.0f}x)")
+    # keep the query-set size FIXED across scales (every 500th vector at
+    # 10x was 64 queries; the modulus scales so Q stays ~64 and the ratio
+    # isolates corpus-side growth)
+    qmod = max(1, _bv // 64)
+    for name, make in [
+        ("lsh_candidate_pairs", lambda p: lambda: lsh_candidate_pairs(
+            docs_at(p), "doc_id", "text")),
+        ("simhash_near_pairs", lambda p: lambda: simhash_near_pairs(
+            docs_at(p), "doc_id", "text")),
+        ("ngram_jaccard_pairs", lambda p: lambda: ngram_jaccard_pairs(
+            docs_at(p), "doc_id", "text")),
+        ("incremental_lsh_matches", lambda p: lambda: incremental_lsh_matches(
+            docs_at(p).where(F.col("doc_id") % 5 == 0),
+            docs_at(p).where(F.col("doc_id") % 5 != 0), "doc_id", "text")),
+        ("sq8_topk", lambda p: lambda: sq8_topk(
+            emb_at(p),
+            emb_at(p).where(F.col("vec_id") % (500 if p == SMALL else qmod) == 0),
+            "vec_id", "embedding", 64, 5, 20)),
+    ]:
+        t_small = run(f"{name} @small", make(SMALL))
+        t_big = run(f"{name} @{scale_label}", make(big_dir))
+        print(f"{name:38s} ratio {t_big / t_small:5.1f}x")
+
+    if not with_events:
+        return
+    # ---- events family (sessionization / as-of / retention shapes) ------
+    # registry queries take an sf_dir; the stress dir has its own events
+    from cliqz_etl_spark.queries import load_all
+
+    registry = load_all()
+    for qname in ["sessionize", "session_stats", "longest_streak",
+                  "asof_last_click_before_purchase", "weekly_retention",
+                  "funnel_counts", "event_transition_matrix"]:
+        fn = registry[qname].fn
+        t_small = run(f"{qname} @small", lambda: fn(spark, SMALL))
+        t_big = run(f"{qname} @{scale_label}", lambda: fn(spark, big_dir))
+        print(f"{qname:38s} ratio {t_big / t_small:5.1f}x")
 
 
-def _rows(path, table):
-    return pq.ParquetFile(f"{path}/{table}.parquet").metadata.num_rows
+def gen_skew_corpus() -> None:
+    """8M-row fact table where ONE key owns 75% of rows (the pathological
+    hot-key regime salting targets: the hot partition is ~24x the mean,
+    so the unsalted sort-merge task IS the job's critical path), plus a
+    10k-key dim. A milder 50%/4M corpus measured plain ≈ salted — the
+    hot task finished before the salted plan's dim-explosion overhead
+    paid off; skew has to actually bind before salting is worth it."""
+    os.makedirs(SKEWDIR, exist_ok=True)
+    if os.path.exists(f"{SKEWDIR}/facts.parquet"):
+        return
+    rng = np.random.default_rng(7)
+    n = 8_000_000
+    keys = rng.integers(1, 10_000, size=n)
+    keys[rng.random(n) < 0.75] = 0  # key 0 = the hot key, ~75% of rows
+    t = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(rng.random(n) * 100, pa.float64()),
+    })
+    pq.write_table(t, f"{SKEWDIR}/facts.parquet")
+    d = pa.table({
+        "k": pa.array(range(10_000), pa.int64()),
+        "label": pa.array([f"L{i % 97}" for i in range(10_000)]),
+    })
+    pq.write_table(d, f"{SKEWDIR}/dim.parquet")
 
 
-_sd, _bd = _rows(SMALL, "documents"), _rows(OUT, "documents")
-_sv, _bv = _rows(SMALL, "embeddings"), _rows(OUT, "embeddings")
-_se, _be = _rows(SMALL, "events"), _rows(OUT, "events")
-print(f"small: {_sd} docs / {_sv} vecs / {_se} events   "
-      f"big: {_bd} docs ({_bd/_sd:.0f}x) / {_bv} vecs ({_bv/_sv:.0f}x) / "
-      f"{_be} events ({_be/_se:.0f}x)")
-for name, make in [
-    ("lsh_candidate_pairs", lambda p: lambda: lsh_candidate_pairs(
-        docs_at(p), "doc_id", "text")),
-    ("simhash_near_pairs", lambda p: lambda: simhash_near_pairs(
-        docs_at(p), "doc_id", "text")),
-    ("ngram_jaccard_pairs", lambda p: lambda: ngram_jaccard_pairs(
-        docs_at(p), "doc_id", "text")),
-    ("incremental_lsh_matches", lambda p: lambda: incremental_lsh_matches(
-        docs_at(p).where(F.col("doc_id") % 5 == 0),
-        docs_at(p).where(F.col("doc_id") % 5 != 0), "doc_id", "text")),
-    ("sq8_topk", lambda p: lambda: sq8_topk(
-        emb_at(p), emb_at(p).where(F.col("vec_id") % 500 == 0),
-        "vec_id", "embedding", 64, 5, 20)),
-]:
-    t_small = run(f"{name} @small", make(SMALL))
-    t_big = run(f"{name} @10x", make(OUT))
-    print(f"{name:38s} ratio {t_big / t_small:5.1f}x")
+def skew_bench(spark) -> None:
+    """Salted vs plain on a 50%-hot-key corpus, with the rescue paths a
+    real cluster can't always count on (AQE skew-join, broadcast)
+    DISABLED — the regime the manual salted operators exist for. Both
+    shapes are asserted to produce identical answers before timing."""
+    from pyspark.sql import functions as F
 
-# ---- events family (sessionization / as-of / retention shapes) ----------
-# registry queries take an sf_dir; the stress dir has its own 10x events
-# (other tables are read from sf0.1 via the small dir)
-from cliqz_etl_spark.queries import load_all
+    from cliqz_etl_spark.operators.relational import salted_count, salted_join
 
-registry = load_all()
-for qname in ["sessionize", "session_stats", "longest_streak",
-              "asof_last_click_before_purchase", "weekly_retention",
-              "funnel_counts", "event_transition_matrix"]:
-    fn = registry[qname].fn
-    t_small = run(f"{qname} @small", lambda: fn(spark, SMALL))
-    t_big = run(f"{qname} @10x", lambda: fn(spark, OUT))
-    print(f"{qname:38s} ratio {t_big / t_small:5.1f}x")
+    gen_skew_corpus()
+    facts = spark.read.parquet(f"{SKEWDIR}/facts.parquet")
+    dim = spark.read.parquet(f"{SKEWDIR}/dim.parquet")
+    n_facts, hot = facts.count(), facts.where("k = 0").count()
+    print(f"skew corpus: {n_facts} facts, hot key = {hot} rows "
+          f"({100*hot/n_facts:.0f}%), dim = {dim.count()} keys")
+
+    def plain_join():
+        return (facts.join(dim, "k")
+                .groupBy("label").agg(F.count(F.lit(1)).alias("n"),
+                                      F.sum("v").alias("sv")))
+
+    def salted():
+        return (salted_join(facts, dim, "k", salt_buckets=32)
+                .groupBy("label").agg(F.count(F.lit(1)).alias("n"),
+                                      F.sum("v").alias("sv")))
+
+    # correctness first: identical grouped counts (sums are float-order
+    # sensitive, so compare the exact count surface)
+    a = {r["label"]: r["n"] for r in plain_join().collect()}
+    b = {r["label"]: r["n"] for r in salted().collect()}
+    assert a == b, "salted join diverged from plain join"
+    pc = {r["k"]: r["n"] for r in
+          facts.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sc_ = {r["k"]: r["n"] for r in salted_count(facts, "k").collect()}
+    assert pc == sc_, "salted count diverged from plain count"
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        for label, fn in [("join plain (no AQE-skew rescue)", plain_join),
+                          ("join salted x32", salted)]:
+            ts = [run(label, fn) for _ in range(2)]
+            print(f"{label:38s} best {min(ts):6.2f}s")
+        for label, fn in [
+            ("count plain", lambda: facts.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"))),
+            ("count salted x16", lambda: salted_count(facts, "k")),
+        ]:
+            ts = [run(label, fn) for _ in range(2)]
+            print(f"{label:38s} best {min(ts):6.2f}s")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # AQE-on reference point: the join rescue Spark applies when it CAN
+    ts = [run("join plain (AQE skew-join on)", plain_join) for _ in range(2)]
+    print(f"{'join plain (AQE skew-join on)':38s} best {min(ts):6.2f}s")
+
+
+if __name__ == "__main__":
+    args = set(sys.argv[1:])
+    spark = _get_spark()
+    if "--skew" in args:
+        skew_bench(spark)
+    if "--100x" in args:
+        gen_corpus(OUT100, n_docs=500_000, n_vec=200_000, n_ev=0)
+        family_sweep(spark, OUT100, "100x", with_events=False)
+    if not args:
+        gen_corpus(OUT10, n_docs=50_000, n_vec=32_000, n_ev=1_000_000)
+        family_sweep(spark, OUT10, "10x", with_events=True)
