@@ -76,14 +76,31 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _drain(df: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
+def _drain(df: DataFrame, prefix: str, mode: str = "complete",
+           state_partitions: int = 8) -> DataFrame:
+    """Run the bounded stream to completion into a memory sink.
+
+    ``state_partitions`` sizes the stateful shuffle for THIS stream: the
+    state store pays a fixed per-partition-per-microbatch cost (provider
+    init, commit, snapshot bookkeeping), so a bounded gate corpus drains
+    ~5x faster at 8 partitions than at the session's 32 (measured sf0.1:
+    tumbling-window agg 4.3 s -> 0.9 s). Scoped to build+drain — streams
+    bake the conf in at start(), and the previous value is restored
+    before the (batch) caller continues, so batch plans keep the session
+    sizing. At production stream volume, size this to throughput the
+    same way batch shuffle.partitions is sized; partition count never
+    changes results, only task granularity."""
+    from cliqz_etl_spark.tables import scoped_conf
+
     spark = df.sparkSession
     name = f"{prefix}_{next(_SINK_IDS)}"
-    (
-        df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(availableNow=True)
-        .start().awaitTermination()
-    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions",
+                     str(state_partitions), default="32"):
+        (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode(mode).trigger(availableNow=True)
+            .start().awaitTermination()
+        )
     return spark.table(name)
 
 
