@@ -252,3 +252,30 @@ def test_streaming_legacy_nanos_layout_and_conf_restore(spark, tmp_path):
         ("2024-01-01 11:00:00", "purchase"): (1, 400),
     }
     assert spark.conf.get(conf_key, "false") == "false", "conf leaked"
+
+
+def test_drain_restores_shuffle_partitions(spark):
+    """_drain sizes the stateful shuffle for the stream it starts; the
+    session's batch sizing must come back after the drain (and the
+    drained stream itself must have used the stream-scoped width)."""
+    from cliqz_etl_spark.queries.streamq import streaming_hourly_counts
+
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    try:
+        df = streaming_hourly_counts(spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "17", \
+            "drain leaked its stream-scoped shuffle sizing into the session"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_local_heap_default_bounds():
+    """min(16g, ~70% RAM) floored at 1g — whatever the box, the derived
+    default parses as whole GiB inside [1, 16]."""
+    import re
+
+    from cliqz_etl_spark.session import _local_heap_default
+
+    m = re.fullmatch(r"(\d+)g", _local_heap_default())
+    assert m and 1 <= int(m.group(1)) <= 16
