@@ -76,26 +76,44 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Size the stateful shuffle to the stream's volume: one state
+    partition per ~64 MiB of source, floored at 8 (the gate corpora are
+    tiny and the floor keeps per-batch bookkeeping bounded) and capped
+    at 2x the cluster's parallelism (beyond that extra partitions only
+    add state-store commits, they can't add concurrency). Partition
+    count never changes results, only task granularity — the same
+    sizing exercise as batch shuffle.partitions, made explicit because
+    streaming state makes the per-partition fixed cost much higher."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        size = 0
+    cap = max(8, 2 * spark.sparkContext.defaultParallelism)
+    return max(8, min(size // (64 << 20), cap))
+
+
 def _drain(df: DataFrame, prefix: str, mode: str = "complete",
-           state_partitions: int = 8) -> DataFrame:
+           state_partitions: int | None = None) -> DataFrame:
     """Run the bounded stream to completion into a memory sink.
 
     ``state_partitions`` sizes the stateful shuffle for THIS stream: the
     state store pays a fixed per-partition-per-microbatch cost (provider
     init, commit, snapshot bookkeeping), so a bounded gate corpus drains
     ~5x faster at 8 partitions than at the session's 32 (measured sf0.1:
-    tumbling-window agg 4.3 s -> 0.9 s). Scoped to build+drain — streams
+    tumbling-window agg 4.3 s -> 0.9 s). Registered queries pass the
+    volume-derived ``_state_partitions``; the bare default (8) covers
+    gate-scale corpora. Scoped to build+drain — streams
     bake the conf in at start(), and the previous value is restored
     before the (batch) caller continues, so batch plans keep the session
-    sizing. At production stream volume, size this to throughput the
-    same way batch shuffle.partitions is sized; partition count never
-    changes results, only task granularity."""
+    sizing."""
     from cliqz_etl_spark.tables import scoped_conf
 
     spark = df.sparkSession
     name = f"{prefix}_{next(_SINK_IDS)}"
+    n = 8 if state_partitions is None else state_partitions
     with scoped_conf(spark, "spark.sql.shuffle.partitions",
-                     str(state_partitions), default="32"):
+                     str(n), default="32"):
         (
             df.writeStream.format("memory").queryName(name)
             .outputMode(mode).trigger(availableNow=True)
@@ -133,7 +151,8 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "total_cents",
         )
     )
-    return _drain(windowed, "hourly_counts")
+    return _drain(windowed, "hourly_counts",
+                  state_partitions=_state_partitions(spark, sf_dir))
 
 
 @query(
@@ -156,7 +175,8 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
     )
-    return _drain(sessions, "sessions")
+    return _drain(sessions, "sessions",
+                  state_partitions=_state_partitions(spark, sf_dir))
 
 
 @query(
@@ -176,7 +196,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching the plain per-type counts over the ORIGINAL table proves
     exactly one copy of every duplicated event survived."""
     doubled = _event_stream(spark, sf_dir).unionByName(_event_stream(spark, sf_dir))
-    deduped = _drain(dedup_stream(doubled), "dedup", mode="append")
+    deduped = _drain(dedup_stream(doubled), "dedup", mode="append",
+                     state_partitions=_state_partitions(spark, sf_dir))
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
@@ -205,7 +226,9 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the batch pair set."""
     clicks = _event_stream(spark, sf_dir).where(F.col("event_type") == "click")
     purchases = _event_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
-    return _drain(click_purchase_join(clicks, purchases), "ssjoin", mode="append")
+    return _drain(click_purchase_join(clicks, purchases), "ssjoin",
+                  mode="append",
+                  state_partitions=_state_partitions(spark, sf_dir))
 
 
 @query(
@@ -223,7 +246,8 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     final Update-mode emission per user must equal the batch aggregate
     exactly, verifying the programmable-state path end to end."""
     ev = _event_stream(spark, sf_dir)
-    return _drain(running_user_totals(ev), "running_totals", mode="update")
+    return _drain(running_user_totals(ev), "running_totals", mode="update",
+                  state_partitions=_state_partitions(spark, sf_dir))
 
 
 @query(
@@ -253,4 +277,5 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return _drain(counts, "enriched", mode="complete")
+    return _drain(counts, "enriched", mode="complete",
+                  state_partitions=_state_partitions(spark, sf_dir))

@@ -193,7 +193,12 @@ def family_sweep(spark, big_dir: str, scale_label: str,
     registry = load_all()
     for qname in ["sessionize", "session_stats", "longest_streak",
                   "asof_last_click_before_purchase", "weekly_retention",
-                  "funnel_counts", "event_transition_matrix"]:
+                  "funnel_counts", "event_transition_matrix",
+                  # streaming drains: availableNow to completion over the
+                  # 10x event stream — exercises the volume-derived state
+                  # sizing, watermarked window state, and the
+                  # dropDuplicatesWithinWatermark state shape at scale
+                  "streaming_hourly_counts", "streaming_dedup"]:
         fn = registry[qname].fn
         t_small = run(f"{qname} @small", lambda: fn(spark, SMALL))
         t_big = run(f"{qname} @{scale_label}", lambda: fn(spark, big_dir))
