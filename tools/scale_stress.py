@@ -148,7 +148,7 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         ngram_jaccard_pairs,
         simhash_near_pairs,
     )
-    from cliqz_etl_spark.operators.similarity import sq8_topk
+    from cliqz_etl_spark.operators.similarity import ivf_topk, sq8_topk
 
     def docs_at(path):
         return spark.read.parquet(f"{path}/documents.parquet")
@@ -179,6 +179,16 @@ def family_sweep(spark, big_dir: str, scale_label: str,
             emb_at(p),
             emb_at(p).where(F.col("vec_id") % (500 if p == SMALL else qmod) == 0),
             "vec_id", "embedding", 64, 5, 20)),
+        # IVF with a FIXED K~32 centroid model at every scale (the
+        # registry query grows K with the corpus, which would hide the
+        # corpus-side scaling this sweep isolates)
+        ("ivf_topk", lambda p: lambda: ivf_topk(
+            emb_at(p),
+            emb_at(p).where(
+                F.col("vec_id") % max(1, _rows(p, "embeddings") // 32) == 0),
+            emb_at(p).where(
+                F.col("vec_id") % (500 if p == SMALL else qmod) == 0),
+            "vec_id", "embedding", 3, 1)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
