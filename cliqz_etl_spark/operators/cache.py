@@ -18,10 +18,11 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 _LIVE: list[DataFrame] = []
 _LIVE_BC: list[Any] = []
+_LIVE_VIEWS: list[tuple[SparkSession, str]] = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -39,14 +40,29 @@ def track_broadcast(bc):
     return bc
 
 
+def track_temp_view(spark: SparkSession, name: str) -> None:
+    """Record a temp view whose catalog entry pins driver-resident data
+    (streaming memory sinks: each drained result lives in the driver
+    until its view is dropped). release_all() drops the catalog entry
+    after the runner's terminal action; a DataFrame handed out before
+    the drop keeps working off its resolved plan, but nothing pins the
+    data process-wide anymore."""
+    _LIVE_VIEWS.append((spark, name))
+
+
 def release_all(blocking: bool = False) -> int:
-    """Unpersist every tracked frame and broadcast; returns how many were
-    released. Safe to call repeatedly; already-evicted entries no-op."""
+    """Unpersist every tracked frame/broadcast and drop every tracked
+    temp view; returns how many were released. Safe to call repeatedly;
+    already-evicted entries no-op."""
     n = 0
     while _LIVE:
         _LIVE.pop().unpersist(blocking)
         n += 1
     while _LIVE_BC:
         _LIVE_BC.pop().unpersist(blocking)
+        n += 1
+    while _LIVE_VIEWS:
+        spark, name = _LIVE_VIEWS.pop()
+        spark.catalog.dropTempView(name)
         n += 1
     return n

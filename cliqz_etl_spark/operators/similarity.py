@@ -37,21 +37,30 @@ def valid_quantized(df: DataFrame, id_col: str, vec_col: str,
                     dim: int) -> DataFrame:
     """(_id, _qv): the quantized projection every numpy-kernel operator
     consumes, restricted to rows whose vector is actually scorable —
-    non-NULL, exactly ``dim`` long, and free of NULL/NaN/±Inf elements
-    (quantize turns a NaN element into a NULL long, np.asarray of a
-    list containing None is an object array that crashes the kernel,
-    and an Inf element would saturate the non-ANSI double→long cast to
-    Long.MAX_VALUE, after which the int64 numpy dot products silently
-    WRAP — wrong scores, no error — so un-codable vectors are dropped
-    like every other invalid shape). One definition so the validity rule
-    can't drift between the six operators that need it; the filter is a
-    scan predicate that costs nothing on clean corpora."""
+    non-NULL, exactly ``dim`` long, and free of NULL/NaN elements
+    (quantize turns a NaN element into a NULL long, and np.asarray of a
+    list containing None is an object array that crashes the kernel)
+    and of elements too large for exact int64 arithmetic. The magnitude
+    bound is the point, not just ±Inf: an Inf (or merely huge finite)
+    element saturates the non-ANSI double→long cast toward
+    Long.MAX_VALUE, after which the int64 numpy dot/norm products
+    silently WRAP — wrong scores, no error. The bound is derived from
+    the worst downstream consumer, SQ8's decoded values (|rv| ≤
+    765·Qmax per element, see sq8_reconstructed): dim·(765·Qmax)² ≤
+    2^62 keeps every norm², dot, and decode product exactly
+    representable, so any vector that passes is exact through EVERY
+    kernel. At dim=64 that allows |x| ≤ ~350 — three orders of
+    magnitude above any normalized embedding, so real corpora lose
+    nothing. One definition so the validity rule can't drift between
+    the six operators that need it; the filter is a scan predicate that
+    costs nothing on clean corpora."""
     c = F.col(vec_col)
-    inf = F.lit(float("inf"))
+    qmax = int((2**62 / max(dim, 1)) ** 0.5) // 765  # quantized units
+    xmax = F.lit(qmax / 1000.0)  # back in input units (scale=1000)
     return (
         df.where(c.isNotNull() & (F.size(c) == dim)
                  & ~F.exists(c, lambda x: x.isNull() | F.isnan(x)
-                             | (F.abs(x) == inf)))
+                             | (F.abs(x) > xmax)))
         .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
     )
 

@@ -107,6 +107,7 @@ def _drain(df: DataFrame, prefix: str, mode: str = "complete",
     bake the conf in at start(), and the previous value is restored
     before the (batch) caller continues, so batch plans keep the session
     sizing."""
+    from cliqz_etl_spark.operators.cache import track_temp_view
     from cliqz_etl_spark.tables import scoped_conf
 
     spark = df.sparkSession
@@ -119,7 +120,13 @@ def _drain(df: DataFrame, prefix: str, mode: str = "complete",
             .outputMode(mode).trigger(availableNow=True)
             .start().awaitTermination()
         )
-    return spark.table(name)
+    out = spark.table(name)
+    out.schema  # force analysis NOW: the plan must bind the sink relation
+    # before release_all() (bench/oracle runners) drops the temp view —
+    # the catalog entry is what pins the drained result in driver memory
+    # for the rest of the process, so it is released like any cache
+    track_temp_view(spark, name)
+    return out
 
 
 @query(

@@ -45,6 +45,10 @@ def _local_heap_default() -> str:
         phys = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
     except (ValueError, OSError, AttributeError):
         return "16g"
+    if phys <= 0:
+        # POSIX sysconf returns -1 (without raising) for indeterminate
+        # values — fail closed like the except branch, not to "1g"
+        return "16g"
     return f"{max(1, min(16, int(phys * 0.7 / (1 << 30))))}g"
 
 

@@ -93,18 +93,22 @@ def test_bucketed_write_rejects_three_part_names(spark):
         write_bucketed(df, "cat.db.t", "id", 4)
 
 
-def test_valid_quantized_drops_inf_vectors(spark):
-    """An Inf element saturates the double->long cast and then WRAPS in
-    the int64 numpy kernels — such vectors must be filtered out with the
-    other un-scorable shapes, never scored."""
+def test_valid_quantized_drops_unscorable_vectors(spark):
+    """Elements outside the exact-int64 envelope — Inf, or merely huge
+    finite values — saturate the double->long cast and then WRAP in the
+    int64 numpy kernels; such vectors must be filtered out with the
+    other un-scorable shapes, never scored. The bound is the SQ8-decode
+    envelope (dim*(765*q)^2 <= 2^62): ~350 at dim=2-64, so ordinary
+    embedding magnitudes always pass."""
     from cliqz_etl_spark.operators.similarity import valid_quantized
 
     rows = [(1, [1.0, 2.0]), (2, [float("inf"), 1.0]),
             (3, [float("-inf"), 1.0]), (4, [float("nan"), 1.0]),
-            (5, None), (6, [1.0])]
+            (5, None), (6, [1.0]), (7, [9.3e15, 1.0]), (8, [-1.0e6, 1.0]),
+            (9, [300.0, -300.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r["_id"] for r in valid_quantized(df, "vec_id", "embedding", 2).collect()}
-    assert got == {1}
+    assert got == {1, 9}
 
 
 def test_sq8_topk_rejects_non_integral_ids(spark):

@@ -260,6 +260,7 @@ def test_drain_restores_shuffle_partitions(spark):
     drained stream itself must have used the stream-scoped width)."""
     from cliqz_etl_spark.queries.streamq import streaming_hourly_counts
 
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "17")
     try:
         df = streaming_hourly_counts(spark, "/root/testdata/sf0.001")
@@ -267,7 +268,7 @@ def test_drain_restores_shuffle_partitions(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "17", \
             "drain leaked its stream-scoped shuffle sizing into the session"
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_local_heap_default_bounds():

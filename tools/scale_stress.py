@@ -23,12 +23,14 @@ inverted-index join — see session.py's local-mode heap sizing.
 A second data point at 200k docs (40x): LSH 2.3x, simhash 2.8x,
 ngram-jaccard 9.6x wall-clock vs sf0.1 — the curve stays sub-linear
 across both scale steps. The round-6 100x sweep (500k docs / 200k
-vectors): LSH 4.0x, simhash 5.7x, ngram-jaccard 19.3x, incremental
-LSH 7.9x, SQ8 3.9x at 100x the data — sub-quadratic across three
+vectors, ~64-query set matched on both sides): LSH 3.5x, simhash
+10.3x, ngram-jaccard 17.4x, incremental LSH 8.8x, SQ8 4.1x, IVF
+(fixed K=32) 9.2x at 100x the data — sub-quadratic across three
 measured decades, no OOM at the 16g local heap. Round-6 skew bench
-(--skew): salted_join x32 2.12 s vs plain 5.23 s vs AQE-skew-join
-3.08 s on an 8M-row/75%-hot corpus; salted_count ties plain (partial
-agg already absorbs COUNT skew). Numbers and consequences in
+(--skew): salted_join x32 1.40 s vs plain 2.64 s vs AQE-skew-join
+2.27 s (broadcast kept off so the reference stays a sort-merge join
+AQE can split) on an 8M-row/75%-hot corpus; salted_count ties plain
+(partial agg already absorbs COUNT skew). Numbers and consequences in
 ARCHITECTURE.md's scale-design section.
 
 Not part of the pytest suite — a full sweep takes minutes and writes
@@ -161,9 +163,12 @@ def family_sweep(spark, big_dir: str, scale_label: str,
     print(f"small: {_sd} docs / {_sv} vecs   "
           f"big({scale_label}): {_bd} docs ({_bd/_sd:.0f}x) / "
           f"{_bv} vecs ({_bv/_sv:.0f}x)")
-    # keep the query-set size FIXED across scales (every 500th vector at
-    # 10x was 64 queries; the modulus scales so Q stays ~64 and the ratio
-    # isolates corpus-side growth)
+    # keep the query-set size FIXED across scales: the modulus scales on
+    # BOTH sides so Q stays ~64 and the ratio isolates corpus-side
+    # growth. (Earlier revisions used %500 on the small side too — 4
+    # queries at sf0.1's 2000 vectors vs ~64 at the big scale, a ~16x
+    # query-count multiplier baked into the printed sq8/ivf ratios.)
+    qmod_small = max(1, _sv // 64)
     qmod = max(1, _bv // 64)
     for name, make in [
         ("lsh_candidate_pairs", lambda p: lambda: lsh_candidate_pairs(
@@ -177,7 +182,8 @@ def family_sweep(spark, big_dir: str, scale_label: str,
             docs_at(p).where(F.col("doc_id") % 5 != 0), "doc_id", "text")),
         ("sq8_topk", lambda p: lambda: sq8_topk(
             emb_at(p),
-            emb_at(p).where(F.col("vec_id") % (500 if p == SMALL else qmod) == 0),
+            emb_at(p).where(
+                F.col("vec_id") % (qmod_small if p == SMALL else qmod) == 0),
             "vec_id", "embedding", 64, 5, 20)),
         # IVF with a FIXED K~32 centroid model at every scale (the
         # registry query grows K with the corpus, which would hide the
@@ -187,7 +193,7 @@ def family_sweep(spark, big_dir: str, scale_label: str,
             emb_at(p).where(
                 F.col("vec_id") % max(1, _rows(p, "embeddings") // 32) == 0),
             emb_at(p).where(
-                F.col("vec_id") % (500 if p == SMALL else qmod) == 0),
+                F.col("vec_id") % (qmod_small if p == SMALL else qmod) == 0),
             "vec_id", "embedding", 3, 1)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
@@ -242,7 +248,7 @@ def gen_skew_corpus() -> None:
 
 
 def skew_bench(spark) -> None:
-    """Salted vs plain on a 50%-hot-key corpus, with the rescue paths a
+    """Salted vs plain on the 75%-hot-key corpus, with the rescue paths a
     real cluster can't always count on (AQE skew-join, broadcast)
     DISABLED — the regime the manual salted operators exist for. Both
     shapes are asserted to produce identical answers before timing."""
@@ -297,15 +303,20 @@ def skew_bench(spark) -> None:
         ]:
             ts = [run(label, fn) for _ in range(2)]
             print(f"{label:38s} best {min(ts):6.2f}s")
+        # AQE-on reference point: re-enable ONLY the skew rescue.
+        # Broadcast stays disabled — restoring it would let the 10k-row
+        # dim broadcast and the "reference" would time a broadcast-hash
+        # join that AQE's skew split (sort-merge only) never touches.
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        ts = [run("join plain (AQE skew-join on)", plain_join)
+              for _ in range(2)]
+        print(f"{'join plain (AQE skew-join on)':38s} best {min(ts):6.2f}s")
     finally:
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    # AQE-on reference point: the join rescue Spark applies when it CAN
-    ts = [run("join plain (AQE skew-join on)", plain_join) for _ in range(2)]
-    print(f"{'join plain (AQE skew-join on)':38s} best {min(ts):6.2f}s")
 
 
 if __name__ == "__main__":
