@@ -111,6 +111,23 @@ def test_valid_quantized_drops_unscorable_vectors(spark):
     assert got == {1, 9}
 
 
+def test_quantization_envelope_formula():
+    """The validity bound must keep EVERY downstream int64 product exact:
+    worst case is SQ8's decoded element |rv| <= 765*qmax (mn*255 +
+    code*rng with mn,rng <= qmax, 2*qmax), whose dim-length dot/norm
+    must stay inside int64. Checked in exact integer arithmetic for the
+    dims the engine uses and two extremes."""
+    for dim in (1, 2, 64, 1024, 4096):
+        qmax = int((2**62 / dim) ** 0.5) // 765
+        assert qmax >= 1, f"envelope collapses at dim={dim}"
+        worst_elem = 765 * qmax
+        assert dim * worst_elem * worst_elem <= 2**63 - 1, dim
+        # raw-quantized math (brute-force/IVF kernels) is even safer
+        assert dim * qmax * qmax <= 2**63 - 1, dim
+    # and normalized embeddings (|x| <= 1 -> q <= 1000) pass at dim=64
+    assert 1000 <= int((2**62 / 64) ** 0.5) // 765
+
+
 def test_sq8_topk_rejects_non_integral_ids(spark):
     import pytest
 
