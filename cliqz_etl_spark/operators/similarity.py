@@ -33,6 +33,16 @@ def quantize(col: Column | str, scale: int = 1000) -> Column:
     )
 
 
+def magnitude_bound(dim: int, scale: int = 1000) -> float:
+    """Largest |x| (input units) whose quantized value stays inside the
+    exact-int64 envelope of EVERY kernel downstream of valid_quantized —
+    worst case is SQ8's decoded element (|rv| <= 765*qmax, see
+    sq8_reconstructed), so dim*(765*qmax)^2 <= 2^62. Shared with the
+    DuckDB oracle fragments so both engines apply the byte-identical
+    threshold."""
+    return (int((2**62 / max(dim, 1)) ** 0.5) // 765) / scale
+
+
 def valid_quantized(df: DataFrame, id_col: str, vec_col: str,
                     dim: int) -> DataFrame:
     """(_id, _qv): the quantized projection every numpy-kernel operator
@@ -55,8 +65,7 @@ def valid_quantized(df: DataFrame, id_col: str, vec_col: str,
     the six operators that need it; the filter is a scan predicate that
     costs nothing on clean corpora."""
     c = F.col(vec_col)
-    qmax = int((2**62 / max(dim, 1)) ** 0.5) // 765  # quantized units
-    xmax = F.lit(qmax / 1000.0)  # back in input units (scale=1000)
+    xmax = F.lit(magnitude_bound(dim))
     return (
         df.where(c.isNotNull() & (F.size(c) == dim)
                  & ~F.exists(c, lambda x: x.isNull() | F.isnan(x)
@@ -98,7 +107,7 @@ def cosine_float(a: Column, b: Column) -> Column:
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
-                     vec_col: str, k: int = 5) -> DataFrame:
+                     vec_col: str, k: int = 5, dim: int = 64) -> DataFrame:
     """Exact top-k neighbors for each query vector (self-match excluded).
 
     The query side is broadcast — the corpus is scanned once, never
@@ -106,14 +115,19 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     side's squared norm is computed once per ROW before the join (the
     naive cosine-per-pair form re-evaluates both O(d) norms for every
     pair); the pair stage is then one O(d) dot + sqrt(na*nb), written
-    exactly as the oracle's formula so the double rounds identically."""
+    exactly as the oracle's formula so the double rounds identically.
+
+    Both sides pass through ``valid_quantized`` like every other ANN
+    kernel — previously this baseline quantized raw input, so the
+    NULL/NaN/magnitude wrap class the shared filter exists for was
+    still reachable here."""
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    q = valid_quantized(queries, id_col, vec_col, dim).select(
+        F.col("_id").alias("query_id"), F.col("_qv").alias("qv")
     ).withColumn("qn", norm2_q(F.col("qv")).cast("double"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
+    c = valid_quantized(corpus, id_col, vec_col, dim).select(
+        F.col("_id").alias("neighbor_id"), F.col("_qv").alias("cv")
     ).withColumn("cn", norm2_q(F.col("cv")).cast("double"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))

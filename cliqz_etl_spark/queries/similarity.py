@@ -18,8 +18,9 @@ from cliqz_etl_spark.operators.similarity import (
     ivf_assign_q,
     ivf_topk,
     kmeans_fit,
+    magnitude_bound,
     norm2_q,
-    quantize,
+    valid_quantized,
 )
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
@@ -35,6 +36,18 @@ KM_ITER = 2        # Lloyd's rounds after sampled init
 
 _QUANT = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
 
+# The oracle-side twin of operators.similarity.valid_quantized (64-dim):
+# non-NULL, exactly 64 elements, and every element non-NULL/non-NaN with
+# |x| inside the exact-int64 envelope. Both engines apply the identical
+# threshold so a dirty corpus filters the same rows on both sides.
+_XMAX = magnitude_bound(64)
+_VALID = (
+    "embedding IS NOT NULL AND len(embedding) = 64 AND "
+    "list_count(list_filter(embedding, x -> x IS NULL "
+    "OR isnan(CAST(x AS DOUBLE)) "
+    f"OR abs(CAST(x AS DOUBLE)) > {_XMAX!r})) = 0"
+)
+
 
 def _dot(a: str, b: str) -> str:
     return (f"CAST(list_sum(list_transform(range(1, len({a})+1), "
@@ -45,7 +58,8 @@ def _cos(a: str, b: str) -> str:
     return f"({_dot(a, b)} / sqrt({_dot(a, a)} * {_dot(b, b)}))"
 
 
-_QCTE = f"WITH q AS (SELECT vec_id, {_QUANT} AS v FROM embeddings)"
+_QCTE = (f"WITH q AS (SELECT vec_id, {_QUANT} AS v FROM embeddings "
+         f"WHERE {_VALID})")
 
 _ASSIGN_CTE = _QCTE + f"""
     , cent AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id % {CENTROID_MOD} = 0)
@@ -315,8 +329,6 @@ def ivf_clusters_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train on a sample, assign the full corpus, bucket by cluster)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM)
-    from cliqz_etl_spark.operators.similarity import valid_quantized
-
     proj = valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
     return (
         ivf_assign_q(proj, list(range(KM_K)), cents)
@@ -380,7 +392,8 @@ def rhp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     row against literal planes, zero shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select("vec_id", quantize("embedding").alias("qv"))
+        valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
+        .select(F.col("_id").alias("vec_id"), F.col("_qv").alias("qv"))
         .select("vec_id", _rhp_signature_col().alias("signature"))
     )
 
@@ -431,7 +444,8 @@ def ann_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     sigs = _materialize(
-        emb.select("vec_id", quantize("embedding").alias("qv"))
+        valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
+        .select(F.col("_id").alias("vec_id"), F.col("_qv").alias("qv"))
         .select("vec_id", "qv", _rhp_signature_col().alias("signature"),
                 norm2_q(F.col("qv")).cast("double").alias("qn"))
     )

@@ -42,14 +42,17 @@ def _local_heap_default() -> str:
     sysconf probe fails closed to 16g on platforms without SC_PHYS_PAGES
     (the pre-sizing behavior)."""
     try:
-        phys = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        page = os.sysconf("SC_PAGE_SIZE")
+        pages = os.sysconf("SC_PHYS_PAGES")
     except (ValueError, OSError, AttributeError):
         return "16g"
-    if phys <= 0:
+    if page <= 0 or pages <= 0:
         # POSIX sysconf returns -1 (without raising) for indeterminate
-        # values — fail closed like the except branch, not to "1g"
+        # values — each factor checked separately, because (-1)*(-1)
+        # would sneak past a product-level guard. Fail closed like the
+        # except branch, never to "1g".
         return "16g"
-    return f"{max(1, min(16, int(phys * 0.7 / (1 << 30))))}g"
+    return f"{max(1, min(16, int(page * pages * 0.7 / (1 << 30))))}g"
 
 
 def get_spark(app_name: str = "cliqz_etl_spark", master: str | None = None,

@@ -98,8 +98,9 @@ def test_valid_quantized_drops_unscorable_vectors(spark):
     finite values — saturate the double->long cast and then WRAP in the
     int64 numpy kernels; such vectors must be filtered out with the
     other un-scorable shapes, never scored. The bound is the SQ8-decode
-    envelope (dim*(765*q)^2 <= 2^62): ~350 at dim=2-64, so ordinary
-    embedding magnitudes always pass."""
+    envelope (dim*(765*q)^2 <= 2^62): ~1985 at this test's dim=2 and
+    ~350 at the engine's dim=64, so ordinary embedding magnitudes always
+    pass and the out-of-range fixtures exceed both."""
     from cliqz_etl_spark.operators.similarity import valid_quantized
 
     rows = [(1, [1.0, 2.0]), (2, [float("inf"), 1.0]),

@@ -22,7 +22,10 @@ inverted-index join — see session.py's local-mode heap sizing.
 
 A second data point at 200k docs (40x): LSH 2.3x, simhash 2.8x,
 ngram-jaccard 9.6x wall-clock vs sf0.1 — the curve stays sub-linear
-across both scale steps. The round-6 100x sweep (500k docs / 200k
+across both scale steps. (The round-5 10x/40x SQ8 rows above were
+measured under the pre-round-6 asymmetric query set — ~4 queries at
+sf0.1 vs ~64 at the big scale — so compare future default-mode runs
+against the 100x row's matched-Q methodology, not those numbers.) The round-6 100x sweep (500k docs / 200k
 vectors, ~64-query set matched on both sides): LSH 3.5x, simhash
 10.3x, ngram-jaccard 17.4x, incremental LSH 8.8x, SQ8 4.1x, IVF
 (fixed K=32) 9.2x at 100x the data — sub-quadratic across three
