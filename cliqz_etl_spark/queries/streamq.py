@@ -203,7 +203,13 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching the plain per-type counts over the ORIGINAL table proves
     exactly one copy of every duplicated event survived."""
     doubled = _event_stream(spark, sf_dir).unionByName(_event_stream(spark, sf_dir))
-    deduped = _drain(dedup_stream(doubled), "dedup", mode="append",
+    # project AFTER the keyed dedup (which needs event_id + the
+    # watermarked ts) but BEFORE the sink: the memory sink then holds
+    # 2 narrow columns per surviving event instead of the full 6-column
+    # row — at production volume the sink is a table/topic and this is
+    # the difference between shipping the fact and shipping the payload
+    deduped = _drain(dedup_stream(doubled).select("event_type", "value"),
+                     "dedup", mode="append",
                      state_partitions=_state_partitions(spark, sf_dir))
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
