@@ -23,13 +23,22 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", sorted(set(_REGISTRY) - _PYTHON_OK - _DRIVER_LOOP))
-def test_no_python_in_hot_path(spark, name):
-    """No row-at-a-time Python UDFs anywhere: every operator must stay
-    JVM-side (BatchEvalPython/PythonUDF in a plan means a 10-100x slowdown
-    at scale)."""
+@pytest.mark.parametrize("name", sorted(_REGISTRY))
+def test_plan_hygiene_sweep(spark, name):
+    """One planning pass per registry query, two structural gates:
+
+    - no CartesianProduct anywhere (every intentional cross join in the
+      engine broadcasts a tiny side, which plans as
+      BroadcastNestedLoopJoin — an unbroadcast cartesian at 100 TB is
+      a non-terminating job, and this catches it at plan time);
+    - no row-at-a-time Python UDFs outside the whitelisted queries:
+      every operator must stay JVM-side (BatchEvalPython/PythonUDF in a
+      plan means a 10-100x slowdown at scale; Arrow-batched
+      MapInPandas/ArrowEvalPython stages are fine and not matched)."""
     plan = _plan(spark, name)
-    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, name
+    assert "CartesianProduct" not in plan, name
+    if name not in _PYTHON_OK | _DRIVER_LOOP:
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, name
 
 
 @pytest.mark.parametrize("name", ["pricing_summary", "revenue_by_nation",
