@@ -97,7 +97,13 @@ DRIVER_ORDER: list[str] = [
     "national_market_share",
     # ---- r3-stale: streaming -------------------------------------------
     "streaming_running_totals",
-    # ---- slots 36-50: round-6 churn — queries whose code paths changed
+    # ---- slots 36-39: BRAND NEW this round (zero evidence — must be in
+    # the window per test_new_queries_sit_inside_driver_window) ----------
+    "pii_scan_docs",
+    "pseudonymize_customers",
+    "k_anonymize_customers",
+    "dedup_semantic",
+    # ---- slots 40-50: round-6 churn — queries whose code paths changed
     # this round (similarity Inf/id guards, write_bucketed db-aware
     # cleanup, salted skew stress, streaming bench wiring) plus the
     # heaviest r4/r5-reworked pipelines, so changed code re-verifies in
@@ -110,14 +116,16 @@ DRIVER_ORDER: list[str] = [
     "sessionize",
     "session_stats",
     "sessionize_native",
-    "longest_streak",
     "streaming_hourly_counts",
     "streaming_dedup",
     "kmeans_centroids",
+    # ================ past the window (fresh evidence) ===================
+    # ---- r4/r5-evidence churn candidates displaced by the new queries —
+    # first to rotate back in next round -----------------------------------
+    "longest_streak",
     "range_join_close_events",
     "countmin_user_counts",
     "kmv_distinct_users",
-    # ================ past the window (fresh evidence) ===================
     # Ordered oldest-evidence-first (r4 block, then r5 block) so the next
     # rotation is a prefix shift, not a reshuffle.
     # ---- latest row: round 4 -------------------------------------------
@@ -260,6 +268,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         llmdata,
         multimodal,
+        privacy,
         relational,
         sessions,
         similarity,

@@ -552,3 +552,71 @@ def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     return sq8_topk(emb, queries, "vec_id", "embedding", VEC_DIM,
                     k=TOP_K, rerank=SQ_RERANK)
+
+
+# ---- semantic dedup (SemDeDup-style) ---------------------------------------
+#
+# Cluster the corpus with the TRAINED coarse quantizer, then compare
+# vectors only within their cluster and drop any vector whose cosine to a
+# lower-id cluster-mate reaches the threshold. This is the scale shape of
+# embedding near-dedup (Abbas et al., "SemDeDup", 2023): the k-means pass
+# bounds candidate pairs at sum_c n_c^2 instead of n^2, and the keep-rule
+# (lowest id in each near-dup neighborhood survives) is deterministic and
+# engine-portable. embedding_near_pairs surfaces the candidate PAIRS under
+# a sampled quantizer; this emits the per-vector VERDICT under the trained
+# one — the table a curation pipeline actually joins against.
+SEM_THRESH_X10K = 4000  # cos >= 0.40; this corpus's near-dup ceiling ~0.51
+
+
+@query(
+    "dedup_semantic",
+    oracle=_kmeans_cte(KM_K, KM_ITER) + _km_assign_cte("fin", f"c{KM_ITER}") + f"""
+    , dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM fin a JOIN fin b ON b.cid = a.cid AND a.vec_id < b.vec_id
+        JOIN q qa ON qa.vec_id = a.vec_id
+        JOIN q qb ON qb.vec_id = b.vec_id
+        WHERE CAST(floor({_cos('qa.v', 'qb.v')} * 10000 + 0.5) AS BIGINT)
+              >= {SEM_THRESH_X10K}
+    )
+    SELECT f.vec_id AS vec_id, CAST(f.cid AS BIGINT) AS cluster,
+           d.vec_id IS NULL AS keep
+    FROM fin f LEFT JOIN dropped d ON d.vec_id = f.vec_id
+    """,
+    doc="SemDeDup: trained-quantizer clusters -> intra-cluster cosine "
+        "near-dup verdict per vector.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (sampled init + 2 Lloyd's rounds, K x 64 model on the
+    driver), assign via one broadcast-matmul map, then self-join on the
+    cluster id only — the pair predicate runs on hoisted per-row norms and
+    one integer dot, and the fact table shuffles once on a key the
+    quantizer keeps balanced. Verdict join is an add-only left join
+    against the (small) dropped set."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM)
+    proj = valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
+    assigned = _materialize(ivf_assign_q(proj, list(range(KM_K)), cents))
+    norm = norm2_q(F.col("_qv")).cast("double")
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_qv").alias("qa"),
+                        "cluster", norm.alias("na"))
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_qv").alias("qb"),
+                        "cluster", norm.alias("nb"))
+    cos = (dot_q(F.col("qa"), F.col("qb")).cast("double")
+           / F.sqrt(F.col("na") * F.col("nb")))
+    dropped = (
+        a.join(b, ["cluster"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.floor(cos * 10000 + 0.5).cast("long") >= SEM_THRESH_X10K)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col("_id").alias("vec_id"),
+                        F.col("cluster").cast("long").alias("cluster"))
+        .join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "cluster",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )
