@@ -253,6 +253,11 @@ BENCH_HEADLINE: list[str] = [
     # time anything.
     "streaming_hourly_counts",
     "streaming_dedup",
+    # Round-6 additions: the trained-quantizer semantic dedup (kmeans fit
+    # + assign + intra-cluster pair join — the heaviest new pipeline) and
+    # the per-source PII scan (the regex-bank scan shape).
+    "dedup_semantic",
+    "pii_scan_docs",
 ]
 
 
