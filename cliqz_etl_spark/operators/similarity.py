@@ -563,3 +563,47 @@ def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
             F.floor(F.col("cos") * 10000 + 0.5).cast("long").alias("cos_x10k"),
         )
     )
+
+
+def semantic_verdicts(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                      k: int, n_iter: int = 2,
+                      thresh_x10k: int = 4000) -> DataFrame:
+    """SemDeDup-style per-vector near-duplicate verdict.
+
+    Train a k-means coarse quantizer (kmeans_fit), assign every valid
+    vector with one broadcast-matmul map, then self-join on the cluster id
+    and drop any vector whose cosine to a LOWER-id cluster-mate reaches
+    ``thresh_x10k`` / 10000. Returns (id_col, cluster, keep).
+
+    Scale law: candidate pairs are sum_c n_c^2, so ``k`` must grow with
+    the corpus to hold the mean cluster size constant (k ~ n / target
+    cluster size) — then pair cost is ~linear in n and the shuffle key
+    (cluster) stays balanced by construction. The model is k x dim int64s
+    on the driver/broadcast; at k=4096, dim=64 that is ~2 MB.
+    """
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    cents = kmeans_fit(df, id_col, vec_col, k, n_iter, dim=dim)
+    proj = valid_quantized(df, id_col, vec_col, dim)
+    assigned = _materialize(ivf_assign_q(proj, list(range(k)), cents))
+    norm = norm2_q(F.col("_qv")).cast("double")
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_qv").alias("qa"),
+                        "cluster", norm.alias("na"))
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_qv").alias("qb"),
+                        "cluster", norm.alias("nb"))
+    cos = (dot_q(F.col("qa"), F.col("qb")).cast("double")
+           / F.sqrt(F.col("na") * F.col("nb")))
+    dropped = (
+        a.join(b, ["cluster"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.floor(cos * 10000 + 0.5).cast("long") >= thresh_x10k)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col("_id").alias(id_col),
+                        F.col("cluster").cast("long").alias("cluster"))
+        .join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(id_col, "cluster",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )

@@ -592,31 +592,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id only — the pair predicate runs on hoisted per-row norms and
     one integer dot, and the fact table shuffles once on a key the
     quantizer keeps balanced. Verdict join is an add-only left join
-    against the (small) dropped set."""
-    from cliqz_etl_spark.operators.dedup import _materialize
+    against the (small) dropped set. Body lives in
+    operators/similarity.py::semantic_verdicts (the stress harness sweeps
+    it with corpus-scaled K)."""
+    from cliqz_etl_spark.operators.similarity import semantic_verdicts
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM)
-    proj = valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
-    assigned = _materialize(ivf_assign_q(proj, list(range(KM_K)), cents))
-    norm = norm2_q(F.col("_qv")).cast("double")
-    a = assigned.select(F.col("_id").alias("id_a"), F.col("_qv").alias("qa"),
-                        "cluster", norm.alias("na"))
-    b = assigned.select(F.col("_id").alias("id_b"), F.col("_qv").alias("qb"),
-                        "cluster", norm.alias("nb"))
-    cos = (dot_q(F.col("qa"), F.col("qb")).cast("double")
-           / F.sqrt(F.col("na") * F.col("nb")))
-    dropped = (
-        a.join(b, ["cluster"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.floor(cos * 10000 + 0.5).cast("long") >= SEM_THRESH_X10K)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.select(F.col("_id").alias("vec_id"),
-                        F.col("cluster").cast("long").alias("cluster"))
-        .join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
-        .select("vec_id", "cluster",
-                F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
-    )
+    return semantic_verdicts(emb, "vec_id", "embedding", VEC_DIM,
+                             KM_K, KM_ITER, SEM_THRESH_X10K)

@@ -171,3 +171,37 @@ def test_dedup_semantic_keep_rule(spark):
     for rows in by_cluster.values():
         lowest = min(rows, key=lambda r: r["vec_id"])
         assert lowest["keep"] is True
+
+
+def test_pii_bank_parity_on_generated_adversarial_corpus(spark, duck):
+    """300 deterministic digit/punctuation-soup strings through both
+    engines — the fuzz layer that caught the clean_cast '0\\x1f'
+    divergence class. Counts AND redacted text must agree exactly."""
+    import random
+
+    r = random.Random(7)
+    frags = ["192.168.", "255", "999", "@", ".", "-", " ", "(", ")",
+             "1234", "45", "6789", "ex.com", "a", "+", "%", "_",
+             "00", "1111", "x", "\t", "..", "@@", "io", "4111"]
+    corpus = ["".join(r.choice(frags) for _ in range(r.randint(1, 14)))
+              for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "idx int, text string")
+    counts = [pii_count("text", pat).alias(name) for name, pat in PII_CLASSES]
+    sp = {r_["idx"]: r_ for r_ in
+          df.select("idx", *counts, redact_pii("text").alias("red")).collect()}
+    mismatches = []
+    for i, t in enumerate(corpus):
+        want_counts = duck.execute(
+            "SELECT " + ", ".join(pii_count_sql("$1", pat)
+                                  for _, pat in PII_CLASSES), [t]).fetchone()
+        want_red = duck.execute(
+            "SELECT " + redact_pii_sql("$1"), [t]).fetchone()[0]
+        got_counts = tuple(sp[i][name] for name, _ in PII_CLASSES)
+        if got_counts != tuple(want_counts) or sp[i]["red"] != want_red:
+            mismatches.append((t, got_counts, tuple(want_counts),
+                               sp[i]["red"], want_red))
+    assert not mismatches, mismatches[:5]
+    # the corpus must actually exercise the bank (not vacuously zero)
+    assert sum(sum(r_[n] for n, _ in PII_CLASSES)
+               for r_ in sp.values()) > 0

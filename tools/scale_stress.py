@@ -36,6 +36,12 @@ AQE can split) on an 8M-row/75%-hot corpus; salted_count ties plain
 (partial agg already absorbs COUNT skew). Numbers and consequences in
 ARCHITECTURE.md's scale-design section.
 
+Round-6 late additions (default 10x mode, same corpus): SemDeDup
+semantic_verdicts 4.8x wall-clock at 16x vectors with K scaled to a
+~40-vector mean cluster on both sides (the operator's scale law — a
+fixed K would measure the law's violation, not the operator), and the
+PII regex-bank scan 0.9x at 10x docs (scan-shaped, overhead-bound).
+
 Not part of the pytest suite — a full sweep takes minutes and writes
 up to ~400 MB under /tmp/sfstress*."""
 import os
@@ -153,7 +159,12 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         ngram_jaccard_pairs,
         simhash_near_pairs,
     )
-    from cliqz_etl_spark.operators.similarity import ivf_topk, sq8_topk
+    from cliqz_etl_spark.functions.privacy import PII_CLASSES, pii_count
+    from cliqz_etl_spark.operators.similarity import (
+        ivf_topk,
+        semantic_verdicts,
+        sq8_topk,
+    )
 
     def docs_at(path):
         return spark.read.parquet(f"{path}/documents.parquet")
@@ -198,6 +209,19 @@ def family_sweep(spark, big_dir: str, scale_label: str,
             emb_at(p).where(
                 F.col("vec_id") % (qmod_small if p == SMALL else qmod) == 0),
             "vec_id", "embedding", 3, 1)),
+        # SemDeDup verdicts with K scaled to hold the mean cluster size
+        # at ~40 vectors on BOTH sides — the operator's documented scale
+        # law (pairs ~ n x cluster_size, linear in n at fixed size);
+        # a fixed K would quadratically inflate the big-side pair count
+        # and measure the law's violation, not the operator.
+        ("semantic_verdicts", lambda p: lambda: semantic_verdicts(
+            emb_at(p), "vec_id", "embedding", 64,
+            max(2, _rows(p, "embeddings") // 40), 2, 4000)),
+        # PII regex-bank scan (per-class counts over the full text) —
+        # scan-shaped, should track corpus bytes ~linearly.
+        ("pii_regex_scan", lambda p: lambda: docs_at(p).select(
+            *[pii_count("text", pat).alias(n) for n, pat in PII_CLASSES])
+            .agg(*[F.sum(n).alias(n) for n, _ in PII_CLASSES])),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
