@@ -524,3 +524,87 @@ def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
                 F.floor(jac * 10000 + 0.5).cast("long").alias("jaccard_x10k"))
         .where(F.col("jaccard_x10k") >= int(threshold * 10000))
     )
+
+
+# --------------------------------------------------------------------------
+# C4-style exact span dedup: remove repeated k-token chunks corpus-wide,
+# keeping exactly one canonical occurrence of each chunk (the
+# lexicographically-least (doc, position)), then reassemble the surviving
+# text per document. This is the "any N-token span occurring more than
+# once in the corpus is deduplicated" rule from the C4 dataset paper
+# (Raffel et al. 2020 §2.2) as a pure DataFrame pipeline.
+# --------------------------------------------------------------------------
+
+# Chunk index packs into the low bits of a single BIGINT key so "earliest
+# occurrence" is a plain MIN — exact in any engine. 2^20 chunks/doc caps
+# docs at ~10M tokens (k=10); ids stay safe to ~8.7e12 docs.
+SPAN_IDX_BITS = 20
+
+
+def span_chunks(df: DataFrame, id_col: str, text_col: str,
+                k: int = 10) -> DataFrame:
+    """Explode documents into consecutive k-token chunks.
+
+    Output: (doc_id, chunk_idx, chunk) — one row per chunk, built from a
+    single materialized token array (slice inside transform, so tokenize
+    happens once per row, not once per chunk). Empty-trim docs produce no
+    rows. Scan-side map + explode; no shuffle."""
+    ntile = F.size("_tk")
+    n_chunks = ((ntile + F.lit(k - 1)) / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(F.col("_tk"), i * k + 1, k), " ").alias("chunk"),
+        ),
+    )
+    return (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"),
+                F.col("c.chunk").alias("chunk"))
+    )
+
+
+def span_dedup(df: DataFrame, id_col: str, text_col: str,
+               k: int = 10) -> DataFrame:
+    """Corpus-wide duplicate-span removal, C4 rule, 3 keyed shuffles.
+
+    1. chunk the corpus (map-only), 2. MIN(packed (doc,idx) key) per
+    distinct chunk text — the canonical occurrence (shuffle on chunk,
+    map-side combine collapses per-partition repeats), 3. join chunks back
+    to winners on chunk text (same key — AQE reuses the exchange) and keep
+    only canonical rows, 4. reassemble per doc via sort_array(collect_list)
+    (shuffle on doc_id).
+
+    Never an all-pairs comparison: shuffle width is O(total chunks) with
+    the combine collapsing duplicates early, so a 100 TB corpus moves at
+    most one row per *distinct* chunk into the winner table. Docs whose
+    every chunk lost elsewhere come back with empty text (kept, flagged
+    n_kept=0) so the output row count always equals the non-empty input
+    row count.
+
+    Output: (doc_id, text_kept, n_kept, n_dropped)."""
+    ch = span_chunks(df, id_col, text_col, k)
+    packed = (F.col("doc_id").cast("long") * F.lit(1 << SPAN_IDX_BITS)
+              + F.col("chunk_idx"))
+    ch = _materialize(ch.select("doc_id", "chunk_idx", "chunk",
+                                packed.alias("_key")))
+    winners = ch.groupBy("chunk").agg(F.min("_key").alias("_keep"))
+    kept = (ch.join(winners, "chunk")
+            .where(F.col("_key") == F.col("_keep"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                         lambda s: s["chunk"]),
+                     " ").alias("text_kept")))
+    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (totals.join(kept, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                    (F.col("_n") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_dropped")))

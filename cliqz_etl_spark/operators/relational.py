@@ -167,3 +167,38 @@ def bloom_prefilter_semi_join(
             .drop(f"__b{i}")
         )
     return pruned.join(keys.select(on).distinct(), on, "left_semi")
+
+
+def blocked_fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
+                        block, min_dist: int = 1,
+                        max_dist: int = 3) -> DataFrame:
+    """Record-linkage candidate pairs: edit-distance fuzzy self-join with
+    equi-join blocking — the only fuzzy-join shape that survives 100 TB.
+
+    Names are first collapsed to distinct values (min id as the
+    representative, so the pair count is |distinct names| choose 2 within
+    a block, never row-count squared for corpora with repeated names).
+    Candidates come from a BLOCK-KEY EQUI-JOIN (a plain shuffled hash
+    join), and levenshtein runs only inside blocks; there is no cross
+    join anywhere. Recall is bounded by the blocking function — pairs
+    disagreeing on the block key are unseen by design (standard blocking
+    tradeoff; callers widen recall by unioning several block passes, each
+    still an equi-join).
+
+    ``block`` is a callable Column -> Column building the block key from a
+    name (e.g. first token, phonetic code, length band).
+
+    Output: (name_a, name_b, rep_a, rep_b, dist), name_a < name_b."""
+    reps = (df.groupBy(F.col(name_col).alias("_name"))
+            .agg(F.min(F.col(id_col)).cast("long").alias("_rep"))
+            .select("_name", "_rep", block(F.col("_name")).alias("_blk")))
+    a = reps.select(F.col("_name").alias("name_a"), F.col("_rep").alias("rep_a"),
+                    F.col("_blk").alias("_blk"))
+    b = reps.select(F.col("_name").alias("name_b"), F.col("_rep").alias("rep_b"),
+                    F.col("_blk").alias("_blk"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (a.join(b, "_blk")
+            .where(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b", "rep_a", "rep_b",
+                    dist.cast("long").alias("dist"))
+            .where(dist.between(min_dist, max_dist)))

@@ -97,31 +97,34 @@ DRIVER_ORDER: list[str] = [
     "national_market_share",
     # ---- r3-stale: streaming -------------------------------------------
     "streaming_running_totals",
-    # ---- slots 36-39: BRAND NEW this round (zero evidence — must be in
+    # ---- slots 36-43: BRAND NEW this round (zero evidence — must be in
     # the window per test_new_queries_sit_inside_driver_window) ----------
     "pii_scan_docs",
     "pseudonymize_customers",
     "k_anonymize_customers",
     "dedup_semantic",
-    # ---- slots 40-50: round-6 churn — queries whose code paths changed
+    "dedup_spans",
+    "gopher_quality_filter",
+    "unigram_freq_score",
+    "fuzzy_match_parts",
+    # ---- slots 44-50: round-6 churn — queries whose code paths changed
     # this round (similarity Inf/id guards, write_bucketed db-aware
-    # cleanup, salted skew stress, streaming bench wiring) plus the
-    # heaviest r4/r5-reworked pipelines, so changed code re-verifies in
-    # the same round it changed ------------------------------------------
+    # cleanup, salted skew stress, streaming bench wiring), so changed
+    # code re-verifies in the same round it changed -----------------------
     "ann_sq8",
     "dedup_incremental",
     "bucketed_join_revenue",
     "salted_event_counts",
     "salted_join_value_by_type",
-    "sessionize",
-    "session_stats",
-    "sessionize_native",
     "streaming_hourly_counts",
     "streaming_dedup",
-    "kmeans_centroids",
     # ================ past the window (fresh evidence) ===================
     # ---- r4/r5-evidence churn candidates displaced by the new queries —
     # first to rotate back in next round -----------------------------------
+    "sessionize",
+    "session_stats",
+    "sessionize_native",
+    "kmeans_centroids",
     "longest_streak",
     "range_join_close_events",
     "countmin_user_counts",

@@ -535,3 +535,34 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query(
+    "fuzzy_match_parts",
+    oracle="""
+    WITH reps AS (
+        SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS rep
+        FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           a.rep AS rep_a, b.rep AS rep_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM reps a JOIN reps b
+      ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+     AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+    """,
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage on part names: distinct-name collapse, first-token
+    blocking, levenshtein <= 3 inside blocks. The join is a block-key
+    equi-join — |distinct names|^2 work only WITHIN a block, never across
+    the corpus — which is the shape that scales to billions of rows
+    (reference has no fuzzy matching; north-star linkage extension)."""
+    from cliqz_etl_spark.operators.relational import blocked_fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name",
+        block=lambda c: F.substring_index(c, " ", 1),
+        min_dist=1, max_dist=3)

@@ -319,3 +319,52 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return lsh_verified_pairs(docs, "doc_id", "text", N_PERM, N_BANDS,
                               SHINGLE_K, _CASCADE_THRESHOLD_X10K / 10000)
+
+
+SPAN_K = 10  # chunk granularity (tokens) for C4-style span dedup
+
+
+@query(
+    "dedup_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        FROM documents WHERE trim(text) <> ''
+    ), ch0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range((len(tk) + {SPAN_K - 1}) // {SPAN_K}),
+                   i -> {{'chunk_idx': CAST(i AS BIGINT),
+                          'chunk': array_to_string(
+                              tk[i*{SPAN_K}+1 : i*{SPAN_K}+{SPAN_K}], ' ')}})) AS c
+        FROM t
+    ), ch AS (
+        SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk AS chunk,
+               CAST(doc_id AS BIGINT) * 1048576 + c.chunk_idx AS key
+        FROM ch0
+    ), win AS (
+        SELECT chunk, min(key) AS keep FROM ch GROUP BY chunk
+    ), kept AS (
+        SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(ch.chunk, ' ' ORDER BY ch.chunk_idx) AS text_kept
+        FROM ch JOIN win USING (chunk)
+        WHERE ch.key = win.keep
+        GROUP BY ch.doc_id
+    ), tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id
+    )
+    SELECT tot.doc_id AS doc_id,
+           coalesce(kept.text_kept, '') AS text_kept,
+           CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(tot.n - coalesce(kept.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM tot LEFT JOIN kept USING (doc_id)
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-rule span dedup: every {SPAN_K}-token chunk that repeats anywhere
+    in the corpus survives only at its earliest (doc, position); documents
+    are reassembled from their surviving chunks. The oracle replays the
+    identical chunk -> MIN(packed key) -> rebuild pipeline in DuckDB."""
+    from cliqz_etl_spark.operators.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", SPAN_K)

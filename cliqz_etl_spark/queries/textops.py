@@ -220,3 +220,170 @@ def array_ops_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1, 3),
             ",").alias("first3_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule-based quality filter (Rae et al. 2021, "Scaling
+# Language Models" §A.1.1 — public heuristics, thresholds scaled to this
+# synthetic corpus). Every rule is INTEGER arithmetic over token counts so
+# the Spark and DuckDB sides are bit-identical by construction (no float
+# ratio can straddle an engine-specific rounding boundary).
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_TOK = 10
+GOPHER_MAX_TOK = 10_000
+GOPHER_MIN_MWL = 2   # mean word length lower bound (chars/token)
+GOPHER_MAX_MWL = 12  # upper bound
+_STOP5 = T.STOPWORDS["en"]  # the, a, of, and, to
+
+
+def _duck_gopher_base() -> str:
+    stop_terms = " + ".join(
+        f"CASE WHEN list_contains(tk, '{w}') THEN 1 ELSE 0 END" for w in _STOP5
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS tk
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tok,
+               CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+                    AS BIGINT) AS total_chars,
+               CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(tk, x -> NOT regexp_matches(x, '[A-Za-z0-9]')))
+                    AS BIGINT) AS n_sym,
+               CAST({stop_terms} AS BIGINT) AS n_stop
+        FROM base
+    )
+    """
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    {_duck_gopher_base()}
+    SELECT doc_id AS doc_id,
+           n_tok AS n_tok,
+           (n_tok BETWEEN {GOPHER_MIN_TOK} AND {GOPHER_MAX_TOK}) AS ok_len,
+           (total_chars >= {GOPHER_MIN_MWL} * n_tok
+            AND total_chars <= {GOPHER_MAX_MWL} * n_tok) AS ok_word_len,
+           (5 * n_alpha >= 4 * n_tok) AS ok_alpha,
+           (10 * n_sym <= n_tok) AS ok_symbol,
+           (n_stop >= 2) AS ok_stopwords,
+           ((n_tok BETWEEN {GOPHER_MIN_TOK} AND {GOPHER_MAX_TOK})
+            AND total_chars >= {GOPHER_MIN_MWL} * n_tok
+            AND total_chars <= {GOPHER_MAX_MWL} * n_tok
+            AND 5 * n_alpha >= 4 * n_tok
+            AND 10 * n_sym <= n_tok
+            AND n_stop >= 2) AS passes
+    FROM m
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite document filter, one scan, zero shuffles.
+
+    Rules (all integer comparisons — exact cross-engine):
+      ok_len       token count in [10, 10000]
+      ok_word_len  mean word length in [2, 12]  (as 2*n <= chars <= 12*n)
+      ok_alpha     >= 80% of tokens contain an alphabetic char (5a >= 4n)
+      ok_symbol    <= 10% of tokens are pure symbol runs (10s <= n)
+      ok_stopwords >= 2 distinct common-stopword hits
+    At 100 TB this is the archetypal scan-side map: every rule runs inside
+    whole-stage codegen over the parquet scan with zero exchanges, so it
+    composes with any downstream shuffle for free (reference has no
+    analogue; this is a north-star curation extension like text_quality).
+    """
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text")
+    empty = F.trim(F.col("text")) == ""
+    toks = F.when(empty, F.array().cast("array<string>")).otherwise(T.tokens("text"))
+    docs = docs.select("doc_id", toks.alias("tk"))
+    tk = F.col("tk")
+    n_tok = F.size(tk).cast("long")
+    total_chars = F.coalesce(
+        F.aggregate(F.transform(tk, F.length), F.lit(0), lambda a, x: a + x),
+        F.lit(0)).cast("long")
+    n_alpha = F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    n_sym = F.size(F.filter(tk, lambda t: ~t.rlike("[A-Za-z0-9]"))).cast("long")
+    n_stop = functools.reduce(
+        operator.add,
+        (F.array_contains(tk, w).cast("long") for w in _STOP5)).cast("long")
+    m = docs.select(
+        "doc_id", n_tok.alias("n_tok"), total_chars.alias("total_chars"),
+        n_alpha.alias("n_alpha"), n_sym.alias("n_sym"), n_stop.alias("n_stop"))
+    ok_len = F.col("n_tok").between(GOPHER_MIN_TOK, GOPHER_MAX_TOK)
+    ok_wl = ((F.col("total_chars") >= GOPHER_MIN_MWL * F.col("n_tok"))
+             & (F.col("total_chars") <= GOPHER_MAX_MWL * F.col("n_tok")))
+    ok_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_tok")
+    ok_sym = 10 * F.col("n_sym") <= F.col("n_tok")
+    ok_stop = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id", "n_tok",
+        ok_len.alias("ok_len"),
+        ok_wl.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_sym.alias("ok_symbol"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_len & ok_wl & ok_alpha & ok_sym & ok_stop).alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-trained unigram frequency score: how "typical" is a document's
+# vocabulary relative to the whole corpus. The score is the mean corpus
+# frequency of the document's tokens, in parts-per-million, computed with
+# pure BIGINT arithmetic ((1e6 * sum_count) div (n_tok * total)) so both
+# engines truncate identically — the integer-exact stand-in for a unigram
+# log-prob LM score.
+# --------------------------------------------------------------------------
+@query(
+    "unigram_freq_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), cnt AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt
+    ), doc AS (
+        SELECT tok.doc_id,
+               CAST(sum(cnt.c) AS BIGINT) AS sum_cnt,
+               CAST(count(*) AS BIGINT) AS n_tok
+        FROM tok JOIN cnt USING (w) GROUP BY tok.doc_id
+    )
+    SELECT doc_id AS doc_id,
+           n_tok AS n_tok,
+           CAST((1000000 * sum_cnt) // (n_tok * t) AS BIGINT) AS freq_ppm
+    FROM doc, tot
+    """,
+)
+def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a unigram frequency table over the corpus, then score every
+    document by its tokens' mean corpus frequency (ppm, integer-exact).
+
+    Plan shape: explode -> groupBy(token) count (map-side combine, shuffle
+    bounded by |vocab| after combine) -> equi-join tokens back to counts
+    (shuffle on token) -> groupBy(doc_id). The 1-row corpus total rides a
+    broadcast-able crossJoin. At 100 TB the token->count join stays keyed
+    (never all-pairs); with a capped top-V vocabulary the count table
+    becomes a broadcast and the second shuffle disappears — that variant
+    is a config away, this one keeps exactness for the oracle gate.
+    """
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.trim("text") != "") \
+        .select("doc_id", T.tokens("text").alias("tk"))
+    tok = docs.select("doc_id", F.explode("tk").alias("w"))
+    cnt = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    doc = (tok.join(cnt, "w")
+           .groupBy("doc_id")
+           .agg(F.sum("c").cast("long").alias("sum_cnt"),
+                F.count("*").cast("long").alias("n_tok")))
+    return (doc.crossJoin(F.broadcast(tot))
+            .select("doc_id", "n_tok",
+                    F.expr("(1000000 * sum_cnt) div (n_tok * t)")
+                    .cast("long").alias("freq_ppm")))

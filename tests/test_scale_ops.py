@@ -261,3 +261,62 @@ def test_incremental_lsh_excludes_self_pairs_on_overlap(spark):
                "doc_id", "text").collect()}
     assert (1, 1) not in got
     assert (1, 2) in got
+
+
+def test_span_dedup_keeps_earliest_occurrence(spark):
+    from cliqz_etl_spark.operators.dedup import span_dedup
+
+    # k=2 chunks: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [a b]
+    # "a b" survives only in doc 1 (earliest packed key); doc 3 empties.
+    rows = [(1, "a b c d"), (2, "a b x y"), (3, "a b"), (4, "  ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dedup(df, "doc_id", "text", k=2).collect()}
+    assert set(out) == {1, 2, 3}  # empty-trim doc 4 contributes no chunks
+    assert out[1]["text_kept"] == "a b c d" and out[1]["n_dropped"] == 0
+    assert out[2]["text_kept"] == "x y" and out[2]["n_dropped"] == 1
+    assert out[3]["text_kept"] == "" and out[3]["n_kept"] == 0
+
+
+def test_span_dedup_within_doc_repeats(spark):
+    from cliqz_etl_spark.operators.dedup import span_dedup
+
+    # The C4 rule dedupes WITHIN a doc too: [p q][p q] keeps position 0.
+    df = spark.createDataFrame([(7, "p q p q")], ["doc_id", "text"])
+    row = span_dedup(df, "doc_id", "text", k=2).collect()[0]
+    assert row["text_kept"] == "p q"
+    assert row["n_kept"] == 1 and row["n_dropped"] == 1
+
+
+def test_span_dedup_reassembles_in_position_order(spark):
+    from cliqz_etl_spark.operators.dedup import span_dedup
+
+    # Doc with >10 unique chunks: order of reassembly must be positional,
+    # not lexicographic (chunk_idx 10 sorts after 2 numerically).
+    words = [f"w{i:03d} x{i:03d}" for i in range(12)]
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = span_dedup(df, "doc_id", "text", k=2).collect()[0]
+    assert row["text_kept"] == text and row["n_dropped"] == 0
+
+
+def test_blocked_fuzzy_pairs_blocking_and_radius(spark):
+    from cliqz_etl_spark.operators.relational import blocked_fuzzy_pairs
+
+    rows = [
+        (10, "red widget"), (11, "red widget"),  # duplicate name: one rep
+        (20, "red widgit"),                      # dist 1 from red widget
+        (30, "red gadget"),                      # dist 3 from red widget
+        (40, "blue widget"),                     # other block: unseen pair
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = blocked_fuzzy_pairs(
+        df, "id", "name", block=lambda c: F.substring_index(c, " ", 1),
+        min_dist=1, max_dist=3).collect()
+    pairs = {(r["name_a"], r["name_b"]): (r["rep_a"], r["rep_b"], r["dist"])
+             for r in out}
+    # reps collapse duplicates to min id; cross-block pair absent by design
+    assert pairs[("red widget", "red widgit")] == (10, 20, 1)
+    assert ("red gadget", "red widget") in pairs
+    assert all("blue" not in a and "blue" not in b for a, b in pairs)
+    # identical names are NOT pairs (dist 0 < min_dist, and single rep)
+    assert all(r["dist"] >= 1 for r in out)
