@@ -107,3 +107,95 @@ def frame_sample(df: DataFrame, id_col: str, blob_col: str,
     return df.select(F.col(id_col).alias("id"), F.col(blob_col)).mapInPandas(
         process, schema="id long, frame_idx int, frame_blob binary"
     )
+
+
+RESIZE_SCHEMA = ("id long, in_w int, in_h int, out_w int, out_h int, "
+                 "out_blob binary, ok boolean")
+
+
+def resize_media(df: DataFrame, id_col: str, blob_col: str,
+                 target_w: int = 64, target_h: int = 64,
+                 resizer: Callable[[bytes, int, int], bytes] | None = None
+                 ) -> DataFrame:
+    """Image resize STUB over mapInPandas: binary in -> binary out with
+    typed dimension metadata. The fake 'resample' keeps the first
+    min(len, target_w*target_h//8) payload bytes (deterministic arithmetic
+    a SQL oracle can replay); a real implementation is
+    ``PIL.Image.open(...).resize((w,h)).tobytes()`` per blob, batch-
+    amortized — unavailable in this container (STUB). Failures follow the
+    error->NULL discipline: ok=false row, never a failed task."""
+    def fake_resize(b: bytes, tw: int, th: int) -> bytes:
+        return b[: min(len(b), tw * th // 8)]
+
+    resample = resizer or fake_resize
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": pdf["id"], "in_w": [], "in_h": [], "out_w": [],
+                   "out_h": [], "out_blob": [], "ok": []}
+            for blob in pdf[blob_col]:
+                try:
+                    b = bytes(blob)
+                    meta = fake_decode(b)
+                    out["in_w"].append(meta["width"])
+                    out["in_h"].append(meta["height"])
+                    out["out_w"].append(target_w)
+                    out["out_h"].append(target_h)
+                    out["out_blob"].append(resample(b, target_w, target_h))
+                    out["ok"].append(True)
+                except Exception:
+                    for k in ("in_w", "in_h", "out_w", "out_h", "out_blob"):
+                        out[k].append(None)
+                    out["ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id"), F.col(blob_col)).mapInPandas(
+        process, schema=RESIZE_SCHEMA
+    )
+
+
+EMBED_DIM = 8
+EMBED_MOD = 10_000
+
+
+def embed_media(df: DataFrame, id_col: str, blob_col: str,
+                dim: int = EMBED_DIM,
+                embedder: Callable[[bytes], list] | None = None) -> DataFrame:
+    """Feature extraction STUB: blob -> fixed-dim embedding (array<double>)
+    via mapInPandas, the media half of the embedding->ANN pipeline (output
+    feeds operators/similarity.py unchanged). The fake embedder hashes the
+    payload per dimension with the engine-portable md5-60bit family
+    (functions/hashing.py semantics, here over raw bytes), component j =
+    md5_long(blob + '|' + j) % 10000 / 10000 — so a DuckDB oracle can
+    recompute every component exactly. A real embedder (CLIP/wav2vec
+    forward pass per Arrow batch) swaps in without touching schema,
+    batching, or partitioning (STUB)."""
+    import hashlib
+
+    def fake_embed(b: bytes) -> list:
+        return [
+            (int(hashlib.md5(b + b"|" + str(j).encode()).hexdigest()[:15], 16)
+             % EMBED_MOD) / EMBED_MOD
+            for j in range(dim)
+        ]
+
+    embed = embedder or fake_embed
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs, oks = [], [], []
+            for rid, blob in zip(pdf["id"], pdf[blob_col]):
+                try:
+                    v = embed(bytes(blob))
+                    ids.append(rid)
+                    vecs.append(v)
+                    oks.append(True)
+                except Exception:
+                    ids.append(rid)
+                    vecs.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({"id": ids, "embedding": vecs, "ok": oks})
+
+    return df.select(F.col(id_col).alias("id"), F.col(blob_col)).mapInPandas(
+        process, schema="id long, embedding array<double>, ok boolean"
+    )

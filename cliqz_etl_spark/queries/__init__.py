@@ -107,20 +107,22 @@ DRIVER_ORDER: list[str] = [
     "gopher_quality_filter",
     "unigram_freq_score",
     "fuzzy_match_parts",
-    # ---- slots 44-50: round-6 churn — queries whose code paths changed
+    "image_resize_stats",
+    "media_embed_fingerprint",
+    # ---- slots 46-50: round-6 churn — queries whose code paths changed
     # this round (similarity Inf/id guards, write_bucketed db-aware
-    # cleanup, salted skew stress, streaming bench wiring), so changed
-    # code re-verifies in the same round it changed -----------------------
+    # cleanup, streaming bench wiring), so changed code re-verifies in
+    # the same round it changed ------------------------------------------
     "ann_sq8",
     "dedup_incremental",
     "bucketed_join_revenue",
-    "salted_event_counts",
-    "salted_join_value_by_type",
     "streaming_hourly_counts",
     "streaming_dedup",
     # ================ past the window (fresh evidence) ===================
     # ---- r4/r5-evidence churn candidates displaced by the new queries —
     # first to rotate back in next round -----------------------------------
+    "salted_event_counts",
+    "salted_join_value_by_type",
     "sessionize",
     "session_stats",
     "sessionize_native",
@@ -261,6 +263,13 @@ BENCH_HEADLINE: list[str] = [
     # the per-source PII scan (the regex-bank scan shape).
     "dedup_semantic",
     "pii_scan_docs",
+    # Round-6 late additions: C4 span dedup (chunk -> global MIN ->
+    # rebuild, the 3-shuffle exact-substring shape) and the corpus-trained
+    # unigram score (explode + vocab agg + token join, the LM-scoring
+    # shape). The two cheap scan-shaped newcomers (gopher filter, fuzzy
+    # match) are covered by the correctness gate only.
+    "dedup_spans",
+    "unigram_freq_score",
 ]
 
 

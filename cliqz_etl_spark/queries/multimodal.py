@@ -9,9 +9,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cliqz_etl_spark.multimodal.binary_ops import (
+    EMBED_DIM,
+    EMBED_MOD,
     attach_binary,
+    embed_media,
     extract_media_meta,
     frame_sample,
+    resize_media,
 )
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
@@ -78,4 +82,79 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_frames"),
              F.sum(F.length("frame_blob")).cast("long").alias("frame_bytes"))
+    )
+
+
+_RESIZE_W, _RESIZE_H = 64, 48  # gate target; cap = 64*48//8 = 384 bytes
+
+
+@query(
+    "image_resize_stats",
+    oracle=f"""
+    SELECT doc_id AS id,
+           CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) AS in_w,
+           CAST((octet_length(encode(text)) % 480) + 1 AS INTEGER) AS in_h,
+           CAST({_RESIZE_W} AS INTEGER) AS out_w,
+           CAST({_RESIZE_H} AS INTEGER) AS out_h,
+           CAST(least(octet_length(encode(text)),
+                      {_RESIZE_W * _RESIZE_H // 8}) AS BIGINT) AS out_bytes,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize plumbing as a checked gate: blobs -> mapInPandas resize
+    (binary in, binary out + dimension metadata) -> output byte accounting.
+    The stub resample is arithmetic on payload length (keep the first
+    min(len, w*h/8) bytes), so the oracle replays it with least(); a real
+    PIL/opencv resampler swaps in without touching the schema or batching."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_binary(docs, "text")
+    resized = resize_media(blobs, "doc_id", "blob",
+                           target_w=_RESIZE_W, target_h=_RESIZE_H)
+    return resized.select(
+        "id", "in_w", "in_h", "out_w", "out_h",
+        F.length("out_blob").cast("long").alias("out_bytes"), "ok")
+
+
+def _duck_embed_component(j: int) -> str:
+    # md5-60bit of (utf8 bytes + '|' + j), mod EMBED_MOD — the SQL twin of
+    # binary_ops.embed_media's fake_embed (md5 over bytes == md5 over the
+    # source string for UTF-8 payloads). Reuses the engine-portable
+    # md5_long grammar from functions/hashing.py.
+    from cliqz_etl_spark.functions.hashing import md5_long_sql
+
+    salted = "text || '|" + str(j) + "'"
+    return f"({md5_long_sql(salted)} % {EMBED_MOD})"
+
+
+@query(
+    "media_embed_fingerprint",
+    oracle=f"""
+    SELECT doc_id AS id,
+           CAST({EMBED_DIM} AS INTEGER) AS n_dims,
+           CAST({" + ".join(f"({_duck_embed_component(j)}) * ({_duck_embed_component(j)})" for j in range(EMBED_DIM))}
+                AS BIGINT) AS norm2_scaled,
+           CAST({_duck_embed_component(0)} AS BIGINT) AS v0_scaled
+    FROM documents
+    """,
+)
+def media_embed_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing as a checked gate: blobs -> mapInPandas
+    embedding (array<double>, the shape operators/similarity.py consumes)
+    -> integer fingerprint of the vector (scaled components, so the check
+    is exact BIGINT arithmetic — no float hashing). The embedder is the
+    md5-per-dimension stub; a real model forward pass swaps in per batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_binary(docs, "text")
+    emb = embed_media(blobs, "doc_id", "blob")
+    comp = F.transform(
+        "embedding",
+        lambda x: F.round(x * EMBED_MOD).cast("long"))
+    return emb.select(
+        "id",
+        F.size("embedding").alias("n_dims"),
+        F.aggregate(comp, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x).alias("norm2_scaled"),
+        F.element_at(comp, 1).alias("v0_scaled"),
     )

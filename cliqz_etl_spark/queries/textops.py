@@ -372,12 +372,21 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs); with a capped top-V vocabulary the count table
     becomes a broadcast and the second shuffle disappears — that variant
     is a config away, this one keeps exactness for the oracle gate.
+
+    The vocab-sized count table is persisted (operators/cache-tracked):
+    without it, deriving the corpus total AND the join side from ``cnt``
+    recomputes its whole explode+agg subtree — a third full corpus scan,
+    visible in .explain("formatted"). Persisting |vocab| rows bounds the
+    pipeline at two corpus scans (one per token stream), which beats
+    persisting the O(total tokens) exploded frame at any scale.
     """
+    from cliqz_etl_spark.operators.cache import track
+
     docs = load_table(spark, sf_dir, "documents") \
         .where(F.trim("text") != "") \
         .select("doc_id", T.tokens("text").alias("tk"))
     tok = docs.select("doc_id", F.explode("tk").alias("w"))
-    cnt = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    cnt = track(tok.groupBy("w").agg(F.count("*").cast("long").alias("c")).persist())
     tot = cnt.agg(F.sum("c").cast("long").alias("t"))
     doc = (tok.join(cnt, "w")
            .groupBy("doc_id")

@@ -45,3 +45,47 @@ def test_frame_sample_expansion(spark):
 
 def test_fake_decode_deterministic():
     assert fake_decode(b"abc") == {"width": 4, "height": 4}
+
+
+def test_resize_media_caps_payload_and_survives_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from cliqz_etl_spark.multimodal.binary_ops import resize_media
+
+    df = spark.createDataFrame([(1, "x" * 1000), (2, "y")], ["id", "txt"])
+    blobs = attach_binary(df, "txt").withColumn(
+        "blob", F.when(F.col("id") == 2, F.lit(None)).otherwise(F.col("blob")))
+    out = {r["id"]: r for r in
+           resize_media(blobs, "id", "blob", target_w=8, target_h=8).collect()}
+    # cap = 8*8//8 = 8 bytes; short payloads pass through untouched
+    assert len(bytes(out[1]["out_blob"])) == 8
+    assert (out[1]["out_w"], out[1]["out_h"]) == (8, 8)
+    assert out[1]["in_w"] == (1000 % 640) + 1
+    # NULL blob -> ok=false row with NULL fields, job survives
+    assert out[2]["ok"] is False and out[2]["out_blob"] is None
+
+
+def test_embed_media_matches_hash_formula_and_feeds_ann(spark):
+    import hashlib
+
+    from cliqz_etl_spark.multimodal.binary_ops import EMBED_MOD, embed_media
+
+    df = attach_binary(spark.createDataFrame([(5, "hello")], ["id", "txt"]), "txt")
+    row = embed_media(df, "id", "blob", dim=4).first()
+    want = [
+        (int(hashlib.md5(b"hello|" + str(j).encode()).hexdigest()[:15], 16)
+         % EMBED_MOD) / EMBED_MOD
+        for j in range(4)
+    ]
+    assert row["ok"] and list(row["embedding"]) == want
+    # output shape is the similarity family's input contract
+    assert all(0.0 <= v < 1.0 for v in row["embedding"])
+
+
+def test_embed_media_custom_embedder_plugs_in(spark):
+    from cliqz_etl_spark.multimodal.binary_ops import embed_media
+
+    df = attach_binary(spark.createDataFrame([(9, "abc")], ["id", "txt"]), "txt")
+    row = embed_media(df, "id", "blob",
+                      embedder=lambda b: [float(len(b))]).first()
+    assert list(row["embedding"]) == [3.0]

@@ -158,6 +158,7 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         lsh_candidate_pairs,
         ngram_jaccard_pairs,
         simhash_near_pairs,
+        span_dedup as _span_dedup,
     )
     from cliqz_etl_spark.functions.privacy import PII_CLASSES, pii_count
     from cliqz_etl_spark.operators.similarity import (
@@ -222,6 +223,12 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         ("pii_regex_scan", lambda p: lambda: docs_at(p).select(
             *[pii_count("text", pat).alias(n) for n, pat in PII_CLASSES])
             .agg(*[F.sum(n).alias(n) for n, _ in PII_CLASSES])),
+        # C4 span dedup: chunk -> MIN per distinct chunk -> rebuild.
+        # Shuffle is O(total chunks) with map-side combine; should track
+        # corpus size ~linearly (duplicate-heavy synthetic corpora combine
+        # harder, so sub-linear is expected here).
+        ("span_dedup", lambda p: lambda: _span_dedup(
+            docs_at(p), "doc_id", "text", 10)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
