@@ -381,3 +381,42 @@ def zorder_write(
         .drop("__z", "__mna", "__mxa", "__mnb", "__mxb")
         .write.mode("overwrite").parquet(path)
     )
+
+
+def write_jsonl_shards(df: DataFrame, path: str, *,
+                       target_shard_bytes: int = 256 << 20,
+                       sample_rows: int = 500,
+                       compression: str | None = None,
+                       mode: str = "overwrite") -> dict:
+    """Sized JSONL export — the training-data interchange sink.
+
+    Shard count is derived from DATA VOLUME, not partition count: a
+    ``sample_rows``-row prefix estimates the serialized bytes/row (one
+    tiny job), a metadata-cheap count supplies N, and the frame is
+    round-robin repartitioned to ceil(avg*N / target) files. Without
+    this, the file count inherits the upstream shuffle layout — 200
+    near-empty shards after a filter, or 3 multi-GB shards after a
+    coalesce, both of which downstream loaders hate. Estimate error is
+    bounded by row-size variance in the prefix; callers with pathological
+    long-tail rows should pass a larger ``sample_rows``.
+
+    Returns {"n_shards", "est_total_bytes", "rows"} so pipelines can log
+    the sizing decision. Compression (e.g. "gzip") applies per shard file
+    — at 100 TB prefer splittable downstream formats, but gzip JSONL is
+    the de-facto corpus-distribution layout."""
+    import math
+
+    est = (df.limit(sample_rows)
+           .select((F.length(F.to_json(F.struct(*df.columns))) + 1)
+                   .alias("__b"))
+           .agg(F.avg("__b").alias("avg_b"))
+           .first()["avg_b"])
+    rows = df.count()
+    avg_b = float(est) if est is not None else 0.0
+    total = int(avg_b * rows)
+    n_shards = max(1, math.ceil(total / target_shard_bytes))
+    writer = df.repartition(n_shards).write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+    return {"n_shards": n_shards, "est_total_bytes": total, "rows": rows}

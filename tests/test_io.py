@@ -212,3 +212,31 @@ def test_merge_schema_reads_evolved_table(spark, tmp_path):
     got = {r["k"]: (r["v"], r["extra"])
            for r in read_parquet(spark, base, merge_schema=True).collect()}
     assert got == {1: ("a", None), 2: ("b", 99)}
+
+
+def test_write_jsonl_shards_sizes_by_bytes(spark, tmp_path):
+    from cliqz_etl_spark.io import read_json, write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(2000)], ["id", "payload"])
+    out = str(tmp_path / "jsonl")
+    # ~120 serialized bytes/row * 2000 rows ~= 240 KB; 64 KB target -> 4ish
+    stats = write_jsonl_shards(df, out, target_shard_bytes=64 << 10)
+    assert stats["rows"] == 2000
+    assert 3 <= stats["n_shards"] <= 6
+    import glob
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) == stats["n_shards"]
+    # round-trip: same rows come back through the JSON scan boundary
+    back = read_json(spark, out)
+    assert back.count() == 2000
+    got = sorted((r["id"], r["payload"]) for r in back.collect())
+    assert got[0] == (0, "x" * 100) and len(got) == 2000
+
+
+def test_write_jsonl_shards_empty_frame(spark, tmp_path):
+    from cliqz_etl_spark.io import write_jsonl_shards
+
+    df = spark.createDataFrame([], "id long, payload string")
+    stats = write_jsonl_shards(df, str(tmp_path / "empty"))
+    assert stats == {"n_shards": 1, "est_total_bytes": 0, "rows": 0}
