@@ -196,9 +196,8 @@ def blocked_fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
                     F.col("_blk").alias("_blk"))
     b = reps.select(F.col("_name").alias("name_b"), F.col("_rep").alias("rep_b"),
                     F.col("_blk").alias("_blk"))
-    dist = F.levenshtein("name_a", "name_b")
     return (a.join(b, "_blk")
             .where(F.col("name_a") < F.col("name_b"))
             .select("name_a", "name_b", "rep_a", "rep_b",
-                    dist.cast("long").alias("dist"))
-            .where(dist.between(min_dist, max_dist)))
+                    F.levenshtein("name_a", "name_b").cast("long").alias("dist"))
+            .where(F.col("dist").between(min_dist, max_dist)))

@@ -357,7 +357,8 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS doc_id,
            n_tok AS n_tok,
-           CAST((1000000 * sum_cnt) // (n_tok * t) AS BIGINT) AS freq_ppm
+           CAST((1000000 * CAST(sum_cnt AS HUGEINT))
+                // (CAST(n_tok AS HUGEINT) * t) AS BIGINT) AS freq_ppm
     FROM doc, tot
     """,
 )
@@ -392,7 +393,12 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("doc_id")
            .agg(F.sum("c").cast("long").alias("sum_cnt"),
                 F.count("*").cast("long").alias("n_tok")))
+    # 128-bit intermediates: n_tok * t overflows BIGINT for ~1e13-token
+    # corpora, and the engines DISAGREE on overflow (Java wraps silently,
+    # DuckDB raises) — so both sides widen first (DECIMAL(38,0) / HUGEINT)
+    # and only the <=1e6 quotient narrows back to long.
+    ppm = F.expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * sum_cnt)"
+        " div (CAST(n_tok AS DECIMAL(38,0)) * t)")
     return (doc.crossJoin(F.broadcast(tot))
-            .select("doc_id", "n_tok",
-                    F.expr("(1000000 * sum_cnt) div (n_tok * t)")
-                    .cast("long").alias("freq_ppm")))
+            .select("doc_id", "n_tok", ppm.cast("long").alias("freq_ppm")))
