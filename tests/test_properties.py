@@ -196,3 +196,42 @@ def test_point_in_time_join_matches_model(spark, hist_rows, fact_rows):
            for r in point_in_time_join(f, h, "k", "ft", "vt", "val").collect()}
     want = {i: model(k, t) for i, (k, t) in enumerate(fact_rows)}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12)
+      .map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=12))
+def test_span_dedup_matches_python_model(spark, texts):
+    """span_dedup against a plain-Python replay of the C4 rule on random
+    small-vocab corpora (tiny alphabet forces chunk collisions): the kept
+    text per doc, and the kept/dropped accounting, must match exactly."""
+    from cliqz_etl_spark.operators.dedup import span_dedup
+
+    k = 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # python model: earliest (doc_id, chunk_idx) wins per distinct chunk
+    chunks = {}  # chunk -> (doc_id, idx)
+    per_doc = {}  # doc_id -> [(idx, chunk)]
+    for doc_id, t in rows:
+        toks = t.split()
+        if not t.strip():
+            continue
+        per_doc[doc_id] = []
+        for idx in range(0, (len(toks) + k - 1) // k):
+            c = " ".join(toks[idx * k: idx * k + k])
+            per_doc[doc_id].append((idx, c))
+            if c not in chunks or (doc_id, idx) < chunks[c]:
+                chunks[c] = (doc_id, idx)
+    want = {}
+    for doc_id, cs in per_doc.items():
+        kept = [(i, c) for i, c in cs if chunks[c] == (doc_id, i)]
+        want[doc_id] = (" ".join(c for _, c in kept), len(kept),
+                        len(cs) - len(kept))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_kept"], r["n_kept"], r["n_dropped"])
+           for r in span_dedup(df, "doc_id", "text", k).collect()}
+    from cliqz_etl_spark.operators.cache import release_all
+    release_all()
+    assert got == want
