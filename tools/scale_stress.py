@@ -167,6 +167,15 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         sq8_topk,
     )
 
+    _reg: dict = {}
+
+    def _registry():
+        if not _reg:
+            from cliqz_etl_spark.queries import load_all
+
+            _reg.update(load_all())
+        return _reg
+
     def docs_at(path):
         return spark.read.parquet(f"{path}/documents.parquet")
 
@@ -229,6 +238,11 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         # harder, so sub-linear is expected here).
         ("span_dedup", lambda p: lambda: _span_dedup(
             docs_at(p), "doc_id", "text", 10)),
+        # corpus-trained unigram score: explode -> vocab agg (persisted)
+        # -> token join -> per-doc agg. Token volume drives both shuffles;
+        # the Zipf vocabulary keeps the count table small at any scale.
+        ("unigram_freq_score", lambda p: lambda: _registry()
+            ["unigram_freq_score"].fn(spark, p)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
