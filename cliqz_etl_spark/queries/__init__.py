@@ -109,18 +109,18 @@ DRIVER_ORDER: list[str] = [
     "fuzzy_match_parts",
     "image_resize_stats",
     "media_embed_fingerprint",
-    # ---- slots 46-50: round-6 churn — queries whose code paths changed
-    # this round (similarity Inf/id guards, write_bucketed db-aware
-    # cleanup, streaming bench wiring), so changed code re-verifies in
-    # the same round it changed ------------------------------------------
+    "curation_pipeline_v2",
+    # ---- slots 47-50: round-6 churn — queries whose code paths changed
+    # this round (similarity Inf/id guards, streaming bench wiring), so
+    # changed code re-verifies in the same round it changed ---------------
     "ann_sq8",
     "dedup_incremental",
-    "bucketed_join_revenue",
     "streaming_hourly_counts",
     "streaming_dedup",
     # ================ past the window (fresh evidence) ===================
     # ---- r4/r5-evidence churn candidates displaced by the new queries —
     # first to rotate back in next round -----------------------------------
+    "bucketed_join_revenue",
     "salted_event_counts",
     "salted_join_value_by_type",
     "sessionize",
@@ -270,6 +270,9 @@ BENCH_HEADLINE: list[str] = [
     # match) are covered by the correctness gate only.
     "dedup_spans",
     "unigram_freq_score",
+    # The composed flagship: gopher filter -> span dedup -> unigram
+    # scoring on the curated text, one pipeline.
+    "curation_pipeline_v2",
 ]
 
 

@@ -429,3 +429,105 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= quota[F.col("lang")])
         .select("doc_id", "lang", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 composed curation: the new operator families chained end-to-end
+# (the shape a production corpus build actually runs): Gopher rule filter
+# (scan-side map) -> C4 span dedup (3 keyed shuffles) -> unigram frequency
+# scoring TRAINED ON THE CURATED TEXT (explode + vocab agg + token join).
+# Each stage is the same library operator its standalone gate query uses,
+# and the oracle is assembled from those queries' own SQL fragments, so
+# the composition cannot drift from the parts.
+# --------------------------------------------------------------------------
+
+
+def _v2_oracle() -> str:
+    from cliqz_etl_spark.queries.dedup import SPAN_K
+    from cliqz_etl_spark.queries.textops import DUCK_GOPHER_RULES, _duck_gopher_base
+
+    return f"""
+    {_duck_gopher_base()}
+    , pass AS (
+        SELECT b.doc_id, b.tk FROM base b JOIN m USING (doc_id)
+        WHERE {DUCK_GOPHER_RULES}
+    ), ch0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range((len(tk) + {SPAN_K - 1}) // {SPAN_K}),
+                   i -> {{'chunk_idx': CAST(i AS BIGINT),
+                          'chunk': array_to_string(
+                              tk[i*{SPAN_K}+1 : i*{SPAN_K}+{SPAN_K}], ' ')}})) AS c
+        FROM pass
+    ), ch AS (
+        SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk AS chunk,
+               CAST(doc_id AS BIGINT) * 1048576 + c.chunk_idx AS key
+        FROM ch0
+    ), win AS (
+        SELECT chunk, min(key) AS keep FROM ch GROUP BY chunk
+    ), keptc AS (
+        SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(ch.chunk, ' ' ORDER BY ch.chunk_idx) AS text_kept
+        FROM ch JOIN win USING (chunk)
+        WHERE ch.key = win.keep
+        GROUP BY ch.doc_id
+    ), tots AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id
+    ), kd AS (
+        SELECT tots.doc_id,
+               coalesce(keptc.text_kept, '') AS text_kept,
+               CAST(coalesce(keptc.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(tots.n - coalesce(keptc.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM tots LEFT JOIN keptc USING (doc_id)
+    ), tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text_kept), '\\s+')) AS w
+        FROM kd WHERE trim(text_kept) <> ''
+    ), cnt AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), tot2 AS (
+        SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt
+    ), sc AS (
+        SELECT tok.doc_id,
+               CAST(sum(cnt.c) AS BIGINT) AS sum_cnt,
+               CAST(count(*) AS BIGINT) AS n_tok
+        FROM tok JOIN cnt USING (w) GROUP BY tok.doc_id
+    )
+    SELECT kd.doc_id AS doc_id,
+           kd.n_kept AS n_kept,
+           kd.n_dropped AS n_dropped,
+           sc.n_tok AS n_tok,
+           CAST((1000000 * CAST(sc.sum_cnt AS HUGEINT))
+                // (CAST(sc.n_tok AS HUGEINT) * t) AS BIGINT) AS freq_ppm
+    FROM kd JOIN sc USING (doc_id), tot2
+    """
+
+
+@query("curation_pipeline_v2", oracle=_v2_oracle())
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher filter -> C4 span dedup -> unigram scoring trained on the
+    CURATED corpus, composed from the same operators as the standalone
+    gates. Docs whose every chunk lost elsewhere drop out of the scored
+    output (inner join — they have no text left to score). At 100 TB the
+    stages pipeline cleanly: the filter is scan-side and costs nothing
+    extra, the dedup's three shuffles dominate, and the scoring trains on
+    the post-dedup token stream (smaller than the raw corpus by the dup
+    ratio)."""
+    import functools
+    import operator
+
+    from cliqz_etl_spark.operators.dedup import span_dedup
+    from cliqz_etl_spark.queries.dedup import SPAN_K
+    from cliqz_etl_spark.queries.textops import (
+        gopher_metrics,
+        gopher_rule_cols,
+        unigram_ppm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = gopher_metrics(docs)
+    passed = m.where(
+        functools.reduce(operator.and_, gopher_rule_cols().values())
+    ).select("doc_id", "text")
+    sd = span_dedup(passed, "doc_id", "text", SPAN_K)
+    scored = unigram_ppm(sd, "text_kept")
+    return (sd.join(scored, "doc_id")
+            .select("doc_id", "n_kept", "n_dropped", "n_tok", "freq_ppm"))

@@ -237,6 +237,57 @@ GOPHER_MAX_MWL = 12  # upper bound
 _STOP5 = T.STOPWORDS["en"]  # the, a, of, and, to
 
 
+# The conjunction of all five rules over m's columns — shared with the
+# composed curation pipeline (queries/llmdata.py) so the two oracles can
+# never drift from the flag query.
+DUCK_GOPHER_RULES = (
+    f"(n_tok BETWEEN {GOPHER_MIN_TOK} AND {GOPHER_MAX_TOK})"
+    f" AND total_chars >= {GOPHER_MIN_MWL} * n_tok"
+    f" AND total_chars <= {GOPHER_MAX_MWL} * n_tok"
+    f" AND 5 * n_alpha >= 4 * n_tok"
+    f" AND 10 * n_sym <= n_tok"
+    f" AND n_stop >= 2"
+)
+
+
+def gopher_metrics(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, text, n_tok, total_chars, n_alpha,
+    n_sym, n_stop): the five Gopher rule inputs, one projection, all
+    integer. The token array is materialized once per row before the
+    per-metric lambdas so tokenization isn't recomputed five times."""
+    empty = F.trim(F.col("text")) == ""
+    toks = F.when(empty, F.array().cast("array<string>")).otherwise(T.tokens("text"))
+    d = docs.select("doc_id", "text", toks.alias("tk"))
+    tk = F.col("tk")
+    n_stop = functools.reduce(
+        operator.add,
+        (F.array_contains(tk, w).cast("long") for w in _STOP5)).cast("long")
+    return d.select(
+        "doc_id", "text",
+        F.size(tk).cast("long").alias("n_tok"),
+        F.coalesce(
+            F.aggregate(F.transform(tk, F.length), F.lit(0), lambda a, x: a + x),
+            F.lit(0)).cast("long").alias("total_chars"),
+        F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]")))
+        .cast("long").alias("n_alpha"),
+        F.size(F.filter(tk, lambda t: ~t.rlike("[A-Za-z0-9]")))
+        .cast("long").alias("n_sym"),
+        n_stop.alias("n_stop"),
+    )
+
+
+def gopher_rule_cols() -> dict[str, "F.Column"]:
+    """The five rule predicates over gopher_metrics() columns."""
+    return {
+        "ok_len": F.col("n_tok").between(GOPHER_MIN_TOK, GOPHER_MAX_TOK),
+        "ok_word_len": ((F.col("total_chars") >= GOPHER_MIN_MWL * F.col("n_tok"))
+                        & (F.col("total_chars") <= GOPHER_MAX_MWL * F.col("n_tok"))),
+        "ok_alpha": 5 * F.col("n_alpha") >= 4 * F.col("n_tok"),
+        "ok_symbol": 10 * F.col("n_sym") <= F.col("n_tok"),
+        "ok_stopwords": F.col("n_stop") >= 2,
+    }
+
+
 def _duck_gopher_base() -> str:
     stop_terms = " + ".join(
         f"CASE WHEN list_contains(tk, '{w}') THEN 1 ELSE 0 END" for w in _STOP5
@@ -274,12 +325,7 @@ def _duck_gopher_base() -> str:
            (5 * n_alpha >= 4 * n_tok) AS ok_alpha,
            (10 * n_sym <= n_tok) AS ok_symbol,
            (n_stop >= 2) AS ok_stopwords,
-           ((n_tok BETWEEN {GOPHER_MIN_TOK} AND {GOPHER_MAX_TOK})
-            AND total_chars >= {GOPHER_MIN_MWL} * n_tok
-            AND total_chars <= {GOPHER_MAX_MWL} * n_tok
-            AND 5 * n_alpha >= 4 * n_tok
-            AND 10 * n_sym <= n_tok
-            AND n_stop >= 2) AS passes
+           ({DUCK_GOPHER_RULES}) AS passes
     FROM m
     """,
 )
@@ -297,37 +343,12 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes with any downstream shuffle for free (reference has no
     analogue; this is a north-star curation extension like text_quality).
     """
-    docs = _spread_docs(spark, sf_dir, "doc_id", "text")
-    empty = F.trim(F.col("text")) == ""
-    toks = F.when(empty, F.array().cast("array<string>")).otherwise(T.tokens("text"))
-    docs = docs.select("doc_id", toks.alias("tk"))
-    tk = F.col("tk")
-    n_tok = F.size(tk).cast("long")
-    total_chars = F.coalesce(
-        F.aggregate(F.transform(tk, F.length), F.lit(0), lambda a, x: a + x),
-        F.lit(0)).cast("long")
-    n_alpha = F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]"))).cast("long")
-    n_sym = F.size(F.filter(tk, lambda t: ~t.rlike("[A-Za-z0-9]"))).cast("long")
-    n_stop = functools.reduce(
-        operator.add,
-        (F.array_contains(tk, w).cast("long") for w in _STOP5)).cast("long")
-    m = docs.select(
-        "doc_id", n_tok.alias("n_tok"), total_chars.alias("total_chars"),
-        n_alpha.alias("n_alpha"), n_sym.alias("n_sym"), n_stop.alias("n_stop"))
-    ok_len = F.col("n_tok").between(GOPHER_MIN_TOK, GOPHER_MAX_TOK)
-    ok_wl = ((F.col("total_chars") >= GOPHER_MIN_MWL * F.col("n_tok"))
-             & (F.col("total_chars") <= GOPHER_MAX_MWL * F.col("n_tok")))
-    ok_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_tok")
-    ok_sym = 10 * F.col("n_sym") <= F.col("n_tok")
-    ok_stop = F.col("n_stop") >= 2
+    m = gopher_metrics(_spread_docs(spark, sf_dir, "doc_id", "text"))
+    rules = gopher_rule_cols()
     return m.select(
         "doc_id", "n_tok",
-        ok_len.alias("ok_len"),
-        ok_wl.alias("ok_word_len"),
-        ok_alpha.alias("ok_alpha"),
-        ok_sym.alias("ok_symbol"),
-        ok_stop.alias("ok_stopwords"),
-        (ok_len & ok_wl & ok_alpha & ok_sym & ok_stop).alias("passes"),
+        *[c.alias(name) for name, c in rules.items()],
+        functools.reduce(operator.and_, rules.values()).alias("passes"),
     )
 
 
@@ -339,6 +360,37 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines truncate identically — the integer-exact stand-in for a unigram
 # log-prob LM score.
 # --------------------------------------------------------------------------
+
+
+def unigram_ppm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_col) -> (doc_id, n_tok, freq_ppm): train a unigram
+    count table over the given corpus frame and score each doc by mean
+    token corpus-frequency in ppm (integer-exact; see the registered
+    query's docstring for the plan-shape and overflow notes). Shared by
+    unigram_freq_score (raw corpus) and curation_pipeline_v2 (the
+    filtered+deduped corpus)."""
+    from cliqz_etl_spark.operators.cache import track
+
+    docs = (docs.where(F.trim(text_col) != "")
+            .select("doc_id", T.tokens(text_col).alias("tk")))
+    tok = docs.select("doc_id", F.explode("tk").alias("w"))
+    cnt = track(tok.groupBy("w").agg(F.count("*").cast("long").alias("c")).persist())
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    doc = (tok.join(cnt, "w")
+           .groupBy("doc_id")
+           .agg(F.sum("c").cast("long").alias("sum_cnt"),
+                F.count("*").cast("long").alias("n_tok")))
+    # 128-bit intermediates: n_tok * t overflows BIGINT for ~1e13-token
+    # corpora, and the engines DISAGREE on overflow (Java wraps silently,
+    # DuckDB raises) — so both sides widen first (DECIMAL(38,0) / HUGEINT)
+    # and only the <=1e6 quotient narrows back to long.
+    ppm = F.expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * sum_cnt)"
+        " div (CAST(n_tok AS DECIMAL(38,0)) * t)")
+    return (doc.crossJoin(F.broadcast(tot))
+            .select("doc_id", "n_tok", ppm.cast("long").alias("freq_ppm")))
+
+
 @query(
     "unigram_freq_score",
     oracle="""
@@ -381,24 +433,4 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline at two corpus scans (one per token stream), which beats
     persisting the O(total tokens) exploded frame at any scale.
     """
-    from cliqz_etl_spark.operators.cache import track
-
-    docs = load_table(spark, sf_dir, "documents") \
-        .where(F.trim("text") != "") \
-        .select("doc_id", T.tokens("text").alias("tk"))
-    tok = docs.select("doc_id", F.explode("tk").alias("w"))
-    cnt = track(tok.groupBy("w").agg(F.count("*").cast("long").alias("c")).persist())
-    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
-    doc = (tok.join(cnt, "w")
-           .groupBy("doc_id")
-           .agg(F.sum("c").cast("long").alias("sum_cnt"),
-                F.count("*").cast("long").alias("n_tok")))
-    # 128-bit intermediates: n_tok * t overflows BIGINT for ~1e13-token
-    # corpora, and the engines DISAGREE on overflow (Java wraps silently,
-    # DuckDB raises) — so both sides widen first (DECIMAL(38,0) / HUGEINT)
-    # and only the <=1e6 quotient narrows back to long.
-    ppm = F.expr(
-        "(CAST(1000000 AS DECIMAL(38,0)) * sum_cnt)"
-        " div (CAST(n_tok AS DECIMAL(38,0)) * t)")
-    return (doc.crossJoin(F.broadcast(tot))
-            .select("doc_id", "n_tok", ppm.cast("long").alias("freq_ppm")))
+    return unigram_ppm(load_table(spark, sf_dir, "documents"))
