@@ -362,13 +362,22 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def unigram_ppm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_ppm(docs: DataFrame, text_col: str = "text",
+                broadcast_vocab_limit: int | None = None) -> DataFrame:
     """(doc_id, text_col) -> (doc_id, n_tok, freq_ppm): train a unigram
     count table over the given corpus frame and score each doc by mean
     token corpus-frequency in ppm (integer-exact; see the registered
     query's docstring for the plan-shape and overflow notes). Shared by
     unigram_freq_score (raw corpus) and curation_pipeline_v2 (the
-    filtered+deduped corpus)."""
+    filtered+deduped corpus).
+
+    ``broadcast_vocab_limit``: the scale knob. When set, the count table
+    is broadcast-hinted so the token->count join becomes a broadcast hash
+    join and the second per-token shuffle disappears — exact only while
+    the true vocabulary fits the limit, so the caller's claim is CHECKED:
+    if the vocab exceeds it, raise rather than silently mis-score
+    out-of-vocab tokens. (A lossy top-V variant would need a defined OOV
+    count; this keeps the oracle-exact contract.)"""
     from cliqz_etl_spark.operators.cache import track
 
     docs = (docs.where(F.trim(text_col) != "")
@@ -376,7 +385,16 @@ def unigram_ppm(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tok = docs.select("doc_id", F.explode("tk").alias("w"))
     cnt = track(tok.groupBy("w").agg(F.count("*").cast("long").alias("c")).persist())
     tot = cnt.agg(F.sum("c").cast("long").alias("t"))
-    doc = (tok.join(cnt, "w")
+    join_side = cnt
+    if broadcast_vocab_limit is not None:
+        vocab_size = cnt.count()  # cheap: cnt is persisted
+        if vocab_size > broadcast_vocab_limit:
+            raise ValueError(
+                f"vocabulary has {vocab_size} distinct tokens, above the "
+                f"broadcast limit {broadcast_vocab_limit}; run without the "
+                "broadcast hint (shuffled token join) instead")
+        join_side = F.broadcast(cnt)
+    doc = (tok.join(join_side, "w")
            .groupBy("doc_id")
            .agg(F.sum("c").cast("long").alias("sum_cnt"),
                 F.count("*").cast("long").alias("n_tok")))

@@ -320,3 +320,29 @@ def test_blocked_fuzzy_pairs_blocking_and_radius(spark):
     assert all("blue" not in a and "blue" not in b for a, b in pairs)
     # identical names are NOT pairs (dist 0 < min_dist, and single rep)
     assert all(r["dist"] >= 1 for r in out)
+
+
+def test_unigram_broadcast_path_matches_shuffled(spark):
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.queries.textops import unigram_ppm
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a a a a"), (3, "b c d e f"), (4, "")],
+        ["doc_id", "text"])
+    try:
+        plain = sorted(tuple(r) for r in unigram_ppm(df).collect())
+        bcast_df = unigram_ppm(df, broadcast_vocab_limit=100)
+        bcast = sorted(tuple(r) for r in bcast_df.collect())
+        plan = bcast_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_all()
+    assert plain == bcast
+    assert "BroadcastHashJoin" in plan
+    # the guard: a 6-word vocab must refuse a limit of 3
+    try:
+        unigram_ppm(df, broadcast_vocab_limit=3)
+        raise AssertionError("expected ValueError for oversized vocab")
+    except ValueError as e:
+        assert "broadcast limit" in str(e)
+    finally:
+        release_all()
