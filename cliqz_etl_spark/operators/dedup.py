@@ -574,9 +574,12 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     1. chunk the corpus (map-only), 2. MIN(packed (doc,idx) key) per
     distinct chunk text — the canonical occurrence (shuffle on chunk,
     map-side combine collapses per-partition repeats), 3. join chunks back
-    to winners on chunk text (same key — AQE reuses the exchange) and keep
-    only canonical rows, 4. reassemble per doc via sort_array(collect_list)
-    (shuffle on doc_id).
+    to winners on chunk text and keep only canonical rows, 4. reassemble
+    per doc via sort_array(collect_list) (shuffle on doc_id). The chunk
+    frame is persisted before the self-referencing stages, so chunking
+    computes once and feeds the winner agg, the join probe side, and the
+    per-doc totals as InMemoryTableScans (visible in .explain) instead of
+    three re-derivations of the explode.
 
     Never an all-pairs comparison: shuffle width is O(total chunks) with
     the combine collapsing duplicates early, so a 100 TB corpus moves at
