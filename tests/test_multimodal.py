@@ -89,3 +89,27 @@ def test_embed_media_custom_embedder_plugs_in(spark):
     row = embed_media(df, "id", "blob",
                       embedder=lambda b: [float(len(b))]).first()
     assert list(row["embedding"]) == [3.0]
+
+
+def test_embed_media_output_feeds_ann_topk(spark):
+    """The composition the embedder exists for: blobs -> embed_media ->
+    brute_force_topk, no adapters — the embedding column satisfies the
+    similarity kernels' array<numeric> + valid_quantized contract."""
+    from cliqz_etl_spark.multimodal.binary_ops import EMBED_DIM, embed_media
+    from cliqz_etl_spark.operators.similarity import brute_force_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared words") for i in range(8)],
+        ["id", "txt"])
+    emb = embed_media(attach_binary(docs, "txt"), "id", "blob")
+    out = brute_force_topk(emb, emb.where("id < 2"), "id", "embedding",
+                           k=3, dim=EMBED_DIM)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1} and all(len(v) == 3 for v in by_q.values())
+    # deterministic embedder -> deterministic neighbors across invocations
+    again = brute_force_topk(emb, emb.where("id < 2"), "id", "embedding",
+                             k=3, dim=EMBED_DIM).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
