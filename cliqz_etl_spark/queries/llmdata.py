@@ -522,12 +522,17 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_ppm,
     )
 
+    from cliqz_etl_spark.operators.cache import track
+
     docs = load_table(spark, sf_dir, "documents")
     m = gopher_metrics(docs)
     passed = m.where(
         functools.reduce(operator.and_, gopher_rule_cols().values())
     ).select("doc_id", "text")
-    sd = span_dedup(passed, "doc_id", "text", SPAN_K)
+    # The dedup output feeds BOTH the scorer (token stream) and the final
+    # join (kept/dropped accounting); persist it so the chunk-reassembly
+    # aggregation runs once, not once per consumer.
+    sd = track(span_dedup(passed, "doc_id", "text", SPAN_K).persist())
     scored = unigram_ppm(sd, "text_kept")
     return (sd.join(scored, "doc_id")
             .select("doc_id", "n_kept", "n_dropped", "n_tok", "freq_ppm"))
