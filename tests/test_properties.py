@@ -235,3 +235,41 @@ def test_span_dedup_matches_python_model(spark, texts):
     from cliqz_etl_spark.operators.cache import release_all
     release_all()
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["red", "blu", "new"]),
+              st.text(alphabet="abcd", min_size=1, max_size=6)),
+    min_size=2, max_size=12))
+def test_blocked_fuzzy_pairs_matches_bruteforce_model(spark, parts):
+    """blocked_fuzzy_pairs vs a plain-Python model: within-block pairs at
+    levenshtein 1..3, reps = min id per distinct name. Tiny alphabets force
+    name collisions (rep collapse) and near-miss edit distances."""
+    from cliqz_etl_spark.operators.relational import blocked_fuzzy_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, f"{blk} {suf}") for i, (blk, suf) in enumerate(parts)]
+    reps = {}
+    for i, name in rows:
+        reps.setdefault(name, i)
+    names = sorted(reps)
+    want = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if a.split(" ", 1)[0] == b.split(" ", 1)[0] and 1 <= lev(a, b) <= 3:
+                want.add((a, b, reps[a], reps[b], lev(a, b)))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {tuple(r) for r in blocked_fuzzy_pairs(
+        df, "id", "name", block=lambda c: F.substring_index(c, " ", 1),
+        min_dist=1, max_dist=3).collect()}
+    assert got == want
