@@ -240,3 +240,17 @@ def test_write_jsonl_shards_empty_frame(spark, tmp_path):
     df = spark.createDataFrame([], "id long, payload string")
     stats = write_jsonl_shards(df, str(tmp_path / "empty"))
     assert stats == {"n_shards": 1, "est_total_bytes": 0, "rows": 0}
+
+
+def test_write_jsonl_shards_gzip_roundtrip(spark, tmp_path):
+    from cliqz_etl_spark.io import read_json, write_jsonl_shards
+
+    df = spark.createDataFrame([(i, f"p{i}") for i in range(50)],
+                               ["id", "payload"])
+    out = str(tmp_path / "gz")
+    write_jsonl_shards(df, out, compression="gzip")
+    import glob
+    assert glob.glob(f"{out}/part-*.gz"), "expected gzip-suffixed shards"
+    back = read_json(spark, out)
+    assert sorted((r["id"], r["payload"]) for r in back.collect()) == \
+        [(i, f"p{i}") for i in range(50)]

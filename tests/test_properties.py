@@ -273,3 +273,34 @@ def test_blocked_fuzzy_pairs_matches_bruteforce_model(spark, parts):
         df, "id", "name", block=lambda c: F.substring_index(c, " ", 1),
         min_dist=1, max_dist=3).collect()}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(["the", "of", "and", "ab", "xyzw", "##", "!!", "a1"]),
+             min_size=0, max_size=16).map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=10))
+def test_gopher_metrics_match_python_model(spark, texts):
+    """gopher_metrics vs a plain-Python replay of the five rule inputs —
+    the vocabulary mixes stopwords, symbol runs, and alnum tokens so every
+    metric moves."""
+    import re
+
+    from cliqz_etl_spark.queries.textops import gopher_metrics
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tok"], r["total_chars"], r["n_alpha"],
+                         r["n_sym"], r["n_stop"])
+           for r in gopher_metrics(df).collect()}
+    stop5 = ["the", "a", "of", "and", "to"]
+    for i, t in rows:
+        toks = t.strip().split() if t.strip() else []
+        want = (
+            len(toks),
+            sum(len(w) for w in toks),
+            sum(1 for w in toks if re.search(r"[A-Za-z]", w)),
+            sum(1 for w in toks if not re.search(r"[A-Za-z0-9]", w)),
+            sum(1 for w in stop5 if w in toks),
+        )
+        assert got[i] == want, (t, got[i], want)
