@@ -485,6 +485,13 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
         .limit(k)
         .collect()
     )
+    if not init_rows:
+        # Loud driver-side failure (matching ivf_assign/ivf_topk): training
+        # on an empty/all-invalid corpus otherwise surfaces as an opaque
+        # numpy worker traceback several stages later.
+        raise ValueError(
+            "kmeans_fit: no valid training vectors "
+            "(empty frame, or every vector failed valid_quantized)")
     cents = [[int(x) for x in r["_qv"]] for r in init_rows]
     for _ in range(n_iter):
         assigned = ivf_assign_q(proj, list(range(len(cents))), cents)

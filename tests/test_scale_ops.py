@@ -346,3 +346,46 @@ def test_unigram_broadcast_path_matches_shuffled(spark):
         assert "broadcast limit" in str(e)
     finally:
         release_all()
+
+
+def test_every_query_survives_an_empty_corpus(spark, tmp_path):
+    """Production corpora have empty days/partitions: every registry query
+    must either return a (possibly empty) result or fail with a LOUD
+    driver-side ValueError — never an opaque worker traceback. The model
+    -training family (kmeans/IVF/semantic) is the deliberate ValueError
+    set: you cannot train a quantizer on nothing."""
+    import duckdb
+    import os
+
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.queries import load_all
+    from cliqz_etl_spark.tables import TABLES
+
+    empty = str(tmp_path / "empty_sf")
+    os.makedirs(empty)
+    for t in TABLES:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            duckdb.sql(
+                f"COPY (SELECT * FROM read_parquet('{src}') LIMIT 0) "
+                f"TO '{empty}/{t}.parquet' (FORMAT PARQUET)")
+    trains_a_model = {
+        "kmeans_centroids", "ivf_clusters", "ivf_clusters_trained",
+        "ann_ivf", "ann_ivf_multiprobe", "embedding_near_pairs",
+        "dedup_semantic",
+    }
+    ugly = []
+    for name, q in load_all().items():
+        try:
+            rows = q.fn(spark, empty).collect()
+            assert len(rows) >= 0
+            assert name not in trains_a_model, (
+                f"{name} trained a model on an empty corpus?")
+        except ValueError:
+            if name not in trains_a_model:
+                ugly.append((name, "ValueError outside the training family"))
+        except Exception as e:
+            ugly.append((name, type(e).__name__))
+        finally:
+            release_all()
+    assert not ugly, ugly
