@@ -206,11 +206,33 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_perm: int = 16, n_bands: int = 4,
-                        shingle_k: int = 3) -> DataFrame:
+                        shingle_k: int = 3, star: bool = False) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from MinHash-LSH banding.
     The self-join is on (band, bucket) — a bucketed equi-join whose width
-    is controlled by n_bands, never an all-pairs comparison."""
+    is controlled by n_bands, never an all-pairs comparison.
+
+    ``star=False`` (default) emits ALL within-bucket pairs — required when
+    each pair gets individually verified downstream (dedup_cascade's exact
+    Jaccard pass). Its output is quadratic in the hottest bucket: a
+    boilerplate-heavy corpus putting M identical docs in one bucket emits
+    M^2/2 rows. ``star=True`` is the cluster-resolution scale path: each
+    bucket member links only to the bucket's MIN id, so the output is
+    bounded at n_rows x n_bands while the edge set has exactly the same
+    connected components (a star is a spanning structure of the bucket
+    clique) — tests pin that equivalence. Use star for keep-one-per-
+    cluster dedup; use full pairs when pair-level similarity verification
+    follows."""
     bb = minhash_band_buckets(df, id_col, text_col, n_perm, n_bands, shingle_k)
+    if star:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        m = bb.withColumn("_min", F.min("_id").over(w))
+        return (
+            m.where(F.col("_id") != F.col("_min"))
+            .select(F.col("_min").alias("id_a"), F.col("_id").alias("id_b"))
+            .distinct()
+        )
     a = bb.alias("a")
     b = bb.alias("b")
     return (

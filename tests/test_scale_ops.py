@@ -389,3 +389,39 @@ def test_every_query_survives_an_empty_corpus(spark, tmp_path):
         finally:
             release_all()
     assert not ugly, ugly
+
+
+def test_lsh_star_pairs_linear_output_same_components(spark):
+    """On a boilerplate-heavy corpus (one big identical group), star mode
+    must emit O(n) edges where full mode emits O(n^2) — with exactly the
+    same connected components."""
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.operators.dedup import lsh_candidate_pairs
+    from cliqz_etl_spark.operators.graph import connected_components
+
+    boiler = "terms of service apply to all users of this site always"
+    rows = ([(i, boiler) for i in range(60)]
+            + [(100 + i, f"unique document number {i} about topic {i}")
+               for i in range(5)])
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def components(pairs):
+        edges = (pairs.selectExpr("id_a as src", "id_b as dst")
+                 .union(pairs.selectExpr("id_b as src", "id_a as dst")))
+        return {(r["node"], r["label"])
+                for r in connected_components(edges, max_rounds=8).collect()}
+
+    try:
+        full = lsh_candidate_pairs(df, "doc_id", "text").collect()
+        release_all()
+        star_df = lsh_candidate_pairs(df, "doc_id", "text", star=True)
+        star = star_df.collect()
+        release_all()
+        # 60 identical docs: full mode = 60*59/2 pairs, star mode = 59
+        assert len(full) >= 60 * 59 // 2
+        assert len(star) <= 59 + 5 * 4  # linear bound (plus any tiny-group links)
+        # identical connectivity
+        full_df = lsh_candidate_pairs(df, "doc_id", "text")
+        assert components(full_df) == components(star_df)
+    finally:
+        release_all()
