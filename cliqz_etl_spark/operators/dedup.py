@@ -371,7 +371,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Candidates come from an equi-join on any shared 20-bit chunk: with 3
     chunks, hamming <= 2 forces at least one chunk to match exactly, so
-    the banding loses nothing (requires max_hamming < SIMHASH_BANDS)."""
+    the banding loses nothing (requires max_hamming < SIMHASH_BANDS).
+
+    Boilerplate note: M byte-identical documents share ALL chunks, so the
+    pair output is inherently M^2/2 (every clone pair IS a hamming-0 near
+    pair — no candidate strategy can shrink a quadratic answer). On
+    template-heavy corpora run ``exact_duplicates`` first and simhash only
+    the per-hash canonical representatives, the cascade ordering that
+    keeps every bucket populated by DISTINCT texts."""
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("pigeonhole guarantee requires max_hamming < SIMHASH_BANDS")
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
