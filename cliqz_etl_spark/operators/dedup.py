@@ -118,10 +118,16 @@ def _shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     staged projections so tokens/shingles/hashes are each materialized
     once per row (inline subtrees inside transform lambdas re-evaluate
     per element — measured 6x slower). ``carry`` columns ride the
-    pipeline untouched (e.g. a batch/corpus tag)."""
+    pipeline untouched (e.g. a batch/corpus tag).
+
+    NULL-text rows are excluded here — the family-wide contract (see
+    module tests): a NULL document carries no content, so it must not
+    become anyone's near-duplicate (md5/tokens of NULL otherwise funnel
+    every NULL doc into ONE bucket and pair them all at jaccard 1.0)."""
     return (
-        _spread(df.select(F.col(id_col).alias("_id"), *carry,
-                          F.col(text_col).alias("_text")))
+        _spread(df.where(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("_id"), *carry,
+                        F.col(text_col).alias("_text")))
         .select("_id", *carry, tokens(F.col("_text")).alias("_toks"))
         .select("_id", *carry,
                 word_shingles_from(F.col("_toks"), shingle_k).alias("_sh"))
@@ -132,9 +138,13 @@ def _shingle_hashes(df: DataFrame, id_col: str, text_col: str,
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group identical texts: (text_md5, canonical_id, n_copies).
-    Canonical row = minimum id. One shuffle, map-side partial agg."""
+    Canonical row = minimum id. One shuffle, map-side partial agg.
+    NULL-text rows are excluded (family contract): md5(NULL) is NULL, so
+    without the filter every NULL doc would aggregate into one group and
+    be reported as copies of each other."""
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("text_md5"))
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -355,7 +365,8 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     Zero shuffle; the single-reference aggregate in _simhash_from_hashes
     makes this one pass over the text with no persist needed."""
     hashed = (
-        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+        _spread(df.where(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
         .select("_id", F.array_distinct(tokens(F.col("_text"))).alias("_toks"))
         .select("_id", F.transform("_toks", md5_long).alias("_hh"),
                 F.size("_toks").alias("_n"))
@@ -448,7 +459,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     a collision (birthday-bound ~1e3 at 5e10 distinct shingles — noise
     on a Jaccard estimate) would reproduce bit-for-bit."""
     sh = (
-        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+        _spread(df.where(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
         .select("_id", tokens(F.col("_text")).alias("_toks"))
         .select("_id", F.array_distinct(
             word_shingles_from(F.col("_toks"), shingle_k)).alias("_sh"))

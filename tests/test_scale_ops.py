@@ -425,3 +425,32 @@ def test_lsh_star_pairs_linear_output_same_components(spark):
         assert components(full_df) == components(star_df)
     finally:
         release_all()
+
+
+def test_dedup_family_null_text_contract(spark):
+    """Family-wide NULL semantics: a NULL-text document is excluded from
+    every dedup operator's output — it never pairs with another NULL, an
+    empty string, or anything else. Empty strings remain comparable
+    (two '' docs ARE exact duplicates)."""
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.operators.dedup import (
+        exact_duplicates,
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    rows = [(1, "hello world common text"), (2, "hello world common text"),
+            (3, None), (4, None), (5, ""), (6, ""), (7, "quite different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        exact = exact_duplicates(df, "doc_id", "text").collect()
+        groups = {r["canonical_id"]: r["n_copies"] for r in exact}
+        assert groups == {1: 2, 5: 2, 7: 1}  # no NULL group
+        for fn in (lsh_candidate_pairs, simhash_near_pairs, ngram_jaccard_pairs):
+            pairs = {(r["id_a"], r["id_b"]) for r in fn(df, "doc_id", "text").collect()}
+            release_all()
+            assert all(3 not in p and 4 not in p for p in pairs), (fn.__name__, pairs)
+            assert (1, 2) in pairs and (5, 6) in pairs, (fn.__name__, pairs)
+    finally:
+        release_all()
