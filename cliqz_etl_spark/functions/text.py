@@ -33,8 +33,14 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
+    """NULL text -> NULL count. Spark's size(NULL array) is -1 (legacy
+    sizeOfNull), while every DuckDB oracle computes len(NULL) = NULL —
+    the explicit guard keeps the engines aligned on NULL rows."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c))).cast("long")
+    return (F.when(c.isNull(), F.lit(None))
+            .when(F.trim(c) == "", F.lit(0))
+            .otherwise(F.size(tokens(c)))
+            .cast("long"))
 
 
 def bpe_token_count(col: Column | str) -> Column:
@@ -44,9 +50,14 @@ def bpe_token_count(col: Column | str) -> Column:
 
 
 def stopword_hits(col: Column | str, words: list[str]) -> Column:
-    """How many tokens of ``col`` are in ``words`` (per-language signal)."""
-    toks = tokens(col)
-    return F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
+    """How many tokens of ``col`` are in ``words`` (per-language signal).
+    NULL text -> NULL (size of a NULL array is -1 in Spark, NULL in every
+    oracle — see token_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    return (F.when(c.isNull(), F.lit(None))
+            .otherwise(F.size(F.filter(toks, lambda t: t.isin(words))))
+            .cast("long"))
 
 
 def lang_scores(col: Column | str) -> list[tuple[str, Column]]:

@@ -99,7 +99,8 @@ def _duck_lang_case() -> str:
         FROM documents
     )
     SELECT doc_id AS doc_id,
-           CASE WHEN {" + ".join(f"h_{lang}" for lang in _LANGS)} = 0 THEN 'unknown'
+           CASE WHEN h_en IS NULL THEN NULL
+                WHEN {" + ".join(f"h_{lang}" for lang in _LANGS)} = 0 THEN 'unknown'
                 ELSE {_duck_lang_case()} END AS predicted_lang,
            lang AS labeled_lang
     FROM hits
@@ -117,7 +118,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = F.array_min(candidates)["lang"]
     return docs.select(
         "doc_id",
-        F.when(total == 0, F.lit("unknown")).otherwise(best).alias("predicted_lang"),
+        # NULL text -> NULL prediction (the oracle's CASE chain falls
+        # through to NULL there; without this guard Spark's otherwise()
+        # branch would pick an arbitrary language from NULL-score structs)
+        F.when(F.col("text").isNull(), F.lit(None))
+        .when(total == 0, F.lit("unknown")).otherwise(best)
+        .alias("predicted_lang"),
         F.col("lang").alias("labeled_lang"),
     )
 
@@ -206,7 +212,9 @@ def array_ops_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tok"),
-        F.when(empty, F.lit(0))
+        # NULL guard: size(filter(NULL)) is -1 in Spark, NULL in the oracle
+        F.when(F.col("text").isNull(), F.lit(None))
+        .when(empty, F.lit(0))
         .otherwise(F.size(F.filter(toks, lambda t: F.length(t) > 4)))
         .cast("int").alias("n_long_tok"),
         F.when(empty, F.lit(0))
@@ -259,18 +267,28 @@ def gopher_metrics(docs: DataFrame) -> DataFrame:
     toks = F.when(empty, F.array().cast("array<string>")).otherwise(T.tokens("text"))
     d = docs.select("doc_id", "text", toks.alias("tk"))
     tk = F.col("tk")
+
+    def nullsafe_size(arr: "F.Column") -> "F.Column":
+        # Spark's size(NULL array) is -1; the DuckDB twin's len(NULL) is
+        # NULL. NULL text therefore gets NULL counts on BOTH engines.
+        return F.when(tk.isNull(), F.lit(None)).otherwise(F.size(arr))
+
+    # per-word CASE (not array_contains alone): list_contains(NULL, w) is
+    # NULL, and the oracle's CASE sends NULL to the ELSE-0 branch — mirror
+    # that so n_stop is 0 (not NULL) for NULL text, same as DuckDB.
     n_stop = functools.reduce(
         operator.add,
-        (F.array_contains(tk, w).cast("long") for w in _STOP5)).cast("long")
+        (F.when(F.array_contains(tk, w), F.lit(1)).otherwise(F.lit(0)).cast("long")
+         for w in _STOP5)).cast("long")
     return d.select(
         "doc_id", "text",
-        F.size(tk).cast("long").alias("n_tok"),
+        nullsafe_size(tk).cast("long").alias("n_tok"),
         F.coalesce(
             F.aggregate(F.transform(tk, F.length), F.lit(0), lambda a, x: a + x),
             F.lit(0)).cast("long").alias("total_chars"),
-        F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]")))
+        nullsafe_size(F.filter(tk, lambda t: t.rlike("[A-Za-z]")))
         .cast("long").alias("n_alpha"),
-        F.size(F.filter(tk, lambda t: ~t.rlike("[A-Za-z0-9]")))
+        nullsafe_size(F.filter(tk, lambda t: ~t.rlike("[A-Za-z0-9]")))
         .cast("long").alias("n_sym"),
         n_stop.alias("n_stop"),
     )

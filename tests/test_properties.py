@@ -304,3 +304,39 @@ def test_gopher_metrics_match_python_model(spark, texts):
             sum(1 for w in stop5 if w in toks),
         )
         assert got[i] == want, (t, got[i], want)
+
+
+def test_text_family_null_text_cross_engine_parity(spark):
+    """NULL/empty/regular text through the text-analysis gate queries,
+    compared against their OWN oracle SQL over the same rows: Spark's
+    size(NULL)=-1 legacy vs DuckDB's len(NULL)=NULL used to silently
+    diverge here — nothing in the driver corpus has NULL text, so only
+    this fixture exercises the contract."""
+    from cliqz_etl_spark.queries import load_all
+    from tests.oracle_harness import _hash_rows
+
+    registry = load_all()
+    rows = [(1, None, "en", "s", 0), (2, "", "en", "s", 0),
+            (3, "the of and to a ok", "en", "s", 18),
+            (4, "  ", "de", "s", 2)]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sdf.createOrReplaceTempView("__nulldocs")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="nulldocs_")
+    sdf.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    for name in ["text_stats", "lang_id", "text_quality", "gopher_quality_filter",
+                 "array_ops_gauntlet"]:
+        q = registry[name]
+        got = q.fn(spark, tmp)
+        g_cols, g_rows = got.columns, [tuple(r) for r in got.collect()]
+        res = con.execute(q.oracle)
+        d_cols = [d[0] for d in res.description]
+        d_rows = [tuple(r) for r in res.fetchall()]
+        assert sorted(g_cols) == sorted(d_cols), name
+        assert _hash_rows(g_cols, g_rows) == _hash_rows(d_cols, d_rows), (
+            name, sorted(g_rows), sorted(d_rows))
