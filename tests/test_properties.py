@@ -340,3 +340,33 @@ def test_text_family_null_text_cross_engine_parity(spark):
         assert sorted(g_cols) == sorted(d_cols), name
         assert _hash_rows(g_cols, g_rows) == _hash_rows(d_cols, d_rows), (
             name, sorted(g_rows), sorted(d_rows))
+
+
+def test_fingerprint_and_tokens_unicode_cross_engine_parity(spark):
+    """Multi-byte and astral text through the char-slicing fragments:
+    Spark's substr and DuckDB's substr must both count CODEPOINTS (a
+    UTF-16-code-unit slicer would shear surrogate pairs and hash different
+    shingles). Pinned because the driver corpus is pure ASCII."""
+    from cliqz_etl_spark.functions.hashing import md5_long_sql
+    from cliqz_etl_spark.functions.text import fingerprint, token_count
+
+    cases = ["hello plain ascii text", "naïve café résumé over",
+             "日本語のテキストです短い", "emoji 😀😀 in the middle",
+             "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 astral letters", "mixed 😀 日本 ascii ok"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["f"], r["n"]) for r in df.select(
+        "doc_id", fingerprint("text", 8).alias("f"),
+        token_count("text").alias("n")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        want_f = con.execute(
+            f"""SELECT list_min(list_transform(
+                    range(1, greatest(length(text) - 7, 1) + 1),
+                    i -> {md5_long_sql("substr(text, CAST(i AS INTEGER), 8)")}))
+                FROM (SELECT ? AS text)""", [s]).fetchone()[0]
+        want_n = con.execute(
+            "SELECT CASE WHEN trim(text)='' THEN 0 ELSE "
+            "len(string_split_regex(trim(text),'\\s+')) END "
+            "FROM (SELECT ? AS text)", [s]).fetchone()[0]
+        assert got[i] == (want_f, want_n), (s, got[i], (want_f, want_n))
