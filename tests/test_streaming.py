@@ -280,3 +280,53 @@ def test_local_heap_default_bounds():
 
     m = re.fullmatch(r"(\d+)g", _local_heap_default())
     assert m and 1 <= int(m.group(1)) <= 16
+
+
+def test_late_event_behind_watermark_is_dropped(spark):
+    """Real watermark semantics need TWO drains against one checkpoint:
+    drain 1 advances the event-time watermark past an old hour; a row for
+    that hour arriving in drain 2 must be dropped — its window is final
+    and never re-emitted, and it must not resurrect a new one."""
+    import glob
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+        os.makedirs(src)
+
+        def emit(name, rows):
+            with open(f"{src}/{name}", "w") as f:
+                for eid, ts, uid in rows:
+                    f.write(json.dumps({"event_id": eid, "ts": ts,
+                                        "user_id": uid, "event_type": "click",
+                                        "value": 1.0}) + "\n")
+
+        def drain():
+            ev = read_event_stream(spark, src, EVENT_SCHEMA)
+            run_to_parquet(windowed_event_counts(ev, "1 hour"), out, ckpt)
+
+        # drain 1: events at 10:xx and 12:00 -> watermark lands at 11:00,
+        # closing (and emitting) the 10:00 window
+        emit("a.json", [(1, "2024-01-01T10:00:00", 1),
+                        (2, "2024-01-01T10:20:00", 1),
+                        (3, "2024-01-01T12:00:00", 1)])
+        drain()
+        # drain 2: two stragglers behind the 11:00 watermark — one in the
+        # already-emitted 10:00 window, one in the never-seen 09:00 hour —
+        # plus an on-time 13:30 event
+        emit("b.json", [(4, "2024-01-01T09:30:00", 9),
+                        (5, "2024-01-01T10:40:00", 9),
+                        (6, "2024-01-01T13:30:00", 1)])
+        drain()
+
+        rows = spark.read.parquet(out).collect()
+        got = {(r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+               for r in rows}
+        starts = [r["window_start"].isoformat() for r in rows]
+        # the closed 10:00 window was emitted once, with drain-1's count
+        # only — the 10:40 straggler neither re-emits nor augments it
+        assert starts.count("2024-01-01T10:00:00") == 1
+        assert got[("2024-01-01T10:00:00", "click")] == 2
+        # the 09:30 straggler resurrects nothing
+        assert "2024-01-01T09:00:00" not in starts
+        assert glob.glob(f"{out}/part-*") or glob.glob(f"{out}/**/part-*")
