@@ -67,6 +67,10 @@ _rw = random.Random(13)
 VOCAB = ["".join(_rw.choice(_string.ascii_lowercase)
                  for _ in range(_rw.randint(3, 9)))
          for _ in range(10_000)]
+# Real common stopwords take the hottest Zipf slots (as in natural text):
+# without them every generated doc fails the Gopher stopword rule and the
+# quality-filtered pipelines degenerate to 0-row workloads at stress scale.
+VOCAB[:5] = ["the", "a", "of", "and", "to"]
 _zipf_w = [1.0 / (i + 1) for i in range(len(VOCAB))]
 
 
@@ -243,6 +247,10 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         # the Zipf vocabulary keeps the count table small at any scale.
         ("unigram_freq_score", lambda p: lambda: _registry()
             ["unigram_freq_score"].fn(spark, p)),
+        # the composed flagship: gopher filter -> span dedup -> unigram
+        # scoring on the curated text (three stage families in one job)
+        ("curation_pipeline_v2", lambda p: lambda: _registry()
+            ["curation_pipeline_v2"].fn(spark, p)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
