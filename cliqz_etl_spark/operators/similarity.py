@@ -61,9 +61,11 @@ def valid_quantized(df: DataFrame, id_col: str, vec_col: str,
     representable, so any vector that passes is exact through EVERY
     kernel. At dim=64 that allows |x| ≤ ~350 — three orders of
     magnitude above any normalized embedding, so real corpora lose
-    nothing. One definition so the validity rule can't drift between
-    the six operators that need it; the filter is a scan predicate that
-    costs nothing on clean corpora."""
+    nothing. Vectors that quantize to ALL-ZERO are dropped too: their
+    cosine is 0/0, which would flow through ranking as a NULL score and
+    silently occupy top-k slots. One definition so the validity rule
+    can't drift between the six operators that need it; the filter is a
+    scan predicate that costs nothing on clean corpora."""
     c = F.col(vec_col)
     xmax = F.lit(magnitude_bound(dim))
     return (
@@ -71,6 +73,7 @@ def valid_quantized(df: DataFrame, id_col: str, vec_col: str,
                  & ~F.exists(c, lambda x: x.isNull() | F.isnan(x)
                              | (F.abs(x) > xmax)))
         .select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+        .where(F.exists(F.col("_qv"), lambda q: q != 0))
     )
 
 

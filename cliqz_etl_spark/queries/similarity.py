@@ -45,7 +45,10 @@ _VALID = (
     "embedding IS NOT NULL AND len(embedding) = 64 AND "
     "list_count(list_filter(embedding, x -> x IS NULL "
     "OR isnan(CAST(x AS DOUBLE)) "
-    f"OR abs(CAST(x AS DOUBLE)) > {_XMAX!r})) = 0"
+    f"OR abs(CAST(x AS DOUBLE)) > {_XMAX!r})) = 0 AND "
+    # quantized-all-zero vectors are unscorable (0/0 cosine) and dropped
+    # on both engines — the twin of valid_quantized's trailing filter
+    f"len(list_filter({_QUANT}, q -> q <> 0)) > 0"
 )
 
 

@@ -106,10 +106,14 @@ def test_valid_quantized_drops_unscorable_vectors(spark):
     rows = [(1, [1.0, 2.0]), (2, [float("inf"), 1.0]),
             (3, [float("-inf"), 1.0]), (4, [float("nan"), 1.0]),
             (5, None), (6, [1.0]), (7, [9.3e15, 1.0]), (8, [-1.0e6, 1.0]),
-            (9, [300.0, -300.0])]
+            (9, [300.0, -300.0]),
+            # quantized-all-zero: cosine is 0/0 -> unscorable, dropped
+            (10, [0.0, 0.0]), (11, [0.0002, -0.0002]),
+            # quantizes to [1, 0]: nonzero, kept
+            (12, [0.001, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r["_id"] for r in valid_quantized(df, "vec_id", "embedding", 2).collect()}
-    assert got == {1, 9}
+    assert got == {1, 9, 12}
 
 
 def test_quantization_envelope_formula():
