@@ -460,7 +460,8 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
 
 
 def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
-               n_iter: int = 2, dim: int = 64) -> list[list[int]]:
+               n_iter: int = 2, dim: int = 64,
+               train_limit: int | None = None) -> list[list[int]]:
     """Deterministic Lloyd's k-means over quantized vectors; returns the
     trained centroid matrix (cid = list index, 0..k-1).
 
@@ -475,13 +476,34 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
       DuckDB oracle. Empty clusters keep their previous centroid.
 
     Only models (K x dim ints) ever reach the driver; the corpus-side work
-    is one map + one K-row-wide aggregate per round."""
+    is one map + one K-row-wide aggregate per round.
+
+    ``train_limit``: the fit-cost scale knob. When set, Lloyd's rounds run
+    on the ``train_limit`` rows with smallest (md5_long(id), id) — the
+    SAME deterministic pseudo-random order the init draw uses, so the
+    sample is reproducible and oracle-replicable — instead of the full
+    corpus. Fit cost drops from O(n_iter * n * K) to O(n_iter * S * K)
+    while callers still assign the FULL corpus with the trained model
+    once. The default (None) trains on everything, which is what the
+    oracle-gated registry queries pin."""
     import math
 
     from cliqz_etl_spark.functions.hashing import md5_long
     from cliqz_etl_spark.operators.dedup import _materialize
 
-    proj = _materialize(valid_quantized(df, id_col, vec_col, dim))
+    proj = valid_quantized(df, id_col, vec_col, dim)
+    if train_limit is not None:
+        if train_limit < k:
+            raise ValueError(
+                f"train_limit={train_limit} must be >= k={k} "
+                "(the init draw needs k distinct rows)")
+        proj = (proj.select(
+                    "_id", "_qv",
+                    md5_long(F.col("_id").cast("string")).alias("__h"))
+                .orderBy(F.asc("__h"), F.asc("_id"))
+                .limit(train_limit)
+                .drop("__h"))
+    proj = _materialize(proj)
     init_rows = (
         proj.select("_id", "_qv", md5_long(F.col("_id").cast("string")).alias("_h"))
         .orderBy(F.asc("_h"), F.asc("_id"))
@@ -577,7 +599,8 @@ def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
 
 def semantic_verdicts(df: DataFrame, id_col: str, vec_col: str, dim: int,
                       k: int, n_iter: int = 2,
-                      thresh_x10k: int = 4000) -> DataFrame:
+                      thresh_x10k: int = 4000,
+                      train_limit: int | None = None) -> DataFrame:
     """SemDeDup-style per-vector near-duplicate verdict.
 
     Train a k-means coarse quantizer (kmeans_fit), assign every valid
@@ -589,11 +612,17 @@ def semantic_verdicts(df: DataFrame, id_col: str, vec_col: str, dim: int,
     the corpus to hold the mean cluster size constant (k ~ n / target
     cluster size) — then pair cost is ~linear in n and the shuffle key
     (cluster) stays balanced by construction. The model is k x dim int64s
-    on the driver/broadcast; at k=4096, dim=64 that is ~2 MB.
+    on the driver/broadcast; at k=4096, dim=64 that is ~2 MB. Since k
+    grows with n, the FIT cost O(n_iter * n * k) grows quadratically-ish
+    in n — ``train_limit`` caps the training sample (see kmeans_fit) so
+    fit cost is O(n_iter * S * k) while assignment and the pair join
+    still cover the full corpus; the registry query keeps the default
+    full-corpus fit its oracle replays.
     """
     from cliqz_etl_spark.operators.dedup import _materialize
 
-    cents = kmeans_fit(df, id_col, vec_col, k, n_iter, dim=dim)
+    cents = kmeans_fit(df, id_col, vec_col, k, n_iter, dim=dim,
+                       train_limit=train_limit)
     proj = valid_quantized(df, id_col, vec_col, dim)
     assigned = _materialize(ivf_assign_q(proj, list(range(k)), cents))
     norm = norm2_q(F.col("_qv")).cast("double")

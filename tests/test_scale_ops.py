@@ -458,3 +458,43 @@ def test_dedup_family_null_text_contract(spark):
             assert (1, 2) in pairs and (5, 6) in pairs, (fn.__name__, pairs)
     finally:
         release_all()
+
+
+def test_semantic_verdicts_sampled_fit(spark):
+    """train_limit caps the k-means fit sample but assignment and the
+    verdict join still cover the FULL corpus: every vector gets a verdict,
+    planted near-dup pairs still drop their higher id, and the sampled
+    model is deterministic across invocations."""
+    import random
+
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.operators.similarity import semantic_verdicts
+
+    r = random.Random(5)
+    base = [[r.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = [(i, base[i]) for i in range(40)]
+    rows += [(100 + i, [x * 1.0001 for x in base[i]]) for i in range(10)]  # near-dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    try:
+        out1 = semantic_verdicts(df, "vec_id", "embedding", 8, k=4,
+                                 train_limit=16)
+        got1 = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out1.collect()}
+        release_all()
+        assert set(got1) == {r[0] for r in rows}  # full corpus covered
+        # each planted clone pair resolved: the higher id dropped whenever
+        # the pair landed in one cluster (cosine ~1 >= 0.4 threshold)
+        same_cluster = [i for i in range(10) if got1[i][0] == got1[100 + i][0]]
+        assert same_cluster, "expected at least one co-clustered clone pair"
+        assert all(got1[100 + i][1] is False for i in same_cluster)
+        out2 = semantic_verdicts(df, "vec_id", "embedding", 8, k=4,
+                                 train_limit=16)
+        got2 = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out2.collect()}
+        release_all()
+        assert got1 == got2  # deterministic sample -> deterministic model
+        try:
+            semantic_verdicts(df, "vec_id", "embedding", 8, k=20, train_limit=8)
+            raise AssertionError("expected ValueError: train_limit < k")
+        except ValueError as e:
+            assert "train_limit" in str(e)
+    finally:
+        release_all()

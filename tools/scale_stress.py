@@ -231,6 +231,14 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         ("semantic_verdicts", lambda p: lambda: semantic_verdicts(
             emb_at(p), "vec_id", "embedding", 64,
             max(2, _rows(p, "embeddings") // 40), 2, 4000)),
+        # sampled-fit variant: Lloyd's rounds on 10 samples/centroid
+        # (S = 10k = n/4 at the cluster-size law) instead of the full
+        # corpus — the fit-cost knob for 100x-scale semantic dedup;
+        # assignment + the pair join still cover every vector.
+        ("semantic_verdicts_sampled", lambda p: lambda: semantic_verdicts(
+            emb_at(p), "vec_id", "embedding", 64,
+            max(2, _rows(p, "embeddings") // 40), 2, 4000,
+            train_limit=max(4, 10 * max(2, _rows(p, "embeddings") // 40)))),
         # PII regex-bank scan (per-class counts over the full text) —
         # scan-shaped, should track corpus bytes ~linearly.
         ("pii_regex_scan", lambda p: lambda: docs_at(p).select(
