@@ -81,11 +81,13 @@ _BUCKETS_CTE = _SIG_CTE + ", buckets AS (" + " UNION ALL ".join(
     SELECT md5(text) AS text_md5,
            MIN(doc_id) AS canonical_id,
            COUNT(*) AS n_copies
-    FROM documents GROUP BY md5(text)
+    FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5 group-by, canonical row = min doc_id."""
+    """Exact dedup: md5 group-by, canonical row = min doc_id. NULL-text
+    rows are excluded on both sides (family contract — without the filter
+    the oracle would report NULL docs as copies of each other)."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_duplicates(docs, "doc_id", "text")
 
