@@ -389,12 +389,25 @@ def ivf_assign_q(projected: DataFrame, cids: list[int],
 def _collect_centroids(centroids: DataFrame, id_col: str,
                        vec_col: str) -> list[tuple[int, list[int]]]:
     """Collect the K-row centroid MODEL to the driver (the legitimate
-    collect: model fitting, not data movement)."""
+    collect: model fitting, not data movement).
+
+    The frame passes through valid_quantized first — a NULL/NaN/ragged/
+    zero centroid row would otherwise reach the driver as a None (a
+    TypeError here) or poison the numpy model matrix; the oracle CTEs
+    build their centroid set from the validity-filtered projection, so
+    dropping the same rows keeps both engines' models identical. The
+    model dim comes from the lowest-id non-NULL row — deterministic, and
+    the whole frame is model-sized so the extra driver fetch is noise."""
+    first = (centroids.where(F.col(vec_col).isNotNull())
+             .orderBy(F.col(id_col))
+             .select(F.size(F.col(vec_col)).alias("n"))
+             .first())
+    if first is None:
+        return []
+    dim = int(first["n"])
     return [
-        (int(r["cid"]), [int(x) for x in r["cv"]])
-        for r in centroids.select(
-            F.col(id_col).alias("cid"), quantize(vec_col).alias("cv")
-        ).collect()
+        (int(r["_id"]), [int(x) for x in r["_qv"]])
+        for r in valid_quantized(centroids, id_col, vec_col, dim).collect()
     ]
 
 

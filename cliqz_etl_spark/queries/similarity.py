@@ -42,8 +42,11 @@ _QUANT = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5
 # threshold so a dirty corpus filters the same rows on both sides.
 _XMAX = magnitude_bound(64)
 _VALID = (
+    # len(), NOT list_count(): a bad element caught by the `x IS NULL` arm
+    # is itself NULL in the filtered list, and DuckDB's list_count ignores
+    # NULL elements — the one hit the clause exists to count.
     "embedding IS NOT NULL AND len(embedding) = 64 AND "
-    "list_count(list_filter(embedding, x -> x IS NULL "
+    "len(list_filter(embedding, x -> x IS NULL "
     "OR isnan(CAST(x AS DOUBLE)) "
     f"OR abs(CAST(x AS DOUBLE)) > {_XMAX!r})) = 0 AND "
     # quantized-all-zero vectors are unscorable (0/0 cosine) and dropped

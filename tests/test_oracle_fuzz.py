@@ -79,3 +79,65 @@ def test_text_queries_match_oracles_on_random_corpora(spark, texts, rnd):
     finally:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_VEC = st.one_of(
+    st.none(),
+    st.just([0.0] * 64),                                  # quantized-zero
+    st.just([0.0002] * 64),                               # sub-epsilon
+    st.lists(st.floats(-1, 1, allow_nan=False), min_size=3, max_size=5),  # ragged
+    st.just([float("nan")] + [0.5] * 63),
+    st.just([float("inf")] + [0.5] * 63),
+    st.just([401.0] + [0.5] * 63),                        # out of envelope
+    st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+             min_size=64, max_size=64),                   # valid
+)
+
+_EMB_FUZZED = ["ann_topk", "rhp_signatures", "embedding_near_pairs"]
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_VEC, min_size=6, max_size=14))
+def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, vecs):
+    """NULL / ragged / NaN / Inf / out-of-envelope / quantized-zero
+    vectors through the embedding gate queries vs their own oracle SQL:
+    the valid_quantized filter and its DuckDB twin must drop the SAME
+    rows, or scores appear on one side only."""
+    from cliqz_etl_spark.operators.cache import release_all
+
+    # guarantee a few valid vectors so top-k queries have real work
+    vecs = list(vecs) + [[0.1 * ((i + j) % 7 - 3) for j in range(64)]
+                         for i in range(4)]
+    rows = [(i, v, i % 3) for i, v in enumerate(vecs)]
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, "
+                "embedding DOUBLE[], label BIGINT)")
+    con.executemany("INSERT INTO embeddings VALUES (?,?,?)", rows)
+    tmp = tempfile.mkdtemp(prefix="fuzzvecs_")
+    try:
+        sdf.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        for name in _EMB_FUZZED:
+            q = _REGISTRY[name]
+            try:
+                got = q.fn(spark, tmp)
+                g_cols, g_rows = got.columns, [tuple(r) for r in got.collect()]
+            except ValueError:
+                # degenerate model (no valid centroid rows): the operator
+                # raises its loud model error; the oracle's centroid CTE is
+                # empty, so it must agree the answer is "nothing"
+                assert not con.execute(q.oracle).fetchall(), name
+                continue
+            finally:
+                release_all()
+            res = con.execute(q.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = [tuple(r) for r in res.fetchall()]
+            assert sorted(g_cols) == sorted(d_cols), name
+            assert len(g_rows) == len(d_rows), (name, len(g_rows), len(d_rows))
+            assert _hash_rows(g_cols, g_rows) == _hash_rows(d_cols, d_rows), (
+                name, sorted(g_rows)[:5], sorted(d_rows)[:5])
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
