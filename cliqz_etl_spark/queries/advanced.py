@@ -132,14 +132,19 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unpivot_event_counts",
-    oracle="""
+    oracle=f"""
     SELECT user_id AS user_id, event_type AS event_type, COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events
+    WHERE event_type IN ({", ".join(f"'{t}'" for t in EVENT_TYPES)})
+    GROUP BY 1, 2
     """,
 )
 def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pivot -> unpivot round-trip (melt), dropping the zero cells the
-    pivot materialized; equals the plain grouped count."""
+    pivot materialized; equals the grouped count RESTRICTED to the
+    pivot's declared type list — a NULL or novel event_type can never
+    round-trip through the fixed pivot columns, so the oracle filters to
+    the same declared schema (fuzz-pinned)."""
     wide = pivot_event_counts(spark, sf_dir)
     return (
         wide.unpivot("user_id", EVENT_TYPES, "event_type", "n")

@@ -730,7 +730,7 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type AS cur,
                lead(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-        FROM events
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ), pair AS (
         SELECT cur, nxt, COUNT(*) AS n_pairs FROM seq
         WHERE nxt IS NOT NULL GROUP BY 1, 2
@@ -746,8 +746,12 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Next-event transition counts and probabilities (integer ppm)."""
-    ev = load_table(spark, sf_dir, "events")
+    """Next-event transition counts and probabilities (integer ppm).
+    NULL-ts / NULL-type events are excluded on both sides (fuzz-pinned):
+    a transition from or to an unknown state or at an unknown time is
+    meaningless, and NULL ordering would differ per engine anyway."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     pair = (
         ev.select(

@@ -276,7 +276,7 @@ def map_valued_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH counts AS (
         SELECT user_id, event_type, COUNT(*) AS cnt
-        FROM events GROUP BY 1, 2
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
     ), ranked AS (
         SELECT user_id, event_type, cnt,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -289,8 +289,11 @@ def map_valued_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count + row_number window; ties broken by value ordering so the
-    result is deterministic (F.mode would tie-break arbitrarily)."""
-    ev = load_table(spark, sf_dir, "events")
+    result is deterministic (F.mode would tie-break arbitrarily).
+    NULL values are excluded from the mode (fuzz-pinned): NULL is not a
+    category a mode can name, and on a count tie the engines would even
+    sort it to opposite ends (Spark NULLs-first asc, DuckDB NULLs-last)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
     return (
@@ -374,8 +377,12 @@ def distinct_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ever_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # coalesce mirrors the oracle's CASE..ELSE FALSE: a NULL event_type is
+    # "not a purchase", so a user with only NULL-typed events gets FALSE —
+    # without it Spark's max() skips the NULL comparisons and yields NULL
     return ev.groupBy("user_id").agg(
-        F.max(F.col("event_type") == "purchase").alias("ever_purchased")
+        F.max(F.coalesce(F.col("event_type") == "purchase", F.lit(False)))
+        .alias("ever_purchased")
     )
 
 
@@ -650,11 +657,14 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY ts ASC, event_id ASC
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS running_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    """Ordered cumulative sum; NULL-ts rows are excluded on both sides
+    (fuzz-pinned) — a cumulative position for an unknown instant is
+    undefined, and the engines sort NULLs to opposite ends."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.asc("ts"), F.asc("event_id"))

@@ -26,7 +26,13 @@ def with_session_seq(ev: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame
     new session starts only at gap > gap_seconds — pinned by the
     exact-1800s-gap fixture in test_streaming, measured against the
     native operator, so the three sessionizers and the shared oracle
-    cannot silently diverge."""
+    cannot silently diverge.
+
+    NULL-ts events are excluded (fuzz-pinned): a session position for an
+    unknown instant is meaningless, and the engines even disagree where
+    to SORT it (ascending NULLs first in Spark, last in DuckDB) — the
+    shared oracle CTE applies the identical filter."""
+    ev = ev.where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     prev_ts = F.lag(F.col("ts")).over(w)
     gap = F.col("ts").cast("long") - prev_ts.cast("long")
@@ -40,7 +46,7 @@ _SESSION_CTE = f"""
     WITH ordered AS (
         SELECT user_id, event_id, ts, value,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), flagged AS (
         SELECT *, CASE WHEN prev_ts IS NULL
                          OR date_diff('second', prev_ts, ts) > {GAP_SECONDS}

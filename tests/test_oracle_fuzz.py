@@ -141,3 +141,80 @@ def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, vecs):
     finally:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_EV_FUZZED = [
+    "mode_per_user", "value_histogram", "value_percentiles_by_type",
+    "indicator_sums", "distinct_purchasers", "ever_purchased",
+    "funnel_counts", "weekly_retention", "sessionize", "next_event_gap",
+    "running_total", "pivot_event_counts", "unpivot_event_counts",
+    "event_transition_matrix", "longest_streak",
+]
+
+_TS = st.one_of(
+    st.none(),
+    st.integers(0, 90 * 86_400).map(
+        lambda s: __import__("datetime").datetime(2024, 1, 1)
+        + __import__("datetime").timedelta(seconds=s)),
+)
+_EVENT = st.tuples(
+    st.integers(0, 5),                                     # user_id
+    _TS,
+    st.one_of(st.none(),
+              st.sampled_from(["click", "view", "purchase", "signup"])),
+    st.one_of(st.none(), st.floats(-50, 150, allow_nan=False)),
+)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_EVENT, min_size=3, max_size=25))
+def test_event_queries_match_oracles_on_adversarial_events(spark, evs):
+    """NULL timestamps / types / values and duplicate instants through the
+    events gate queries vs their own oracle SQL. The known engine trap:
+    ascending sorts put NULLs FIRST in Spark and LAST in DuckDB, so any
+    window or percentile whose oracle doesn't pin NULL placement diverges
+    the moment a NULL ts/value exists."""
+    from cliqz_etl_spark.operators.cache import release_all
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(i, ts, uid, et, v, '{"k": 1}')
+            for i, (uid, ts, et, v) in enumerate(evs)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, "
+                "user_id BIGINT, event_type VARCHAR, value DOUBLE, "
+                "props VARCHAR)")
+    con.executemany("INSERT INTO events VALUES (?,?,?,?,?,?)", rows)
+    tmp = tempfile.mkdtemp(prefix="fuzzev_")
+    try:
+        # single FILE, native timestamp[us] — the driver testdata layout
+        # (tables.load_table footer-probes the file, a directory fails)
+        table = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        })
+        pq.write_table(table, f"{tmp}/events.parquet")
+        for name in _EV_FUZZED:
+            q = _REGISTRY[name]
+            try:
+                got = q.fn(spark, tmp)
+                g_cols, g_rows = got.columns, [tuple(r) for r in got.collect()]
+            finally:
+                release_all()
+            res = con.execute(q.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = [tuple(r) for r in res.fetchall()]
+            assert sorted(g_cols) == sorted(d_cols), name
+            assert len(g_rows) == len(d_rows), (
+                name, len(g_rows), len(d_rows),
+                sorted(g_rows, key=str)[:4], sorted(d_rows, key=str)[:4])
+            assert _hash_rows(g_cols, g_rows) == _hash_rows(d_cols, d_rows), (
+                name, sorted(g_rows, key=str)[:5], sorted(d_rows, key=str)[:5])
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
