@@ -413,7 +413,7 @@ _HQ_BIN_CENTS = 500
         SELECT event_type,
                CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT) / {_HQ_BIN_CENTS}) AS BIGINT) AS bin,
                COUNT(*) AS n
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ), cum AS (
         SELECT event_type, bin, n,
                SUM(n) OVER (PARTITION BY event_type ORDER BY bin
@@ -431,8 +431,10 @@ _HQ_BIN_CENTS = 500
 def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 upper-bound estimates from a 5-dollar-bin histogram.
     Max error = one bin width, traded for a sketch that merges with a
-    single integer sum per bin."""
-    ev = load_table(spark, sf_dir, "events")
+    single integer sum per bin. NULL values carry no bin and are excluded
+    on both sides (fuzz-pinned: a NULL bin sorts to opposite cumulative
+    ends per engine, shifting every quantile after it)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     bins = (
         ev.select("event_type", F.floor(cents / _HQ_BIN_CENTS).cast("long").alias("bin"))
@@ -548,7 +550,7 @@ def rank_fraction_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), ctx AS (
         SELECT event_type, day, x,
                COUNT(*) OVER w AS n,
@@ -568,8 +570,10 @@ def rank_fraction_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 def anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days whose event count sits >2 trailing-window sigmas from the
     7-day mean. One shuffle on event_type; the three window aggregates
-    share a frame."""
-    ev = load_table(spark, sf_dir, "events")
+    share a frame. NULL-ts rows are excluded on both sides (fuzz-pinned):
+    a NULL day would sort to opposite window ends per engine, shifting
+    every trailing frame after it."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("x"))

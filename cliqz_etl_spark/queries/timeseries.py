@@ -171,7 +171,7 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH slotted AS (
         SELECT event_type,
                to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800) AS slot
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), expanded AS (
         -- each event falls in two 1h-wide windows on the 30-min grid:
         -- the one starting at its slot and the one starting 30 min before
@@ -207,14 +207,15 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY ts ASC, event_id ASC
                                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
                       * 10000 + 0.5) AS BIGINT) AS ma5_x10k
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-row moving average per user — a bounded ROWS frame; the frame's
     accumulation order is the window order, so the double math is
-    deterministic across engines (unlike grouped sums)."""
-    ev = load_table(spark, sf_dir, "events")
+    deterministic across engines (unlike grouped sums). NULL-ts rows are
+    excluded on both sides (fuzz-pinned NULL-ordering divergence)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
         .rowsBetween(-4, Window.currentRow)

@@ -149,6 +149,15 @@ _EV_FUZZED = [
     "funnel_counts", "weekly_retention", "sessionize", "next_event_gap",
     "running_total", "pivot_event_counts", "unpivot_event_counts",
     "event_transition_matrix", "longest_streak",
+    # second wave: the ts-window-heavy rest of the events-only registry
+    "asof_last_click_before_purchase", "sliding_event_counts",
+    "moving_avg_value", "anomalous_days", "daily_activity_filled",
+    "interpolate_user_values", "linear_attribution", "salted_event_counts",
+    "countmin_user_counts", "kmv_distinct_users", "histogram_quantiles",
+    "range_join_close_events", "incremental_monthly_rollup",
+    "sessionize_native", "session_stats", "two_key_join",
+    "full_outer_rollup", "salted_join_value_by_type",
+    "value_hours_per_user", "recency_filter",
 ]
 
 _TS = st.one_of(
