@@ -227,3 +227,104 @@ def test_event_queries_match_oracles_on_adversarial_events(spark, evs):
     finally:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_WH_FUZZED = [
+    "order_rank_family", "top_orders", "customer_order_distribution",
+    "above_avg_balance_customers", "idle_balance_customers",
+    "snapshot_diff_customers", "all_account_balances", "order_cube",
+    "order_rollup", "order_grouping_sets", "monthly_revenue",
+    "earliest_order_per_customer", "anti_join_customers",
+    "semi_join_orders", "rank_fraction_family", "price_quantity_corr",
+    "pricing_summary",
+]
+
+_MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))
+_MAYBE_PRICE = st.one_of(st.none(), st.floats(1, 1000, allow_nan=False))
+_MAYBE_DATE = st.one_of(
+    st.none(),
+    st.integers(0, 400).map(
+        lambda d: __import__("datetime").datetime(1996, 1, 1)
+        + __import__("datetime").timedelta(days=d)))
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 4), _MAYBE_STATUS, _MAYBE_PRICE,
+                       _MAYBE_DATE, st.one_of(st.none(), st.just("1-URGENT"))),
+             min_size=2, max_size=15),
+    st.lists(st.tuples(st.one_of(st.none(), st.floats(-999, 9999, allow_nan=False)),
+                       st.one_of(st.none(), st.sampled_from(["BUILDING", "AUTOMOBILE"]))),
+             min_size=2, max_size=6),
+)
+def test_warehouse_queries_match_oracles_on_nullable_columns(spark, orows, crows):
+    """TPC-H analogue queries over NULL-able status/price/date/balance
+    columns vs their own oracle SQL — the windowed ranks and grouped
+    aggregates must treat NULL keys/measures identically per engine."""
+    from cliqz_etl_spark.operators.cache import release_all
+
+    orders = [(i, i % len(crows), s, p, d, pr)
+              for i, (ck, s, p, d, pr) in enumerate(orows)]
+    cust = [(i, f"Customer#{i}", i % 3, b, m)
+            for i, (b, m) in enumerate(crows)]
+    line = [(i, 1, 1, 1, 5.0, (p or 10.0), 0.05, 0.02, "N", "O", d)
+            for i, (ck, s, p, d, pr) in enumerate(orows)]
+    sup = [(1, "Supplier#1", 0, 100.0)]
+    nat = [(i, f"NATION{i}", i % 2) for i in range(3)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT, "
+                "o_orderstatus VARCHAR, o_totalprice DOUBLE, "
+                "o_orderdate TIMESTAMP, o_orderpriority VARCHAR)")
+    con.executemany("INSERT INTO orders VALUES (?,?,?,?,?,?)", orders)
+    con.execute("CREATE TABLE customer(c_custkey BIGINT, c_name VARCHAR, "
+                "c_nationkey INTEGER, c_acctbal DOUBLE, c_mktsegment VARCHAR)")
+    con.executemany("INSERT INTO customer VALUES (?,?,?,?,?)", cust)
+    con.execute("CREATE TABLE lineitem(l_orderkey BIGINT, l_partkey BIGINT, "
+                "l_suppkey BIGINT, l_linenumber INTEGER, l_quantity DOUBLE, "
+                "l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
+                "l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate TIMESTAMP)")
+    con.executemany("INSERT INTO lineitem VALUES (?,?,?,?,?,?,?,?,?,?,?)", line)
+    con.execute("CREATE TABLE supplier(s_suppkey BIGINT, s_name VARCHAR, "
+                "s_nationkey INTEGER, s_acctbal DOUBLE)")
+    con.executemany("INSERT INTO supplier VALUES (?,?,?,?)", sup)
+    con.execute("CREATE TABLE nation(n_nationkey INTEGER, n_name VARCHAR, "
+                "n_regionkey INTEGER)")
+    con.executemany("INSERT INTO nation VALUES (?,?,?)", nat)
+    tmp = tempfile.mkdtemp(prefix="fuzzwh_")
+    try:
+        for name, schema, rows in [
+            ("orders", "o_orderkey long, o_custkey long, o_orderstatus string, "
+                       "o_totalprice double, o_orderdate timestamp, "
+                       "o_orderpriority string", orders),
+            ("customer", "c_custkey long, c_name string, c_nationkey int, "
+                         "c_acctbal double, c_mktsegment string", cust),
+            ("lineitem", "l_orderkey long, l_partkey long, l_suppkey long, "
+                         "l_linenumber int, l_quantity double, "
+                         "l_extendedprice double, l_discount double, "
+                         "l_tax double, l_returnflag string, "
+                         "l_linestatus string, l_shipdate timestamp", line),
+            ("supplier", "s_suppkey long, s_name string, s_nationkey int, "
+                         "s_acctbal double", sup),
+            ("nation", "n_nationkey int, n_name string, n_regionkey int", nat),
+        ]:
+            spark.createDataFrame(rows, schema).coalesce(1).write \
+                .mode("overwrite").parquet(f"{tmp}/{name}.parquet")
+        for name in _WH_FUZZED:
+            q = _REGISTRY[name]
+            try:
+                got = q.fn(spark, tmp)
+                g_cols, g_rows = got.columns, [tuple(r) for r in got.collect()]
+            finally:
+                release_all()
+            res = con.execute(q.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = [tuple(r) for r in res.fetchall()]
+            assert sorted(g_cols) == sorted(d_cols), name
+            assert len(g_rows) == len(d_rows), (
+                name, len(g_rows), len(d_rows),
+                sorted(g_rows, key=str)[:4], sorted(d_rows, key=str)[:4])
+            assert _hash_rows(g_cols, g_rows) == _hash_rows(d_cols, d_rows), (
+                name, sorted(g_rows, key=str)[:5], sorted(d_rows, key=str)[:5])
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
