@@ -114,16 +114,23 @@ def scd2_from_changelog(
     Returns: ``key, value_col, valid_from, valid_to, n_rows, is_current``
     where ``valid_from``/``valid_to`` are formatted strings and ``n_rows``
     counts the collapsed log rows backing the version.
-    """
+
+    NULL-ts log rows are excluded (fuzz-pinned: the engines order NULLs
+    to opposite ends, so every run boundary after one would shift), and
+    change detection is NULL-SAFE: a NULL value is a real category (a
+    run of NULLs is one version; NULL -> x and x -> NULL are changes),
+    where the naive ``lag != value`` form silently merges a NULL-valued
+    row into the preceding version."""
+    log = log.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak_col)
+    is_first = F.row_number().over(w) == 1
     marked = log.select(
         key,
         value_col,
         F.col(ts_col).alias("_ts"),
         F.col(tiebreak_col).alias("_tb"),
         F.when(
-            F.lag(value_col).over(w).isNull()
-            | (F.lag(value_col).over(w) != F.col(value_col)),
+            is_first | ~F.lag(value_col).over(w).eqNullSafe(F.col(value_col)),
             F.lit(1),
         )
         .otherwise(F.lit(0))

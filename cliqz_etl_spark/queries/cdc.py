@@ -111,10 +111,13 @@ def scd2_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
         SELECT user_id, event_type, ts, event_id,
-               CASE WHEN lag(event_type) OVER w IS NULL
-                      OR lag(event_type) OVER w != event_type
+               -- row_number arm + IS DISTINCT FROM: NULL-safe change
+               -- detection (NULL values are a real category), mirroring
+               -- scd2_from_changelog; NULL-ts rows excluded both sides
+               CASE WHEN row_number() OVER w = 1
+                      OR lag(event_type) OVER w IS DISTINCT FROM event_type
                     THEN 1 ELSE 0 END AS is_change
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), runs AS (
         SELECT user_id, event_type, ts,

@@ -41,6 +41,7 @@ def _shingles_sql(k: int) -> str:
     oracle=f"""
     WITH sized AS (
         SELECT doc_id, source, len({_WS}) AS n_tok FROM documents
+        WHERE text IS NOT NULL
     ), packed AS (
         SELECT doc_id, source, n_tok,
                SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
@@ -55,7 +56,10 @@ def _shingles_sql(k: int) -> str:
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL-text docs are excluded on both sides (fuzz-pinned): they have
+    # no tokens to pack, and Spark's size(NULL)=-1 would otherwise bleed
+    # a negative length into every cumulative offset after it.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     sized = docs.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
     w = (Window.partitionBy("source").orderBy(F.asc("doc_id"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -151,7 +155,7 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, unnest(list_distinct({_shingles_sql(CONTAM_K)})) AS s
-        FROM documents
+        FROM documents WHERE trim(text) <> ''
     ), train AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} != 0),
        eval_ AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} = 0)
     SELECT t.doc_id AS doc_id,
@@ -162,7 +166,10 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # content-free docs (NULL / whitespace-only) are excluded on both
+    # sides (fuzz-pinned): their degenerate whole-text ''-shingle would
+    # report every empty train doc as contaminated by every empty eval doc
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
     sh = (
         docs.select("doc_id", tokens("text").alias("_toks"))
         .select("doc_id", F.explode(F.array_distinct(

@@ -53,7 +53,8 @@ _SIG_COLS = ", ".join(
 _SIG_CTE = f"""
     WITH sh AS (
         SELECT doc_id, {md5_long32_sql('s')} AS hs
-        FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents)
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+              WHERE text IS NOT NULL)
     ), sig AS (
         SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id
     )
@@ -161,6 +162,7 @@ _SIMHASH_TERMS = " + ".join(
 _SIMHASH_CTE = f"""
     WITH toks AS (
         SELECT doc_id, list_distinct({_WS}) AS tk FROM documents
+        WHERE text IS NOT NULL
     ), hs AS (
         SELECT doc_id, list_transform(tk, t -> {md5_long_sql('t')}) AS hh,
                len(tk) AS n
@@ -219,7 +221,7 @@ def _ngram_jaccard_oracle(max_freq: int, threshold_x10k: int) -> str:
         -- even a collision would reproduce bit-for-bit
         SELECT doc_id, {md5_long_sql('s')} AS s
         FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
-              FROM documents)
+              FROM documents WHERE text IS NOT NULL)
     ), keep AS (
         SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {max_freq}
     ), sh AS (
@@ -279,7 +281,7 @@ _HASHED_SHINGLES_CTE = f"""
     , shd AS (
         SELECT doc_id, {md5_long_sql('s')} AS s
         FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
-              FROM documents)
+              FROM documents WHERE text IS NOT NULL)
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id
     )

@@ -27,6 +27,14 @@ _FUZZED = [
     "array_ops_gauntlet", "word_counts", "doc_fingerprint",
     "dedup_exact", "dedup_spans", "unigram_freq_score",
     "normalize_text", "repetition_ratio",
+    # second wave: hash-deterministic samplers, curation set, banded dedup
+    "stratified_sample", "train_test_split", "sample_10pct",
+    "weighted_sample", "mixture_sample", "contamination_check",
+    "mask_terms", "pack_sequences", "tfidf_search", "minhash_signatures",
+    "simhash_values", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_canonicalize",
+    "curation_pipeline", "curation_pipeline_v2", "assign_shards",
+    "pii_scan_docs",
 ]
 
 _WORD = st.one_of(
@@ -158,6 +166,8 @@ _EV_FUZZED = [
     "sessionize_native", "session_stats", "two_key_join",
     "full_outer_rollup", "salted_join_value_by_type",
     "value_hours_per_user", "recency_filter",
+    # third wave: CDC history building (ASC ts windows) + JSON flattening
+    "user_type_history", "json_flatten",
 ]
 
 _TS = st.one_of(
