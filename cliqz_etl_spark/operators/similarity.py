@@ -386,8 +386,8 @@ def ivf_assign_q(projected: DataFrame, cids: list[int],
     return projected.mapInPandas(assign, schema=schema)
 
 
-def _collect_centroids(centroids: DataFrame, id_col: str,
-                       vec_col: str) -> list[tuple[int, list[int]]]:
+def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str,
+                       dim: int | None = None) -> list[tuple[int, list[int]]]:
     """Collect the K-row centroid MODEL to the driver (the legitimate
     collect: model fitting, not data movement).
 
@@ -395,16 +395,21 @@ def _collect_centroids(centroids: DataFrame, id_col: str,
     zero centroid row would otherwise reach the driver as a None (a
     TypeError here) or poison the numpy model matrix; the oracle CTEs
     build their centroid set from the validity-filtered projection, so
-    dropping the same rows keeps both engines' models identical. The
-    model dim comes from the lowest-id non-NULL row — deterministic, and
-    the whole frame is model-sized so the extra driver fetch is noise."""
-    first = (centroids.where(F.col(vec_col).isNotNull())
-             .orderBy(F.col(id_col))
-             .select(F.size(F.col(vec_col)).alias("n"))
-             .first())
-    if first is None:
-        return []
-    dim = int(first["n"])
+    dropping the same rows keeps both engines' models identical. Callers
+    that know the corpus dim (every oracle-gated query does — the SQL
+    twin hard-codes it) should pass ``dim``; otherwise it is inferred as
+    the MODAL vector length across centroid rows (ties to the larger
+    dim), so one ragged row gets dropped instead of silently flipping
+    the model's dimensionality and dropping every well-formed centroid."""
+    if dim is None:
+        mode = (centroids.where(F.col(vec_col).isNotNull())
+                .groupBy(F.size(F.col(vec_col)).alias("n"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("cnt"), F.desc("n"))
+                .first())
+        if mode is None:
+            return []
+        dim = int(mode["n"])
     return [
         (int(r["_id"]), [int(x) for x in r["_qv"]])
         for r in valid_quantized(centroids, id_col, vec_col, dim).collect()
@@ -456,15 +461,16 @@ def ivf_assign_multi_q(projected: DataFrame, cids: list[int],
 
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
-               vec_col: str) -> DataFrame:
+               vec_col: str, dim: int | None = None) -> DataFrame:
     """Assign every vector to its nearest centroid by squared L2 (integer-
     exact on quantized vectors; ties break to the lowest centroid id).
 
     The centroid frame is the MODEL — K rows — so collecting it to the
     driver is the correct move (same as fitting any broadcast model); the
     corpus-side work runs through ivf_assign_q's broadcast + numpy argmin
-    map. Returns (id, cluster, qv)."""
-    cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    map. Pass ``dim`` when the corpus dimensionality is known (see
+    _collect_centroids on ragged rows). Returns (id, cluster, qv)."""
+    cent_rows = _collect_centroids(centroids, id_col, vec_col, dim)
     if not cent_rows:
         raise ValueError("ivf_assign: centroid frame is empty")
     dim = len(cent_rows[0][1])
@@ -550,7 +556,7 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
 
 def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
              id_col: str, vec_col: str, k: int = 3,
-             n_probe: int = 1) -> DataFrame:
+             n_probe: int = 1, dim: int | None = None) -> DataFrame:
     """IVF search: rank within the query's ``n_probe`` nearest clusters.
     n_probe=1 is the cheapest/lowest-recall point; raising it trades a
     linear increase in scored candidates for recall, while the corpus
@@ -562,7 +568,7 @@ def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
 
     from cliqz_etl_spark.operators.dedup import _materialize
 
-    cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    cent_rows = _collect_centroids(centroids, id_col, vec_col, dim)
     if not cent_rows:
         raise ValueError("ivf_topk: centroid frame is empty")
     cids = [c for c, _ in cent_rows]

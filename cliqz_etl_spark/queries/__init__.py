@@ -51,75 +51,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # the driver's check window again.
 # --------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # ================= round-6 check window (slots 1-50) =================
-    # Rotation rule (enforced by tests/test_entry.py): the window must hold
-    # every query whose latest green driver row is strictly older than the
-    # 50th-oldest query's — i.e. oldest evidence rotates in first. The
-    # testdata regenerates between rounds, so multi-round-old evidence
-    # decays (the r3 dtype flip proved it).
-    # ---- r1-stale (latest row: round 1) --------------------------------
-    "nations_in_region",
-    "sample_10pct",
-    # ---- r3-stale: ANN / embedding family ------------------------------
-    "ann_topk",
-    "ann_ivf",
-    "ann_ivf_multiprobe",
-    "ivf_clusters",
-    "ivf_clusters_trained",
-    "embedding_near_pairs",
-    "rhp_signatures",
-    "ann_rhp",
-    # ---- r3-stale: dedup / curation / text family ----------------------
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_clusters",
-    "curation_pipeline",
-    "pack_sequences",
-    "mask_terms",
-    "contamination_check",
-    "repetition_ratio",
-    "tfidf_search",
-    "text_stats",
-    # ---- r3-stale: warehouse analogues ---------------------------------
-    "revenue_by_nation",
-    "price_quantity_corr",
-    "order_priority_checking",
-    "forecast_revenue",
-    "returned_item_top_customers",
-    "priority_line_counts",
-    "promo_revenue_pct",
-    "top_revenue_suppliers",
-    "large_volume_customers",
-    "brand_filtered_revenue",
-    "customer_order_distribution",
-    "sole_late_supplier_blame",
-    "idle_balance_customers",
-    "national_market_share",
-    # ---- r3-stale: streaming -------------------------------------------
-    "streaming_running_totals",
-    # ---- slots 36-43: BRAND NEW this round (zero evidence — must be in
-    # the window per test_new_queries_sit_inside_driver_window) ----------
-    "pii_scan_docs",
-    "pseudonymize_customers",
-    "k_anonymize_customers",
-    "dedup_semantic",
-    "dedup_spans",
-    "gopher_quality_filter",
-    "unigram_freq_score",
-    "fuzzy_match_parts",
-    "image_resize_stats",
-    "media_embed_fingerprint",
-    "curation_pipeline_v2",
-    # ---- slots 47-50: round-6 churn — queries whose code paths changed
-    # this round (similarity Inf/id guards, streaming bench wiring), so
-    # changed code re-verifies in the same round it changed ---------------
-    "ann_sq8",
-    "dedup_incremental",
-    "streaming_hourly_counts",
-    "streaming_dedup",
-    # ================ past the window (fresh evidence) ===================
-    # ---- r4/r5-evidence churn candidates displaced by the new queries —
-    # first to rotate back in next round -----------------------------------
+    # === BEGIN GENERATED WINDOW (tools/rotate_window.py) ===
+    # Ordered oldest-evidence-first (new/zero-evidence queries lead); the
+    # driver checks slots 1-50. Regenerate after each driver run:
+    #     python tools/rotate_window.py
+    # ---- latest green row: r4 ----
     "bucketed_join_revenue",
     "salted_event_counts",
     "salted_join_value_by_type",
@@ -131,9 +67,6 @@ DRIVER_ORDER: list[str] = [
     "range_join_close_events",
     "countmin_user_counts",
     "kmv_distinct_users",
-    # Ordered oldest-evidence-first (r4 block, then r5 block) so the next
-    # rotation is a prefix shift, not a reshuffle.
-    # ---- latest row: round 4 -------------------------------------------
     "streaming_sessions",
     "streaming_stream_join",
     "daily_activity_filled",
@@ -171,9 +104,10 @@ DRIVER_ORDER: list[str] = [
     "event_transition_matrix",
     "full_outer_rollup",
     "two_key_join",
-    # ---- latest row: round 5 (freshest) --------------------------------
+    # ---- latest green row: r5 ----
     "frame_sample_stats",
     "dedup_canonicalize",
+    # ---------------- past the check window ----------------
     "mode_per_user",
     "indicator_sums",
     "value_hours_per_user",
@@ -218,6 +152,58 @@ DRIVER_ORDER: list[str] = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    # ---- latest green row: r6 ----
+    "nations_in_region",
+    "sample_10pct",
+    "ann_topk",
+    "ann_ivf",
+    "ann_ivf_multiprobe",
+    "ivf_clusters",
+    "ivf_clusters_trained",
+    "embedding_near_pairs",
+    "rhp_signatures",
+    "ann_rhp",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
+    "dedup_clusters",
+    "curation_pipeline",
+    "pack_sequences",
+    "mask_terms",
+    "contamination_check",
+    "repetition_ratio",
+    "tfidf_search",
+    "text_stats",
+    "revenue_by_nation",
+    "price_quantity_corr",
+    "order_priority_checking",
+    "forecast_revenue",
+    "returned_item_top_customers",
+    "priority_line_counts",
+    "promo_revenue_pct",
+    "top_revenue_suppliers",
+    "large_volume_customers",
+    "brand_filtered_revenue",
+    "customer_order_distribution",
+    "sole_late_supplier_blame",
+    "idle_balance_customers",
+    "national_market_share",
+    "streaming_running_totals",
+    "pii_scan_docs",
+    "pseudonymize_customers",
+    "k_anonymize_customers",
+    "dedup_semantic",
+    "dedup_spans",
+    "gopher_quality_filter",
+    "unigram_freq_score",
+    "fuzzy_match_parts",
+    "image_resize_stats",
+    "media_embed_fingerprint",
+    "curation_pipeline_v2",
+    "ann_sq8",
+    "dedup_incremental",
+    "streaming_hourly_counts",
+    "streaming_dedup",
+    # === END GENERATED WINDOW ===
 ]
 
 # Bench headline set lives beside the driver order so both gates are

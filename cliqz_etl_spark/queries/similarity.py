@@ -120,7 +120,7 @@ def ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
     return (
-        ivf_assign(emb, centroids, "vec_id", "embedding")
+        ivf_assign(emb, centroids, "vec_id", "embedding", dim=VEC_DIM)
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -154,7 +154,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
-    return ivf_topk(emb, centroids, queries, "vec_id", "embedding", IVF_K)
+    return ivf_topk(emb, centroids, queries, "vec_id", "embedding", IVF_K,
+                    dim=VEC_DIM)
 
 
 N_PROBE = 2
@@ -198,7 +199,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     return ivf_topk(emb, centroids, queries, "vec_id", "embedding", IVF_K,
-                    n_probe=N_PROBE)
+                    n_probe=N_PROBE, dim=VEC_DIM)
 
 
 @query(
@@ -221,7 +222,7 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
-    assigned = _materialize(ivf_assign(emb, centroids, "vec_id", "embedding"))
+    assigned = _materialize(ivf_assign(emb, centroids, "vec_id", "embedding", dim=VEC_DIM))
     norm = norm2_q(F.col("_qv")).cast("double")
     a = assigned.select(F.col("_id").alias("id_a"), F.col("_qv").alias("qa"),
                         "cluster", norm.alias("na"))

@@ -82,6 +82,20 @@ def test_driver_window_rotates_oldest_evidence_first():
         "DRIVER_ORDER oldest-evidence-first")
 
 
+def test_rotation_script_agrees_with_window_gate():
+    """tools/rotate_window.py is the mechanical fix for the two window
+    tests above; --check must agree that the committed DRIVER_ORDER needs
+    no rewrite, so the script and the gate can never drift apart."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/rotate_window.py", "--check"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, (
+        f"rotate_window --check wants a rewrite:\n{proc.stdout}{proc.stderr}")
+
+
 def test_entry_runs_and_returns_rows(spark):
     mod = _load()
     df = mod.entry(spark)

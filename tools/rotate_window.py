@@ -1,0 +1,122 @@
+"""Regenerate the DRIVER_ORDER window in cliqz_etl_spark/queries/__init__.py.
+
+The driver checks only the first 50 DRIVER_ORDER slots per round, and the
+testdata regenerates between rounds, so evidence decays: the window must
+always hold the queries whose latest green driver row is OLDEST (plus any
+brand-new queries with zero evidence). tests/test_entry.py enforces this
+structurally; this script is the mechanical fix, meant to run as the
+round's closing step right after a new CORRECTNESS_r*.json lands:
+
+    python tools/rotate_window.py            # rewrite in place
+    python tools/rotate_window.py --check    # exit 1 if a rewrite is needed
+
+Policy implemented (the same one the tests encode):
+  * sort every registered query by (latest green round ASC, current slot)
+    — zero-evidence new queries sort first, then stale evidence oldest
+    first; the current slot as tiebreak keeps rotations prefix-shifts
+    rather than reshuffles;
+  * optional ``--churn name [name ...]`` pins this round's code-churn
+    queries into the window by treating their evidence as stale (round 0
+    with a later tiebreak than true-new queries), trading away
+    boundary-round ties exactly as the window test permits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+INIT = REPO / "cliqz_etl_spark" / "queries" / "__init__.py"
+BEGIN = "    # === BEGIN GENERATED WINDOW (tools/rotate_window.py) ==="
+END = "    # === END GENERATED WINDOW ==="
+WINDOW = 50
+
+
+def latest_green_rounds(order: list[str]) -> dict[str, int]:
+    latest = {n: 0 for n in order}
+    for path in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
+        with open(path) as f:
+            for name, res in json.load(f).items():
+                if name in latest and res.get("rows_match"):
+                    latest[name] = max(latest[name], rnd)
+    return latest
+
+
+def current_order() -> list[str]:
+    sys.path.insert(0, str(REPO))
+    from cliqz_etl_spark.queries import DRIVER_ORDER
+    return list(DRIVER_ORDER)
+
+
+def rotated(order: list[str], churn: list[str]) -> list[str]:
+    latest = latest_green_rounds(order)
+    slot = {n: i for i, n in enumerate(order)}
+    unknown = [n for n in churn if n not in slot]
+    if unknown:
+        raise SystemExit(f"--churn names not in DRIVER_ORDER: {unknown}")
+
+    def key(n: str):
+        if latest[n] == 0:
+            return (0, 0, slot[n])        # brand new: front of the window
+        if n in churn:
+            return (0, 1, slot[n])        # churn re-verify: right behind
+        return (latest[n], 2, slot[n])    # stale evidence oldest-first
+    return sorted(order, key=key)
+
+
+def render(order: list[str], latest: dict[str, int]) -> str:
+    lines = [BEGIN]
+    lines.append("    # Ordered oldest-evidence-first (new/zero-evidence queries lead); the")
+    lines.append(f"    # driver checks slots 1-{WINDOW}. Regenerate after each driver run:")
+    lines.append("    #     python tools/rotate_window.py")
+    prev = None
+    for i, n in enumerate(order):
+        if i == WINDOW:
+            lines.append("    # ---------------- past the check window ----------------")
+        tag = latest[n] or "new/churn"
+        if tag != prev:
+            lines.append(f"    # ---- latest green row: r{tag} ----")
+            prev = tag
+        lines.append(f'    "{n}",')
+    lines.append(END)
+    return "\n".join(lines)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="exit 1 if DRIVER_ORDER needs a rewrite")
+    ap.add_argument("--churn", nargs="*", default=[],
+                    help="this round's code-churn queries to pin into the window")
+    args = ap.parse_args()
+
+    order = current_order()
+    new_order = rotated(order, args.churn)
+    src = INIT.read_text()
+    if BEGIN not in src or END not in src:
+        raise SystemExit(f"markers not found in {INIT} — the generated-window "
+                         "section was removed; restore the BEGIN/END comments")
+    pre, rest = src.split(BEGIN, 1)
+    _, post = rest.split(END, 1)
+    block = render(new_order, latest_green_rounds(order))
+    out = pre + block + post
+    if out == src:
+        print(f"DRIVER_ORDER already rotated (window = {WINDOW} oldest)")
+        return 0
+    if args.check:
+        print("DRIVER_ORDER is stale — run: python tools/rotate_window.py")
+        return 1
+    INIT.write_text(out)
+    moved = [n for n in new_order[:WINDOW] if n not in order[:WINDOW]]
+    print(f"rotated: {len(moved)} queries moved into the window: {moved}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
