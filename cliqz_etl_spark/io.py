@@ -406,8 +406,11 @@ def write_jsonl_shards(df: DataFrame, path: str, *,
     the de-facto corpus-distribution layout."""
     import math
 
+    # octet_length, not length: the estimate must count serialized UTF-8
+    # BYTES — character count undercounts multi-byte corpora (CJK/emoji)
+    # by up to 4x, which oversizes every shard past the target
     est = (df.limit(sample_rows)
-           .select((F.length(F.to_json(F.struct(*df.columns))) + 1)
+           .select((F.octet_length(F.to_json(F.struct(*df.columns))) + 1)
                    .alias("__b"))
            .agg(F.avg("__b").alias("avg_b"))
            .first()["avg_b"])

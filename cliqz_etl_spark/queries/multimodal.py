@@ -29,13 +29,19 @@ _FRAME_EVERY = 2
 
 @query(
     "multimodal_meta",
+    # A NULL payload follows the family NULL contract (error->NULL row,
+    # ok=false) — the oracle models it with CASE so the fuzz corpus's
+    # NULL-text documents compare equal on both engines.
     oracle="""
     SELECT doc_id AS id,
            octet_length(encode(text))            AS byte_len,
-           upper(substring(hex(encode(text)), 1, 8)) AS magic,
-           CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) AS width,
-           CAST((octet_length(encode(text)) % 480) + 1 AS INTEGER) AS height,
-           TRUE AS ok
+           CASE WHEN text IS NOT NULL
+                THEN upper(substring(hex(encode(text)), 1, 8)) END AS magic,
+           CASE WHEN text IS NOT NULL
+                THEN CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) END AS width,
+           CASE WHEN text IS NOT NULL
+                THEN CAST((octet_length(encode(text)) % 480) + 1 AS INTEGER) END AS height,
+           text IS NOT NULL AS ok
     FROM documents
     """,
 )
@@ -90,15 +96,21 @@ _RESIZE_W, _RESIZE_H = 64, 48  # gate target; cap = 64*48//8 = 384 bytes
 
 @query(
     "image_resize_stats",
+    # NULL payload -> the family's error->NULL row (ok=false, all stats
+    # NULL), modeled with CASE so the NULL-text fuzz corpus agrees.
     oracle=f"""
     SELECT doc_id AS id,
-           CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) AS in_w,
-           CAST((octet_length(encode(text)) % 480) + 1 AS INTEGER) AS in_h,
-           CAST({_RESIZE_W} AS INTEGER) AS out_w,
-           CAST({_RESIZE_H} AS INTEGER) AS out_h,
-           CAST(least(octet_length(encode(text)),
-                      {_RESIZE_W * _RESIZE_H // 8}) AS BIGINT) AS out_bytes,
-           TRUE AS ok
+           CASE WHEN text IS NOT NULL
+                THEN CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) END AS in_w,
+           CASE WHEN text IS NOT NULL
+                THEN CAST((octet_length(encode(text)) % 480) + 1 AS INTEGER) END AS in_h,
+           CASE WHEN text IS NOT NULL THEN CAST({_RESIZE_W} AS INTEGER) END AS out_w,
+           CASE WHEN text IS NOT NULL THEN CAST({_RESIZE_H} AS INTEGER) END AS out_h,
+           CASE WHEN text IS NOT NULL
+                THEN CAST(least(octet_length(encode(text)),
+                          {_RESIZE_W * _RESIZE_H // 8}) AS BIGINT)
+           END AS out_bytes,  -- CASE-guarded: DuckDB least() skips NULLs
+           text IS NOT NULL AS ok
     FROM documents
     """,
 )
@@ -132,7 +144,8 @@ def _duck_embed_component(j: int) -> str:
     "media_embed_fingerprint",
     oracle=f"""
     SELECT doc_id AS id,
-           CAST({EMBED_DIM} AS INTEGER) AS n_dims,
+           CASE WHEN text IS NOT NULL
+                THEN CAST({EMBED_DIM} AS INTEGER) END AS n_dims,
            CAST({" + ".join(f"({_duck_embed_component(j)}) * ({_duck_embed_component(j)})" for j in range(EMBED_DIM))}
                 AS BIGINT) AS norm2_scaled,
            CAST({_duck_embed_component(0)} AS BIGINT) AS v0_scaled
@@ -151,9 +164,12 @@ def media_embed_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = F.transform(
         "embedding",
         lambda x: F.round(x * EMBED_MOD).cast("long"))
+    # size() is guarded: a NULL embedding (un-embeddable blob) must yield
+    # a NULL n_dims on both engines, not legacy sizeOfNull's -1
     return emb.select(
         "id",
-        F.size("embedding").alias("n_dims"),
+        F.when(F.col("embedding").isNotNull(),
+               F.size("embedding")).alias("n_dims"),
         F.aggregate(comp, F.lit(0).cast("long"),
                     lambda acc, x: acc + x * x).alias("norm2_scaled"),
         F.element_at(comp, 1).alias("v0_scaled"),

@@ -234,6 +234,31 @@ def test_write_jsonl_shards_sizes_by_bytes(spark, tmp_path):
     assert got[0] == (0, "x" * 100) and len(got) == 2000
 
 
+def test_write_jsonl_shards_counts_utf8_bytes(spark, tmp_path):
+    """The bytes/row estimate must count serialized UTF-8 octets, not
+    characters: a CJK payload is ~3 bytes/char (and JSON \\uXXXX-escapes
+    it to 6 ASCII bytes on disk), so a length()-based estimate undersizes
+    n_shards ~4x and every shard overshoots the target."""
+    from cliqz_etl_spark.io import write_jsonl_shards
+
+    ascii_df = spark.createDataFrame(
+        [(i, "x" * 90) for i in range(1000)], ["id", "payload"])
+    cjk_df = spark.createDataFrame(
+        [(i, "日" * 90) for i in range(1000)], ["id", "payload"])
+    a = write_jsonl_shards(ascii_df, str(tmp_path / "a"),
+                           target_shard_bytes=32 << 10)
+    c = write_jsonl_shards(cjk_df, str(tmp_path / "c"),
+                           target_shard_bytes=32 << 10)
+    # same char count, ~3x the bytes -> strictly more shards
+    assert c["est_total_bytes"] >= 2 * a["est_total_bytes"]
+    assert c["n_shards"] > a["n_shards"]
+    import glob
+    import os
+    # every physical shard stays within ~2x of the target (estimate slack)
+    for f in glob.glob(f"{tmp_path}/c/part-*"):
+        assert os.path.getsize(f) <= 2 * (32 << 10)
+
+
 def test_write_jsonl_shards_empty_frame(spark, tmp_path):
     from cliqz_etl_spark.io import write_jsonl_shards
 

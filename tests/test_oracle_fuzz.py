@@ -35,6 +35,11 @@ _FUZZED = [
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_canonicalize",
     "curation_pipeline", "curation_pipeline_v2", "assign_shards",
     "pii_scan_docs",
+    # third wave: the multimodal plumbing family — previously the only
+    # documents-only queries outside the fuzz, which let the NULL-blob
+    # ok=false contract drift from the oracles unguarded (round-7 fix)
+    "multimodal_meta", "frame_sample_stats", "image_resize_stats",
+    "media_embed_fingerprint",
 ]
 
 _WORD = st.one_of(
