@@ -478,9 +478,44 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
     return ivf_assign_q(projected, [c for c, _ in cent_rows], [v for _, v in cent_rows])
 
 
+def _kmeans_fit_local(ids: list[int], vecs: list[list[int]], k: int,
+                      n_iter: int) -> list[list[int]]:
+    """Driver-local Lloyd's over an already-collected training sample —
+    bit-identical to the distributed path: same md5-ordered init, same
+    integer argmin (c_norm - 2 v.c, ties to lowest cid), same
+    floor(float(sum)/float(n) + 0.5) means (int64 sums are exact in numpy
+    and in Spark's SUM alike, and the double division uses the identical
+    operand order), empty clusters keeping their previous centroid."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    order = sorted(range(len(ids)), key=lambda i: (h(ids[i]), ids[i]))[:k]
+    cents = [[int(x) for x in vecs[i]] for i in order]
+    Vm = np.asarray(vecs, dtype=np.int64)
+    for _ in range(n_iter):
+        C = np.asarray(cents, dtype=np.int64)
+        c_norm = (C * C).sum(axis=1)
+        assign = np.argmin(c_norm[None, :] - 2 * (Vm @ C.T), axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            n = int(mask.sum())
+            if n == 0:
+                continue
+            sums = Vm[mask].sum(axis=0)
+            cents[c] = [int(math.floor(float(int(s)) / float(n) + 0.5))
+                        for s in sums]
+    return cents
+
+
 def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
                n_iter: int = 2, dim: int = 64,
-               train_limit: int | None = None) -> list[list[int]]:
+               train_limit: int | None = None,
+               driver_local: bool | None = None) -> list[list[int]]:
     """Deterministic Lloyd's k-means over quantized vectors; returns the
     trained centroid matrix (cid = list index, 0..k-1).
 
@@ -503,12 +538,26 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
     sample is reproducible and oracle-replicable — instead of the full
     corpus. Fit cost drops from O(n_iter * n * K) to O(n_iter * S * K)
     while callers still assign the FULL corpus with the trained model
-    once. The default (None) trains on everything, which is what the
-    oracle-gated registry queries pin."""
+    once. The default (None) trains on everything.
+
+    ``driver_local``: where the Lloyd's iterations run. None (default)
+    auto-selects: a ``train_limit``-bounded sample is fetched to the
+    driver ONCE (S x dim int64s — a model-sized payload) and all
+    iterations run in local numpy, collapsing the fit from (n_iter + 2)
+    Spark jobs to 1; an unbounded fit stays distributed (collecting an
+    unbounded corpus is the anti-pattern this module bans). Pass
+    True/False to force a path — the equality test pins both paths
+    bit-identical, so the choice is pure scheduling, never semantics."""
     import math
 
     from cliqz_etl_spark.functions.hashing import md5_long
     from cliqz_etl_spark.operators.dedup import _materialize
+
+    local = driver_local if driver_local is not None else (train_limit is not None)
+    if local and train_limit is None:
+        raise ValueError(
+            "driver_local=True requires train_limit: the local path "
+            "collects the training sample, which must be bounded")
 
     proj = valid_quantized(df, id_col, vec_col, dim)
     if train_limit is not None:
@@ -522,6 +571,15 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
                 .orderBy(F.asc("__h"), F.asc("_id"))
                 .limit(train_limit)
                 .drop("__h"))
+    if local:
+        rows = proj.collect()  # bounded by train_limit: a model fetch
+        if not rows:
+            raise ValueError(
+                "kmeans_fit: no valid training vectors "
+                "(empty frame, or every vector failed valid_quantized)")
+        return _kmeans_fit_local([int(r["_id"]) for r in rows],
+                                 [[int(x) for x in r["_qv"]] for r in rows],
+                                 k, n_iter)
     proj = _materialize(proj)
     init_rows = (
         proj.select("_id", "_qv", md5_long(F.col("_id").cast("string")).alias("_h"))

@@ -31,6 +31,13 @@ TOP_K = 5
 IVF_K = 3
 KM_K = 50          # trained coarse quantizer size
 KM_ITER = 2        # Lloyd's rounds after sampled init
+# Training-sample bound for every trained-quantizer query: large enough to
+# cover the WHOLE corpus at driver scales (500/500/2000 rows at
+# sf0.001/0.01/0.1), so the DuckDB oracles' full-corpus kmeans replay stays
+# bit-exact, while keeping kmeans_fit's driver-local path (one bounded
+# S x dim collect, all Lloyd's rounds in local numpy — 1 Spark job instead
+# of n_iter+2) and capping the model fetch at production scale.
+KM_TRAIN_LIMIT = 100_000
 
 # ---- shared DuckDB fragments ----------------------------------------------
 
@@ -315,7 +322,8 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness can sort and hash; dim_idx is 1-based to match SQL
     generate_subscripts."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM)
+    cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM,
+                       train_limit=KM_TRAIN_LIMIT)
     return spark.createDataFrame(
         [(i, d, int(v))
          for i, vec in enumerate(cents)
@@ -335,7 +343,8 @@ def ivf_clusters_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast-argmin assignment pass — the production IVF build path
     (train on a sample, assign the full corpus, bucket by cluster)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM)
+    cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER, dim=VEC_DIM,
+                       train_limit=KM_TRAIN_LIMIT)
     proj = valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
     return (
         ivf_assign_q(proj, list(range(KM_K)), cents)
@@ -606,4 +615,5 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_verdicts(emb, "vec_id", "embedding", VEC_DIM,
-                             KM_K, KM_ITER, SEM_THRESH_X10K)
+                             KM_K, KM_ITER, SEM_THRESH_X10K,
+                             train_limit=KM_TRAIN_LIMIT)

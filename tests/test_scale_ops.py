@@ -352,6 +352,29 @@ def test_unigram_broadcast_path_matches_shuffled(spark):
         release_all()
 
 
+def test_kmeans_local_fit_bit_equals_distributed(spark):
+    """kmeans_fit's driver-local path (one bounded sample collect, all
+    Lloyd's rounds in local numpy) must be BIT-identical to the
+    distributed path — same md5-ordered init, same integer argmin ties,
+    same floor(sum/n + 0.5) rounding — on both a truncating sample
+    (train_limit < n) and a covering one (train_limit >= n, which must
+    also equal the unlimited full-corpus fit)."""
+    from cliqz_etl_spark.operators.similarity import kmeans_fit
+    from cliqz_etl_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for limit in (120, 100_000):
+        local = kmeans_fit(emb, "vec_id", "embedding", k=10, n_iter=2,
+                           train_limit=limit, driver_local=True)
+        dist = kmeans_fit(emb, "vec_id", "embedding", k=10, n_iter=2,
+                          train_limit=limit, driver_local=False)
+        assert local == dist, f"train_limit={limit}"
+    full = kmeans_fit(emb, "vec_id", "embedding", k=10, n_iter=2)
+    covering = kmeans_fit(emb, "vec_id", "embedding", k=10, n_iter=2,
+                          train_limit=100_000)
+    assert covering == full, "covering sample must equal the unlimited fit"
+
+
 def test_every_query_survives_an_empty_corpus(spark, tmp_path):
     """Production corpora have empty days/partitions: every registry query
     must either return a (possibly empty) result or fail with a LOUD
