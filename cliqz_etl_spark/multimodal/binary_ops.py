@@ -2,10 +2,13 @@
 columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schemas, batch
-iteration, partition sizing, zero-copy Arrow transfer. The actual media
-decoding is STUBBED (``decoder=None`` uses a deterministic fake; the image/
-audio libraries are not in this container): swap in a real decoder callable
-(PIL/opencv/ffmpeg) per batch of bytes and everything else stands.
+iteration, partition sizing, zero-copy Arrow transfer. Decoding comes in
+two tiers: REAL dependency-free codecs for 24-bit BMP and binary PPM
+(encode/decode/nearest-neighbor resize — see encode_bmp/decode_image/
+resize_image, byte-level-tested and oracle-gated via image_decode_stats),
+and a deterministic STUB (``decoder=None``) for formats whose codecs need
+libraries this container doesn't ship (PNG/JPEG/video/audio): swap in a
+real decoder callable (PIL/opencv/ffmpeg) per batch and everything stands.
 
 Scale notes:
 - binary payloads ride in the same parquet row groups as their metadata;
@@ -34,6 +37,198 @@ def attach_binary(df: DataFrame, src_col: str, out: str = "blob") -> DataFrame:
     """Materialize a binary payload column (UTF-8 bytes of a string column
     — the test stand-in for real media bytes read from a crawl)."""
     return df.withColumn(out, F.encode(F.col(src_col), "UTF-8"))
+
+
+# --------------------------------------------------------------------------
+# REAL image kernels (dependency-free): a 24-bit uncompressed BMP codec, a
+# binary PPM (P6) codec, and a nearest-neighbor resampler over their decoded
+# pixels. These replace the "declared stub" for the two formats a pure-
+# Python decoder can own completely; PNG/JPEG/video stay stubbed behind the
+# same pluggable ``decoder=``/``resizer=`` seams (their codecs need
+# libraries this container doesn't ship).
+#
+# Pixel convention everywhere: row-major TOP-DOWN RGB byte triples
+# (``bytes`` of length width*height*3). BMP stores rows bottom-up in BGR
+# with 4-byte row padding; the codec normalizes both directions.
+# --------------------------------------------------------------------------
+
+_BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize top-down RGB pixels as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR order, 4-byte row padding)."""
+    import struct
+
+    if width <= 0 or height <= 0 or len(pixels) != width * height * 3:
+        raise ValueError(
+            f"encode_bmp: need width*height*3={width * height * 3} pixel "
+            f"bytes, got {len(pixels)}")
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    img_size = (row_raw + pad) * height
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", _BMP_HEADER_BYTES + img_size, 0, 0,
+                       _BMP_HEADER_BYTES)
+    out += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       img_size, 2835, 2835, 0, 0)
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = pixels[y * row_raw:(y + 1) * row_raw]
+        for x in range(width):           # RGB -> BGR
+            out += bytes((row[x * 3 + 2], row[x * 3 + 1], row[x * 3]))
+        out += b"\x00" * pad
+    return bytes(out)
+
+
+def decode_bmp(blob: bytes) -> dict:
+    """Parse a 24-bit uncompressed BMP into {width, height, pixels} with
+    top-down RGB pixels. Raises ValueError on anything malformed — the
+    mapInPandas wrappers turn that into the family's ok=false row."""
+    import struct
+
+    if blob is None or len(blob) < _BMP_HEADER_BYTES or blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (hdr={hdr_size}, bpp={bpp}, "
+            f"compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    row_raw = width * 3
+    stride = row_raw + ((-row_raw) % 4)
+    if len(blob) < data_off + stride * height:
+        raise ValueError("truncated BMP pixel array")
+    px = bytearray(width * height * 3)
+    for out_y in range(height):
+        src_y = (height - 1 - out_y) if bottom_up else out_y
+        base = data_off + src_y * stride
+        for x in range(width):       # BGR -> RGB
+            o = (out_y * width + x) * 3
+            px[o] = blob[base + x * 3 + 2]
+            px[o + 1] = blob[base + x * 3 + 1]
+            px[o + 2] = blob[base + x * 3]
+    return {"width": width, "height": height, "pixels": bytes(px),
+            "format": "bmp"}
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize top-down RGB pixels as binary PPM (P6, maxval 255)."""
+    if width <= 0 or height <= 0 or len(pixels) != width * height * 3:
+        raise ValueError("encode_ppm: pixel buffer does not match dims")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
+def decode_ppm(blob: bytes) -> dict:
+    """Parse binary PPM (P6, maxval <= 255; comments allowed) into
+    {width, height, pixels} (already top-down RGB)."""
+    if blob is None or len(blob) < 2 or blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        if pos < len(blob) and blob[pos:pos + 1] == b"#":  # comment line
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not (0 < maxval <= 255):
+        raise ValueError("unsupported PPM header")
+    need = width * height * 3
+    if len(blob) < pos + need:
+        raise ValueError("truncated PPM pixel array")
+    return {"width": width, "height": height,
+            "pixels": bytes(blob[pos:pos + need]), "format": "ppm"}
+
+
+def decode_image(blob: bytes) -> dict:
+    """Real decoder for the formats this module owns (BMP, PPM), sniffed
+    by magic. Plug into ``extract_media_meta``/``resize_media`` via their
+    ``decoder=`` seam. Raises ValueError for every other payload."""
+    if blob is None:
+        raise ValueError("null blob")
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    if blob[:2] == b"P6":
+        return decode_ppm(blob)
+    raise ValueError(f"unrecognized image magic {bytes(blob[:2])!r}")
+
+
+def nn_resize(pixels: bytes, src_w: int, src_h: int,
+              dst_w: int, dst_h: int) -> bytes:
+    """Nearest-neighbor resample of top-down RGB pixels: output pixel
+    (x, y) samples source (x*src_w // dst_w, y*src_h // dst_h) — the
+    floor-index convention the SQL oracle replays exactly."""
+    out = bytearray(dst_w * dst_h * 3)
+    for y in range(dst_h):
+        sy = y * src_h // dst_h
+        for x in range(dst_w):
+            sx = x * src_w // dst_w
+            s = (sy * src_w + sx) * 3
+            d = (y * dst_w + x) * 3
+            out[d:d + 3] = pixels[s:s + 3]
+    return bytes(out)
+
+
+def resize_image(blob: bytes, target_w: int, target_h: int) -> bytes:
+    """Real resizer: decode (BMP/PPM) -> nearest-neighbor resample ->
+    re-encode in the source format. Plug into ``resize_media`` via
+    ``resizer=``."""
+    meta = decode_image(blob)
+    px = nn_resize(meta["pixels"], meta["width"], meta["height"],
+                   target_w, target_h)
+    enc = encode_ppm if meta["format"] == "ppm" else encode_bmp
+    return enc(target_w, target_h, px)
+
+
+def bmp_roundtrip_stats(df: DataFrame, id_col: str,
+                        target_w: int = 4, target_h: int = 3) -> DataFrame:
+    """The REAL-codec gate kernel: per id, synthesize a deterministic
+    24-bit BMP (width = id%13+1, height = id%7+1, pixel i =
+    (id*31 + i) % 256 in top-down RGB order), then push it through the
+    full real path — encode_bmp -> decode_image -> resize_image ->
+    decode_image — and emit position-weighted pixel checksums of both
+    decodes. The SQL oracle recomputes every output arithmetically
+    WITHOUT a codec, so a padding, row-order, or channel-order bug in
+    encode/decode/resample shows up as a value mismatch, not just a
+    failed unit test. Weighted (not plain) sums so pixel ORDER is
+    load-bearing: Σ (i+1)·p_i moves whenever two pixels swap."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "byte_len": [],
+                   "px_wsum": [], "out_px_wsum": []}
+            for rid in pdf["id"]:
+                rid = int(rid)
+                w, h = rid % 13 + 1, rid % 7 + 1
+                px = bytes((rid * 31 + i) % 256 for i in range(w * h * 3))
+                blob = encode_bmp(w, h, px)
+                meta = decode_image(blob)
+                rs = decode_image(resize_image(blob, target_w, target_h))
+                out["doc_id"].append(rid)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["byte_len"].append(len(blob))
+                out["px_wsum"].append(
+                    sum((i + 1) * p for i, p in enumerate(meta["pixels"])))
+                out["out_px_wsum"].append(
+                    sum((j + 1) * p for j, p in enumerate(rs["pixels"])))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        process, schema=("doc_id long, width int, height int, "
+                         "byte_len long, px_wsum long, out_px_wsum long"))
 
 
 def fake_decode(blob: bytes) -> dict:
@@ -115,19 +310,21 @@ RESIZE_SCHEMA = ("id long, in_w int, in_h int, out_w int, out_h int, "
 
 def resize_media(df: DataFrame, id_col: str, blob_col: str,
                  target_w: int = 64, target_h: int = 64,
-                 resizer: Callable[[bytes, int, int], bytes] | None = None
+                 resizer: Callable[[bytes, int, int], bytes] | None = None,
+                 decoder: Callable[[bytes], dict] | None = None
                  ) -> DataFrame:
-    """Image resize STUB over mapInPandas: binary in -> binary out with
-    typed dimension metadata. The fake 'resample' keeps the first
-    min(len, target_w*target_h//8) payload bytes (deterministic arithmetic
-    a SQL oracle can replay); a real implementation is
-    ``PIL.Image.open(...).resize((w,h)).tobytes()`` per blob, batch-
-    amortized — unavailable in this container (STUB). Failures follow the
-    error->NULL discipline: ok=false row, never a failed task."""
+    """Image resize over mapInPandas: binary in -> binary out with typed
+    dimension metadata. Defaults are the deterministic STUBS (length
+    arithmetic a SQL oracle replays); pass ``decoder=decode_image,
+    resizer=resize_image`` for the real BMP/PPM path (oracle-gated by
+    image_decode_stats), or PIL/opencv callables where available.
+    Failures follow the error->NULL discipline: ok=false row, never a
+    failed task."""
     def fake_resize(b: bytes, tw: int, th: int) -> bytes:
         return b[: min(len(b), tw * th // 8)]
 
     resample = resizer or fake_resize
+    decode = decoder or fake_decode
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,7 +333,7 @@ def resize_media(df: DataFrame, id_col: str, blob_col: str,
             for blob in pdf[blob_col]:
                 try:
                     b = bytes(blob)
-                    meta = fake_decode(b)
+                    meta = decode(b)
                     out["in_w"].append(meta["width"])
                     out["in_h"].append(meta["height"])
                     out["out_w"].append(target_w)

@@ -55,6 +55,8 @@ DRIVER_ORDER: list[str] = [
     # Ordered oldest-evidence-first (new/zero-evidence queries lead); the
     # driver checks slots 1-50. Regenerate after each driver run:
     #     python tools/rotate_window.py
+    # ---- latest green row: rnew/churn ----
+    "image_decode_stats",
     # ---- latest green row: r4 ----
     "bucketed_join_revenue",
     "salted_event_counts",
@@ -106,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "two_key_join",
     # ---- latest green row: r5 ----
     "frame_sample_stats",
-    "dedup_canonicalize",
     # ---------------- past the check window ----------------
+    "dedup_canonicalize",
     "mode_per_user",
     "indicator_sums",
     "value_hours_per_user",

@@ -12,6 +12,7 @@ from cliqz_etl_spark.multimodal.binary_ops import (
     EMBED_DIM,
     EMBED_MOD,
     attach_binary,
+    bmp_roundtrip_stats,
     embed_media,
     extract_media_meta,
     frame_sample,
@@ -127,6 +128,57 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "id", "in_w", "in_h", "out_w", "out_h",
         F.length("out_blob").cast("long").alias("out_bytes"), "ok")
+
+
+_DEC_TW, _DEC_TH = 4, 3  # roundtrip-gate resize target
+
+
+@query(
+    "image_decode_stats",
+    # The oracle recomputes the codec's outputs ARITHMETICALLY (no codec):
+    # header size 54 + 4-byte-padded stride x height for byte_len, and
+    # position-weighted checksums over the generated pixels — for the
+    # resized sum, the nearest-neighbor source index of output element j
+    # (y = j//12, x = (j%12)//3, c = j%3; sy = y*h//3, sx = x*w//4) is
+    # derived inline. Any encode/decode/resample deviation diverges.
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, (doc_id % 13) + 1 AS w, (doc_id % 7) + 1 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, SUM((i + 1) * ((doc_id * 31 + i) % 256)) AS px_wsum
+        FROM (SELECT doc_id, unnest(range(w * h * 3)) AS i FROM d)
+        GROUP BY doc_id
+    ), rs AS (
+        SELECT doc_id,
+               SUM((j + 1) * ((doc_id * 31 +
+                    (((j // {_DEC_TW * 3}) * h // {_DEC_TH}) * w
+                     + ((j % {_DEC_TW * 3}) // 3) * w // {_DEC_TW}) * 3
+                    + (j % 3)) % 256)) AS out_px_wsum
+        FROM (SELECT doc_id, w, h,
+                     unnest(range({_DEC_TW * _DEC_TH * 3})) AS j FROM d)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS byte_len,
+           CAST(px.px_wsum AS BIGINT) AS px_wsum,
+           CAST(rs.out_px_wsum AS BIGINT) AS out_px_wsum
+    FROM d JOIN px USING (doc_id) JOIN rs USING (doc_id)
+    """,
+)
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end: synthesize a deterministic 24-bit BMP
+    per document id, run it through the dependency-free encode -> decode
+    -> nearest-neighbor resize -> decode path (multimodal/binary_ops.py),
+    and report dimensions, file bytes, and order-sensitive pixel
+    checksums of both decodes — all value-checked against an oracle that
+    computes the expected numbers with pure arithmetic. This is the
+    substance gate for the multimodal family: real bytes, real parser
+    (bottom-up rows, BGR order, stride padding), real resampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bmp_roundtrip_stats(docs, "doc_id", _DEC_TW, _DEC_TH)
 
 
 def _duck_embed_component(j: int) -> str:
