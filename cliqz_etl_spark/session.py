@@ -33,6 +33,12 @@ _DEFAULT_CONF = {
     # output (replaces the reference's hand-built /submission={day} paths,
     # testpilot_data.py:72-82).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Partition values stay STRINGS on read-back: inference would flip a
+    # written submission='20170101' into an int on the next scan, so the
+    # same column changes dtype between the writing job and the reading
+    # one — exactly the silent cross-job dtype trap the r3 testdata flip
+    # demonstrated. Consumers cast explicitly where they want numbers.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.sql.parquet.compression.codec": "zstd",
 }
 
