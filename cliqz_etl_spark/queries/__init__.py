@@ -261,6 +261,14 @@ BENCH_HEADLINE: list[str] = [
     # The composed flagship: gopher filter -> span dedup -> unigram
     # scoring on the curated text, one pipeline.
     "curation_pipeline_v2",
+    # Round-7 additions: the round-6 families' remaining siblings (blocked
+    # fuzzy matching, k-anonymity generalization, eval-contamination
+    # screen) and the real-codec multimodal gate, so regressions in the
+    # newest operator families show up in the per-round bench record.
+    "fuzzy_match_parts",
+    "k_anonymize_customers",
+    "contamination_check",
+    "image_decode_stats",
 ]
 
 
