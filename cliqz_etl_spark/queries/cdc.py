@@ -166,11 +166,17 @@ def user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pit_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every order annotated with its point-in-time customer balance."""
+    """Every order annotated with its point-in-time customer balance.
+    NULL-date facts are excluded on both sides (fuzz-pinned): an order
+    with an unknown as-of instant has no defined in-effect version — the
+    oracle's interval join drops it naturally, and the as-of idiom must
+    not instead emit it with a NULL balance."""
     from cliqz_etl_spark.operators.merge import point_in_time_join
 
     hist = scd2_customer_balance(spark, sf_dir)
-    facts = load_table(spark, sf_dir, "orders").select(
+    facts = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    ).select(
         F.col("o_custkey").alias("c_custkey"),
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),

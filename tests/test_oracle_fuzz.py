@@ -252,13 +252,20 @@ _WH_FUZZED = [
     "earliest_order_per_customer", "anti_join_customers",
     "semi_join_orders", "rank_fraction_family", "price_quantity_corr",
     "pricing_summary",
+    # second wave (round 7): the CDC/SCD2 family (argmax merge + interval
+    # join over NULL-able dates/balances) and the bloom prefilter pair —
+    # previously the only orders/customer-driven queries outside the fuzz
+    "scd2_customer_balance", "pit_order_balance",
+    "bloom_semi_join_revenue", "bloom_prefilter_stats",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))
 _MAYBE_PRICE = st.one_of(st.none(), st.floats(1, 1000, allow_nan=False))
 _MAYBE_DATE = st.one_of(
     st.none(),
-    st.integers(0, 400).map(
+    # span reaches 1999+ so the SCD2 family's update branch (orders >=
+    # 1999-01-01 restate balances) gets real work, not an empty changelog
+    st.integers(0, 1500).map(
         lambda d: __import__("datetime").datetime(1996, 1, 1)
         + __import__("datetime").timedelta(days=d)))
 

@@ -10,6 +10,7 @@ Modes (combinable):
     python tools/scale_stress.py            # 10x dedup/ANN + events run
     python tools/scale_stress.py --100x     # 100x dedup/ANN run
     python tools/scale_stress.py --skew     # salted-vs-plain skew bench
+    python tools/scale_stress.py --stream   # streaming drain 1x/10x/100x
 
 Round-5 run (local[32], 16g heap; 10x docs, 16x vectors, 10x events
 vs sf0.1): LSH 0.8x, simhash 2.4x, ngram-jaccard 2.9x, incremental
@@ -383,6 +384,76 @@ def skew_bench(spark) -> None:
                 spark.conf.set(k, v)
 
 
+STREAM100 = "/tmp/sfstress_stream100"
+
+
+def stream_sweep(spark) -> None:
+    """Streaming scale stress: drain the Structured Streaming family with
+    availableNow over 1x/10x/100x event volume (100k / 1M / 10M rows) and
+    record, per decade, the drain wall-clock and the state store's peak
+    row count and memory from the query's own progress telemetry. The
+    things this verifies at scale: (a) the volume-derived
+    ``_state_partitions`` sizing keeps per-batch fixed costs from
+    dominating as the source grows, (b) watermarks actually bound state —
+    peak state memory must grow with rate x horizon, NOT with total
+    stream length, so the 100x decade must stay far under 100x the 1x
+    state, (c) drain time stays ~linear."""
+    import shutil
+    import uuid
+
+    from cliqz_etl_spark.queries.streamq import (_event_stream,
+                                                 _state_partitions)
+    from cliqz_etl_spark.streaming.jobs import (click_purchase_join,
+                                                dedup_stream,
+                                                running_user_totals,
+                                                session_rollup,
+                                                windowed_event_counts)
+    from cliqz_etl_spark.tables import scoped_conf
+
+    ckpt_base = f"/tmp/sfstress_stream_ckpt_{uuid.uuid4().hex[:8]}"
+
+    def drain(df, mode: str, n_parts: int, label: str) -> None:
+        t0 = time.perf_counter()
+        with scoped_conf(spark, "spark.sql.shuffle.partitions",
+                         str(n_parts), default="32"):
+            q = (df.writeStream.format("noop")
+                 .option("checkpointLocation",
+                         f"{ckpt_base}/{label.replace(' ', '_')}")
+                 .outputMode(mode).trigger(availableNow=True).start())
+            q.awaitTermination()
+        dt = time.perf_counter() - t0
+        rows_max = mem_max = 0
+        for p in q.recentProgress:
+            for so in (p.get("stateOperators") or []):
+                rows_max = max(rows_max, so.get("numRowsTotal") or 0)
+                mem_max = max(mem_max, so.get("memoryUsedBytes") or 0)
+        print(f"{label:42s} {dt:7.2f}s  state_rows<={rows_max:>9}  "
+              f"state_mem<={mem_max / (1 << 20):7.1f}MiB  parts={n_parts}")
+
+    decades = [("1x", SMALL), ("10x", OUT10), ("100x", STREAM100)]
+    for lbl, path in decades:
+        n_ev = _rows(path, "events")
+        n_parts = _state_partitions(spark, path)
+        ev = _event_stream(spark, path)
+        print(f"--- stream decade {lbl}: {n_ev} events, "
+              f"{n_parts} state partitions ---")
+        drain(windowed_event_counts(ev), "update", n_parts,
+              f"windowed_counts {lbl}")
+        drain(dedup_stream(_event_stream(spark, path)), "append", n_parts,
+              f"dedup_stream {lbl}")
+        # session_window aggs support append/complete only (not update)
+        drain(session_rollup(_event_stream(spark, path)), "complete", n_parts,
+              f"session_rollup {lbl}")
+        drain(running_user_totals(_event_stream(spark, path)), "update",
+              n_parts, f"running_totals {lbl}")
+        ev2 = _event_stream(spark, path)
+        drain(click_purchase_join(
+            ev2.where("event_type = 'click'"),
+            _event_stream(spark, path).where("event_type = 'purchase'")),
+            "append", n_parts, f"stream_join {lbl}")
+    shutil.rmtree(ckpt_base, ignore_errors=True)
+
+
 if __name__ == "__main__":
     args = set(sys.argv[1:])
     spark = _get_spark()
@@ -391,6 +462,10 @@ if __name__ == "__main__":
     if "--100x" in args:
         gen_corpus(OUT100, n_docs=500_000, n_vec=200_000, n_ev=0)
         family_sweep(spark, OUT100, "100x", with_events=False)
+    if "--stream" in args:
+        gen_corpus(OUT10, n_docs=0, n_vec=0, n_ev=1_000_000)
+        gen_corpus(STREAM100, n_docs=0, n_vec=0, n_ev=10_000_000)
+        stream_sweep(spark)
     if not args:
         gen_corpus(OUT10, n_docs=50_000, n_vec=32_000, n_ev=1_000_000)
         family_sweep(spark, OUT10, "10x", with_events=True)
