@@ -193,6 +193,118 @@ def resize_image(blob: bytes, target_w: int, target_h: int) -> bytes:
     return enc(target_w, target_h, px)
 
 
+# ---- real WAV (RIFF / PCM) codec -------------------------------------------
+
+
+def encode_wav(sample_rate: int, samples: list[int],
+               bits: int = 16) -> bytes:
+    """Serialize mono PCM samples as a canonical RIFF/WAVE file (fmt +
+    data chunks). 16-bit signed little-endian only — the layout every
+    real-world PCM tool emits."""
+    import struct
+
+    if bits != 16:
+        raise ValueError("encode_wav: only 16-bit PCM supported")
+    if sample_rate <= 0:
+        raise ValueError("encode_wav: sample_rate must be positive")
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, bits)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return out
+
+
+def decode_wav(blob: bytes) -> dict:
+    """Parse a RIFF/WAVE file (PCM, mono/stereo, 16-bit) into
+    {sample_rate, n_channels, n_samples, samples} — samples interleaved
+    as signed ints. Walks the chunk list (tolerating extra chunks like
+    LIST/INFO before data), raises ValueError on anything malformed or
+    non-PCM, matching the family's error->NULL discipline."""
+    import struct
+
+    if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" \
+            or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16 or n_ch not in (1, 2):
+        raise ValueError(
+            f"unsupported WAV (fmt={audio_fmt}, bits={bits}, ch={n_ch})")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[:n * 2]))
+    return {"sample_rate": rate, "n_channels": n_ch,
+            "n_samples": n // n_ch, "samples": samples, "format": "wav"}
+
+
+def resample_audio(samples: list[int], src_rate: int,
+                   dst_rate: int) -> list[int]:
+    """Nearest-sample resample of mono PCM: output sample j reads source
+    index j*src_rate // dst_rate — the same floor-index convention as
+    nn_resize, so the SQL oracle replays it exactly."""
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("rates must be positive")
+    n_out = len(samples) * dst_rate // src_rate
+    return [samples[j * src_rate // dst_rate] for j in range(n_out)]
+
+
+def wav_roundtrip_stats(df: DataFrame, id_col: str,
+                        dst_rate: int = 4000) -> DataFrame:
+    """The audio twin of bmp_roundtrip_stats: per id, synthesize a
+    deterministic mono 16-bit WAV (sample_rate = 8000 + (id%5)*2000,
+    n = id%50 + 20 samples, sample i = ((id*37 + i*13) % 2001) - 1000),
+    run it through encode_wav -> decode_wav -> resample_audio ->
+    encode_wav -> decode_wav, and emit the parsed header fields plus
+    position-weighted sample checksums of both decodes. The SQL oracle
+    recomputes everything arithmetically, so chunk-walk, byte-order, or
+    resample-index bugs diverge as values."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "n_samples": [],
+                   "byte_len": [], "s_wsum": [], "out_n": [], "out_wsum": []}
+            for rid in pdf["id"]:
+                rid = int(rid)
+                rate = 8000 + (rid % 5) * 2000
+                n = rid % 50 + 20
+                samples = [((rid * 37 + i * 13) % 2001) - 1000
+                           for i in range(n)]
+                blob = encode_wav(rate, samples)
+                meta = decode_wav(blob)
+                res = decode_wav(encode_wav(
+                    dst_rate, resample_audio(meta["samples"],
+                                             meta["sample_rate"], dst_rate)))
+                out["doc_id"].append(rid)
+                out["sample_rate"].append(meta["sample_rate"])
+                out["n_samples"].append(meta["n_samples"])
+                out["byte_len"].append(len(blob))
+                out["s_wsum"].append(
+                    sum((i + 1) * s for i, s in enumerate(meta["samples"])))
+                out["out_n"].append(res["n_samples"])
+                out["out_wsum"].append(
+                    sum((j + 1) * s for j, s in enumerate(res["samples"])))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        process, schema=("doc_id long, sample_rate int, n_samples long, "
+                         "byte_len long, s_wsum long, out_n long, "
+                         "out_wsum long"))
+
+
 def bmp_roundtrip_stats(df: DataFrame, id_col: str,
                         target_w: int = 4, target_h: int = 3) -> DataFrame:
     """The REAL-codec gate kernel: per id, synthesize a deterministic

@@ -56,6 +56,7 @@ DRIVER_ORDER: list[str] = [
     # driver checks slots 1-50. Regenerate after each driver run:
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
+    "audio_decode_stats",
     "image_decode_stats",
     # ---- latest green row: r4 ----
     "bucketed_join_revenue",
@@ -106,9 +107,9 @@ DRIVER_ORDER: list[str] = [
     "event_transition_matrix",
     "full_outer_rollup",
     "two_key_join",
+    # ---------------- past the check window ----------------
     # ---- latest green row: r5 ----
     "frame_sample_stats",
-    # ---------------- past the check window ----------------
     "dedup_canonicalize",
     "mode_per_user",
     "indicator_sums",

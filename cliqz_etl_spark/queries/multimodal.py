@@ -181,6 +181,57 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_roundtrip_stats(docs, "doc_id", _DEC_TW, _DEC_TH)
 
 
+_WAV_DST = 4000  # resample-gate target rate
+
+
+@query(
+    "audio_decode_stats",
+    # Oracle recomputes the codec arithmetically (no codec): canonical
+    # RIFF size 44 + 2n for byte_len, weighted sample checksums, and the
+    # resampler's floor-index selection j*rate//4000 inlined.
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, 8000 + (doc_id % 5) * 2000 AS rate,
+               doc_id % 50 + 20 AS n
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               SUM((i + 1) * (((doc_id * 37 + i * 13) % 2001) - 1000))
+                   AS s_wsum
+        FROM (SELECT doc_id, unnest(range(n)) AS i FROM d)
+        GROUP BY doc_id
+    ), o AS (
+        SELECT doc_id,
+               SUM((j + 1) * (((doc_id * 37
+                    + (j * rate // {_WAV_DST}) * 13) % 2001) - 1000))
+                   AS out_wsum
+        FROM (SELECT doc_id, rate,
+                     unnest(range(n * {_WAV_DST} // rate)) AS j FROM d)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(44 + 2 * n AS BIGINT) AS byte_len,
+           CAST(s.s_wsum AS BIGINT) AS s_wsum,
+           CAST(n * {_WAV_DST} // rate AS BIGINT) AS out_n,
+           CAST(o.out_wsum AS BIGINT) AS out_wsum
+    FROM d JOIN s USING (doc_id) JOIN o USING (doc_id)
+    """,
+)
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end (the WAV twin of image_decode_stats):
+    synthesize a deterministic mono 16-bit PCM WAV per document id, run
+    encode -> chunk-walking decode -> nearest-sample resample -> encode
+    -> decode (multimodal/binary_ops.py), and report parsed header
+    fields plus order-sensitive sample checksums of both decodes,
+    value-checked against a pure-arithmetic oracle."""
+    from cliqz_etl_spark.multimodal.binary_ops import wav_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_roundtrip_stats(docs, "doc_id", _WAV_DST)
+
+
 def _duck_embed_component(j: int) -> str:
     # md5-60bit of (utf8 bytes + '|' + j), mod EMBED_MOD — the SQL twin of
     # binary_ops.embed_media's fake_embed (md5 over bytes == md5 over the

@@ -195,3 +195,54 @@ def test_resize_media_real_path(spark):
         dec = decode_image(bytes(r["out_blob"]))
         src = bytes((i * 7 + j) % 256 for j in range((i + 2) * (i + 1) * 3))
         assert dec["pixels"] == nn_resize(src, i + 2, i + 1, 2, 2)
+
+
+def test_wav_codec_known_bytes():
+    """decode_wav against hand-assembled reference bytes: canonical 44-byte
+    header + little-endian int16 frames, plus chunk-walk tolerance for an
+    odd-sized LIST chunk padded to word alignment before data."""
+    import struct
+
+    from cliqz_etl_spark.multimodal.binary_ops import decode_wav, encode_wav
+
+    blob = encode_wav(8000, [0, 1000, -1000, 32767, -32768])
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert blob[12:16] == b"fmt " and struct.unpack_from("<I", blob, 16)[0] == 16
+    # PCM, mono, 8kHz, byte rate 16k, block align 2, 16-bit
+    assert struct.unpack_from("<HHIIHH", blob, 20) == (1, 1, 8000, 16000, 2, 16)
+    assert blob[36:40] == b"data" and struct.unpack_from("<I", blob, 40)[0] == 10
+    assert blob[44:] == struct.pack("<5h", 0, 1000, -1000, 32767, -32768)
+    m = decode_wav(blob)
+    assert (m["sample_rate"], m["n_channels"], m["n_samples"]) == (8000, 1, 5)
+    assert m["samples"] == [0, 1000, -1000, 32767, -32768]
+    # extra odd-sized chunk between fmt and data survives the walk
+    fmt_chunk, data_chunk = blob[12:36], blob[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = (b"RIFF" + struct.pack(
+        "<I", 4 + len(fmt_chunk) + len(extra) + len(data_chunk)) + b"WAVE"
+        + fmt_chunk + extra + data_chunk)
+    assert decode_wav(patched)["samples"] == m["samples"]
+
+
+def test_wav_codec_rejects_malformed():
+    import pytest
+
+    from cliqz_etl_spark.multimodal.binary_ops import decode_wav, encode_wav
+
+    good = encode_wav(8000, [1, 2, 3])
+    for bad in (None, b"", b"RIFFxxxxWAVE", good[:30],
+                b"RIFX" + good[4:],                 # wrong magic
+                good.replace(b"data", b"datx")):    # no data chunk
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_resample_audio_floor_index_convention():
+    from cliqz_etl_spark.multimodal.binary_ops import resample_audio
+
+    s = list(range(10))
+    # 10 samples at 8k -> 4k: every 2nd sample, floor convention
+    assert resample_audio(s, 8000, 4000) == [0, 2, 4, 6, 8]
+    # upsample 4k -> 8k: each source sample twice
+    assert resample_audio([5, 7], 4000, 8000) == [5, 5, 7, 7]
+    assert resample_audio([], 8000, 4000) == []

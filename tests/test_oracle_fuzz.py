@@ -39,7 +39,7 @@ _FUZZED = [
     # documents-only queries outside the fuzz, which let the NULL-blob
     # ok=false contract drift from the oracles unguarded (round-7 fix)
     "multimodal_meta", "frame_sample_stats", "image_resize_stats",
-    "media_embed_fingerprint", "image_decode_stats",
+    "media_embed_fingerprint", "image_decode_stats", "audio_decode_stats",
 ]
 
 _WORD = st.one_of(
