@@ -116,6 +116,121 @@ def decode_bmp(blob: bytes) -> dict:
             "format": "bmp"}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize top-down RGB pixels as an 8-bit truecolor PNG (color
+    type 2, no interlace): IHDR + one zlib-deflated IDAT of filter-0 rows
+    + IEND, CRCs included. stdlib-only (zlib)."""
+    import struct
+    import zlib
+
+    if width <= 0 or height <= 0 or len(pixels) != width * height * 3:
+        raise ValueError("encode_png: pixel buffer does not match dims")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y * width * 3:(y + 1) * width * 3]
+                   for y in range(height))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Reverse PNG row filters (types 0-4: None/Sub/Up/Average/Paeth)
+    over the inflated scanline stream; returns the raw pixel bytes."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(height):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("truncated PNG scanline stream")
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:    # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def decode_png(blob: bytes) -> dict:
+    """Parse an 8-bit non-interlaced PNG (grayscale, RGB, or RGBA —
+    normalized to top-down RGB; alpha dropped, gray replicated) into
+    {width, height, pixels}. Full chunk walk with CRC checks, zlib
+    inflate across all IDATs, and all five row filters reversed. Raises
+    ValueError on anything else (palette, 16-bit, interlaced)."""
+    import struct
+    import zlib
+
+    if blob is None or len(blob) < 8 or blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(blob):
+        size = struct.unpack_from(">I", blob, pos)[0]
+        tag = blob[pos + 4:pos + 8]
+        body = blob[pos + 8:pos + 8 + size]
+        if len(body) < size or pos + 12 + size > len(blob):
+            raise ValueError(f"truncated {tag!r} chunk")
+        crc = struct.unpack_from(">I", blob, pos + 8 + size)[0]
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"bad CRC on {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})")
+    n_ch = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if n_ch is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = _png_unfilter(zlib.decompress(idat), width, height, n_ch)
+    if n_ch == 3:
+        px = raw
+    elif n_ch == 4:   # drop alpha
+        px = bytes(b for i, b in enumerate(raw) if i % 4 != 3)
+    else:             # replicate gray to RGB
+        px = bytes(b for g in raw for b in (g, g, g))
+    return {"width": width, "height": height, "pixels": bytes(px),
+            "format": "png"}
+
+
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     """Serialize top-down RGB pixels as binary PPM (P6, maxval 255)."""
     if width <= 0 or height <= 0 or len(pixels) != width * height * 3:
@@ -154,13 +269,15 @@ def decode_ppm(blob: bytes) -> dict:
 
 
 def decode_image(blob: bytes) -> dict:
-    """Real decoder for the formats this module owns (BMP, PPM), sniffed
-    by magic. Plug into ``extract_media_meta``/``resize_media`` via their
-    ``decoder=`` seam. Raises ValueError for every other payload."""
+    """Real decoder for the formats this module owns (BMP, PNG, PPM),
+    sniffed by magic. Plug into ``extract_media_meta``/``resize_media``
+    via their ``decoder=`` seam. Raises ValueError for everything else."""
     if blob is None:
         raise ValueError("null blob")
     if blob[:2] == b"BM":
         return decode_bmp(blob)
+    if blob[:8] == _PNG_SIG:
+        return decode_png(blob)
     if blob[:2] == b"P6":
         return decode_ppm(blob)
     raise ValueError(f"unrecognized image magic {bytes(blob[:2])!r}")
@@ -189,7 +306,8 @@ def resize_image(blob: bytes, target_w: int, target_h: int) -> bytes:
     meta = decode_image(blob)
     px = nn_resize(meta["pixels"], meta["width"], meta["height"],
                    target_w, target_h)
-    enc = encode_ppm if meta["format"] == "ppm" else encode_bmp
+    enc = {"ppm": encode_ppm, "png": encode_png}.get(meta["format"],
+                                                     encode_bmp)
     return enc(target_w, target_h, px)
 
 
@@ -341,6 +459,38 @@ def bmp_roundtrip_stats(df: DataFrame, id_col: str,
     return df.select(F.col(id_col).alias("id")).mapInPandas(
         process, schema=("doc_id long, width int, height int, "
                          "byte_len long, px_wsum long, out_px_wsum long"))
+
+
+def png_roundtrip_stats(df: DataFrame, id_col: str,
+                        target_w: int = 4, target_h: int = 3) -> DataFrame:
+    """PNG twin of bmp_roundtrip_stats (same deterministic pixels, same
+    checksums) driving encode_png -> decode_png (zlib inflate + filter
+    reversal + CRC walk) -> resize_image -> decode_png. No byte_len
+    column: deflate output length is not oracle-replayable arithmetic;
+    the layout checks live in the byte-level unit tests instead."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "px_wsum": [], "out_px_wsum": []}
+            for rid in pdf["id"]:
+                rid = int(rid)
+                w, h = rid % 13 + 1, rid % 7 + 1
+                px = bytes((rid * 31 + i) % 256 for i in range(w * h * 3))
+                blob = encode_png(w, h, px)
+                meta = decode_png(blob)
+                rs = decode_image(resize_image(blob, target_w, target_h))
+                out["doc_id"].append(rid)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["px_wsum"].append(
+                    sum((i + 1) * p for i, p in enumerate(meta["pixels"])))
+                out["out_px_wsum"].append(
+                    sum((j + 1) * p for j, p in enumerate(rs["pixels"])))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        process, schema=("doc_id long, width int, height int, "
+                         "px_wsum long, out_px_wsum long"))
 
 
 def fake_decode(blob: bytes) -> dict:

@@ -56,6 +56,7 @@ DRIVER_ORDER: list[str] = [
     # driver checks slots 1-50. Regenerate after each driver run:
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
+    "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
     # ---- latest green row: r4 ----
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "linear_attribution",
     "event_transition_matrix",
     "full_outer_rollup",
-    "two_key_join",
     # ---------------- past the check window ----------------
+    "two_key_join",
     # ---- latest green row: r5 ----
     "frame_sample_stats",
     "dedup_canonicalize",

@@ -181,6 +181,52 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_roundtrip_stats(docs, "doc_id", _DEC_TW, _DEC_TH)
 
 
+@query(
+    "png_decode_stats",
+    # Same pixel arithmetic as image_decode_stats, minus byte_len (a
+    # deflate stream's length is not arithmetic an oracle can replay) —
+    # the values check zlib-inflate + filter reversal + CRC walk end to
+    # end, since any parse deviation perturbs the weighted checksums.
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, (doc_id % 13) + 1 AS w, (doc_id % 7) + 1 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, SUM((i + 1) * ((doc_id * 31 + i) % 256)) AS px_wsum
+        FROM (SELECT doc_id, unnest(range(w * h * 3)) AS i FROM d)
+        GROUP BY doc_id
+    ), rs AS (
+        SELECT doc_id,
+               SUM((j + 1) * ((doc_id * 31 +
+                    (((j // {_DEC_TW * 3}) * h // {_DEC_TH}) * w
+                     + ((j % {_DEC_TW * 3}) // 3) * w // {_DEC_TW}) * 3
+                    + (j % 3)) % 256)) AS out_px_wsum
+        FROM (SELECT doc_id, w, h,
+                     unnest(range({_DEC_TW * _DEC_TH * 3})) AS j FROM d)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(px.px_wsum AS BIGINT) AS px_wsum,
+           CAST(rs.out_px_wsum AS BIGINT) AS out_px_wsum
+    FROM d JOIN px USING (doc_id) JOIN rs USING (doc_id)
+    """,
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec end-to-end: deterministic truecolor PNGs per
+    document id through encode (IHDR/IDAT/IEND with CRCs) -> decode
+    (chunk walk, zlib inflate, all five row filters) -> nearest-neighbor
+    resize -> decode, value-checked against pure arithmetic. With BMP
+    (image_decode_stats) and WAV (audio_decode_stats) this makes all
+    three owned codecs oracle-gated; only PNG's compression layer rides
+    stdlib zlib."""
+    from cliqz_etl_spark.multimodal.binary_ops import png_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_roundtrip_stats(docs, "doc_id", _DEC_TW, _DEC_TH)
+
+
 _WAV_DST = 4000  # resample-gate target rate
 
 

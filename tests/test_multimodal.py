@@ -246,3 +246,100 @@ def test_resample_audio_floor_index_convention():
     # upsample 4k -> 8k: each source sample twice
     assert resample_audio([5, 7], 4000, 8000) == [5, 5, 7, 7]
     assert resample_audio([], 8000, 4000) == []
+
+
+def test_png_codec_roundtrip_and_filter_reversal():
+    """decode_png must reverse every row-filter type. The filtered
+    scanlines here are built BY HAND (independent of encode_png, which
+    only emits filter 0), so the Sub/Up/Average/Paeth paths are checked
+    against manually filtered data, not a circular roundtrip."""
+    import struct
+    import zlib
+
+    from cliqz_etl_spark.multimodal.binary_ops import (
+        _PNG_SIG, decode_image, decode_png, encode_png, nn_resize,
+        resize_image)
+
+    for w, h in [(1, 1), (3, 2), (13, 7)]:
+        px = bytes((i * 31 + 7) % 256 for i in range(w * h * 3))
+        m = decode_png(encode_png(w, h, px))
+        assert (m["width"], m["height"], m["pixels"]) == (w, h, px)
+        rs = decode_image(resize_image(encode_png(w, h, px), 4, 3))
+        assert rs["pixels"] == nn_resize(px, w, h, 4, 3)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    w, h = 3, 5
+    px = bytes((i * 7 + 3) % 256 for i in range(w * h * 3))
+    stride = w * 3
+    rows = [px[y * stride:(y + 1) * stride] for y in range(h)]
+    raw, prev = bytearray(), bytes(stride)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        row, f = rows[y], bytearray(rows[y])
+        if ft == 1:
+            for i in range(stride - 1, 2, -1):
+                f[i] = (row[i] - row[i - 3]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                f[i] = (row[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                f[i] = (row[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                b, c = prev[i], (prev[i - 3] if i >= 3 else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f[i] = (row[i] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(f)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    assert decode_png(blob)["pixels"] == px
+
+
+def test_png_codec_color_normalization_and_crc():
+    import struct
+    import zlib
+
+    import pytest
+
+    from cliqz_etl_spark.multimodal.binary_ops import (
+        _PNG_SIG, decode_png, encode_png)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    # RGBA drops alpha; grayscale replicates to RGB
+    cases = [
+        (6, 4, bytes([10, 20, 30, 255, 40, 50, 60, 128,
+                      70, 80, 90, 0, 100, 110, 120, 7]),
+         bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])),
+        (0, 1, bytes([5, 9, 200, 250]),
+         bytes([5, 5, 5, 9, 9, 9, 200, 200, 200, 250, 250, 250])),
+    ]
+    for ctype, n_ch, src, want in cases:
+        raw = b"".join(b"\x00" + src[y * 2 * n_ch:(y + 1) * 2 * n_ch]
+                       for y in range(2))
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, ctype, 0, 0, 0)
+        blob = (_PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        assert decode_png(blob)["pixels"] == want
+    # corrupted CRC and unsupported variants raise
+    bad = bytearray(encode_png(2, 2, bytes(12)))
+    bad[-6] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    blob16 = (_PNG_SIG + chunk(b"IHDR", ihdr16)
+              + chunk(b"IDAT", zlib.compress(b"\x00" * 25))
+              + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(blob16)

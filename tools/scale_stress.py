@@ -75,7 +75,8 @@ VOCAB[:5] = ["the", "a", "of", "and", "to"]
 _zipf_w = [1.0 / (i + 1) for i in range(len(VOCAB))]
 
 
-def gen_corpus(path: str, n_docs: int, n_vec: int, n_ev: int) -> None:
+def gen_corpus(path: str, n_docs: int, n_vec: int, n_ev: int,
+               n_users: int = 1_500) -> None:
     """Write documents/embeddings[/events] parquet at the given sizes
     (idempotent per file). Same generator at every scale so ratios
     compare like with like."""
@@ -109,9 +110,8 @@ def gen_corpus(path: str, n_docs: int, n_vec: int, n_ev: int) -> None:
         })
         pq.write_table(t, f"{path}/embeddings.parquet")
     if n_ev and not os.path.exists(f"{path}/events.parquet"):
-        # n_ev events / 1.5k users over 6 months — same skew shape
+        # n_ev events / n_users over 6 months — same skew shape
         # (a few hot users) the gate data has
-        n_users = 1_500
         user = rng.zipf(1.5, size=n_ev) % n_users
         base = np.int64(1_704_067_200_000_000)  # 2024-01-01 in micros
         ts = base + rng.integers(0, np.int64(180 * 86_400_000_000), size=n_ev)
@@ -384,6 +384,7 @@ def skew_bench(spark) -> None:
                 spark.conf.set(k, v)
 
 
+STREAM10 = "/tmp/sfstress_stream10"
 STREAM100 = "/tmp/sfstress_stream100"
 
 
@@ -430,7 +431,7 @@ def stream_sweep(spark) -> None:
         print(f"{label:42s} {dt:7.2f}s  state_rows<={rows_max:>9}  "
               f"state_mem<={mem_max / (1 << 20):7.1f}MiB  parts={n_parts}")
 
-    decades = [("1x", SMALL), ("10x", OUT10), ("100x", STREAM100)]
+    decades = [("1x", SMALL), ("10x", STREAM10), ("100x", STREAM100)]
     for lbl, path in decades:
         n_ev = _rows(path, "events")
         n_parts = _state_partitions(spark, path)
@@ -463,8 +464,16 @@ if __name__ == "__main__":
         gen_corpus(OUT100, n_docs=500_000, n_vec=200_000, n_ev=0)
         family_sweep(spark, OUT100, "100x", with_events=False)
     if "--stream" in args:
-        gen_corpus(OUT10, n_docs=0, n_vec=0, n_ev=1_000_000)
-        gen_corpus(STREAM100, n_docs=0, n_vec=0, n_ev=10_000_000)
+        # users scale WITH volume so per-user event density stays constant
+        # across decades: with fixed users, 10x volume means 10x per-user
+        # density, and every per-user stateful op (sessions, stream-stream
+        # join pairs) measures the workload's quadratics instead of the
+        # engine's scaling. Dedicated dirs — OUT10's events keep the
+        # fixed-user shape for the batch-family sweep.
+        gen_corpus(STREAM10, n_docs=0, n_vec=0, n_ev=1_000_000,
+                   n_users=15_000)
+        gen_corpus(STREAM100, n_docs=0, n_vec=0, n_ev=10_000_000,
+                   n_users=150_000)
         stream_sweep(spark)
     if not args:
         gen_corpus(OUT10, n_docs=50_000, n_vec=32_000, n_ev=1_000_000)
