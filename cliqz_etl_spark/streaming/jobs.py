@@ -80,6 +80,18 @@ def dedup_stream(events: DataFrame, key_cols: list[str] | None = None,
     )
 
 
+_INTERVAL_UNIT_SEC = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86_400, "days": 86_400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """'1 hour' / '30 minutes' -> seconds (driver-side, for bucket math)."""
+    n, unit = interval.split()
+    return int(n) * _INTERVAL_UNIT_SEC[unit.lower()]
+
+
 def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
                         lookback: str = "1 hour",
                         watermark: str = WATERMARK) -> DataFrame:
@@ -88,21 +100,45 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
     the join condition bounds event-time distance, so Spark can size the
     join state (buffered rows per side) from the watermark + range instead
     of holding both streams forever — the required shape for any
-    unbounded stream-stream join."""
-    c = clicks.select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    ).withWatermark("click_ts", watermark)
-    p = purchases.select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-    ).withWatermark("purchase_ts", watermark)
+    unbounded stream-stream join.
+
+    The equality key is (user, lookback-sized time bucket), with the
+    purchase side exploded to probe its own bucket and the previous one —
+    the bucketed range join (same trick as the batch
+    range_join_close_events). Joining on user alone is quadratic in a
+    hot user's per-batch event count: the join matches range predicates
+    by nested loop WITHIN an equality key, and a Zipf-headed corpus puts
+    a fixed double-digit percentage of all events on one user no matter
+    how many users exist (measured: the 10x stress decade ran minutes in
+    one straggler task before bucketing, seconds after). Each (click,
+    purchase) pair within range spans at most two buckets and the click's
+    bucket equals exactly one of the two probes, so results are identical
+    pair-for-pair — the oracle pins it. Bucketing also splits the hot
+    user's join STATE across buckets, so state-partition skew falls with
+    the bucket width, not the key distribution."""
+    lb = _interval_seconds(lookback)
+    c = (clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"))
+         .withWatermark("click_ts", watermark)
+         .withColumn("c_bucket",
+                     F.floor(F.col("click_ts").cast("long") / lb)))
+    p = (purchases.select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"))
+         .withWatermark("purchase_ts", watermark)
+         .withColumn("p_bucket",
+                     F.floor(F.col("purchase_ts").cast("long") / lb))
+         .withColumn("probe_bucket",
+                     F.explode(F.array(F.col("p_bucket"),
+                                       F.col("p_bucket") - 1))))
     return (
         p.join(
             c,
             (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_bucket") == F.col("probe_bucket"))
             & (F.col("click_ts") <= F.col("purchase_ts"))
             & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"interval {lookback}")),
         )
