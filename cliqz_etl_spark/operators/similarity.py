@@ -701,7 +701,9 @@ def semantic_verdicts(df: DataFrame, id_col: str, vec_col: str, dim: int,
     cents = kmeans_fit(df, id_col, vec_col, k, n_iter, dim=dim,
                        train_limit=train_limit)
     proj = valid_quantized(df, id_col, vec_col, dim)
-    assigned = _materialize(ivf_assign_q(proj, list(range(k)), cents))
+    # len(cents), not k: a corpus with fewer valid rows than K yields a
+    # short model (cid = list index), exactly like the oracle's LIMIT k
+    assigned = _materialize(ivf_assign_q(proj, list(range(len(cents))), cents))
     norm = norm2_q(F.col("_qv")).cast("double")
     a = assigned.select(F.col("_id").alias("id_a"), F.col("_qv").alias("qa"),
                         "cluster", norm.alias("na"))

@@ -347,7 +347,7 @@ def ivf_clusters_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                        train_limit=KM_TRAIN_LIMIT)
     proj = valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
     return (
-        ivf_assign_q(proj, list(range(KM_K)), cents)
+        ivf_assign_q(proj, list(range(len(cents))), cents)
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )

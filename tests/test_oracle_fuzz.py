@@ -107,7 +107,23 @@ _VEC = st.one_of(
              min_size=64, max_size=64),                   # valid
 )
 
-_EMB_FUZZED = ["ann_topk", "rhp_signatures", "embedding_near_pairs"]
+_EMB_FUZZED = [
+    "ann_topk", "rhp_signatures", "embedding_near_pairs",
+    # fourth wave: the full ANN/model family. The ValueError arm below
+    # covers the degenerate-corpus raise these were originally excluded
+    # for; the id scheme makes the strided roles non-trivial.
+    "ivf_clusters", "ann_ivf", "ann_ivf_multiprobe", "ann_sq8", "ann_rhp",
+    "kmeans_centroids", "ivf_clusters_trained", "dedup_semantic",
+]
+
+# Row i gets _EMB_IDS[i], not i: sequential ids give a <=18-row corpus
+# exactly ONE centroid (vec_id % 100 == 0 -> {0}) and one query
+# (% 97 == 0 -> {0}), so the strided-role queries would never see a
+# multi-centroid argmin or a multi-query ranking under fuzz. The pattern
+# interleaves centroid ids (x100), query ids (x97), plain ids, and 0
+# (both roles at once), and any slot can host any adversarial vector.
+_EMB_IDS = [0, 1, 100, 97, 2, 200, 194, 3, 300, 291,
+            4, 400, 388, 5, 500, 485, 6, 600]
 
 
 @settings(max_examples=3, deadline=None)
@@ -122,7 +138,7 @@ def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, vecs):
     # guarantee a few valid vectors so top-k queries have real work
     vecs = list(vecs) + [[0.1 * ((i + j) % 7 - 3) for j in range(64)]
                          for i in range(4)]
-    rows = [(i, v, i % 3) for i, v in enumerate(vecs)]
+    rows = [(_EMB_IDS[i], v, i % 3) for i, v in enumerate(vecs)]
     sdf = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label long")
     con = duckdb.connect()

@@ -43,6 +43,22 @@ semantic_verdicts 4.8x wall-clock at 16x vectors with K scaled to a
 fixed K would measure the law's violation, not the operator), and the
 PII regex-bank scan 0.9x at 10x docs (scan-shaped, overhead-bound).
 
+Round-7 stream sweep (--stream; 100k/1M/10M events, users scaled with
+volume, state parts=8 at every decade — the size//64MiB rule floors
+there for a ~250 MB source): windowed_counts 3.8/1.5/1.7 s with state
+capped by the window horizon (17,280 rows at BOTH 10x and 100x — state
+grows with rate x horizon, not stream length); session_rollup
+1.7/2.4/15.5 s (897k peak sessions at 100x); running_totals
+2.5/4.4/27.5 s (state = user count: 1.5k/10k/58k rows); dedup_stream
+1.1/1.5/3.8 s but state = EVERY key seen inside the watermark horizon
+(10M rows / 1.8 GiB at 100x — the synthetic stream's event-time span is
+fixed, so nothing expires; a real 100 TB feed expires keys
+continuously); stream_join (bucketed equality key) 3.2/3.6/94.6 s, the
+one super-linear last step (26x for 10x) — buffered two-sided state
+peaks at 7.5M rows / 1.8 GiB, the HDFS-backed store's maintenance cost
+dominating; at production scale this is the op that wants the RocksDB
+state store + more state partitions (here capped by source size).
+
 Not part of the pytest suite — a full sweep takes minutes and writes
 up to ~400 MB under /tmp/sfstress*."""
 import os
