@@ -98,7 +98,12 @@ def pseudonym(col, salt: str) -> Column:
 
 
 def pseudonym_sql(expr: str, salt: str) -> str:
-    return f"sha256(concat('{salt}|', {expr}))"
+    # '||', never concat(): DuckDB's concat SKIPS NULL arguments, so a
+    # NULL identifier would quietly pseudonymize to sha256('salt|') — a
+    # stable fake identity shared by every NULL. Spark's concat (and ||
+    # here) propagate NULL, so a missing identifier stays NULL on both
+    # engines (fuzz-pinned).
+    return f"sha256('{salt}|' || {expr})"
 
 
 def value_band(col, width: int) -> Column:

@@ -56,6 +56,8 @@ DRIVER_ORDER: list[str] = [
     # driver checks slots 1-50. Regenerate after each driver run:
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
+    "orc_roundtrip_revenue",
+    "chunk_documents",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -105,9 +107,9 @@ DRIVER_ORDER: list[str] = [
     "running_total",
     "snapshot_diff_customers",
     "linear_attribution",
+    # ---------------- past the check window ----------------
     "event_transition_matrix",
     "full_outer_rollup",
-    # ---------------- past the check window ----------------
     "two_key_join",
     # ---- latest green row: r5 ----
     "frame_sample_stats",
@@ -271,6 +273,11 @@ BENCH_HEADLINE: list[str] = [
     "k_anonymize_customers",
     "contamination_check",
     "image_decode_stats",
+    # Round-7 late additions: the sliding-window chunker (map-only 1->N
+    # explode — the RAG ingestion shape) and the partitioned-ORC
+    # round-trip (write + read + rollup, the second columnar format).
+    "chunk_documents",
+    "orc_roundtrip_revenue",
 ]
 
 

@@ -457,7 +457,9 @@ def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nations_in_region",
     oracle="""
     SELECT r.r_name AS r_name,
-           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           -- COALESCE matches Spark: collect_list skips NULL names, and
+           -- array_join of the resulting EMPTY list is '', never NULL
+           COALESCE(string_agg(n.n_name, ',' ORDER BY n.n_name), '') AS nations,
            COUNT(*) AS n_nations
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name

@@ -773,3 +773,56 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_pairs") * 1000000.0 / F.sum("n_pairs").over(wc))
         .cast("long").alias("p_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# ORC source/sink gate: the second columnar format Spark core ships
+# (Hive-estate interchange). The query round-trips lineitem through a
+# PARTITIONED ORC layout (partitioned by l_returnflag — the partition
+# column leaves the data files and comes back from directory names, the
+# layout detail most likely to corrupt a migration) and aggregates the
+# read-back side; the oracle aggregates the original parquet. Equality
+# proves write->partition->read preserves every row and value. io.py:50/68
+# (read_orc/write_orc) are the operators under test.
+# --------------------------------------------------------------------------
+@query(
+    "orc_roundtrip_revenue",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> partitioned ORC -> scan -> per-returnflag rollup; the
+    ORC scan carries the same pushdown contract as parquet (row-group
+    stats + bloom filters), so the write is partitioned by the query's
+    own group key and the read prunes nothing away that the oracle sees."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cliqz_etl_spark.io import read_orc, write_orc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"cliqz_orc_rt_{tag}")
+    # NULL partition values land in __HIVE_DEFAULT_PARTITION__ and must
+    # come back as NULL, not the literal directory name — part of the gate
+    write_orc(li.select("l_orderkey", "l_quantity", "l_extendedprice",
+                        "l_discount", "l_returnflag"),
+              out, partition_by=["l_returnflag"])
+    back = read_orc(spark, out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * 100 + F.lit(0.5)).cast("long"))
+            .cast("long").alias("revenue_cents"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long")
+            .alias("total_qty"),
+        )
+    )

@@ -186,3 +186,70 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_doc").alias("n_eval_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Overlapping sliding-window chunking: the RAG / long-context ingestion
+# shape (each document -> overlapping W-token windows at stride S, the
+# final window covering the tail). Distinct from pack_sequences: packing
+# concatenates ACROSS docs into disjoint context blocks; chunking expands
+# WITHIN a doc with overlap, preserving doc provenance per chunk. The
+# plan is a pure scan-side map (tokenize once, sequence+transform+explode
+# inside whole-stage codegen) — zero shuffle, the 1->N expansion an
+# embedding/indexing pipeline feeds straight into ann/* without
+# repartitioning.
+# --------------------------------------------------------------------------
+CHUNK_W = 32       # window length (tokens)
+CHUNK_STRIDE = 24  # stride (tokens) -> 8-token overlap
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_WS} AS tk FROM documents WHERE trim(text) <> ''
+    ), w AS (
+        SELECT doc_id, tk, len(tk) AS n,
+               1 + CASE WHEN len(tk) > {CHUNK_W}
+                        THEN (len(tk) - {CHUNK_W} + {CHUNK_STRIDE - 1})
+                             // {CHUNK_STRIDE}
+                        ELSE 0 END AS nw
+        FROM t
+    )
+    SELECT doc_id AS doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(least({CHUNK_W}, n - i * {CHUNK_STRIDE}) AS BIGINT) AS n_tokens,
+           array_to_string(tk[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_W}],
+                           ' ') AS chunk
+    FROM (SELECT doc_id, tk, n, unnest(range(nw)) AS i FROM w)
+    """,
+    doc=f"Sliding {CHUNK_W}-token windows at stride {CHUNK_STRIDE} per doc "
+        "(RAG/long-context ingestion), map-only 1->N expansion.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows start at 0, S, 2S, ...; a doc with <= W tokens yields one
+    window; otherwise the count is 1 + ceil((n-W)/S) so the last window
+    always reaches the final token (possibly shorter than W). Blank docs
+    chunk to nothing on both engines (trim(text) <> '' is NULL-safe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    W, S = CHUNK_W, CHUNK_STRIDE
+    ntok = F.size("_tk")
+    n_win = (F.lit(1) + F.when(
+        ntok > W, ((ntok - W + (S - 1)) / S).cast("int")).otherwise(F.lit(0)))
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            (i * S).cast("long").alias("chunk_start"),
+            F.least(F.lit(W), ntok - i * S).cast("long").alias("n_tokens"),
+            F.array_join(F.slice(F.col("_tk"), i * S + 1, W), " ").alias("chunk"),
+        ),
+    )
+    return (
+        docs.where(F.trim(F.col("text")) != "")
+        .select(F.col("doc_id"), tokens(F.col("text")).alias("_tk"))
+        .select("doc_id", F.explode(wins).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_start", "c.n_tokens",
+                "c.chunk")
+    )

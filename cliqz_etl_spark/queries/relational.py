@@ -244,7 +244,10 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_valued_agg",
     oracle="""
     SELECT c.c_custkey AS c_custkey,
-           (c.c_mktsegment || '-' || o.o_orderstatus) AS seg_status,
+           -- concat_ws, not ||: the Counter key must SKIP a NULL
+           -- component (both engines' concat_ws semantics), where ||
+           -- would NULL the whole key and merge distinct groups
+           concat_ws('-', c.c_mktsegment, o.o_orderstatus) AS seg_status,
            COUNT(*) AS cnt
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2
@@ -426,7 +429,8 @@ def recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
         SELECT o_custkey, o_orderkey,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+                                  ORDER BY o_orderdate ASC NULLS FIRST,
+                                           o_orderkey ASC) AS rn
         FROM orders
     )
     SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey, rn AS rn

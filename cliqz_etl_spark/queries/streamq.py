@@ -136,8 +136,10 @@ def _drain(df: DataFrame, prefix: str, mode: str = "complete",
            event_type AS event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
+    # ts IS NOT NULL: a row with no event time cannot enter a watermarked
+    # window() aggregation — the stream drops it, so the oracle must too
 )
 @_scoped_legacy_nanos
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,6 +195,10 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events GROUP BY 1
     """,
+    # No ts filter: unlike window()/session_window() aggregations (which
+    # DROP NULL-event-time rows), dropDuplicatesWithinWatermark still
+    # dedups a NULL-ts row by key and emits it — its state entry just
+    # never expires (fuzz-pinned)
 )
 @_scoped_legacy_nanos
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -179,14 +179,24 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, cents = state.get if state.exists else (0, 0)
+        # total starts as None, not 0: SQL SUM over zero non-NULL values
+        # is NULL, and a NULL event value must be SKIPPED, never cast —
+        # np.floor(nan).astype(int64) is INT64_MIN garbage, the classic
+        # pandas NaN->int trap
+        n, cents = state.get if state.exists else (0, None)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5)
-                         .astype("int64").sum())
+            v = pdf["value"].to_numpy(dtype="float64")
+            mask = ~np.isnan(v)
+            if mask.any():
+                add = int(np.floor(v[mask] * 100 + 0.5).astype("int64").sum())
+                cents = add if cents is None else cents + add
         state.update((n, cents))
-        yield pd.DataFrame({"user_id": [key[0]],
-                            "n_events": [n], "total_cents": [cents]})
+        yield pd.DataFrame({
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "n_events": [n],
+            "total_cents": pd.array([cents], dtype="Int64"),
+        })
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,

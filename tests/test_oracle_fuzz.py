@@ -41,6 +41,12 @@ _FUZZED = [
     "multimodal_meta", "frame_sample_stats", "image_resize_stats",
     "media_embed_fingerprint", "image_decode_stats", "audio_decode_stats",
     "png_decode_stats",
+    # fifth wave: the dedup composites (cascade = LSH->exact-Jaccard
+    # verify; incremental = batch-vs-corpus band join; guarded = the
+    # doc-frequency skew cutoff) — documents-only, previously unfuzzed
+    "dedup_cascade", "dedup_incremental", "dedup_ngram_jaccard_guarded",
+    # round-7 addition: overlapping sliding-window chunking
+    "chunk_documents",
 ]
 
 _WORD = st.one_of(
@@ -190,6 +196,10 @@ _EV_FUZZED = [
     "value_hours_per_user", "recency_filter",
     # third wave: CDC history building (ASC ts windows) + JSON flattening
     "user_type_history", "json_flatten",
+    # fourth wave: the HLL gate — its within-5%-of-exact flag must stay
+    # TRUE on adversarial corpora too (sparse encoding is exact at these
+    # cardinalities; NULL user_ids are ignored by both engines' distinct)
+    "approx_distinct_users",
 ]
 
 _TS = st.one_of(
@@ -349,6 +359,191 @@ def test_warehouse_queries_match_oracles_on_nullable_columns(spark, orows, crows
             spark.createDataFrame(rows, schema).coalesce(1).write \
                 .mode("overwrite").parquet(f"{tmp}/{name}.parquet")
         for name in _WH_FUZZED:
+            q = _REGISTRY[name]
+            try:
+                got = q.fn(spark, tmp)
+                g_cols, g_rows = got.columns, [tuple(r) for r in got.collect()]
+            finally:
+                release_all()
+            res = con.execute(q.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = [tuple(r) for r in res.fetchall()]
+            assert sorted(g_cols) == sorted(d_cols), name
+            assert len(g_rows) == len(d_rows), (
+                name, len(g_rows), len(d_rows),
+                sorted(g_rows, key=str)[:4], sorted(d_rows, key=str)[:4])
+            assert _hash_rows(g_cols, g_rows) == _hash_rows(d_cols, d_rows), (
+                name, sorted(g_rows, key=str)[:5], sorted(d_rows, key=str)[:5])
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Fifth wave: the lineitem/part/supplier TPC-H analogues. These queries
+# run over the full testdata schemas (brand/type/shipmode-free subset the
+# reduced _WH corpus can't host), so instead of synthesizing tables the
+# fuzz PERTURBS the real sf0.001 parquet: NULLs injected at a sampled
+# rate into every non-key (and some key) column, both engines reading the
+# identical perturbed files. The driver corpus is NULL-free in all of
+# these columns, which is exactly why this family stayed unfuzzed —
+# NULL-key windows, NULL-measure aggregates, and NULL-date arithmetic
+# never got a cross-engine trial before this.
+# --------------------------------------------------------------------------
+_TPCH_FUZZED = [
+    "nations_in_region", "nations_with_both", "nations_without_suppliers",
+    "revenue_by_nation", "nation_trade_volume", "national_market_share",
+    "shipping_priority", "returned_item_top_customers",
+    "large_volume_customers", "small_quantity_revenue",
+    "priority_line_counts", "order_priority_checking", "promo_revenue_pct",
+    "brand_filtered_revenue", "parts_supplier_stats",
+    "sole_late_supplier_blame", "top_revenue_suppliers",
+    "data_quality_checks", "forecast_revenue", "map_valued_agg",
+    "per_key_limit", "scalar_gauntlet", "regex_validity_filter",
+    "nullsafe_join_counts", "bucketed_join_revenue",
+    # customer/part consumers from the privacy + linkage families
+    "pseudonymize_customers", "k_anonymize_customers", "fuzzy_match_parts",
+    # ORC roundtrip — NULL-injected l_returnflag exercises the
+    # __HIVE_DEFAULT_PARTITION__ null-partition round-trip
+    "orc_roundtrip_revenue",
+]
+
+_PERTURB_COLS = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate",
+                 "l_partkey", "l_suppkey"],
+    "orders": ["o_orderstatus", "o_totalprice", "o_orderdate",
+               "o_orderpriority", "o_custkey"],
+    "customer": ["c_acctbal", "c_mktsegment", "c_name", "c_nationkey"],
+    "part": ["p_brand", "p_type", "p_size", "p_retailprice", "p_name"],
+    "supplier": ["s_acctbal", "s_nationkey", "s_name"],
+    "nation": ["n_name"],
+}
+
+_SRC_SF = os.environ.get("SPARK_GRAFT_FUZZ_SRC", "/root/testdata/sf0.001")
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.sampled_from([0.03, 0.15, 0.4]))
+def test_tpch_queries_match_oracles_on_null_injected_tables(spark, seed, frac):
+    """NULLs at rate ``frac`` into measures, dimension strings, dates,
+    and even foreign keys of the real TPC-H-ish tables; every analogue
+    query must agree with its oracle on the identical perturbed files."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.tables import TABLES
+
+    rng = np.random.default_rng(seed)
+    tmp = tempfile.mkdtemp(prefix="fuzztpch_")
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            src = f"{_SRC_SF}/{t}.parquet"
+            dst = f"{tmp}/{t}.parquet"
+            targets = _PERTURB_COLS.get(t)
+            if not targets:
+                shutil.copyfile(src, dst)
+            else:
+                tab = pq.read_table(src)
+                cols, n = {}, len(tab)
+                for f in tab.schema:
+                    col = tab[f.name].combine_chunks()
+                    if f.name in targets:
+                        mask = pa.array(rng.random(n) < frac)
+                        col = pc.if_else(mask, pa.nulls(n, f.type), col)
+                    cols[f.name] = col
+                pq.write_table(pa.table(cols), dst)
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{dst}')")
+        for name in _TPCH_FUZZED:
+            q = _REGISTRY[name]
+            try:
+                got = q.fn(spark, tmp)
+                g_cols, g_rows = got.columns, [tuple(r) for r in got.collect()]
+            finally:
+                release_all()
+            res = con.execute(q.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = [tuple(r) for r in res.fetchall()]
+            assert sorted(g_cols) == sorted(d_cols), name
+            assert len(g_rows) == len(d_rows), (
+                name, len(g_rows), len(d_rows),
+                sorted(g_rows, key=str)[:4], sorted(d_rows, key=str)[:4])
+            assert _hash_rows(g_cols, g_rows) == _hash_rows(d_cols, d_rows), (
+                name, sorted(g_rows, key=str)[:5], sorted(d_rows, key=str)[:5])
+    finally:
+        # bucketed_join_revenue tags its catalog tables by md5(sf_dir);
+        # tmp dirs are unique per example, so drop them or they accumulate
+        import hashlib
+        tag = hashlib.md5(tmp.encode()).hexdigest()[:8]
+        for tbl in (f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Sixth wave: the Structured Streaming family, over the same adversarial
+# events corpus as _EV_FUZZED. Streaming adds its own NULL-ts trap: a
+# NULL event-time row cannot enter a watermarked computation at all
+# (Spark's window()/session_window()/dropDuplicatesWithinWatermark all
+# need an event time), so each oracle must model the drop explicitly —
+# the batch GROUP BY would otherwise keep a NULL group the stream never
+# emits. Fewer examples than the batch waves: every query here pays a
+# full drain (start + awaitTermination) per example.
+# --------------------------------------------------------------------------
+_STREAM_FUZZED = [
+    "streaming_hourly_counts", "streaming_sessions", "streaming_dedup",
+    "streaming_running_totals", "streaming_enriched_counts",
+    "streaming_stream_join",
+]
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(_EVENT, min_size=3, max_size=25))
+def test_streaming_queries_match_oracles_on_adversarial_events(spark, evs):
+    """NULL timestamps / types / values through the streaming drains vs
+    their batch-SQL oracles on the identical parquet."""
+    from cliqz_etl_spark.operators.cache import release_all
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(i, ts, uid, et, v, '{"k": 1}')
+            for i, (uid, ts, et, v) in enumerate(evs)]
+    # a tiny customer dim for the stream-static enrichment: covers only
+    # user_ids 0-3 (so 4/5 miss the join) with one NULL segment
+    cust = [(0, "C0", 0, 1.0, "BUILDING"), (1, "C1", 0, 1.0, None),
+            (2, "C2", 1, 1.0, "AUTOMOBILE"), (3, "C3", 1, 1.0, "BUILDING")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, "
+                "user_id BIGINT, event_type VARCHAR, value DOUBLE, "
+                "props VARCHAR)")
+    con.executemany("INSERT INTO events VALUES (?,?,?,?,?,?)", rows)
+    con.execute("CREATE TABLE customer(c_custkey BIGINT, c_name VARCHAR, "
+                "c_nationkey INTEGER, c_acctbal DOUBLE, c_mktsegment VARCHAR)")
+    con.executemany("INSERT INTO customer VALUES (?,?,?,?,?)", cust)
+    tmp = tempfile.mkdtemp(prefix="fuzzstream_")
+    try:
+        table = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        })
+        pq.write_table(table, f"{tmp}/events.parquet")
+        spark.createDataFrame(
+            cust, "c_custkey long, c_name string, c_nationkey int, "
+                  "c_acctbal double, c_mktsegment string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+        for name in _STREAM_FUZZED:
             q = _REGISTRY[name]
             try:
                 got = q.fn(spark, tmp)
