@@ -58,6 +58,7 @@ DRIVER_ORDER: list[str] = [
     # ---- latest green row: rnew/churn ----
     "orc_roundtrip_revenue",
     "chunk_documents",
+    "schema_evolution_union",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "order_grouping_sets",
     "running_total",
     "snapshot_diff_customers",
-    "linear_attribution",
     # ---------------- past the check window ----------------
+    "linear_attribution",
     "event_transition_matrix",
     "full_outer_rollup",
     "two_key_join",

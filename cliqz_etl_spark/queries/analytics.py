@@ -811,10 +811,13 @@ def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), f"cliqz_orc_rt_{tag}")
     # NULL partition values land in __HIVE_DEFAULT_PARTITION__ and must
     # come back as NULL, not the literal directory name — part of the gate
-    write_orc(li.select("l_orderkey", "l_quantity", "l_extendedprice",
-                        "l_discount", "l_returnflag"),
-              out, partition_by=["l_returnflag"])
-    back = read_orc(spark, out)
+    projected = li.select("l_orderkey", "l_quantity", "l_extendedprice",
+                          "l_discount", "l_returnflag")
+    write_orc(projected, out, partition_by=["l_returnflag"])
+    # explicit schema, never inference: an empty corpus writes a
+    # partition-less dataset (schema inference would throw), and at
+    # 100 TB the listing for inference is a full extra metadata pass
+    back = read_orc(spark, out, schema=projected.schema)
     return (
         back.groupBy("l_returnflag")
         .agg(
@@ -824,5 +827,67 @@ def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("revenue_cents"),
             F.sum(F.col("l_quantity").cast("long")).cast("long")
             .alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution: a dataset written over time grows columns. Batch A
+# (orders before 1998-01-01) lacks o_orderpriority entirely; batch B
+# (the rest) carries it. The scan unions the files with mergeSchema, so
+# old rows surface NULL for the late-added column — the evolution
+# semantics every long-lived 100 TB dataset depends on (never a rewrite
+# of old files). The rollup distinguishes "column absent" rows from
+# "column present" rows; the oracle replays the cutoff on the original
+# table, so an engine that confused absent-with-default or dropped old
+# files diverges immediately.
+# --------------------------------------------------------------------------
+@query(
+    "schema_evolution_union",
+    oracle="""
+    SELECT (o_orderdate >= TIMESTAMP '1998-01-01') AS has_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                      THEN o_orderpriority END) AS n_with_priority
+    FROM orders
+    WHERE o_orderdate IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes the two-epoch layout (old files narrow, new files wide) to a
+    scratch dir, then reads the whole dataset back with mergeSchema and
+    aggregates per epoch. NULL o_orderdate rows are excluded symmetrically
+    — epoch membership is undefined for them."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cliqz_schevo_{tag}")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull())
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    old = orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+    new = orders.where(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    old.write.mode("overwrite").parquet(f"{base}/epoch=old")
+    new.write.mode("overwrite").parquet(f"{base}/epoch=new")
+    # explicit (wide) schema so an empty corpus — zero part files in both
+    # epoch dirs — still reads as an empty frame instead of failing
+    # schema inference; mergeSchema still unions real files' footers
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("recursiveFileLookup", "true")
+              .schema(new.schema).parquet(base))
+    return (
+        merged.groupBy((F.col("o_orderdate") >= cutoff).alias("has_priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                  .cast("long")).cast("long").alias("total_cents"),
+            F.count("o_orderpriority").alias("n_with_priority"),
         )
     )

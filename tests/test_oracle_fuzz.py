@@ -400,12 +400,15 @@ _TPCH_FUZZED = [
     "sole_late_supplier_blame", "top_revenue_suppliers",
     "data_quality_checks", "forecast_revenue", "map_valued_agg",
     "per_key_limit", "scalar_gauntlet", "regex_validity_filter",
-    "nullsafe_join_counts", "bucketed_join_revenue",
+    "nullsafe_join_counts", "bucketed_join_revenue", "region_status_grid",
     # customer/part consumers from the privacy + linkage families
     "pseudonymize_customers", "k_anonymize_customers", "fuzzy_match_parts",
     # ORC roundtrip — NULL-injected l_returnflag exercises the
     # __HIVE_DEFAULT_PARTITION__ null-partition round-trip
     "orc_roundtrip_revenue",
+    # mergeSchema evolution — NULL-injected o_orderdate/o_orderpriority
+    # exercise the epoch-membership exclusion and the absent-column NULLs
+    "schema_evolution_union",
 ]
 
 _PERTURB_COLS = {

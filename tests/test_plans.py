@@ -177,3 +177,13 @@ def test_pit_join_has_no_range_join(spark):
     plan = _plan(spark, "pit_order_balance")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert plan.count("Window") == 1
+
+
+def test_chunk_documents_is_map_only(spark):
+    """The sliding-window chunker is a pure scan-side 1->N expansion:
+    tokenize once, sequence/transform/explode — NO Exchange anywhere. A
+    shuffle in this plan means the expansion stopped being embarrassingly
+    parallel and the 100 TB ingestion path pays a needless repartition."""
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
