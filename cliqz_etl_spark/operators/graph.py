@@ -82,3 +82,66 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(edges: DataFrame, n_iter: int, *, scale: int = 1_000_000,
+             damp_num: int = 85, damp_den: int = 100,
+             checkpoint_every: int = 8) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list, fixed iterations.
+
+    Classic PR is float-valued and order-sensitive; this variant keeps
+    every quantity a BIGINT so the result is bit-identical on any engine
+    and any partitioning: ranks start at ``scale`` per node, each
+    iteration sends ``r(u) div outdeg(u)`` along every edge, and the new
+    rank is ``(1-d)*scale + (damp_num * inbound_sum) div damp_den`` —
+    floor division everywhere, all operands positive. The fixed-point
+    drift vs float PR is < 1/scale per iteration, irrelevant for ranking.
+
+    Plan shape per iteration: one equi-join of the (persisted) degree-
+    annotated edge list with the K-column rank frame on src, one groupBy
+    dst (map-side partial sums collapse per-partition contributions
+    before the shuffle), one left join back onto the node set to re-seed
+    dangling/no-inbound nodes. Rank frames are NOT persisted — each one
+    has exactly one consumer — but every ``checkpoint_every`` iterations
+    the frame localCheckpoints so deep runs plan in constant space (same
+    lineage discipline as connected_components above).
+
+    Returns ``(node, rank)`` with rank in micro-units (scale=1e6).
+    """
+    e = edges.select(F.col("src").cast("long").alias("src"),
+                     F.col("dst").cast("long").alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(deg, "src").persist()
+    ed.count()  # materialize once; every iteration probes this frame
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    base = (scale * (damp_den - damp_num)) // damp_den
+    ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
+    for it in range(1, n_iter + 1):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("rank div d").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.expr(
+                    f"({damp_num} * coalesce(s, 0L)) div {damp_den}"))
+                .cast("long").alias("rank"),
+            )
+        )
+        # No per-iteration persist: each rank frame feeds EXACTLY one
+        # consumer (the next iteration's contrib join), so caching it
+        # only adds a materialization job — the reused frames are ed and
+        # nodes, persisted above. Lineage still needs periodic truncation
+        # on deep runs: the logical plan grows linearly per iteration and
+        # the planner's cost becomes visible around ~30 joins.
+        if it % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    from cliqz_etl_spark.operators.cache import track
+    track(ed)
+    track(nodes)
+    return ranks

@@ -59,6 +59,7 @@ DRIVER_ORDER: list[str] = [
     "orc_roundtrip_revenue",
     "chunk_documents",
     "schema_evolution_union",
+    "supplier_part_pagerank",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -275,10 +276,13 @@ BENCH_HEADLINE: list[str] = [
     "contamination_check",
     "image_decode_stats",
     # Round-7 late additions: the sliding-window chunker (map-only 1->N
-    # explode — the RAG ingestion shape) and the partitioned-ORC
-    # round-trip (write + read + rollup, the second columnar format).
+    # explode — the RAG ingestion shape), the partitioned-ORC round-trip
+    # (write + read + rollup, the second columnar format), and the
+    # fixed-iteration PageRank (join + partial-agg shuffle per iteration,
+    # the iterative-algorithm shape).
     "chunk_documents",
     "orc_roundtrip_revenue",
+    "supplier_part_pagerank",
 ]
 
 

@@ -573,3 +573,73 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         part, "p_partkey", "p_name",
         block=lambda c: F.substring_index(c, " ", 1),
         min_dist=1, max_dist=3)
+
+
+# --------------------------------------------------------------------------
+# PageRank over the part<->supplier bipartite graph (who supplies what,
+# from lineitem). The engine's second iterative algorithm after
+# connected components — fixed-iteration, integer-exact (floor-division
+# recurrence, every quantity BIGINT), so the DuckDB oracle replays the
+# identical three iterations CTE-by-CTE and the result hash-matches
+# bit-for-bit. Per-iteration plan: one join of the persisted
+# degree-annotated edges with the rank frame, one partial-agg groupBy,
+# one left join re-seeding no-inbound nodes; lineage is truncated
+# periodically (operators/graph.py::pagerank) so deep iteration counts
+# plan in constant space.
+# --------------------------------------------------------------------------
+PR_ITER = 3
+PR_SCALE = 1_000_000
+_PR_BASE = (PR_SCALE * 15) // 100
+
+
+def _pagerank_cte(n_iter: int) -> str:
+    parts = [f"""
+    WITH raw AS (
+        SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ), e AS (
+        SELECT p AS src, s AS dst FROM raw
+        UNION SELECT s AS src, p AS dst FROM raw
+    ), deg AS (
+        SELECT src, COUNT(*) AS d FROM e GROUP BY 1
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM e
+    ), r0 AS (
+        SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes
+    )"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    , c{i} AS (
+        SELECT e.dst AS node, SUM(r{i - 1}.rank // deg.d) AS s
+        FROM e JOIN r{i - 1} ON r{i - 1}.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY 1
+    ), r{i} AS (
+        SELECT n.node,
+               CAST({_PR_BASE} + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
+    )""")
+    return "".join(parts)
+
+
+@query(
+    "supplier_part_pagerank",
+    oracle=_pagerank_cte(PR_ITER) + f"""
+    SELECT node AS node, rank AS rank FROM r{PR_ITER}
+    """,
+    doc=f"Integer-exact {PR_ITER}-iteration PageRank over the "
+        "part<->supplier graph, oracle replays each iteration.",
+)
+def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite node ids: part -> 2k, supplier -> 2k+1 (disjoint BIGINT
+    namespaces); both edge directions, NULL keys dropped at the scan."""
+    from cliqz_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+    raw = li.select((F.col("l_partkey") * 2).alias("p"),
+                    (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = (raw.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+             .union(raw.select(F.col("s").alias("src"), F.col("p").alias("dst"))))
+    return pagerank(edges, PR_ITER, scale=PR_SCALE).select("node", "rank")

@@ -409,6 +409,8 @@ _TPCH_FUZZED = [
     # mergeSchema evolution — NULL-injected o_orderdate/o_orderpriority
     # exercise the epoch-membership exclusion and the absent-column NULLs
     "schema_evolution_union",
+    # iterative integer-exact PageRank — NULL part/supp keys drop at scan
+    "supplier_part_pagerank",
 ]
 
 _PERTURB_COLS = {

@@ -370,3 +370,32 @@ def test_fingerprint_and_tokens_unicode_cross_engine_parity(spark):
             "len(string_split_regex(trim(text),'\\s+')) END "
             "FROM (SELECT ? AS text)", [s]).fetchone()[0]
         assert got[i] == (want_f, want_n), (s, got[i], (want_f, want_n))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=25,
+))
+def test_pagerank_matches_python_reference(spark, pairs):
+    """The distributed integer-exact PageRank equals a plain-Python replay
+    of the same floor-division recurrence on arbitrary random digraphs."""
+    from cliqz_etl_spark.operators.graph import pagerank
+
+    SCALE, N_ITER = 1_000_000, 3
+    edges = sorted(set(pairs))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {n: SCALE for n in nodes}
+    base = (SCALE * 15) // 100
+    for _ in range(N_ITER):
+        inbound = {n: 0 for n in nodes}
+        for a, b in edges:
+            inbound[b] += rank[a] // deg[a]
+        rank = {n: base + (85 * inbound[n]) // 100 for n in nodes}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, N_ITER).collect()}
+    assert got == rank
