@@ -107,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "order_rollup",
     "order_grouping_sets",
     "running_total",
-    "snapshot_diff_customers",
     # ---------------- past the check window ----------------
+    "snapshot_diff_customers",
     "linear_attribution",
     "event_transition_matrix",
     "full_outer_rollup",
