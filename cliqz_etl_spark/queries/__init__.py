@@ -60,6 +60,7 @@ DRIVER_ORDER: list[str] = [
     "chunk_documents",
     "schema_evolution_union",
     "supplier_part_pagerank",
+    "streaming_upsert_totals",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "all_account_balances",
     "order_rollup",
     "order_grouping_sets",
-    "running_total",
     # ---------------- past the check window ----------------
+    "running_total",
     "snapshot_diff_customers",
     "linear_attribution",
     "event_transition_matrix",

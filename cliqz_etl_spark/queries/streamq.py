@@ -298,3 +298,45 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _drain(counts, "enriched", mode="complete",
                   state_partitions=_state_partitions(spark, sf_dir))
+
+
+@query(
+    "streaming_upsert_totals",
+    # user_id IS NOT NULL: the merge sink drops NULL-key rows — a keyed
+    # table cannot address a NULL key (the replace anti-join never
+    # matches NULL = NULL, so NULLs would duplicate per batch, not merge)
+    oracle="""
+    SELECT user_id AS user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    """,
+)
+@_scoped_legacy_nanos
+def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch merge sink end-to-end: the stateful running-totals
+    stream drains through run_to_upsert into a keyed parquet table (each
+    micro-batch SCD-1-merges its touched users), and the FINAL table must
+    equal the batch aggregate — proving per-batch merges compose to
+    exactly-once keyed state. Scratch target + checkpoint are wiped per
+    call so every run is a fresh drain (the gate runs repeatedly)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from cliqz_etl_spark.streaming.jobs import (run_to_upsert,
+                                                running_user_totals)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"cliqz_upsert_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    base, ckpt = f"{root}/table", f"{root}/ckpt"
+    ev = _event_stream(spark, sf_dir)
+    from cliqz_etl_spark.tables import scoped_conf
+    with scoped_conf(spark, "spark.sql.shuffle.partitions",
+                     str(_state_partitions(spark, sf_dir)), default="32"):
+        run_to_upsert(running_user_totals(ev), base, ckpt, "user_id")
+    if not os.path.isdir(base):  # empty corpus: no batch ever wrote
+        return spark.createDataFrame(
+            [], "user_id long, n_events long, total_cents long")
+    return spark.read.parquet(base).select("user_id", "n_events", "total_cents")

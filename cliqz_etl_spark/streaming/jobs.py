@@ -234,3 +234,48 @@ def run_to_parquet(df: DataFrame, path: str, checkpoint: str,
     if partition_by:
         w = w.partitionBy(partition_by)
     w.start().awaitTermination()
+
+
+def run_to_upsert(df: DataFrame, base_path: str, checkpoint: str,
+                  key: str | list[str]) -> None:
+    """foreachBatch merge sink: each micro-batch SCD-1-upserts into a
+    parquet target (io.upsert_parquet — same-key rows replaced, new keys
+    appended). This is the streaming keyed-table pattern the built-in
+    file sink cannot express (it only appends): an update-mode stream of
+    per-key state emits each key's LATEST row per touched batch, and the
+    merge keeps the target at exactly one current row per key.
+
+    Semantics notes:
+    - NULL-key rows are dropped before merging. A keyed table cannot
+      address a NULL key — the anti-join that replaces same-key rows
+      never matches NULL = NULL, so a NULL key would silently duplicate
+      on every batch instead of upserting.
+    - foreachBatch is at-least-once per batch: a retry after a sink
+      failure re-applies the SAME batch. The upsert is idempotent for a
+      deterministic batch (replacing a key's row with the same row), so
+      replays converge — the reason merge, not blind append, is the
+      right sink for keyed state.
+    - first batch bootstraps the target with a plain write (no base to
+      merge into yet)."""
+    from cliqz_etl_spark.io import _hadoop_fs, _hadoop_path, upsert_parquet
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bdf = batch_df.where(
+            " AND ".join(f"{k} IS NOT NULL" for k in keys))
+        spark = bdf.sparkSession
+        fs = _hadoop_fs(spark, base_path)
+        if fs.exists(_hadoop_path(spark, base_path)):
+            upsert_parquet(spark, base_path, bdf, keys)
+        else:
+            bdf.write.mode("overwrite").parquet(base_path)
+
+    (
+        df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -506,6 +506,9 @@ _STREAM_FUZZED = [
     "streaming_hourly_counts", "streaming_sessions", "streaming_dedup",
     "streaming_running_totals", "streaming_enriched_counts",
     "streaming_stream_join",
+    # foreachBatch merge sink: per-batch SCD-1 upserts must compose to
+    # the batch aggregate; NULL-key rows drop on both sides
+    "streaming_upsert_totals",
 ]
 
 
