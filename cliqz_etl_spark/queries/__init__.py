@@ -61,6 +61,7 @@ DRIVER_ORDER: list[str] = [
     "schema_evolution_union",
     "supplier_part_pagerank",
     "streaming_upsert_totals",
+    "synthetic_source_rollup",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "nations_with_both",
     "all_account_balances",
     "order_rollup",
-    "order_grouping_sets",
     # ---------------- past the check window ----------------
+    "order_grouping_sets",
     "running_total",
     "snapshot_diff_customers",
     "linear_attribution",

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.functions.hashing import md5_long_sql
 from cliqz_etl_spark.queries.sessions import _SESSION_CTE
 from cliqz_etl_spark.streaming.jobs import (
     click_purchase_join,
@@ -340,3 +341,63 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "user_id long, n_events long, total_cents long")
     return spark.read.parquet(base).select("user_id", "n_events", "total_cents")
+
+
+_SYN_N, _SYN_USERS, _SYN_PARTS = 20_000, 500, 16
+
+
+@query(
+    "synthetic_source_rollup",
+    # The oracle MANUFACTURES the same table from range(n) with the
+    # md5_long twins — a generator source is checkable precisely because
+    # generation is arithmetic, not I/O.
+    oracle=f"""
+    WITH r AS (
+        SELECT unnest(range({_SYN_N})) AS i
+    ), g AS (
+        SELECT i AS event_id,
+               TIMESTAMP '2024-01-01'
+                 + ({md5_long_sql("CAST(i AS VARCHAR) || '#2'")} % {30 * 86_400})
+                   * INTERVAL 1 SECOND AS ts,
+               {md5_long_sql('i')} % {_SYN_USERS} AS user_id,
+               ['click','error','purchase','signup','view']
+                 [({md5_long_sql("CAST(i AS VARCHAR) || '#1'")} % 5) + 1] AS event_type,
+               CAST({md5_long_sql("CAST(i AS VARCHAR) || '#3'")} % 100000 AS DOUBLE)
+                 / 100.0 AS value
+        FROM r
+    )
+    SELECT event_type AS event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM g GROUP BY 1, 2
+    """,
+    doc="Custom Python DataSource (Spark 4 API): partition-parallel "
+        "deterministic generator, oracle regenerates the table from "
+        "range(n).",
+)
+def synthetic_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register + read the generator source (16 explicit row-range
+    partitions — the parallelism is the source's, not a file listing's)
+    and roll up per (type, day). sf_dir is unused by design: a generator
+    has no storage to scale; the gate proves the DataSource machinery
+    (registration, schema, partitions(), per-slice read) end to end."""
+    from cliqz_etl_spark.sources import SyntheticEventsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (spark.read.format("synthetic_events")
+          .option("n_rows", _SYN_N).option("n_users", _SYN_USERS)
+          .option("n_partitions", _SYN_PARTS).load())
+    return (
+        df.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+             .cast("long").alias("total_cents"))
+    )

@@ -1,0 +1,5 @@
+"""Custom Spark data sources (the Spark 4 Python DataSource API)."""
+
+from cliqz_etl_spark.sources.synthetic import SyntheticEventsDataSource
+
+__all__ = ["SyntheticEventsDataSource"]

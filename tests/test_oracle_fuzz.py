@@ -570,3 +570,41 @@ def test_streaming_queries_match_oracles_on_adversarial_events(spark, evs):
     finally:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Seventh wave: the custom Python DataSource. A generator has no table
+# inputs to perturb, so its fuzz axis is the OPTION SPACE: random row
+# counts (including 0 and 1), user cardinalities, and partition counts —
+# with the oracle SQL rebuilt for each draw from the same md5_long twins.
+# Pins that the slice partitioning covers [0, n) exactly once for any
+# (n, n_partitions), including n < partitions and the empty source.
+# --------------------------------------------------------------------------
+@settings(max_examples=4, deadline=None)
+@given(st.integers(0, 700), st.integers(1, 40), st.integers(1, 12))
+def test_synthetic_source_matches_regenerated_oracle(spark, n, users, parts):
+    from cliqz_etl_spark.functions.hashing import md5_long_sql
+    from cliqz_etl_spark.sources import SyntheticEventsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass
+    df = (spark.read.format("synthetic_events")
+          .option("n_rows", n).option("n_users", users)
+          .option("n_partitions", parts).load())
+    got = sorted(tuple(r) for r in df.collect())
+    oracle = f"""
+    SELECT i AS event_id,
+           TIMESTAMP '2024-01-01'
+             + ({md5_long_sql("CAST(i AS VARCHAR) || '#2'")} % {30 * 86_400})
+               * INTERVAL 1 SECOND AS ts,
+           {md5_long_sql('i')} % {users} AS user_id,
+           ['click','error','purchase','signup','view']
+             [({md5_long_sql("CAST(i AS VARCHAR) || '#1'")} % 5) + 1] AS event_type,
+           CAST({md5_long_sql("CAST(i AS VARCHAR) || '#3'")} % 100000 AS DOUBLE)
+             / 100.0 AS value
+    FROM (SELECT unnest(range({n})) AS i)
+    """
+    want = sorted(tuple(r) for r in duckdb.connect().execute(oracle).fetchall())
+    assert got == want
