@@ -62,6 +62,7 @@ DRIVER_ORDER: list[str] = [
     "supplier_part_pagerank",
     "streaming_upsert_totals",
     "synthetic_source_rollup",
+    "synthetic_stream_rollup",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "nations_without_suppliers",
     "nations_with_both",
     "all_account_balances",
-    "order_rollup",
     # ---------------- past the check window ----------------
+    "order_rollup",
     "order_grouping_sets",
     "running_total",
     "snapshot_diff_customers",

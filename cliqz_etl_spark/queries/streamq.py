@@ -401,3 +401,72 @@ def synthetic_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
              .cast("long").alias("total_cents"))
     )
+
+
+_SYNS_N, _SYNS_BATCH = 3_000, 1_250  # 3 catch-up runs: 1250+1250+500
+
+
+@query(
+    "synthetic_stream_rollup",
+    oracle=f"""
+    WITH r AS (
+        SELECT unnest(range({_SYNS_N})) AS i
+    ), g AS (
+        SELECT ['click','error','purchase','signup','view']
+                 [({md5_long_sql("CAST(i AS VARCHAR) || '#1'")} % 5) + 1] AS event_type,
+               {md5_long_sql('i')} % 100 AS user_id,
+               CAST({md5_long_sql("CAST(i AS VARCHAR) || '#3'")} % 100000 AS DOUBLE)
+                 / 100.0 AS value
+        FROM r
+    )
+    SELECT event_type AS event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM g GROUP BY 1
+    """,
+    doc="Streaming half of the custom DataSource: repeated availableNow "
+        "catch-up runs over one checkpoint compose exactly-once.",
+)
+def synthetic_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SimpleDataSourceStreamReader emits ONE batch per availableNow
+    run, so the gate runs the stream to the SAME parquet sink +
+    checkpoint repeatedly until the generator's cap is reached — the
+    scheduled-catch-up-runs pattern (a daily batch over a continuous
+    source). Every restart recovers the offset from the checkpoint and
+    the sink must end up with each generated row EXACTLY once; the
+    oracle aggregates the regenerated table. sf_dir is unused (generator
+    source); scratch dirs are wiped per call for a fresh drain."""
+    import hashlib
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from cliqz_etl_spark.sources import SyntheticEventsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"cliqz_synstream_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    n_runs = math.ceil(_SYNS_N / _SYNS_BATCH) + 1  # +1 proves the empty tail
+    for _ in range(n_runs):
+        src = (spark.readStream.format("synthetic_events")
+               .option("n_rows", _SYNS_N)
+               .option("rows_per_batch", _SYNS_BATCH)
+               .option("n_users", 100).load())
+        (src.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True)
+         .start().awaitTermination())
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+             .cast("long").alias("total_cents"))
+    )

@@ -29,7 +29,9 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 _EPOCH = datetime(2024, 1, 1)
@@ -93,3 +95,40 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _Reader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _StreamReader(self.options)
+
+
+# --- streaming half ---------------------------------------------------------
+#
+# The same generator as an unbounded SOURCE: offsets are plain row
+# indices, each micro-batch materializes [start, min(start+batch, cap))
+# and advances the offset — so the stream replays EXACTLY the batch
+# table, and checkpoint recovery (readBetweenOffsets) regenerates any
+# batch bit-identically from its offset range alone. A generator needs
+# no WAL: its offset IS the data.
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.cap = int(options.get("n_rows", 1_000))
+        self.per_batch = int(options.get("rows_per_batch", 250))
+        self.n_users = int(options.get("n_users", 100))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        # the runner drains the returned value with next() — it must be
+        # an ITERATOR, not a sequence
+        lo = int(start["i"])
+        hi = min(lo + self.per_batch, self.cap)
+        return (iter([_row(i, self.n_users) for i in range(lo, hi)]),
+                {"i": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i, self.n_users)
+                     for i in range(int(start["i"]), int(end["i"]))])
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -608,3 +608,37 @@ def test_synthetic_source_matches_regenerated_oracle(spark, n, users, parts):
     """
     want = sorted(tuple(r) for r in duckdb.connect().execute(oracle).fetchall())
     assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.integers(1, 400), st.integers(1, 150))
+def test_synthetic_stream_offsets_compose_exactly_once(spark, n, per_batch):
+    """Random (cap, batch size): repeated availableNow catch-up runs over
+    one checkpoint must deliver every generated row exactly once, for any
+    batch/cap ratio (cap < batch, equal, many batches)."""
+    import math
+    import shutil
+    import tempfile
+
+    from cliqz_etl_spark.sources import SyntheticEventsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass
+    root = tempfile.mkdtemp(prefix="fuzzsynstream_")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    try:
+        for _ in range(math.ceil(n / per_batch) + 1):
+            src = (spark.readStream.format("synthetic_events")
+                   .option("n_rows", n).option("rows_per_batch", per_batch)
+                   .option("n_users", 7).load())
+            (src.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True)
+             .start().awaitTermination())
+        ids = sorted(r[0] for r in
+                     spark.read.parquet(out).select("event_id").collect())
+        assert ids == list(range(n)), (n, per_batch, len(ids))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

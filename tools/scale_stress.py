@@ -59,6 +59,14 @@ peaks at 7.5M rows / 1.8 GiB, the HDFS-backed store's maintenance cost
 dominating; at production scale this is the op that wants the RocksDB
 state store + more state partitions (here capped by source size).
 
+Round-7 addendum: the foreachBatch merge sink (upsert_totals — stateful
+running totals drained into a keyed parquet table) measured
+2.0 / 8.5 / 32.1 s at the 1x/10x/100x decades (1.5k/10k/58k keys) —
+16x wall for 100x events, sub-linear because the one availableNow batch
+amortizes; the documented cliff (whole-table rewrite PER BATCH) applies
+to long-running many-batch streams, where the fix is a partition-aligned
+merge or a table format, not this single-drain shape.
+
 Not part of the pytest suite — a full sweep takes minutes and writes
 up to ~400 MB under /tmp/sfstress*."""
 import os
@@ -468,6 +476,23 @@ def stream_sweep(spark) -> None:
             ev2.where("event_type = 'click'"),
             _event_stream(spark, path).where("event_type = 'purchase'")),
             "append", n_parts, f"stream_join {lbl}")
+        # foreachBatch merge sink: per-batch SCD-1 upsert into a parquet
+        # table. availableNow over one source file is a single batch here,
+        # so this measures one full merge of |users| keys; the known scale
+        # cliff (whole-table rewrite PER BATCH on a long-running stream)
+        # is documented at the operator — this point tracks the merge
+        # cost's growth with key cardinality.
+        from cliqz_etl_spark.streaming.jobs import (run_to_upsert,
+                                                    running_user_totals)
+        up_base = f"{ckpt_base}/upsert_{lbl}"
+        t0 = time.perf_counter()
+        with scoped_conf(spark, "spark.sql.shuffle.partitions",
+                         str(n_parts), default="32"):
+            run_to_upsert(running_user_totals(_event_stream(spark, path)),
+                          f"{up_base}/table", f"{up_base}/ckpt", "user_id")
+        n_keys = spark.read.parquet(f"{up_base}/table").count()
+        print(f"{'upsert_totals ' + lbl:42s} {time.perf_counter() - t0:7.2f}s  "
+              f"keys={n_keys}")
     shutil.rmtree(ckpt_base, ignore_errors=True)
 
 
