@@ -63,6 +63,8 @@ DRIVER_ORDER: list[str] = [
     "streaming_upsert_totals",
     "synthetic_source_rollup",
     "synthetic_stream_rollup",
+    "variant_roundtrip_stats",
+    "state_store_probe",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -105,9 +107,9 @@ DRIVER_ORDER: list[str] = [
     "moving_avg_value",
     "top_orders",
     "nations_without_suppliers",
+    # ---------------- past the check window ----------------
     "nations_with_both",
     "all_account_balances",
-    # ---------------- past the check window ----------------
     "order_rollup",
     "order_grouping_sets",
     "running_total",

@@ -643,3 +643,48 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (raw.select(F.col("p").alias("src"), F.col("s").alias("dst"))
              .union(raw.select(F.col("s").alias("src"), F.col("p").alias("dst"))))
     return pagerank(edges, PR_ITER, scale=PR_SCALE).select("node", "rank")
+
+
+# --------------------------------------------------------------------------
+# VARIANT (Spark 4's semi-structured type): each event row is serialized
+# to JSON, parsed into a variant value (binary-encoded, shredded access),
+# and the typed fields are extracted back out — a full encode->decode
+# round-trip over real varied data, aggregated so the oracle (which
+# never sees the variant, only the original columns) must match exactly.
+# At 100 TB this is the ingest pattern for schema-on-read event lakes:
+# keep the raw payload as ONE variant column (cheaper than exploding to
+# wide NULL-heavy schemas), extract typed paths at query time with
+# try_variant_get, and let shredding/pushdown handle the scan cost.
+# --------------------------------------------------------------------------
+@query(
+    "variant_roundtrip_stats",
+    oracle="""
+    SELECT event_type AS event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-encode (to_json drops NULL fields), parse_json to VARIANT,
+    extract typed paths with try_variant_get (absent path -> NULL — which
+    is exactly what the dropped NULL fields must come back as), then roll
+    up. Any encode/decode/extract defect diverges from the plain-column
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json(
+        F.to_json(F.struct("user_id", "event_type", "value"))).alias("v"))
+    back = v.select(
+        F.try_variant_get("v", "$.user_id", "long").alias("user_id"),
+        F.try_variant_get("v", "$.event_type", "string").alias("event_type"),
+        F.try_variant_get("v", "$.value", "double").alias("value"),
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+             .cast("long").alias("total_cents"))
+    )

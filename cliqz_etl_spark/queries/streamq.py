@@ -470,3 +470,44 @@ def synthetic_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
              .cast("long").alias("total_cents"))
     )
+
+
+@query(
+    "state_store_probe",
+    oracle="""
+    SELECT user_id AS user_id, COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+@_scoped_legacy_nanos
+def state_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store INTROSPECTION (the Spark 4 statestore reader): drain a
+    per-user streaming count with a checkpoint, then read the query's
+    OWN state store back as a DataFrame and emit the keyed counts from
+    the STATE, not the sink. Matching the batch GROUP BY proves the
+    state contents are exactly the aggregate — the observability path
+    for auditing a production streaming checkpoint (what keys live in
+    state, how big, which partition) without touching the running query.
+    Scratch checkpoint is wiped per call for a fresh drain."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"cliqz_ssprobe_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _event_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    from cliqz_etl_spark.tables import scoped_conf
+    with scoped_conf(spark, "spark.sql.shuffle.partitions",
+                     str(_state_partitions(spark, sf_dir)), default="32"):
+        (agg.writeStream.format("noop")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("update").trigger(availableNow=True)
+         .start().awaitTermination())
+    state = spark.read.format("statestore").load(f"{root}/ckpt")
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )

@@ -200,6 +200,9 @@ _EV_FUZZED = [
     # TRUE on adversarial corpora too (sparse encoding is exact at these
     # cardinalities; NULL user_ids are ignored by both engines' distinct)
     "approx_distinct_users",
+    # round-7: VARIANT encode->decode roundtrip — to_json drops NULL
+    # fields and try_variant_get must surface them back as NULL
+    "variant_roundtrip_stats",
 ]
 
 _TS = st.one_of(
@@ -509,6 +512,9 @@ _STREAM_FUZZED = [
     # foreachBatch merge sink: per-batch SCD-1 upserts must compose to
     # the batch aggregate; NULL-key rows drop on both sides
     "streaming_upsert_totals",
+    # statestore reader: the drained query's state contents must BE the
+    # batch aggregate, NULL group keys included
+    "state_store_probe",
 ]
 
 
