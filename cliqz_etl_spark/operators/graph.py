@@ -116,6 +116,11 @@ def pagerank(edges: DataFrame, n_iter: int, *, scale: int = 1_000_000,
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct().persist())
+    # eager, like ed: nodes appears TWICE per iteration (contrib probe +
+    # re-seed left join), so an unmaterialized persist leaves its whole
+    # union+distinct subtree duplicated 2x per iteration in the plan —
+    # materializing collapses every later reference to one cached scan
+    nodes.count()
     base = (scale * (damp_den - damp_num)) // damp_den
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     for it in range(1, n_iter + 1):

@@ -67,6 +67,14 @@ amortizes; the documented cliff (whole-table rewrite PER BATCH) applies
 to long-running many-batch streams, where the fix is a partition-aligned
 merge or a table format, not this single-drain shape.
 
+Round-7 default-mode run (10x docs / 16x vectors / 10x events): the new
+ops hold the curve — chunk_documents 3.0x (map-only token explode),
+variant_roundtrip_stats 4.4x (scan-shaped encode/extract),
+state_store_probe 0.8x (state read is keyed, not volume-bound), with
+the existing families in their usual bands (LSH 0.7x, simhash 1.3x,
+ngram-jaccard 3.0x, SQ8 1.0x, semantic 3.3x, span dedup 2.0x,
+curation_v2 3.1x; events family 1.0-5.0x).
+
 Not part of the pytest suite — a full sweep takes minutes and writes
 up to ~400 MB under /tmp/sfstress*."""
 import os
@@ -284,6 +292,10 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         # scoring on the curated text (three stage families in one job)
         ("curation_pipeline_v2", lambda p: lambda: _registry()
             ["curation_pipeline_v2"].fn(spark, p)),
+        # round-7: sliding-window chunker — map-only 1->N explode, should
+        # track token volume ~linearly with zero shuffle
+        ("chunk_documents", lambda p: lambda: _registry()
+            ["chunk_documents"].fn(spark, p)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
@@ -303,7 +315,10 @@ def family_sweep(spark, big_dir: str, scale_label: str,
                   # 10x event stream — exercises the volume-derived state
                   # sizing, watermarked window state, and the
                   # dropDuplicatesWithinWatermark state shape at scale
-                  "streaming_hourly_counts", "streaming_dedup"]:
+                  "streaming_hourly_counts", "streaming_dedup",
+                  # round-7: the VARIANT encode/extract roundtrip (pure
+                  # scan-shaped, codegen) and the statestore audit read
+                  "variant_roundtrip_stats", "state_store_probe"]:
         fn = registry[qname].fn
         t_small = run(f"{qname} @small", lambda: fn(spark, SMALL))
         t_big = run(f"{qname} @{scale_label}", lambda: fn(spark, big_dir))
