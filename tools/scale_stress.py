@@ -56,8 +56,13 @@ fixed, so nothing expires; a real 100 TB feed expires keys
 continuously); stream_join (bucketed equality key) 3.2/3.6/94.6 s, the
 one super-linear last step (26x for 10x) — buffered two-sided state
 peaks at 7.5M rows / 1.8 GiB, the HDFS-backed store's maintenance cost
-dominating; at production scale this is the op that wants the RocksDB
-state store + more state partitions (here capped by source size).
+dominating. A follow-up measured the RocksDB provider on that decade:
+stream_join 169.7 s / 201 MiB peak state vs HDFS-store 86.9 s /
+1813 MiB; dedup_stream 22.0 s / 90 MiB vs 6.3 s / 1794 MiB — RocksDB
+trades ~2-3x wall-clock for ~9-20x smaller resident state, so it is
+the right provider exactly when state outgrows executor heap and the
+wrong default below that (the engine keeps the default store and
+documents the switch point).
 
 Round-7 addendum: the foreachBatch merge sink (upsert_totals — stateful
 running totals drained into a keyed parquet table) measured
