@@ -279,3 +279,25 @@ def run_to_upsert(df: DataFrame, base_path: str, checkpoint: str,
         .start()
         .awaitTermination()
     )
+
+
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def state_store_conf(provider: str = "rocksdb") -> dict[str, str]:
+    """Conf for choosing the state-store provider on a stream.
+
+    Measured at the 100x stress decade (tools/scale_stress.py): RocksDB
+    runs ~2-3x the wall-clock of the default in-memory HDFS-backed store
+    but holds peak state at 90-201 MiB where the default held ~1.8 GiB —
+    so set it exactly when a stream's state outgrows executor heap
+    (giant dedup key spaces, wide stream-stream joins), and keep the
+    default below that threshold. Providers never change results, only
+    residency — pinned by tests/test_streaming.py's parity test."""
+    if provider == "rocksdb":
+        return {"spark.sql.streaming.stateStore.providerClass":
+                ROCKSDB_PROVIDER}
+    if provider == "default":
+        return {}
+    raise ValueError(f"unknown state store provider {provider!r}")

@@ -330,3 +330,36 @@ def test_late_event_behind_watermark_is_dropped(spark):
         # the 09:30 straggler resurrects nothing
         assert "2024-01-01T09:00:00" not in starts
         assert glob.glob(f"{out}/part-*") or glob.glob(f"{out}/**/part-*")
+
+
+def test_state_store_provider_parity(spark):
+    from tests.conftest import SF_SMOKE
+
+    """Swapping the state-store provider (default in-memory vs RocksDB)
+    must never change a drained result — providers decide state
+    RESIDENCY, not semantics. Pins the watermarked windowed agg and the
+    in-stream dedup row-for-row across providers."""
+    from cliqz_etl_spark.queries import load_all
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.streaming.jobs import state_store_conf
+    from cliqz_etl_spark.tables import scoped_conf
+
+    reg = load_all()
+    sf = SF_SMOKE
+    conf = state_store_conf("rocksdb")
+    [(k, v)] = list(conf.items())
+    for name in ["streaming_hourly_counts", "streaming_dedup"]:
+        try:
+            base = sorted(tuple(r) for r in reg[name].fn(spark, sf).collect())
+        finally:
+            release_all()
+        try:
+            with scoped_conf(spark, k, v,
+                             default="org.apache.spark.sql.execution."
+                                     "streaming.state."
+                                     "HDFSBackedStateStoreProvider"):
+                rocks = sorted(tuple(r)
+                               for r in reg[name].fn(spark, sf).collect())
+        finally:
+            release_all()
+        assert base == rocks, name
