@@ -15,7 +15,7 @@ Re-expresses the reference's IO surface (SURVEY.md §2.1/§2.2) Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -423,3 +423,31 @@ def write_jsonl_shards(df: DataFrame, path: str, *,
         writer = writer.option("compression", compression)
     writer.json(path)
     return {"n_shards": n_shards, "est_total_bytes": total, "rows": rows}
+
+
+def write_parquet_observed(df: DataFrame, path: str, *,
+                           partition_by: list[str] | None = None,
+                           mode: str = "overwrite",
+                           metrics: dict[str, Column] | None = None) -> dict:
+    """Write parquet while OBSERVING data-quality metrics in the same
+    pass (df.observe + pyspark Observation): row count plus any caller
+    aggregates are computed by the write job itself — at 100 TB the
+    difference between free metrics and a second full scan. Returns the
+    observed metrics dict.
+
+    Default metrics: n_rows. Callers add e.g.
+    ``{"null_keys": F.sum(F.col("k").isNull().cast("long"))}`` — any
+    aggregate expressible over the written rows."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    agg = [F.count(F.lit(1)).alias("n_rows")]
+    for name, col in (metrics or {}).items():
+        agg.append(col.alias(name))
+    observed = df.observe(obs, *agg)
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return dict(obs.get)

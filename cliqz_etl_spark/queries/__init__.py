@@ -65,6 +65,7 @@ DRIVER_ORDER: list[str] = [
     "synthetic_stream_rollup",
     "variant_roundtrip_stats",
     "state_store_probe",
+    "observed_write_metrics",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "sliding_event_counts",
     "moving_avg_value",
     "top_orders",
-    "nations_without_suppliers",
     # ---------------- past the check window ----------------
+    "nations_without_suppliers",
     "nations_with_both",
     "all_account_balances",
     "order_rollup",

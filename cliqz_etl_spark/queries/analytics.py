@@ -891,3 +891,51 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderpriority").alias("n_with_priority"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Single-pass observed write: data-quality metrics (row count, NULL
+# counts, value bounds) computed BY the write job via df.observe — the
+# 100 TB pattern for DQ without a second scan. The gate emits the
+# observed metrics as the result row; the oracle computes the same
+# aggregates declaratively, so the observation path itself is what is
+# checked (a dropped or double-counted batch diverges).
+# --------------------------------------------------------------------------
+@query(
+    "observed_write_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_prices,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_dates,
+           CAST(SUM(CAST(floor(COALESCE(o_totalprice, 0) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    """,
+)
+def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes orders to scratch parquet while observing four metrics in
+    the write pass, then returns them as a one-row frame."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cliqz_etl_spark.io import write_parquet_observed
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"cliqz_obs_{tag}")
+    m = write_parquet_observed(
+        orders, out,
+        metrics={
+            "null_prices": F.sum(F.col("o_totalprice").isNull().cast("long")),
+            "null_dates": F.sum(F.col("o_orderdate").isNull().cast("long")),
+            "total_cents": F.sum(
+                F.floor(F.coalesce(F.col("o_totalprice"), F.lit(0.0)) * 100
+                        + F.lit(0.5)).cast("long")).cast("long"),
+        })
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["null_prices"]), int(m["null_dates"]),
+          int(m["total_cents"]))],
+        "n_rows long, null_prices long, null_dates long, total_cents long")

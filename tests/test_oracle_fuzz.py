@@ -414,6 +414,9 @@ _TPCH_FUZZED = [
     "schema_evolution_union",
     # iterative integer-exact PageRank — NULL part/supp keys drop at scan
     "supplier_part_pagerank",
+    # single-pass observed write: NULL-injected prices/dates light up the
+    # null-count metrics the clean corpus keeps at zero
+    "observed_write_metrics",
 ]
 
 _PERTURB_COLS = {
