@@ -65,6 +65,24 @@ def build_parser() -> argparse.ArgumentParser:
                          "required unless --skip-rollup")
     rd.add_argument("--skip-rollup", action="store_true",
                     help="stop after the three extraction writes")
+
+    bc = sub.add_parser(
+        "build-corpus",
+        help="curate a documents parquet into sharded training JSONL: "
+             "gopher filter -> C4 span dedup -> unigram scoring -> "
+             "quality cut -> byte-sized JSONL shards, with single-pass "
+             "observed metrics")
+    bc.add_argument("--docs", required=True,
+                    help="input documents parquet (doc_id, text, ...)")
+    bc.add_argument("--out", required=True,
+                    help="output directory for the JSONL shards")
+    bc.add_argument("--min-ppm", type=int, default=0,
+                    help="drop curated docs whose mean-token-frequency "
+                         "score (ppm) is below this (0 = keep all)")
+    bc.add_argument("--shard-bytes", type=int, default=64 << 20,
+                    help="target JSONL shard size in bytes (default 64 MiB)")
+    bc.add_argument("--compression", default=None,
+                    help="shard compression codec (e.g. gzip)")
     return p
 
 
@@ -121,11 +139,62 @@ def cmd_run_day(args: argparse.Namespace,
     return {"written": written}
 
 
+def cmd_build_corpus(args: argparse.Namespace,
+                     spark: SparkSession | None = None) -> dict:
+    """Curation pipeline as an operational job: the same library
+    operators as the curation_pipeline_v2 gate (filter -> span dedup ->
+    corpus-trained scoring), then a quality cut and a byte-sized JSONL
+    shard export. Returns the stage counts for logging."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
+    from cliqz_etl_spark.io import write_jsonl_shards
+    from cliqz_etl_spark.operators.cache import release_all, track
+    from cliqz_etl_spark.operators.dedup import span_dedup
+    from cliqz_etl_spark.queries.dedup import SPAN_K
+    from cliqz_etl_spark.queries.textops import (gopher_metrics,
+                                                 gopher_rule_cols,
+                                                 unigram_ppm)
+
+    if spark is None:
+        from cliqz_etl_spark.session import get_spark
+        spark = get_spark(app_name="cliqz-build-corpus")
+    try:
+        docs = spark.read.parquet(args.docs)
+        n_in = docs.count()
+        m = gopher_metrics(docs)
+        passed = m.where(functools.reduce(
+            operator.and_, gopher_rule_cols().values())).select("doc_id", "text")
+        sd = track(span_dedup(passed, "doc_id", "text", SPAN_K).persist())
+        scored = sd.join(unigram_ppm(sd, "text_kept"), "doc_id")
+        kept = scored.where((F.col("n_kept") > 0)
+                            & (F.col("freq_ppm") >= args.min_ppm))
+        out_df = kept.select("doc_id", F.col("text_kept").alias("text"),
+                             "n_tok", "freq_ppm")
+        stats = write_jsonl_shards(out_df, args.out,
+                                   target_shard_bytes=args.shard_bytes,
+                                   compression=args.compression)
+        counts = {"docs_in": n_in, "gopher_passed": passed.count(),
+                  "after_dedup_nonempty":
+                      sd.where(F.col("n_kept") > 0).count(),
+                  "exported": stats["rows"], "shards": stats["n_shards"]}
+        for k, v in counts.items():
+            print(f"build-corpus: {k} = {v}")
+        return counts
+    finally:
+        release_all()
+
+
 def main(argv: Sequence[str] | None = None,
          spark: SparkSession | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "run-day":
         cmd_run_day(args, spark=spark)
+        return 0
+    if args.command == "build-corpus":
+        cmd_build_corpus(args, spark=spark)
         return 0
     raise SystemExit(f"unknown command {args.command!r}")
 

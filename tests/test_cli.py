@@ -137,3 +137,45 @@ def test_run_day_rejects_bad_day(day_inputs, spark):
               "--pings", day_inputs["pings"],
               "--search-csv", day_inputs["csv"], "--aes-key", AES_KEY,
               "--skip-rollup"], spark=spark)
+
+
+def test_build_corpus_end_to_end(spark, tmp_path):
+    """build-corpus curates the sf0.001 documents into JSONL shards and
+    reports honest stage counts: input >= gopher-passed >= exported, the
+    export is readable JSONL with the declared columns, and a second run
+    overwrites idempotently."""
+    import json
+    import os
+
+    from cliqz_etl_spark.cli import build_parser, cmd_build_corpus
+
+    out = str(tmp_path / "corpus")
+    args = build_parser().parse_args([
+        "build-corpus", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--shard-bytes", str(1 << 20)])
+    counts = cmd_build_corpus(args, spark=spark)
+    assert counts["docs_in"] >= counts["gopher_passed"] >= 0
+    assert counts["exported"] <= counts["after_dedup_nonempty"]
+    assert counts["exported"] > 0
+    back = spark.read.json(out)
+    assert back.count() == counts["exported"]
+    assert {"doc_id", "text", "n_tok", "freq_ppm"} <= set(back.columns)
+    files = [f for f in os.listdir(out) if f.endswith(".json")]
+    assert len(files) == counts["shards"]
+    # idempotent rerun
+    counts2 = cmd_build_corpus(args, spark=spark)
+    assert counts2 == counts
+
+
+def test_build_corpus_min_ppm_cut(spark, tmp_path):
+    """--min-ppm is a real cut: a high threshold exports fewer docs."""
+    from cliqz_etl_spark.cli import build_parser, cmd_build_corpus
+
+    base = build_parser().parse_args([
+        "build-corpus", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "all")])
+    strict = build_parser().parse_args([
+        "build-corpus", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "cut"), "--min-ppm", "100000"])
+    assert (cmd_build_corpus(strict, spark=spark)["exported"]
+            < cmd_build_corpus(base, spark=spark)["exported"])
