@@ -66,6 +66,7 @@ DRIVER_ORDER: list[str] = [
     "variant_roundtrip_stats",
     "state_store_probe",
     "observed_write_metrics",
+    "jsonl_sink_roundtrip",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "order_cube",
     "sliding_event_counts",
     "moving_avg_value",
-    "top_orders",
     # ---------------- past the check window ----------------
+    "top_orders",
     "nations_without_suppliers",
     "nations_with_both",
     "all_account_balances",

@@ -939,3 +939,53 @@ def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["null_prices"]), int(m["null_dates"]),
           int(m["total_cents"]))],
         "n_rows long, null_prices long, null_dates long, total_cents long")
+
+
+# --------------------------------------------------------------------------
+# Custom-sink roundtrip: documents written through the jsonl_shards
+# Python DataSource WRITER (per-task staged shards -> driver commit
+# renames + _SUCCESS manifest -> abort leaves nothing), read back as
+# JSON, and aggregated — proving the commit protocol delivers exactly
+# the input rows. Pairs with sources/synthetic.py to cover all four
+# quadrants of the Python DataSource API (batch/stream x read/write,
+# stream-write via the foreachBatch sink).
+# --------------------------------------------------------------------------
+@query(
+    "jsonl_sink_roundtrip",
+    oracle="""
+    SELECT lang AS lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_texts
+    FROM documents GROUP BY 1
+    """,
+)
+def jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL text must survive the JSON hop as null (json.dumps emits
+    null; the schema'd read returns NULL) — part of the gate."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cliqz_etl_spark.sources import JsonlShardDataSource
+
+    try:
+        spark.dataSource.register(JsonlShardDataSource)
+    except Exception:
+        pass
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"cliqz_jsink_{tag}")
+    os.makedirs(out, exist_ok=True)
+    docs.write.format("jsonl_shards").option("path", out).mode("overwrite").save()
+    back = (spark.read
+            .schema("doc_id long, text string, lang string, n_chars long")
+            .json(out))
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("total_chars"),
+             F.sum(F.col("text").isNull().cast("long")).cast("long")
+             .alias("null_texts"))
+    )
