@@ -935,9 +935,15 @@ def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.coalesce(F.col("o_totalprice"), F.lit(0.0)) * 100
                         + F.lit(0.5)).cast("long")).cast("long"),
         })
+    # SQL SUM over zero rows is NULL; the observed metrics surface the
+    # same way (None) and must STAY NULL — int(None) was the empty-corpus
+    # crash, and coercing to 0 would diverge from the oracle's NULL row
+    def _i(x):
+        return None if x is None else int(x)
+
     return spark.createDataFrame(
-        [(int(m["n_rows"]), int(m["null_prices"]), int(m["null_dates"]),
-          int(m["total_cents"]))],
+        [(int(m["n_rows"]), _i(m["null_prices"]), _i(m["null_dates"]),
+          _i(m["total_cents"]))],
         "n_rows long, null_prices long, null_dates long, total_cents long")
 
 
