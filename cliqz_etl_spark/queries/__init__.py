@@ -67,6 +67,7 @@ DRIVER_ORDER: list[str] = [
     "state_store_probe",
     "observed_write_metrics",
     "jsonl_sink_roundtrip",
+    "stream_sink_roundtrip",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_cascade",
     "order_cube",
     "sliding_event_counts",
-    "moving_avg_value",
     # ---------------- past the check window ----------------
+    "moving_avg_value",
     "top_orders",
     "nations_without_suppliers",
     "nations_with_both",

@@ -511,3 +511,74 @@ def state_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "stream_sink_roundtrip",
+    # same generated table as synthetic_stream_rollup's oracle, but the
+    # Spark side routes it generator-stream -> CUSTOM stream sink
+    # (jsonl_shards epoch commits) -> JSON read-back, closing the last
+    # quadrant of the Python DataSource API under an oracle
+    oracle=f"""
+    WITH r AS (
+        SELECT unnest(range({_SYNS_N})) AS i
+    ), g AS (
+        SELECT ['click','error','purchase','signup','view']
+                 [({md5_long_sql("CAST(i AS VARCHAR) || '#1'")} % 5) + 1] AS event_type,
+               {md5_long_sql('i')} % 100 AS user_id,
+               CAST({md5_long_sql("CAST(i AS VARCHAR) || '#3'")} % 100000 AS DOUBLE)
+                 / 100.0 AS value
+        FROM r
+    )
+    SELECT event_type AS event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM g GROUP BY 1
+    """,
+    doc="Custom stream SOURCE -> custom stream SINK (per-epoch staged "
+        "commits) -> read-back rollup; exactly-once across catch-up runs.",
+)
+def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated availableNow catch-up runs over one checkpoint, writing
+    through the jsonl_shards DataSourceStreamWriter: every generated row
+    must land in exactly one committed epoch shard. sf_dir unused
+    (generator source); scratch dirs wiped per call."""
+    import hashlib
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from cliqz_etl_spark.sources import (JsonlShardDataSource,
+                                         SyntheticEventsDataSource)
+
+    for src_cls in (SyntheticEventsDataSource, JsonlShardDataSource):
+        try:
+            spark.dataSource.register(src_cls)
+        except Exception:
+            pass
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"cliqz_ssink_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    os.makedirs(out)
+    for _ in range(math.ceil(_SYNS_N / _SYNS_BATCH) + 1):
+        src = (spark.readStream.format("synthetic_events")
+               .option("n_rows", _SYNS_N)
+               .option("rows_per_batch", _SYNS_BATCH)
+               .option("n_users", 100).load())
+        (src.writeStream.format("jsonl_shards").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True)
+         .start().awaitTermination())
+    back = (spark.read
+            .schema("event_id long, ts string, user_id long, "
+                    "event_type string, value double")
+            .json(out))
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+             .cast("long").alias("total_cents"))
+    )

@@ -31,7 +31,9 @@ import os
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import (DataSource, DataSourceWriter,
+from pyspark.sql.datasource import (DataSource,
+                                    DataSourceStreamWriter,
+                                    DataSourceWriter,
                                     WriterCommitMessage)
 
 
@@ -101,3 +103,57 @@ class JsonlShardDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return _JsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _JsonlStreamWriter(self.options)
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the sink: same staged-write discipline, with the
+    commit unit the MICRO-BATCH (epoch). Shards commit under an
+    epoch-tagged name and the per-epoch manifest `_batch-{id}.json`
+    records them; a batch REPLAY after a failure (foreach-style sinks are
+    at-least-once per epoch) overwrites the same epoch's manifest and its
+    shards are re-renamed idempotently — readers that trust manifests see
+    exactly-once, readers that glob shards see at-least-once, which is
+    the honest contract of every file-based streaming sink without a
+    transaction log."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards requires .option('path', ...)")
+
+    def write(self, rows):
+        staging = os.path.join(self.path, ".stream-staging")
+        os.makedirs(staging, exist_ok=True)
+        name = f"shard-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(staging, name)
+        n = b = 0
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in rows:
+                line = json.dumps(row.asDict(recursive=True),
+                                  ensure_ascii=False, default=str)
+                f.write(line + "\n")
+                n += 1
+                b += len(line.encode("utf-8")) + 1
+        return _ShardCommit(staged=staged, filename=name, n_rows=n, n_bytes=b)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = []
+        for m in messages:
+            if m is None:
+                continue
+            final = f"batch-{batchId}-{m.filename}"
+            os.rename(m.staged, os.path.join(self.path, final))
+            manifest.append({"file": final, "rows": m.n_rows,
+                             "bytes": m.n_bytes})
+        with open(os.path.join(self.path, f"_batch-{batchId}.json"), "w") as f:
+            json.dump({"batch_id": batchId, "shards": manifest,
+                       "rows": sum(x["rows"] for x in manifest)}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, ".stream-staging"),
+                      ignore_errors=True)

@@ -83,3 +83,38 @@ def test_synthetic_source_partition_option_shapes_parallelism(spark):
           .option("n_rows", 1000).option("n_partitions", 5).load())
     assert df.rdd.getNumPartitions() == 5
     assert df.count() == 1000
+
+
+def test_jsonl_stream_sink_epoch_manifests(spark, tmp_path):
+    """Generator stream -> custom stream sink across catch-up runs: every
+    epoch commits its own manifest, manifests account every row exactly
+    once, and no staging litter survives."""
+    import glob
+    import json
+    import math
+
+    from cliqz_etl_spark.sources import (JsonlShardDataSource,
+                                         SyntheticEventsDataSource)
+
+    for cls in (SyntheticEventsDataSource, JsonlShardDataSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(out)
+    N, PER = 900, 400
+    for _ in range(math.ceil(N / PER) + 1):
+        src = (spark.readStream.format("synthetic_events")
+               .option("n_rows", N).option("rows_per_batch", PER).load())
+        (src.writeStream.format("jsonl_shards").option("path", out)
+         .option("checkpointLocation", ck).outputMode("append")
+         .trigger(availableNow=True).start().awaitTermination())
+    ids = sorted(r[0] for r in spark.read.json(out)
+                 .select("event_id").collect())
+    assert ids == list(range(N))
+    mans = glob.glob(f"{out}/_batch-*.json")
+    assert len(mans) == math.ceil(N / PER)
+    assert sum(json.load(open(m))["rows"] for m in mans) == N
+    assert not os.path.exists(f"{out}/.stream-staging") or \
+        not os.listdir(f"{out}/.stream-staging")
