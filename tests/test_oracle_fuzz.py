@@ -627,30 +627,36 @@ def test_synthetic_source_matches_regenerated_oracle(spark, n, users, parts):
 def test_synthetic_stream_offsets_compose_exactly_once(spark, n, per_batch):
     """Random (cap, batch size): repeated availableNow catch-up runs over
     one checkpoint must deliver every generated row exactly once, for any
-    batch/cap ratio (cap < batch, equal, many batches)."""
+    batch/cap ratio (cap < batch, equal, many batches). Routed through
+    the CUSTOM stream sink, so one fuzz covers both custom streaming
+    halves: source offset composition AND per-epoch staged commits."""
     import math
+    import os
     import shutil
     import tempfile
 
-    from cliqz_etl_spark.sources import SyntheticEventsDataSource
+    from cliqz_etl_spark.sources import (JsonlShardDataSource,
+                                         SyntheticEventsDataSource)
 
-    try:
-        spark.dataSource.register(SyntheticEventsDataSource)
-    except Exception:
-        pass
+    for cls in (SyntheticEventsDataSource, JsonlShardDataSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
     root = tempfile.mkdtemp(prefix="fuzzsynstream_")
     out, ckpt = f"{root}/out", f"{root}/ckpt"
+    os.makedirs(out)
     try:
         for _ in range(math.ceil(n / per_batch) + 1):
             src = (spark.readStream.format("synthetic_events")
                    .option("n_rows", n).option("rows_per_batch", per_batch)
                    .option("n_users", 7).load())
-            (src.writeStream.format("parquet")
+            (src.writeStream.format("jsonl_shards")
              .option("path", out).option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True)
              .start().awaitTermination())
         ids = sorted(r[0] for r in
-                     spark.read.parquet(out).select("event_id").collect())
+                     spark.read.json(out).select("event_id").collect())
         assert ids == list(range(n)), (n, per_batch, len(ids))
     finally:
         shutil.rmtree(root, ignore_errors=True)
