@@ -291,6 +291,12 @@ BENCH_HEADLINE: list[str] = [
     "chunk_documents",
     "orc_roundtrip_revenue",
     "supplier_part_pagerank",
+    # Spark-4-surface trackers: the VARIANT encode/extract roundtrip
+    # (scan-shaped codegen), the single-pass observed write, and the
+    # custom-sink roundtrip (staged commit protocol + JSON read-back).
+    "variant_roundtrip_stats",
+    "observed_write_metrics",
+    "jsonl_sink_roundtrip",
 ]
 
 
