@@ -78,8 +78,26 @@ class _Reader(DataSourceReader):
         ]
 
     def read(self, partition: _Slice):
-        for i in range(partition.start, partition.end):
-            yield _row(i, partition.n_users)
+        # Arrow batches, not per-row tuples: the same generated values
+        # (the oracle + fuzz gates pin bit-equality) but assembled
+        # columnar and shipped over Arrow — the per-row pickling the
+        # tuple path pays is the serialization tax this API exists to
+        # avoid at bulk-generation scale
+        import pyarrow as pa
+
+        CHUNK = 8192
+        lo = partition.start
+        while lo < partition.end:
+            hi = min(lo + CHUNK, partition.end)
+            rows = [_row(i, partition.n_users) for i in range(lo, hi)]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([r[0] for r in rows], pa.int64()),
+                 pa.array([r[1] for r in rows], pa.timestamp("us")),
+                 pa.array([r[2] for r in rows], pa.int64()),
+                 pa.array([r[3] for r in rows], pa.string()),
+                 pa.array([r[4] for r in rows], pa.float64())],
+                names=["event_id", "ts", "user_id", "event_type", "value"])
+            lo = hi
 
 
 class SyntheticEventsDataSource(DataSource):
