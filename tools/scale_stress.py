@@ -73,7 +73,10 @@ to long-running many-batch streams, where the fix is a partition-aligned
 merge or a table format, not this single-drain shape.
 
 Round-7 default-mode run (10x docs / 16x vectors / 10x events): the new
-ops hold the curve — chunk_documents 3.0x (map-only token explode),
+ops hold the curve — chunk_documents 3.0x (map-only token explode; a
+manual third decade against the --100x corpus measured 1.4 s at 10x and
+7.2 s at 100x the docs — ~5x wall for the last 10x of data, map-only
+linear with scan overhead amortized),
 variant_roundtrip_stats 4.4x (scan-shaped encode/extract),
 state_store_probe 0.8x (state read is keyed, not volume-bound), with
 the existing families in their usual bands (LSH 0.7x, simhash 1.3x,
