@@ -187,3 +187,52 @@ def test_chunk_documents_is_map_only(spark):
     plan = _plan(spark, "chunk_documents")
     assert "Exchange" not in plan, plan
     assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+# Post-execution plan budgets: ceilings, not exact counts, so AQE remains
+# free to coalesce/broadcast — the test fails only when a code change
+# makes a plan structurally WORSE (an extra shuffle, a Python stage
+# appearing where none belongs). Values = the PLANS.md digest at the
+# time of pinning, verbatim.
+_PLAN_BUDGET = {
+    # query: (max shuffles, max python stages)
+    "pricing_summary": (1, 0),
+    "revenue_by_nation": (1, 0),
+    "earliest_order_per_customer": (1, 0),
+    "semi_join_orders": (0, 0),
+    "per_key_limit": (1, 0),
+    "dedup_exact": (1, 0),
+    "dedup_minhash_lsh": (2, 0),
+    "dedup_spans": (3, 0),
+    "ann_topk": (1, 1),
+    "dedup_semantic": (2, 3),
+    "sessionize": (1, 0),
+    "word_counts": (1, 0),
+    "chunk_documents": (0, 0),
+    "variant_roundtrip_stats": (2, 0),
+    "curation_pipeline_v2": (4, 0),
+    "supplier_part_pagerank": (6, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PLAN_BUDGET))
+def test_plan_budget_ceilings(spark, name):
+    """Execute the query at smoke scale and digest its FINAL adaptive
+    plan (tools/plan_report.py's method): shuffle count and Python-stage
+    count must not exceed the pinned ceiling."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_report import digest
+
+    from cliqz_etl_spark.operators.cache import release_all
+
+    max_shuffles, max_python = _PLAN_BUDGET[name]
+    try:
+        df = _REGISTRY[name].fn(spark, SF_SMOKE)
+        df.collect()
+        d = digest(df._jdf.queryExecution().executedPlan().toString())
+    finally:
+        release_all()
+    assert d["exchanges"] <= max_shuffles, (name, d)
+    assert d["python"] <= max_python, (name, d)
