@@ -72,7 +72,9 @@ class _JsonlWriter(DataSourceWriter):
 
         if self.overwrite:
             for existing in os.listdir(self.path):
-                if not existing.startswith(".staging-"):
+                # never touch in-flight staging — ours, a concurrent batch
+                # writer's, or the stream writer's epoch staging
+                if not existing.startswith((".staging-", ".stream-staging")):
                     target = os.path.join(self.path, existing)
                     if os.path.isdir(target):
                         shutil.rmtree(target)
