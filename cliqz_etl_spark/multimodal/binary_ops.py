@@ -658,3 +658,203 @@ def embed_media(df: DataFrame, id_col: str, blob_col: str,
     return df.select(F.col(id_col).alias("id"), F.col(blob_col)).mapInPandas(
         process, schema="id long, embedding array<double>, ok boolean"
     )
+
+
+# ---- real GIF (87a/89a, LZW) codec -----------------------------------------
+#
+# Palette-indexed GIF with the full LZW layer implemented by hand (no
+# stdlib module exists for it): variable-width codes starting at
+# min_code_size+1, clear/end codes, 4096-entry dictionary with reset,
+# LSB-first bit packing, 255-byte sub-blocks. Decode handles the KwKwK
+# self-reference case. Round-trip is lossless, so the oracle replays the
+# pixel arithmetic exactly (unlike JPEG, which stays stubbed: lossy
+# quantization cannot be replayed as oracle arithmetic).
+
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits: list[int] = []
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        for b in range(code_size):
+            out_bits.append((code >> b) & 1)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code_size)}
+    next_code = end + 1
+    emit(clear)
+    prefix = b""
+    for byte in data:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        prefix = bytes([byte])
+    if prefix:
+        emit(table[prefix])
+    emit(end)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[i:i + 8]):
+            v |= bit << j
+        by.append(v)
+    return bytes(by)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = 0
+    code_size = min_code_size + 1
+    nbits = len(data) * 8
+
+    def read() -> int:
+        nonlocal pos
+        v = 0
+        for b in range(code_size):
+            if pos >= nbits:
+                raise ValueError("GIF: truncated LZW stream")
+            if data[pos >> 3] & (1 << (pos & 7)):
+                v |= 1 << b
+            pos += 1
+        return v
+
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code_size)]
+    table += [b"", b""]  # clear, end placeholders
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read()
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF: bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _gif_palette() -> bytes:
+    return bytes(v for i in range(256) for v in (i, (i * 7) % 256, (i * 13) % 256))
+
+
+def encode_gif(width: int, height: int, indices: bytes,
+               palette: bytes | None = None) -> bytes:
+    """GIF89a with a 256-entry global color table and one image block."""
+    pal = palette if palette is not None else _gif_palette()
+    if len(pal) != 768:
+        raise ValueError("GIF: palette must be 256 RGB entries")
+    if len(indices) != width * height:
+        raise ValueError("GIF: index count != width*height")
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    out += pal
+    out += b"\x2C" + b"\x00" * 4  # image descriptor at (0,0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += b"\x00"  # no local color table
+    out += bytes([8])  # LZW min code size
+    lzw = _lzw_encode(indices)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3B"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(blob: bytes) -> dict:
+    """Returns {format, width, height, pixels (RGB bytes), byte_len}."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w = int.from_bytes(blob[6:8], "little")
+    h = int.from_bytes(blob[8:10], "little")
+    flags = blob[10]
+    pos = 13
+    pal = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        pal = blob[pos:pos + 3 * n]
+        pos += 3 * n
+    # skip extension blocks to the image descriptor
+    while blob[pos] == 0x21:
+        pos += 2
+        while blob[pos]:
+            pos += 1 + blob[pos]
+        pos += 1
+    if blob[pos] != 0x2C:
+        raise ValueError("GIF: image descriptor not found")
+    pos += 9
+    if blob[pos] & 0x80:
+        n = 2 << (blob[pos] & 0x07)
+        pal = blob[pos + 1:pos + 1 + 3 * n]
+        pos += 3 * n
+    pos += 1
+    min_code = blob[pos]
+    pos += 1
+    lzw = bytearray()
+    while blob[pos]:
+        ln = blob[pos]
+        lzw += blob[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    indices = _lzw_decode(bytes(lzw), min_code)
+    if len(indices) != w * h:
+        raise ValueError(f"GIF: decoded {len(indices)} indices for {w}x{h}")
+    px = bytearray()
+    for idx in indices:
+        px += pal[3 * idx:3 * idx + 3]
+    return {"format": "gif", "width": w, "height": h,
+            "pixels": bytes(px), "byte_len": len(blob)}
+
+
+def gif_roundtrip_stats(df: DataFrame, id_col: str,
+                        target_w: int = 4, target_h: int = 3) -> DataFrame:
+    """GIF member of the codec gate family: deterministic palette-indexed
+    images per document id through encode (LZW, sub-blocks, GCT) ->
+    decode -> nearest-neighbor resample of the decoded RGB, checksummed.
+    Lossless round-trip, so the oracle replays the palette arithmetic
+    (channel 0 = index, 1 = 7*index mod 256, 2 = 13*index mod 256)."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "px_wsum": [], "out_px_wsum": []}
+            for rid in pdf["id"]:
+                rid = int(rid)
+                w, h = rid % 13 + 1, rid % 7 + 1
+                idx = bytes((rid * 31 + i) % 256 for i in range(w * h))
+                blob = encode_gif(w, h, idx)
+                meta = decode_gif(blob)
+                rs = nn_resize(meta["pixels"], w, h, target_w, target_h)
+                out["doc_id"].append(rid)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["px_wsum"].append(
+                    sum((i + 1) * p for i, p in enumerate(meta["pixels"])))
+                out["out_px_wsum"].append(
+                    sum((j + 1) * p for j, p in enumerate(rs)))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        process, schema=("doc_id long, width int, height int, "
+                         "px_wsum long, out_px_wsum long"))

@@ -68,6 +68,7 @@ DRIVER_ORDER: list[str] = [
     "observed_write_metrics",
     "jsonl_sink_roundtrip",
     "stream_sink_roundtrip",
+    "gif_decode_stats",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "mixture_sample",
     "dedup_cascade",
     "order_cube",
-    "sliding_event_counts",
     # ---------------- past the check window ----------------
+    "sliding_event_counts",
     "moving_avg_value",
     "top_orders",
     "nations_without_suppliers",

@@ -323,3 +323,58 @@ def media_embed_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, x: acc + x * x).alias("norm2_scaled"),
         F.element_at(comp, 1).alias("v0_scaled"),
     )
+
+
+@query(
+    "gif_decode_stats",
+    # Lossless palette codec -> the oracle recomputes both checksums from
+    # pure arithmetic: index = (doc_id*31 + pixel#) % 256, channels
+    # (index, 7*index % 256, 13*index % 256), and the resampler's
+    # nearest-neighbor source index inlined as in the PNG/BMP twins.
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, (doc_id % 13) + 1 AS w, (doc_id % 7) + 1 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id,
+               SUM((i + 1) * (CASE i % 3
+                    WHEN 0 THEN ((doc_id * 31 + i // 3) % 256)
+                    WHEN 1 THEN (((doc_id * 31 + i // 3) % 256) * 7) % 256
+                    ELSE (((doc_id * 31 + i // 3) % 256) * 13) % 256 END))
+                   AS px_wsum
+        FROM (SELECT doc_id, unnest(range(w * h * 3)) AS i FROM d)
+        GROUP BY doc_id
+    ), rs AS (
+        SELECT doc_id,
+               SUM((j + 1) * (CASE j % 3
+                    WHEN 0 THEN ((doc_id * 31 + src) % 256)
+                    WHEN 1 THEN (((doc_id * 31 + src) % 256) * 7) % 256
+                    ELSE (((doc_id * 31 + src) % 256) * 13) % 256 END))
+                   AS out_px_wsum
+        FROM (SELECT doc_id, j,
+                     ((j // {_DEC_TW * 3}) * h // {_DEC_TH}) * w
+                       + ((j % {_DEC_TW * 3}) // 3) * w // {_DEC_TW} AS src
+              FROM (SELECT doc_id, w, h,
+                           unnest(range({_DEC_TW * _DEC_TH * 3})) AS j FROM d))
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(px.px_wsum AS BIGINT) AS px_wsum,
+           CAST(rs.out_px_wsum AS BIGINT) AS out_px_wsum
+    FROM d JOIN px USING (doc_id) JOIN rs USING (doc_id)
+    """,
+)
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec end-to-end: deterministic palette-indexed images
+    per document id through encode (hand-rolled LZW — variable-width
+    codes, clear/end, 4096-entry dict with reset, LSB bit packing,
+    255-byte sub-blocks, global color table) -> decode (incl. the KwKwK
+    case) -> nearest-neighbor resample, value-checked against pure
+    arithmetic. Fifth owned codec after BMP/PNG/PPM/WAV; JPEG stays
+    stubbed by design (lossy quantization is not oracle-replayable)."""
+    from cliqz_etl_spark.multimodal.binary_ops import gif_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gif_roundtrip_stats(docs, "doc_id", _DEC_TW, _DEC_TH)

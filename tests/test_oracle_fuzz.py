@@ -40,7 +40,7 @@ _FUZZED = [
     # ok=false contract drift from the oracles unguarded (round-7 fix)
     "multimodal_meta", "frame_sample_stats", "image_resize_stats",
     "media_embed_fingerprint", "image_decode_stats", "audio_decode_stats",
-    "png_decode_stats",
+    "png_decode_stats", "gif_decode_stats",
     # fifth wave: the dedup composites (cascade = LSH->exact-Jaccard
     # verify; incremental = batch-vs-corpus band join; guarded = the
     # doc-frequency skew cutoff) — documents-only, previously unfuzzed
