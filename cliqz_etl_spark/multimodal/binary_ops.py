@@ -269,9 +269,10 @@ def decode_ppm(blob: bytes) -> dict:
 
 
 def decode_image(blob: bytes) -> dict:
-    """Real decoder for the formats this module owns (BMP, PNG, PPM),
-    sniffed by magic. Plug into ``extract_media_meta``/``resize_media``
-    via their ``decoder=`` seam. Raises ValueError for everything else."""
+    """Real decoder for the formats this module owns (BMP, PNG, PPM,
+    GIF), sniffed by magic. Plug into ``extract_media_meta``/
+    ``resize_media`` via their ``decoder=`` seam. Raises ValueError for
+    everything else."""
     if blob is None:
         raise ValueError("null blob")
     if blob[:2] == b"BM":
@@ -280,6 +281,8 @@ def decode_image(blob: bytes) -> dict:
         return decode_png(blob)
     if blob[:2] == b"P6":
         return decode_ppm(blob)
+    if blob[:4] == b"GIF8":
+        return decode_gif(blob)
     raise ValueError(f"unrecognized image magic {bytes(blob[:2])!r}")
 
 
@@ -306,6 +309,9 @@ def resize_image(blob: bytes, target_w: int, target_h: int) -> bytes:
     meta = decode_image(blob)
     px = nn_resize(meta["pixels"], meta["width"], meta["height"],
                    target_w, target_h)
+    # GIF falls through to BMP: re-encoding RGB as GIF would need color
+    # quantization back to a palette — transcoding to a lossless
+    # truecolor container is the honest resize output
     enc = {"ppm": encode_ppm, "png": encode_png}.get(meta["format"],
                                                      encode_bmp)
     return enc(target_w, target_h, px)
