@@ -298,6 +298,8 @@ BENCH_HEADLINE: list[str] = [
     "variant_roundtrip_stats",
     "observed_write_metrics",
     "jsonl_sink_roundtrip",
+    # the newest owned codec (hand-rolled LZW) gets its own perf row
+    "gif_decode_stats",
 ]
 
 
