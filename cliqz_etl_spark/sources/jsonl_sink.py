@@ -17,7 +17,10 @@ read half), with the two-phase commit protocol implemented for real:
 This is the same job-commit discipline Spark's built-in file sinks get
 from Hadoop committers, expressed in the Python API — the part a naive
 custom sink always gets wrong (writing directly to the target, where a
-mid-job failure strands half the shards).
+mid-job failure strands half the shards). Like those committers, the
+protocol assumes ``path`` is on storage every task AND the driver can
+reach (shared FS / NFS / fuse-mounted object store); on executor-local
+disks the driver-side rename would not see the staged files.
 
 Usage:
     spark.dataSource.register(JsonlShardDataSource)
