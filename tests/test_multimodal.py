@@ -343,3 +343,34 @@ def test_png_codec_color_normalization_and_crc():
               + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(blob16)
+
+
+def test_gif_through_decode_and_resize_seams():
+    """GIF participates in the shared dispatch: decode_image sniffs the
+    magic, and resize_image transcodes the resampled RGB to BMP (a GIF
+    re-encode would need palette re-quantization — documented)."""
+    from cliqz_etl_spark.multimodal.binary_ops import (decode_gif,
+                                                       decode_image,
+                                                       encode_gif,
+                                                       nn_resize,
+                                                       resize_image)
+
+    w, h = 6, 4
+    idx = bytes((5 * i) % 256 for i in range(w * h))
+    blob = encode_gif(w, h, idx)
+    meta = decode_image(blob)
+    assert (meta["format"], meta["width"], meta["height"]) == ("gif", w, h)
+    out = resize_image(blob, 3, 2)
+    rs = decode_image(out)
+    assert rs["format"] == "bmp" and (rs["width"], rs["height"]) == (3, 2)
+    want = nn_resize(decode_gif(blob)["pixels"], w, h, 3, 2)
+    assert rs["pixels"] == want
+
+
+def test_gif_lzw_dictionary_reset_roundtrip():
+    """A stream long and diverse enough to exhaust the 4096-entry LZW
+    dictionary forces the mid-stream clear/reset path on BOTH sides."""
+    from cliqz_etl_spark.multimodal.binary_ops import _lzw_decode, _lzw_encode
+
+    data = bytes((i * 17 + (i >> 3)) % 256 for i in range(50_000))
+    assert _lzw_decode(_lzw_encode(data)) == data
