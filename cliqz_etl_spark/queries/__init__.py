@@ -69,6 +69,7 @@ DRIVER_ORDER: list[str] = [
     "jsonl_sink_roundtrip",
     "stream_sink_roundtrip",
     "gif_decode_stats",
+    "streaming_left_outer_join",
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "anomalous_days",
     "mixture_sample",
     "dedup_cascade",
-    "order_cube",
     # ---------------- past the check window ----------------
+    "order_cube",
     "sliding_event_counts",
     "moving_avg_value",
     "top_orders",

@@ -582,3 +582,86 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
              .cast("long").alias("total_cents"))
     )
+
+
+@query(
+    "streaming_left_outer_join",
+    # The outer arm's emission rule was pinned EMPIRICALLY before this
+    # oracle was written (boundary-probed to the second, three configs):
+    # an unmatched purchase emits its NULL row iff
+    #   purchase_ts < min(max click ts, max purchase ts) - delay
+    # (strict) — the final global watermark, which is the MIN across the
+    # two sides' per-source watermarks. Purchases newer than that stay
+    # in state when the bounded drain ends: the stream cannot yet prove
+    # no matching click will arrive. The min() must PROPAGATE NULL (no
+    # clicks at all -> click watermark never advances -> nothing emits);
+    # DuckDB's least() skips NULLs, hence the CASE.
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+        SELECT CASE WHEN (SELECT MAX(click_ts) FROM c) IS NULL
+                      OR (SELECT MAX(purchase_ts) FROM p) IS NULL
+                    THEN NULL
+                    ELSE least((SELECT MAX(click_ts) FROM c),
+                               (SELECT MAX(purchase_ts) FROM p))
+                         - INTERVAL 1 HOUR END AS w
+    )
+    SELECT p.user_id AS user_id, p.purchase_id AS purchase_id,
+           c.click_id AS click_id,
+           CAST(date_diff('second', c.click_ts, p.purchase_ts) AS BIGINT)
+               AS gap_sec
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    UNION ALL
+    SELECT p.user_id, p.purchase_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM p, wm
+    WHERE p.purchase_ts < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = p.user_id
+            AND c.click_ts <= p.purchase_ts
+            AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR)
+    """,
+)
+@_scoped_legacy_nanos
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: purchases keep flowing even with no
+    qualifying click — the NULL row emits only once the watermark proves
+    no match can still arrive, and the oracle models that cutoff exactly
+    (see the oracle comment). Plain user-equality key here: the bucketed
+    range key (streaming_stream_join) would explode each purchase into
+    two probe rows and turn one unmatched purchase into two NULL rows —
+    outer joins and probe-expansion don't compose."""
+    from cliqz_etl_spark.streaming.jobs import WATERMARK
+
+    clicks = (_event_stream(spark, sf_dir).where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", WATERMARK))
+    purchases = (_event_stream(spark, sf_dir)
+                 .where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", WATERMARK))
+    j = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("interval 1 hour")),
+        "left_outer",
+    ).select(
+        "user_id", "purchase_id", "click_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long"))
+        .cast("long").alias("gap_sec"),
+    )
+    return _drain(j, "lojoin", mode="append",
+                  state_partitions=_state_partitions(spark, sf_dir))

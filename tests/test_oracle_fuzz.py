@@ -521,6 +521,9 @@ _STREAM_FUZZED = [
     # statestore reader: the drained query's state contents must BE the
     # batch aggregate, NULL group keys included
     "state_store_probe",
+    # left-outer stream-stream join: the empirically-pinned watermark
+    # cutoff for NULL emission must hold on adversarial corpora too
+    "streaming_left_outer_join",
 ]
 
 
