@@ -301,6 +301,9 @@ BENCH_HEADLINE: list[str] = [
     "jsonl_sink_roundtrip",
     # the newest owned codec (hand-rolled LZW) gets its own perf row
     "gif_decode_stats",
+    # the outer stream-stream join: the third streaming state shape
+    # (two-sided buffered state + watermark-gated NULL emission)
+    "streaming_left_outer_join",
 ]
 
 
