@@ -791,42 +791,62 @@ def encode_gif(width: int, height: int, indices: bytes,
 
 
 def decode_gif(blob: bytes) -> dict:
-    """Returns {format, width, height, pixels (RGB bytes), byte_len}."""
-    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+    """Returns {format, width, height, pixels (RGB bytes), byte_len}.
+
+    Dimensions come from the *image descriptor* (the frame's own size),
+    not the logical screen descriptor — real-world GIFs routinely declare
+    a screen larger than the single frame. Any truncated or malformed
+    stream raises ValueError (never IndexError), matching the multimodal
+    family's error->NULL discipline.
+    """
+    if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    w = int.from_bytes(blob[6:8], "little")
-    h = int.from_bytes(blob[8:10], "little")
     flags = blob[10]
     pos = 13
     pal = b""
-    if flags & 0x80:
-        n = 2 << (flags & 0x07)
-        pal = blob[pos:pos + 3 * n]
-        pos += 3 * n
-    # skip extension blocks to the image descriptor
-    while blob[pos] == 0x21:
-        pos += 2
-        while blob[pos]:
-            pos += 1 + blob[pos]
+    try:
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            pal = blob[pos:pos + 3 * n]
+            if len(pal) != 3 * n:
+                raise ValueError("GIF: truncated global color table")
+            pos += 3 * n
+        # skip extension blocks to the image descriptor
+        while blob[pos] == 0x21:
+            pos += 2
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+        if blob[pos] != 0x2C:
+            raise ValueError("GIF: image descriptor not found")
+        # descriptor: 0x2C, left(2), top(2), width(2), height(2), flags(1)
+        w = int.from_bytes(blob[pos + 5:pos + 7], "little")
+        h = int.from_bytes(blob[pos + 7:pos + 9], "little")
+        id_flags = blob[pos + 9]
+        pos += 10
+        if id_flags & 0x80:
+            n = 2 << (id_flags & 0x07)
+            pal = blob[pos:pos + 3 * n]
+            if len(pal) != 3 * n:
+                raise ValueError("GIF: truncated local color table")
+            pos += 3 * n
+        min_code = blob[pos]
         pos += 1
-    if blob[pos] != 0x2C:
-        raise ValueError("GIF: image descriptor not found")
-    pos += 9
-    if blob[pos] & 0x80:
-        n = 2 << (blob[pos] & 0x07)
-        pal = blob[pos + 1:pos + 1 + 3 * n]
-        pos += 3 * n
-    pos += 1
-    min_code = blob[pos]
-    pos += 1
-    lzw = bytearray()
-    while blob[pos]:
-        ln = blob[pos]
-        lzw += blob[pos + 1:pos + 1 + ln]
-        pos += 1 + ln
+        lzw = bytearray()
+        while blob[pos]:
+            ln = blob[pos]
+            chunk = blob[pos + 1:pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("GIF: truncated data sub-block")
+            lzw += chunk
+            pos += 1 + ln
+    except IndexError as exc:
+        raise ValueError("GIF: truncated stream") from exc
     indices = _lzw_decode(bytes(lzw), min_code)
     if len(indices) != w * h:
         raise ValueError(f"GIF: decoded {len(indices)} indices for {w}x{h}")
+    if indices and 3 * max(indices) + 3 > len(pal):
+        raise ValueError("GIF: pixel index outside color table")
     px = bytearray()
     for idx in indices:
         px += pal[3 * idx:3 * idx + 3]

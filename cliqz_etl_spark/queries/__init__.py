@@ -55,59 +55,7 @@ DRIVER_ORDER: list[str] = [
     # Ordered oldest-evidence-first (new/zero-evidence queries lead); the
     # driver checks slots 1-50. Regenerate after each driver run:
     #     python tools/rotate_window.py
-    # ---- latest green row: rnew/churn ----
-    "orc_roundtrip_revenue",
-    "chunk_documents",
-    "schema_evolution_union",
-    "supplier_part_pagerank",
-    "streaming_upsert_totals",
-    "synthetic_source_rollup",
-    "synthetic_stream_rollup",
-    "variant_roundtrip_stats",
-    "state_store_probe",
-    "observed_write_metrics",
-    "jsonl_sink_roundtrip",
-    "stream_sink_roundtrip",
-    "gif_decode_stats",
-    "streaming_left_outer_join",
-    "png_decode_stats",
-    "audio_decode_stats",
-    "image_decode_stats",
     # ---- latest green row: r4 ----
-    "bucketed_join_revenue",
-    "salted_event_counts",
-    "salted_join_value_by_type",
-    "sessionize",
-    "session_stats",
-    "sessionize_native",
-    "kmeans_centroids",
-    "longest_streak",
-    "range_join_close_events",
-    "countmin_user_counts",
-    "kmv_distinct_users",
-    "streaming_sessions",
-    "streaming_stream_join",
-    "daily_activity_filled",
-    "json_flatten",
-    "small_quantity_revenue",
-    "scd2_customer_balance",
-    "user_type_history",
-    "pit_order_balance",
-    "bloom_semi_join_revenue",
-    "bloom_prefilter_stats",
-    "histogram_quantiles",
-    "incremental_monthly_rollup",
-    "assign_shards",
-    "interpolate_user_values",
-    "array_ops_gauntlet",
-    "nullsafe_join_counts",
-    "streaming_enriched_counts",
-    "rank_fraction_family",
-    "weighted_sample",
-    "anomalous_days",
-    "mixture_sample",
-    "dedup_cascade",
-    # ---------------- past the check window ----------------
     "order_cube",
     "sliding_event_counts",
     "moving_avg_value",
@@ -159,6 +107,7 @@ DRIVER_ORDER: list[str] = [
     "stratified_sample",
     "train_test_split",
     "normalize_text",
+    # ---------------- past the check window ----------------
     "multimodal_meta",
     "pricing_summary",
     "earliest_order_per_customer",
@@ -221,6 +170,57 @@ DRIVER_ORDER: list[str] = [
     "dedup_incremental",
     "streaming_hourly_counts",
     "streaming_dedup",
+    # ---- latest green row: r7 ----
+    "orc_roundtrip_revenue",
+    "chunk_documents",
+    "schema_evolution_union",
+    "supplier_part_pagerank",
+    "streaming_upsert_totals",
+    "synthetic_source_rollup",
+    "synthetic_stream_rollup",
+    "variant_roundtrip_stats",
+    "state_store_probe",
+    "observed_write_metrics",
+    "jsonl_sink_roundtrip",
+    "stream_sink_roundtrip",
+    "gif_decode_stats",
+    "streaming_left_outer_join",
+    "png_decode_stats",
+    "audio_decode_stats",
+    "image_decode_stats",
+    "bucketed_join_revenue",
+    "salted_event_counts",
+    "salted_join_value_by_type",
+    "sessionize",
+    "session_stats",
+    "sessionize_native",
+    "kmeans_centroids",
+    "longest_streak",
+    "range_join_close_events",
+    "countmin_user_counts",
+    "kmv_distinct_users",
+    "streaming_sessions",
+    "streaming_stream_join",
+    "daily_activity_filled",
+    "json_flatten",
+    "small_quantity_revenue",
+    "scd2_customer_balance",
+    "user_type_history",
+    "pit_order_balance",
+    "bloom_semi_join_revenue",
+    "bloom_prefilter_stats",
+    "histogram_quantiles",
+    "incremental_monthly_rollup",
+    "assign_shards",
+    "interpolate_user_values",
+    "array_ops_gauntlet",
+    "nullsafe_join_counts",
+    "streaming_enriched_counts",
+    "rank_fraction_family",
+    "weighted_sample",
+    "anomalous_days",
+    "mixture_sample",
+    "dedup_cascade",
     # === END GENERATED WINDOW ===
 ]
 

@@ -802,6 +802,7 @@ def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     own group key and the read prunes nothing away that the oracle sees."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from cliqz_etl_spark.io import read_orc, write_orc
@@ -809,6 +810,12 @@ def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"cliqz_orc_rt_{tag}")
+    # The session pins partitionOverwriteMode=dynamic, so a bare overwrite
+    # only replaces partitions present in the *current* corpus — if the
+    # testdata at this sf_dir is regenerated between rounds, stale
+    # l_returnflag partitions would survive and leak into the read-back.
+    # Wipe the scratch dir so the round-trip always sees exactly this run.
+    shutil.rmtree(out, ignore_errors=True)
     # NULL partition values land in __HIVE_DEFAULT_PARTITION__ and must
     # come back as NULL, not the literal directory name — part of the gate
     projected = li.select("l_orderkey", "l_quantity", "l_extendedprice",

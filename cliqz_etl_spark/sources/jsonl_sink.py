@@ -29,6 +29,7 @@ Usage:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import uuid
@@ -145,6 +146,15 @@ class _JsonlStreamWriter(DataSourceStreamWriter):
         return _ShardCommit(staged=staged, filename=name, n_rows=n, n_bytes=b)
 
     def commit(self, messages, batchId: int) -> None:
+        # Shard names carry a fresh uuid per task attempt, so a REPLAYED
+        # epoch would otherwise leave the previous attempt's already-
+        # renamed batch-{id}-* shards beside the new ones: the manifest
+        # is overwritten correctly, but glob-based readers (spark.read
+        # .json(dir)) would double-count. Purge the epoch's old shards
+        # first so even glob readers see the replay exactly once.
+        for stale in glob.glob(os.path.join(self.path,
+                                            f"batch-{batchId}-*")):
+            os.remove(stale)
         manifest = []
         for m in messages:
             if m is None:

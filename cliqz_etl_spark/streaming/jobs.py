@@ -87,9 +87,27 @@ _INTERVAL_UNIT_SEC = {
 
 
 def _interval_seconds(interval: str) -> int:
-    """'1 hour' / '30 minutes' -> seconds (driver-side, for bucket math)."""
-    n, unit = interval.split()
-    return int(n) * _INTERVAL_UNIT_SEC[unit.lower()]
+    """'1 hour' / '30 minutes' / '1 hour 30 minutes' -> seconds.
+
+    Accepts the same compound N-unit sequences ``F.expr("interval ...")``
+    does, so every interval string a caller can pass into the SQL side
+    (e.g. ``click_purchase_join``'s lookback) parses identically for the
+    driver-side bucket math instead of blowing up mid-query."""
+    toks = interval.split()
+    if not toks or len(toks) % 2:
+        raise ValueError(
+            f"interval {interval!r}: expected 'N unit [N unit ...]' with "
+            f"units in {sorted(set(_INTERVAL_UNIT_SEC))}")
+    total = 0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        try:
+            total += int(n) * _INTERVAL_UNIT_SEC[unit.lower()]
+        except (ValueError, KeyError):
+            raise ValueError(
+                f"interval {interval!r}: bad component {n!r} {unit!r}; "
+                f"expected 'N unit' with units in "
+                f"{sorted(set(_INTERVAL_UNIT_SEC))}") from None
+    return total
 
 
 def click_purchase_join(clicks: DataFrame, purchases: DataFrame,

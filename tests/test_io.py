@@ -4,6 +4,7 @@ one day replaces that day only and leaves other partitions intact."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from cliqz_etl_spark.io import read_parquet, write_parquet
@@ -279,3 +280,31 @@ def test_write_jsonl_shards_gzip_roundtrip(spark, tmp_path):
     back = read_json(spark, out)
     assert sorted((r["id"], r["payload"]) for r in back.collect()) == \
         [(i, f"p{i}") for i in range(50)]
+
+
+def test_orc_roundtrip_scratch_wiped_between_runs(spark):
+    """The session pins partitionOverwriteMode=dynamic, so without an
+    explicit wipe a regenerated corpus would leave STALE partitions from
+    the previous run in the scratch dir and leak them into the read-back
+    rollup. Plant a foreign partition and assert the query removes it."""
+    import hashlib
+    import shutil
+
+    from cliqz_etl_spark.queries.analytics import orc_roundtrip_revenue
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = os.path.join(tempfile.gettempdir(),
+                       "cliqz_orc_rt_"
+                       + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    flags = {r[0] for r in orc_roundtrip_revenue(spark, sf_dir)
+             .select("l_returnflag").collect()}
+    assert "Z" not in flags
+    # plant a stale partition: clone a real partition dir under a flag
+    # value the current corpus does not contain
+    src = next(d for d in os.listdir(out) if d.startswith("l_returnflag="))
+    shutil.copytree(os.path.join(out, src),
+                    os.path.join(out, "l_returnflag=Z"))
+    flags2 = {r[0] for r in orc_roundtrip_revenue(spark, sf_dir)
+              .select("l_returnflag").collect()}
+    assert flags2 == flags and "Z" not in flags2
+    assert not os.path.exists(os.path.join(out, "l_returnflag=Z"))

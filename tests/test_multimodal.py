@@ -374,3 +374,39 @@ def test_gif_lzw_dictionary_reset_roundtrip():
 
     data = bytes((i * 17 + (i >> 3)) % 256 for i in range(50_000))
     assert _lzw_decode(_lzw_encode(data)) == data
+
+
+def test_gif_frame_dims_come_from_image_descriptor():
+    """Real-world GIFs routinely declare a logical screen larger than the
+    single frame; the decoder must report the frame's own dimensions (the
+    image descriptor), not the screen's."""
+    from cliqz_etl_spark.multimodal.binary_ops import decode_gif, encode_gif
+
+    w, h = 5, 3
+    idx = bytes((3 * i) % 256 for i in range(w * h))
+    blob = bytearray(encode_gif(w, h, idx))
+    # inflate the logical screen descriptor only (bytes 6..10)
+    blob[6:8] = (40).to_bytes(2, "little")
+    blob[8:10] = (30).to_bytes(2, "little")
+    meta = decode_gif(bytes(blob))
+    assert (meta["width"], meta["height"]) == (w, h)
+    ref = decode_gif(encode_gif(w, h, idx))
+    assert meta["pixels"] == ref["pixels"]
+
+
+def test_gif_truncation_raises_valueerror_never_indexerror():
+    """The multimodal family's contract is error->NULL, which the Arrow
+    wrappers implement by catching ValueError — a truncated payload must
+    therefore raise ValueError at every cut point, not IndexError."""
+    import pytest
+
+    from cliqz_etl_spark.multimodal.binary_ops import decode_gif, encode_gif
+
+    blob = encode_gif(4, 4, bytes(range(16)))
+    for cut in (4, 8, 12, 13, 200, 400, len(blob) - 2):
+        if cut >= len(blob):
+            continue
+        with pytest.raises(ValueError):
+            decode_gif(blob[:cut])
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a")

@@ -118,3 +118,34 @@ def test_jsonl_stream_sink_epoch_manifests(spark, tmp_path):
     assert sum(json.load(open(m))["rows"] for m in mans) == N
     assert not os.path.exists(f"{out}/.stream-staging") or \
         not os.listdir(f"{out}/.stream-staging")
+
+
+def test_stream_sink_epoch_replay_leaves_no_duplicate_shards(tmp_path):
+    """foreach-style sinks are at-least-once per epoch: a replayed batch
+    re-runs write() with fresh uuid shard names. commit() must purge the
+    prior attempt's batch-{id}-* files so even glob-based readers (not
+    just manifest readers) see the replay exactly once."""
+    import glob
+    import json
+
+    from pyspark.sql import Row
+
+    from cliqz_etl_spark.sources.jsonl_sink import _JsonlStreamWriter
+
+    out = str(tmp_path / "replay")
+    os.makedirs(out)
+    wr = _JsonlStreamWriter({"path": out})
+    rows = [Row(event_id=i, kind="click") for i in range(5)]
+    wr.commit([wr.write(iter(rows))], batchId=0)
+    first = set(glob.glob(f"{out}/batch-0-*"))
+    assert len(first) == 1
+    # replay the same epoch (different task-attempt uuid)
+    wr.commit([wr.write(iter(rows))], batchId=0)
+    after = set(glob.glob(f"{out}/batch-0-*"))
+    assert len(after) == 1 and after != first
+    man = json.load(open(f"{out}/_batch-0.json"))
+    assert man["rows"] == 5
+    assert {s["file"] for s in man["shards"]} == \
+        {os.path.basename(p) for p in after}
+    total = sum(1 for p in glob.glob(f"{out}/batch-*") for _ in open(p))
+    assert total == 5

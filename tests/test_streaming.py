@@ -363,3 +363,20 @@ def test_state_store_provider_parity(spark):
         finally:
             release_all()
         assert base == rocks, name
+
+
+def test_interval_seconds_parses_compound_intervals():
+    """F.expr("interval 1 hour 30 minutes") is legal SQL; the driver-side
+    bucket math must accept the identical grammar (and reject garbage
+    with a ValueError naming the format, not a KeyError mid-query)."""
+    import pytest
+
+    from cliqz_etl_spark.streaming.jobs import _interval_seconds
+
+    assert _interval_seconds("1 hour") == 3600
+    assert _interval_seconds("90 seconds") == 90
+    assert _interval_seconds("1 hour 30 minutes") == 5400
+    assert _interval_seconds("2 days 1 hour 1 second") == 2 * 86_400 + 3601
+    for bad in ("", "1", "1 fortnight", "one hour", "1 hour 30"):
+        with pytest.raises(ValueError):
+            _interval_seconds(bad)
