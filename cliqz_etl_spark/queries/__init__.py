@@ -55,6 +55,8 @@ DRIVER_ORDER: list[str] = [
     # Ordered oldest-evidence-first (new/zero-evidence queries lead); the
     # driver checks slots 1-50. Regenerate after each driver run:
     #     python tools/rotate_window.py
+    # ---- latest green row: rnew/churn ----
+    "bigram_lm_score",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -106,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_simhash",
     "stratified_sample",
     "train_test_split",
-    "normalize_text",
     # ---------------- past the check window ----------------
+    "normalize_text",
     "multimodal_meta",
     "pricing_summary",
     "earliest_order_per_customer",

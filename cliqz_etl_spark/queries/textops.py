@@ -13,11 +13,11 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cliqz_etl_spark.functions import text as T
-from cliqz_etl_spark.functions.hashing import md5_long_sql
+from cliqz_etl_spark.functions.hashing import md5_long, md5_long_sql
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
 
@@ -470,3 +470,124 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisting the O(total tokens) exploded frame at any scale.
     """
     return unigram_ppm(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model scoring (CCNet-shape perplexity filtering,
+# Wenzek et al. 2020): train a smoothed LM on a held-out reference slice,
+# score every document, bucket the corpus head/middle/tail. The classic
+# quality gate in front of web-scale pretraining corpora — documents that
+# the reference LM finds improbable are boilerplate, spam, or noise.
+# Reference analogue: the repo-wide quality family (SURVEY.md north-star);
+# the reference ETL itself has no LM ops (cliqz_etl is 2 extract jobs).
+# --------------------------------------------------------------------------
+@query(
+    "bigram_lm_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+        WHERE trim(text) <> ''
+    ), big AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+              FROM base WHERE len(tk) >= 2)
+    ), tr AS (
+        SELECT w1, w2 FROM big WHERE {md5_long_sql('doc_id')} % 5 = 0
+    ), c2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM tr GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), voc AS (
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT unnest(tk) AS w FROM base
+              WHERE {md5_long_sql('doc_id')} % 5 = 0)
+    ), sc AS (
+        SELECT b.doc_id,
+               CAST(((COALESCE(c2.c2, 0) + 1) * 1000000)
+                    // (COALESCE(c1.c1, 0) + v + 1) AS BIGINT) AS ppm
+        FROM big b
+        LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        LEFT JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN voc
+    ), doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(ppm) // count(*) AS BIGINT) AS avg_cond_ppm,
+               CAST(sum(CAST(floor(1000 * -ln(greatest(ppm, 1) / 1000000.0)
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS nll_milli
+        FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id AS doc_id, n_bigrams AS n_bigrams,
+           avg_cond_ppm AS avg_cond_ppm, nll_milli AS nll_milli,
+           CAST(ntile(3) OVER (ORDER BY nll_milli // n_bigrams ASC,
+                               doc_id ASC) AS BIGINT) AS ppl_bucket
+    FROM doc
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus bucketing by reference-LM perplexity.
+
+    Model: add-one-smoothed bigram LM, p(w2|w1) = (c2+1)/(c1+V+1), trained
+    on the deterministic 20% reference slice md5(doc_id)%5==0 (the stand-in
+    for CCNet's held-out Wikipedia LM; hash-selection keeps it replayable
+    on both engines). Every doc with >=2 tokens is scored:
+
+    - per-bigram conditional probability in ppm, INTEGER-exact on both
+      engines (`div` on longs / `//` on HUGEINT; the +1 on the denominator
+      is the UNK type, which also makes a zero-vocab fuzz corpus safe);
+    - negative log-likelihood quantized PER BIGRAM before the sum (the
+      tfidf_search discipline: a double sum's order varies with
+      partitioning, an integer sum's doesn't). ln() runs on the identical
+      quantized double on both engines, so cross-engine drift is bounded
+      to the sub-ulp floor boundary, which the fuzz gate patrols;
+    - ppl_bucket = global ntile(3) over mean-nll order (1=head fluent,
+      3=tail noise), the exact CCNet head/middle/tail split.
+
+    Plan shape: bigrams come from one arrays_zip of two slices (scan-side,
+    no shuffle); c2 is ONE groupBy over the train bigrams (map-side
+    combine), persisted vocab-sized; c1 derives from c2 (no second corpus
+    scan); V rides a broadcast crossJoin as a 1-row aggregate. Scoring is
+    two keyed equi-joins (w1,w2)/(w1) — broadcastable when the trained
+    vocab is bounded, shuffled-but-keyed otherwise — then one groupBy(doc).
+    The global ntile is a single-task sort over |docs| rows of 4 ints; at
+    100 TB swap it for approx-quantile cutoffs (documented tradeoff:
+    exactness is what the oracle gate needs)."""
+    from cliqz_etl_spark.operators.cache import track
+
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text")
+    base = (docs.where(F.trim(F.col("text")) != "")
+            .select("doc_id", T.tokens("text").alias("tk")))
+    n = F.size("tk")
+    big = (base.where(n >= 2)
+           .select("doc_id",
+                   F.explode(F.arrays_zip(
+                       F.slice("tk", F.lit(1), n - 1).alias("w1"),
+                       F.slice("tk", F.lit(2), n - 1).alias("w2"))).alias("bg"))
+           .select("doc_id", F.col("bg.w1").alias("w1"),
+                   F.col("bg.w2").alias("w2")))
+    is_train = md5_long(F.col("doc_id")) % 5 == 0
+    c2 = track(big.where(is_train).groupBy("w1", "w2")
+               .agg(F.count(F.lit(1)).alias("c2")).persist())
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    voc = (base.where(is_train).select(F.explode("tk").alias("w"))
+           .agg(F.countDistinct("w").cast("long").alias("v")))
+    sc = (big.join(c2, ["w1", "w2"], "left")
+          .join(c1, ["w1"], "left")
+          .crossJoin(F.broadcast(voc))
+          .withColumn("ppm", F.expr(
+              "((coalesce(c2, 0) + 1) * 1000000) "
+              "div (coalesce(c1, 0) + v + 1)").cast("long")))
+    nll = F.floor(F.lit(1000) * -F.log(
+        F.greatest(F.col("ppm"), F.lit(1)) / F.lit(1000000.0)) + F.lit(0.5)
+    ).cast("long")
+    per = (sc.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                F.sum("ppm").alias("sum_ppm"),
+                F.sum(nll).cast("long").alias("nll_milli")))
+    w = Window.orderBy(F.expr("nll_milli div n_bigrams").asc(),
+                       F.col("doc_id").asc())
+    return per.select(
+        "doc_id", "n_bigrams",
+        F.expr("sum_ppm div n_bigrams").cast("long").alias("avg_cond_ppm"),
+        "nll_milli",
+        F.ntile(3).over(w).cast("long").alias("ppl_bucket"))

@@ -47,6 +47,9 @@ _FUZZED = [
     "dedup_cascade", "dedup_incremental", "dedup_ngram_jaccard_guarded",
     # round-7 addition: overlapping sliding-window chunking
     "chunk_documents",
+    # round-8: bigram reference-LM perplexity bucketing (empty/degenerate
+    # train slices, unicode tokens, and the quantized-ln boundary)
+    "bigram_lm_score",
     # custom-sink roundtrip — unicode + NULL text must survive the JSON
     # hop through the staged-commit jsonl_shards writer
     "jsonl_sink_roundtrip",
