@@ -57,6 +57,7 @@ DRIVER_ORDER: list[str] = [
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
     "bigram_lm_score",
+    "dsir_importance_weights",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "simhash_values",
     "dedup_simhash",
     "stratified_sample",
-    "train_test_split",
     # ---------------- past the check window ----------------
+    "train_test_split",
     "normalize_text",
     "multimodal_meta",
     "pricing_summary",

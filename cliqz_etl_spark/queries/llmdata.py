@@ -536,3 +536,103 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = unigram_ppm(sd, "text_kept")
     return (sd.join(scored, "doc_id")
             .select("doc_id", "n_kept", "n_dropped", "n_tok", "freq_ppm"))
+
+
+# --------------------------------------------------------------------------
+# DSIR: Data Selection with Importance Resampling (Xie et al. 2023).
+# Hashed-n-gram importance weights — the published trick for steering a
+# raw web corpus toward a target distribution without training a model:
+# hash every token into B buckets, estimate target and raw bucket
+# distributions, and weight each document by its tokens' summed
+# log-likelihood ratio. Selection (top-k / thresholding / Gumbel
+# resampling) composes downstream with the sampling family.
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 256
+_DSIR_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_DSIR_TOKENS} AS tk,
+               CAST({md5_long_sql('doc_id')} % 5 = 0 AS BIGINT) AS is_t
+        FROM documents WHERE trim(text) <> ''
+    ), tb AS (
+        SELECT doc_id, is_t, {md5_long_sql('w')} % {_DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, is_t, unnest(tk) AS w FROM base)
+    ), bc AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS rc,
+               CAST(sum(is_t) AS BIGINT) AS tc
+        FROM tb GROUP BY b
+    ), tot AS (
+        SELECT CAST(COALESCE(sum(rc), 0) AS BIGINT) AS r_tot,
+               CAST(COALESCE(sum(tc), 0) AS BIGINT) AS t_tot
+        FROM bc
+    ), wts AS (
+        SELECT b,
+               CAST(floor(1000 * ln(
+                   CAST((tc + 1) * (r_tot + {_DSIR_BUCKETS}) AS DOUBLE)
+                   / ((rc + 1) * (t_tot + {_DSIR_BUCKETS}))) + 0.5)
+                    AS BIGINT) AS lr_milli
+        FROM bc CROSS JOIN tot
+    )
+    SELECT tb.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(lr_milli) AS BIGINT) AS dsir_weight_milli
+    FROM tb JOIN wts USING (b) GROUP BY tb.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight against a hash-selected target.
+
+    The target distribution is estimated from the deterministic 20% slice
+    md5(doc_id)%5==0 (the stand-in for a curated target corpus; hash
+    selection keeps both engines replaying the same split), the raw
+    distribution from the whole corpus. Token features are hashed
+    unigrams: bucket = md5_long(w) % 256 — DSIR's dimensionality trick,
+    which is also what makes this scale: the entire "model" is 256 rows.
+
+    weight(doc) = sum over tokens of lr(bucket), with
+    lr = floor(1000*ln( (t_b+1)(R+B) / (r_b+1)(T+B) ) + 0.5) — Laplace-
+    smoothed log-likelihood ratio, quantized PER BUCKET before the
+    per-doc integer sum (the tfidf_search discipline; ln's argument is
+    built from exact integer products on both engines, so cross-engine
+    drift is bounded to the sub-ulp floor boundary the fuzz gate patrols;
+    products stay double-exact below ~2^53 — at 9e15 corpus tokens switch
+    the ratio to 128-bit/decimal arithmetic first).
+
+    Plan shape: ONE pass over the exploded tokens builds both bucket
+    distributions simultaneously (rc = count, tc = conditional sum — no
+    second corpus scan for the target side), yielding a 256-row table;
+    totals derive from those 256 rows; the scoring join broadcasts the
+    256-row weights table, so scoring is scan-side map + broadcast-hash-
+    join + one groupBy(doc_id) with map-side combine. Two corpus token
+    scans total, no shuffled token join at any scale."""
+    from cliqz_etl_spark.functions.text import tokens
+    from cliqz_etl_spark.operators.cache import track
+
+    B = _DSIR_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    base = (docs.where(F.trim(F.col("text")) != "")
+            .select("doc_id", tokens("text").alias("tk"),
+                    (md5_long(F.col("doc_id")) % 5 == 0).cast("long")
+                    .alias("is_t")))
+    tb = (base.select("doc_id", "is_t", F.explode("tk").alias("w"))
+          .select("doc_id", "is_t", (md5_long(F.col("w")) % B).alias("b")))
+    bc = track(tb.groupBy("b")
+               .agg(F.count(F.lit(1)).alias("rc"),
+                    F.sum("is_t").alias("tc")).persist())
+    tot = bc.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("r_tot"),
+                 F.coalesce(F.sum("tc"), F.lit(0)).alias("t_tot"))
+    wts = (bc.crossJoin(F.broadcast(tot))
+           .withColumn(
+               "lr_milli",
+               F.floor(F.lit(1000) * F.log(
+                   ((F.col("tc") + 1) * (F.col("r_tot") + B)).cast("double")
+                   / ((F.col("rc") + 1) * (F.col("t_tot") + B)))
+                   + F.lit(0.5)).cast("long"))
+           .select("b", "lr_milli"))
+    return (tb.join(F.broadcast(wts), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tok"),
+                 F.sum("lr_milli").cast("long").alias("dsir_weight_milli")))

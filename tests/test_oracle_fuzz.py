@@ -50,6 +50,9 @@ _FUZZED = [
     # round-8: bigram reference-LM perplexity bucketing (empty/degenerate
     # train slices, unicode tokens, and the quantized-ln boundary)
     "bigram_lm_score",
+    # round-8: hashed-unigram DSIR importance weights (target slice may
+    # be empty on tiny corpora; quantized-ln boundary)
+    "dsir_importance_weights",
     # custom-sink roundtrip — unicode + NULL text must survive the JSON
     # hop through the staged-commit jsonl_shards writer
     "jsonl_sink_roundtrip",
