@@ -58,6 +58,7 @@ DRIVER_ORDER: list[str] = [
     # ---- latest green row: rnew/churn ----
     "bigram_lm_score",
     "dsir_importance_weights",
+    "dedup_exact_substrings",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_lsh",
     "simhash_values",
     "dedup_simhash",
-    "stratified_sample",
     # ---------------- past the check window ----------------
+    "stratified_sample",
     "train_test_split",
     "normalize_text",
     "multimodal_meta",

@@ -372,3 +372,97 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_dedup(docs, "doc_id", "text", SPAN_K)
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup at the window level (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"): unlike the
+# C4 span dedup above (fixed NON-overlapping SPAN_K chunks), this slides a
+# W-token window at stride 1, so a duplicated passage is caught at ANY
+# token alignment — the property the suffix-array construction in the
+# paper buys, here bought with hashed windows instead (the shape that
+# stays a keyed groupBy/join on a cluster; a distributed suffix array is
+# a research project). An occurrence is duplicate iff an earlier
+# occurrence of the same window exists anywhere, earlier = smaller
+# (doc_id, win_idx) packed key — so within-doc repetition counts too,
+# exactly like the paper's "remove every repeat" rule.
+# --------------------------------------------------------------------------
+SUBSTR_W = 8  # window width (tokens); the paper uses 50 BPE tokens at scale
+
+
+@query(
+    "dedup_exact_substrings",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_WS} AS tk FROM documents WHERE trim(text) <> ''
+    ), w0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(tk) - {SUBSTR_W} + 1),
+                   i -> {{'win_idx': CAST(i AS BIGINT),
+                          'win': array_to_string(
+                              tk[i + 1 : i + {SUBSTR_W}], ' ')}})) AS c
+        FROM t WHERE len(tk) >= {SUBSTR_W}
+    ), w AS (
+        SELECT doc_id, {md5_long_sql('c.win')} AS h,
+               CAST(doc_id AS BIGINT) * 1048576 + c.win_idx AS key
+        FROM w0
+    ), m AS (
+        SELECT h, min(key) AS keep FROM w GROUP BY h
+    )
+    SELECT w.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN w.key > m.keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           CAST((sum(CASE WHEN w.key > m.keep THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM w JOIN m USING (h) GROUP BY w.doc_id
+    """,
+)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring profile over stride-1 windows.
+
+    Every doc with >= W tokens emits its n-W+1 sliding windows; each
+    window occurrence carries the packed key doc_id*2^20 + win_idx (the
+    dedup_spans packing; win_idx < 2^20 holds to ~1M tokens/doc) and the
+    60-bit md5 of the window text. The global MIN(key) per window hash
+    marks the canonical first occurrence; everything later is duplicate.
+    Output: n_windows, n_dup, and integer-exact dup_ppm per doc — the
+    removal mask a rewrite pass would apply, in the same batch-profile
+    form the rest of the dedup family reports.
+
+    Plan shape: scan-side transform/explode (W-times expansion, the price
+    of alignment-free matching — the windows never materialize to disk),
+    one groupBy(h) with map-side combine (repeated boilerplate windows
+    collapse per-partition before the shuffle), one keyed join back (m
+    has exactly one row per h, so the join cannot blow up on hot
+    windows), one groupBy(doc). 60-bit hashes collide at ~n^2/2^61;
+    identical md5 on both engines keeps the oracle exact regardless — at
+    real corpus scale widen to the full 128-bit digest."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+    from cliqz_etl_spark.functions.text import tokens
+    from cliqz_etl_spark.operators.dedup import _spread
+
+    W = SUBSTR_W
+    docs = _spread(load_table(spark, sf_dir, "documents")
+                   .select("doc_id", "text"))
+    base = (docs.where(F.trim(F.col("text")) != "")
+            .select("doc_id", tokens("text").alias("tk"))
+            .where(F.size("tk") >= W))
+    wins = base.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("tk") - W + 1),
+            lambda i: F.array_join(F.slice("tk", i, W), " ")))
+        .alias("win_idx", "win"))
+    w = wins.select(
+        "doc_id", md5_long(F.col("win")).alias("h"),
+        (F.col("doc_id") * F.lit(1048576) + F.col("win_idx")).alias("key"))
+    m = w.groupBy("h").agg(F.min("key").alias("keep"))
+    dup = F.when(F.col("key") > F.col("keep"), 1).otherwise(0)
+    return (w.join(m, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
+                 F.sum(dup).cast("long").alias("n_dup"))
+            .select("doc_id", "n_windows", "n_dup",
+                    F.expr("(n_dup * 1000000) div n_windows").cast("long")
+                    .alias("dup_ppm")))

@@ -53,6 +53,9 @@ _FUZZED = [
     # round-8: hashed-unigram DSIR importance weights (target slice may
     # be empty on tiny corpora; quantized-ln boundary)
     "dsir_importance_weights",
+    # round-8: stride-1 exact-substring window dedup (short docs below
+    # W, within-doc repeats, clone pair)
+    "dedup_exact_substrings",
     # custom-sink roundtrip — unicode + NULL text must survive the JSON
     # hop through the staged-commit jsonl_shards writer
     "jsonl_sink_roundtrip",
