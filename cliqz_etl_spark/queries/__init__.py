@@ -59,6 +59,7 @@ DRIVER_ORDER: list[str] = [
     "bigram_lm_score",
     "dsir_importance_weights",
     "dedup_exact_substrings",
+    "zorder_layout",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "minhash_signatures",
     "dedup_minhash_lsh",
     "simhash_values",
-    "dedup_simhash",
     # ---------------- past the check window ----------------
+    "dedup_simhash",
     "stratified_sample",
     "train_test_split",
     "normalize_text",
@@ -308,6 +309,14 @@ BENCH_HEADLINE: list[str] = [
     # the outer stream-stream join: the third streaming state shape
     # (two-sided buffered state + watermark-gated NULL emission)
     "streaming_left_outer_join",
+    # Round-8 additions: the two corpus-LM scorers (bigram perplexity =
+    # train-on-corpus + score-by-join; DSIR = hashed-unigram importance
+    # ratio, broadcast weight table) and the stride-1 exact-substring
+    # window dedup (W-times explode + global-MIN + join-back — the
+    # heaviest dedup shape per input byte).
+    "bigram_lm_score",
+    "dsir_importance_weights",
+    "dedup_exact_substrings",
 ]
 
 

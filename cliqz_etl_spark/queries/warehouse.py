@@ -628,3 +628,114 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton-curve) data layout: the file-skipping story at 100 TB.
+# Delta/Iceberg OPTIMIZE ZORDER works exactly like this — quantize each
+# clustering dimension, interleave the bits, range-partition files by the
+# interleaved code — so min/max footer stats stay tight on EVERY dimension
+# at once instead of only the leading sort key. This query materializes the
+# layout decision itself (bucket = top z-bits, shuffle-free, the same
+# range-by-z rule a real OPTIMIZE job uses) and reports the per-file
+# min/max spans for both layouts side by side: z-order buckets bound BOTH
+# custkey and orderdate to ~1/4 of their range, while the linear
+# (sort-by-custkey) layout leaves the date span at full width — the
+# measurable reason a date-predicate scan prunes 0 files under linear
+# layout and ~15/16 under z-order. All arithmetic is integer (quantize by
+# `div`, interleave by div/mod bit picks) so the oracle is bit-exact.
+# --------------------------------------------------------------------------
+_ZB = 16  # quantization levels per dimension (4 bits each -> 8-bit z-code)
+
+
+def _z_interleave_terms(cx: str, cy: str) -> str:
+    """`cx` bits at even positions, `cy` bits at odd — identical text for
+    Spark's and DuckDB's SQL dialects (div/% on non-negative BIGINTs)."""
+    terms = []
+    for i in range(4):
+        terms.append(f"(({cx} div {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({cy} div {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey AS x,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), b AS (
+        SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx
+        FROM base
+    ), coded AS (
+        SELECT x, y,
+               ((x - xmn) * {_ZB}) // (xmx - xmn + 1) AS cx,
+               ((y - ymn) * {_ZB}) // (ymx - ymn + 1) AS cy
+        FROM base CROSS JOIN b
+    ), z AS (
+        SELECT x, y, cx,
+               ({_z_interleave_terms('cx', 'cy').replace(' div ', ' // ')}) AS zv
+        FROM coded
+    ), tagged AS (
+        SELECT 'zorder' AS layout, zv // {_ZB} AS bucket, x, y FROM z
+        UNION ALL
+        SELECT 'linear' AS layout, cx AS bucket, x, y FROM z
+    )
+    SELECT layout AS layout, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(x) - min(x) AS BIGINT) AS cust_span,
+           CAST(max(y) - min(y) AS BIGINT) AS day_span
+    FROM tagged GROUP BY layout, bucket
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleave layout planner over orders(custkey, orderdate).
+
+    Plan shape: one 4-value bounds aggregate (tiny, broadcast back via
+    cross join), a pure map stage for quantize + bit-interleave (stays
+    inside whole-stage codegen: div/mod arithmetic, no UDF), a 2x
+    struct-explode to tag each row with both candidate layouts, and ONE
+    groupBy(layout, bucket) with map-side combine (<= 32 groups). The
+    bucket id is the z-code's top bits — a pure projection, exactly how a
+    production OPTIMIZE ZORDER range-partitions output files without a
+    global sort; at 100 TB the same plan holds because nothing here is
+    proportional to data size except the scan and the 32-group combine."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders
+        .where(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_custkey").alias("x"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("y"),
+        )
+    )
+    bounds = base.agg(
+        F.min("x").alias("xmn"), F.max("x").alias("xmx"),
+        F.min("y").alias("ymn"), F.max("y").alias("ymx"),
+    )
+    coded = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            "x", "y",
+            F.expr(f"((x - xmn) * {_ZB}) div (xmx - xmn + 1)").alias("cx"),
+            F.expr(f"((y - ymn) * {_ZB}) div (ymx - ymn + 1)").alias("cy"),
+        )
+        .select("x", "y", "cx",
+                F.expr(_z_interleave_terms("cx", "cy")).alias("zv"))
+    )
+    tagged = coded.select(
+        "x", "y",
+        F.explode(F.array(
+            F.struct(F.lit("zorder").alias("layout"),
+                     F.expr(f"zv div {_ZB}").alias("bucket")),
+            F.struct(F.lit("linear").alias("layout"),
+                     F.col("cx").alias("bucket")),
+        )).alias("t"),
+    ).select("t.layout", F.col("t.bucket").cast("long").alias("bucket"), "x", "y")
+    return tagged.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.max("x") - F.min("x")).cast("long").alias("cust_span"),
+        (F.max("y") - F.min("y")).cast("long").alias("day_span"),
+    )

@@ -299,6 +299,9 @@ _WH_FUZZED = [
     # previously the only orders/customer-driven queries outside the fuzz
     "scd2_customer_balance", "pit_order_balance",
     "bloom_semi_join_revenue", "bloom_prefilter_stats",
+    # round-8: z-order layout planner (all-NULL date corpus -> empty
+    # bounds row; single-date corpus -> zero-width quantization)
+    "zorder_layout",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))
