@@ -60,6 +60,11 @@ DRIVER_ORDER: list[str] = [
     "dsir_importance_weights",
     "dedup_exact_substrings",
     "zorder_layout",
+    "record_linkage_fs",
+    "psi_drift",
+    "temperature_mixing",
+    "incremental_join_maintenance",
+    "knn_graph",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -103,12 +108,12 @@ DRIVER_ORDER: list[str] = [
     "above_avg_balance_customers",
     "data_quality_checks",
     "order_rank_family",
+    # ---------------- past the check window ----------------
     "region_status_grid",
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",
     "simhash_values",
-    # ---------------- past the check window ----------------
     "dedup_simhash",
     "stratified_sample",
     "train_test_split",
@@ -317,6 +322,14 @@ BENCH_HEADLINE: list[str] = [
     "bigram_lm_score",
     "dsir_importance_weights",
     "dedup_exact_substrings",
+    # Round-8 late additions: the LSH kNN-graph (bucket-capped self-join
+    # + mutual-edge symmetrization — the graph-construction shape) and
+    # incremental join maintenance (three delta joins + combine — the
+    # materialized-view shape). The three cheap scan-shaped newcomers
+    # (PSI drift, temperature mixing, FS linkage) are covered by the
+    # correctness gate only, per the gopher/fuzzy-match precedent.
+    "knn_graph",
+    "incremental_join_maintenance",
 ]
 
 

@@ -688,3 +688,268 @@ def variant_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
              .cast("long").alias("total_cents"))
     )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (the 1969 model behind
+# Splink / every census-style linker): candidate pairs from a blocking
+# key, a per-field agreement vector gamma, and a match score = sum of
+# per-field log-likelihood weights ln(m/u) / ln((1-m)/(1-u)). m (P[agree
+# | same entity]) is a fixed per-field prior; u (P[agree | random pair])
+# is ESTIMATED FROM THE DATA as sum_v freqA(v)*freqB(v) / (NA*NB) — the
+# standard value-frequency estimate, computed here with exact integer
+# sums so both engines feed ln() the identical double. Weights are
+# quantized to milli-units per field (the dsir_importance_weights
+# discipline) BEFORE the per-pair sum, so scores are integer-exact. The
+# output is the FS contingency table itself: one row per gamma pattern
+# with its pair count and score — the tiny, stable artifact an EM
+# refinement step would consume.
+# --------------------------------------------------------------------------
+_FS_M = ((19, 20), (9, 10), (4, 5))  # per-field m priors as exact rationals
+
+
+def _fs_w(mnum: int, mden: int, un: str, d: str) -> tuple[str, str]:
+    """(agree, disagree) milli-weight SQL for one field — identical text
+    for Spark and DuckDB (floor/ln/CAST AS DOUBLE shared grammar).
+    Laplace smoothing (un+1)/(d+2) keeps both ln arguments finite even
+    when the field is constant (u=1) or never agrees (u=0)."""
+    agree = (f"CAST(floor(1000 * ln(CAST({mnum} * ({d} + 2) AS DOUBLE)"
+             f" / CAST({mden} * ({un} + 1) AS DOUBLE)) + 0.5) AS BIGINT)")
+    disagree = (f"CAST(floor(1000 * ln(CAST({mden - mnum} * ({d} + 2) AS DOUBLE)"
+                f" / CAST({mden} * ({d} + 1 - {un}) AS DOUBLE)) + 0.5) AS BIGINT)")
+    return agree, disagree
+
+
+def _fs_score_sql() -> str:
+    terms = []
+    for i, (mnum, mden) in enumerate(_FS_M, start=1):
+        a, dis = _fs_w(mnum, mden, f"un{i}", "d")
+        terms.append(f"(CASE WHEN g{i} = 1 THEN {a} ELSE {dis} END)")
+    return " + ".join(terms)
+
+
+@query(
+    "record_linkage_fs",
+    oracle=f"""
+    WITH a AS (
+        SELECT c_nationkey AS blk,
+               CAST(floor(c_acctbal / 100) AS BIGINT) AS f1,
+               CAST(c_acctbal >= 0 AS BIGINT) AS f2,
+               right(trim(c_name), 1) AS f3
+        FROM customer WHERE c_nationkey IS NOT NULL
+    ), b AS (
+        SELECT s_nationkey AS blk,
+               CAST(floor(s_acctbal / 100) AS BIGINT) AS f1,
+               CAST(s_acctbal >= 0 AS BIGINT) AS f2,
+               right(trim(s_name), 1) AS f3
+        FROM supplier WHERE s_nationkey IS NOT NULL
+    ), n AS (
+        SELECT (SELECT count(*) FROM a) * (SELECT count(*) FROM b) AS d,
+               COALESCE((SELECT sum(na * nb) FROM
+                   (SELECT f1, count(*) AS na FROM a WHERE f1 IS NOT NULL GROUP BY f1) fa
+                   JOIN (SELECT f1, count(*) AS nb FROM b WHERE f1 IS NOT NULL GROUP BY f1) fb
+                   USING (f1)), 0) AS un1,
+               COALESCE((SELECT sum(na * nb) FROM
+                   (SELECT f2, count(*) AS na FROM a WHERE f2 IS NOT NULL GROUP BY f2) fa
+                   JOIN (SELECT f2, count(*) AS nb FROM b WHERE f2 IS NOT NULL GROUP BY f2) fb
+                   USING (f2)), 0) AS un2,
+               COALESCE((SELECT sum(na * nb) FROM
+                   (SELECT f3, count(*) AS na FROM a WHERE f3 IS NOT NULL GROUP BY f3) fa
+                   JOIN (SELECT f3, count(*) AS nb FROM b WHERE f3 IS NOT NULL GROUP BY f3) fb
+                   USING (f3)), 0) AS un3
+    ), pairs AS (
+        SELECT CAST(a.f1 IS NOT NULL AND b.f1 IS NOT NULL AND a.f1 = b.f1 AS BIGINT) AS g1,
+               CAST(a.f2 IS NOT NULL AND b.f2 IS NOT NULL AND a.f2 = b.f2 AS BIGINT) AS g2,
+               CAST(a.f3 IS NOT NULL AND b.f3 IS NOT NULL AND a.f3 = b.f3 AS BIGINT) AS g3
+        FROM a JOIN b ON a.blk = b.blk
+    )
+    SELECT g1 * 4 + g2 * 2 + g3 AS pattern,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST({_fs_score_sql()} AS BIGINT) AS score_milli
+    FROM pairs CROSS JOIN n
+    GROUP BY g1, g2, g3, d, un1, un2, un3
+    """,
+)
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS contingency table linking customers to suppliers.
+
+    Blocking: nationkey equality (pair work is sum over blocks of
+    |A_blk|*|B_blk|, never NA*NB; at 100 TB add a second blocking key or
+    cap block sizes exactly as blocked_fuzzy_pairs does). Compared
+    fields: account-balance century bucket (m=0.95), balance sign
+    (m=0.9), name's trailing character (m=0.8). Agreement requires both
+    sides non-NULL — missing data is evidence of nothing.
+
+    Plan shape: the u-statistics are three tiny value-frequency joins
+    plus two counts, all collapsing to ONE broadcast row; candidate
+    generation is a single block-key equi-join; scoring is a map-stage
+    CASE over the broadcast weights; the output groupBy has <= 8 groups
+    (one per gamma pattern), so map-side combine reduces everything
+    before the final shuffle. Nothing materializes per-pair except
+    inside the block join itself."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def prep(df, nat, bal, name):
+        return df.where(F.col(nat).isNotNull()).select(
+            F.col(nat).cast("long").alias("blk"),
+            F.floor(F.col(bal) / 100).cast("long").alias("f1"),
+            (F.col(bal) >= 0).cast("long").alias("f2"),
+            F.expr(f"right(trim({name}), 1)").alias("f3"),
+        )
+
+    a = prep(cust, "c_nationkey", "c_acctbal", "c_name")
+    b = prep(supp, "s_nationkey", "s_acctbal", "s_name")
+
+    def ufreq(col):
+        fa = (a.where(F.col(col).isNotNull()).groupBy(col)
+              .agg(F.count(F.lit(1)).alias("na")))
+        fb = (b.where(F.col(col).isNotNull()).groupBy(col)
+              .agg(F.count(F.lit(1)).alias("nb")))
+        return (fa.join(fb, col)
+                .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+                     .alias(f"un{col[1]}")))
+
+    d = (a.agg(F.count(F.lit(1)).alias("na_tot"))
+         .crossJoin(b.agg(F.count(F.lit(1)).alias("nb_tot")))
+         .select((F.col("na_tot") * F.col("nb_tot")).alias("d")))
+    stats = (d.crossJoin(ufreq("f1")).crossJoin(ufreq("f2"))
+             .crossJoin(ufreq("f3")))
+
+    ga = F.col("af1").isNotNull() & F.col("bf1").isNotNull()
+    pairs = (
+        a.select(F.col("blk"), F.col("f1").alias("af1"),
+                 F.col("f2").alias("af2"), F.col("f3").alias("af3"))
+        .join(b.select(F.col("blk"), F.col("f1").alias("bf1"),
+                       F.col("f2").alias("bf2"), F.col("f3").alias("bf3")),
+              "blk")
+        .select(
+            (ga & (F.col("af1") == F.col("bf1"))).cast("long").alias("g1"),
+            (F.col("af2").isNotNull() & F.col("bf2").isNotNull()
+             & (F.col("af2") == F.col("bf2"))).cast("long").alias("g2"),
+            (F.col("af3").isNotNull() & F.col("bf3").isNotNull()
+             & (F.col("af3") == F.col("bf3"))).cast("long").alias("g3"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .groupBy("g1", "g2", "g3", "d", "un1", "un2", "un3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            (F.col("g1") * 4 + F.col("g2") * 2 + F.col("g3")).cast("long")
+            .alias("pattern"),
+            "n_pairs",
+            F.expr(_fs_score_sql()).cast("long").alias("score_milli"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index: the standard production drift monitor (the
+# number every model-serving/data-ingest dashboard alarms on). Two corpus
+# slices — orders before vs since a cutoff date — are histogrammed into
+# ten equal-width totalprice buckets over the COMBINED min/max, and each
+# bucket contributes (p_i - q_i) * ln(p_i / q_i), Laplace-smoothed so
+# empty buckets stay finite. The bucket spine is generated explicitly
+# (0..9) so zero-count buckets still contribute their smoothed term —
+# dropping them silently understates drift, the classic PSI bug. All
+# ratios are built from exact integer products; the per-bucket term is
+# quantized to micro-units (the dsir ln discipline), so the 10-row output
+# is integer-stable across engines.
+# --------------------------------------------------------------------------
+_PSI_CUTOFF = "1997-07-01"
+_PSI_B = 10
+
+
+def _psi_term_sql(a: str, b: str, A: str, B: str) -> str:
+    num = f"(({a} + 1) * ({B} + {_PSI_B}))"
+    den = f"(({b} + 1) * ({A} + {_PSI_B}))"
+    diff = f"({num} - {den})"
+    scale = f"(({A} + {_PSI_B}) * ({B} + {_PSI_B}))"
+    return (f"CAST(floor(1000000 * (CAST({diff} AS DOUBLE) / CAST({scale} AS DOUBLE))"
+            f" * ln(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) + 0.5) AS BIGINT)")
+
+
+@query(
+    "psi_drift",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_totalprice AS p,
+               CAST(o_orderdate >= TIMESTAMP '{_PSI_CUTOFF} 00:00:00' AS BIGINT) AS cur
+        FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    ), bd AS (
+        SELECT min(p) AS mn, max(p) AS mx FROM base
+    ), coded AS (
+        SELECT LEAST({_PSI_B - 1}, CAST(floor((p - mn) * {_PSI_B} / (mx - mn + 1e-9))
+                                        AS BIGINT)) AS bucket, cur
+        FROM base CROSS JOIN bd
+    ), spine AS (
+        SELECT unnest(range({_PSI_B})) AS bucket
+    ), cnt AS (
+        SELECT spine.bucket AS bucket,
+               CAST(COALESCE(sum(1 - cur), 0) AS BIGINT) AS n_ref,
+               CAST(COALESCE(sum(cur), 0) AS BIGINT) AS n_cur
+        FROM spine LEFT JOIN coded ON coded.bucket = spine.bucket
+        GROUP BY spine.bucket
+    ), tot AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS a_tot,
+               CAST(sum(n_cur) AS BIGINT) AS b_tot
+        FROM cnt
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
+           {_psi_term_sql('n_ref', 'n_cur', 'a_tot', 'b_tot')} AS psi_contrib_micro
+    FROM cnt CROSS JOIN tot
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket PSI between pre- and post-cutoff order-price slices.
+
+    Plan shape: one scan feeding a 2-value bounds aggregate and the
+    bucket histogram (sum of 0/1 indicators gives both slice counts in
+    ONE groupBy — no second scan per slice), a literal 10-row spine
+    left-joined to restore empty buckets, totals from the 10-row frame,
+    and a map-stage quantized-ln term. Everything after the histogram
+    shuffle is constant-size regardless of corpus scale; the histogram
+    itself map-side combines to <= 10 groups per partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders
+        .where(F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_totalprice").alias("p"),
+            (F.col("o_orderdate") >= F.lit(f"{_PSI_CUTOFF} 00:00:00").cast("timestamp"))
+            .cast("long").alias("cur"),
+        )
+    )
+    bd = base.agg(F.min("p").alias("mn"), F.max("p").alias("mx"))
+    coded = (
+        base.crossJoin(F.broadcast(bd))
+        .select(
+            F.least(F.lit(_PSI_B - 1),
+                    F.floor((F.col("p") - F.col("mn")) * _PSI_B
+                            / (F.col("mx") - F.col("mn") + F.lit(1e-9))))
+            .cast("long").alias("bucket"),
+            "cur",
+        )
+    )
+    spine = spark.range(_PSI_B).select(F.col("id").cast("long").alias("bucket"))
+    # Aggregate BEFORE touching the spine: the histogram groupBy map-side
+    # combines to <= 10 rows, and the spine left-joins against that tiny
+    # frame — joining the spine to the raw rows instead would shuffle the
+    # whole fact table into 10 skewed partitions.
+    hist = coded.groupBy("bucket").agg(
+        F.sum(1 - F.col("cur")).alias("r"), F.sum("cur").alias("c"))
+    cnt = (
+        spine.join(F.broadcast(hist), "bucket", "left")
+        .select("bucket",
+                F.coalesce(F.col("r"), F.lit(0)).cast("long").alias("n_ref"),
+                F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_cur"))
+    )
+    tot = cnt.agg(F.sum("n_ref").cast("long").alias("a_tot"),
+                  F.sum("n_cur").cast("long").alias("b_tot"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select("bucket", "n_ref", "n_cur",
+                F.expr(_psi_term_sql("n_ref", "n_cur", "a_tot", "b_tot"))
+                .alias("psi_contrib_micro"))
+    )

@@ -636,3 +636,56 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_tok"),
                  F.sum("lr_milli").cast("long").alias("dsir_weight_milli")))
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled language mixing (mT5 / XLM-R corpus balancing):
+# sampling rate per language proportional to p_l^alpha with alpha < 1,
+# which up-weights tail languages without letting any head language
+# dominate. The per-language weight pow(n_l, alpha) is quantized to
+# milli-units FIRST (per-language — a handful of rows), then the
+# normalized rate is an exact integer division over the quantized sum,
+# so the output is integer-stable across engines (the dsir ln/pow
+# discipline).
+# --------------------------------------------------------------------------
+_MIX_ALPHA = "0.3"
+
+
+@query(
+    "temperature_mixing",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), w AS (
+        SELECT lang, n_docs,
+               CAST(floor(1000 * pow(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) + 0.5)
+                    AS BIGINT) AS w_milli
+        FROM c
+    ), t AS (
+        SELECT CAST(sum(w_milli) AS BIGINT) AS w_tot FROM w
+    )
+    SELECT lang AS lang, n_docs, w_milli,
+           CAST((1000000 * w_milli) // w_tot AS BIGINT) AS rate_ppm
+    FROM w CROSS JOIN t
+    """,
+)
+def temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates at temperature alpha = 0.3.
+
+    Plan shape: one groupBy(lang) with map-side combine (the only pass
+    over the corpus), then everything — pow, quantize, normalize — runs
+    on the per-language frame, which has as many rows as languages. The
+    normalizing total comes from that same tiny frame and broadcasts
+    back, so corpus size only ever enters through the first aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (docs.groupBy("lang")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+         .select("lang", "n_docs",
+                 F.floor(1000 * F.pow(F.col("n_docs").cast("double"),
+                                      F.lit(float(_MIX_ALPHA))) + 0.5)
+                 .cast("long").alias("w_milli")))
+    t = w.agg(F.sum("w_milli").cast("long").alias("w_tot"))
+    return (w.crossJoin(F.broadcast(t))
+            .select("lang", "n_docs", "w_milli",
+                    F.expr("(1000000 * w_milli) div w_tot").cast("long")
+                    .alias("rate_ppm")))

@@ -617,3 +617,127 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_verdicts(emb, "vec_id", "embedding", VEC_DIM,
                              KM_K, KM_ITER, SEM_THRESH_X10K,
                              train_limit=KM_TRAIN_LIMIT)
+
+
+# ---- k-NN graph construction ----------------------------------------------
+# The precursor artifact for SemDeDup-style clustering, label propagation,
+# and graph-based outlier pruning: every node's top-k LSH-candidate
+# neighbors, plus the mutual-kNN marking (edge kept by BOTH endpoints —
+# the standard symmetrization that separates core cluster members from
+# hub/boundary points). Buckets are capped at a fixed fan-in BEFORE the
+# self-join — the guard every production LSH system ships, because one
+# degenerate bucket (all-identical vectors, the adversarial-fuzz case)
+# otherwise costs |bucket|^2. The cap is deterministic (smallest vec_ids
+# win), so the oracle replays it exactly; recall loss from capping is the
+# documented LSH tradeoff, not noise.
+# ---------------------------------------------------------------------------
+KNN_K = 3
+KNN_BUCKET_CAP = 50
+
+
+@query(
+    "knn_graph",
+    oracle=_QCTE + f"""
+    , sigs AS (
+        SELECT vec_id, v, {_rhp_signature_sql()} AS signature FROM q
+    ), chunks AS (
+        SELECT vec_id, v, 0 AS band, signature & 255 AS chunk FROM sigs
+        UNION ALL
+        SELECT vec_id, v, 1 AS band, (signature >> 8) & 255 AS chunk FROM sigs
+    ), capped AS (
+        SELECT vec_id, v, band, chunk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY band, chunk
+                                         ORDER BY vec_id ASC) AS rn
+            FROM chunks)
+        WHERE rn <= {KNN_BUCKET_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+               a.v AS av, b.v AS bv
+        FROM capped a JOIN capped b
+          ON b.band = a.band AND b.chunk = a.chunk AND b.vec_id != a.vec_id
+    ), edges AS (
+        SELECT src, dst, cos_x10k FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY {_cos('av', 'bv')} DESC, dst ASC) AS rank,
+                   CAST(floor({_cos('av', 'bv')} * 10000 + 0.5) AS BIGINT) AS cos_x10k
+            FROM cand)
+        WHERE rank <= {KNN_K}
+    )
+    SELECT e.src AS vec_id,
+           CAST(count(*) AS BIGINT) AS degree,
+           CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mutual,
+           CAST(max(e.cos_x10k) AS BIGINT) AS top1_cos_x10k
+    FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    GROUP BY e.src
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node kNN-graph profile: degree, mutual-edge count, top-1 cosine.
+
+    Plan shape: signature computation is scan-side (16 literal-plane dot
+    products, zero shuffle); the bucket cap is a window over (band,
+    chunk) whose partitioning the self-join REUSES (one exchange feeds
+    both); candidate dedup, per-src ranking, and the mutual-edge
+    self-join all key on src — three stages sharing the same shuffle
+    key. The edge frame is N*k rows, so the mutual join and final
+    groupBy are graph-sized, not corpus-sized. At 100 TB widen bands or
+    raise the cap per recall budget; cost stays sum-of-bucket^2 bounded
+    by cap^2 * n_buckets."""
+    from pyspark.sql import Window
+
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = _materialize(
+        valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
+        .select(F.col("_id").alias("vec_id"), F.col("_qv").alias("qv"))
+        .select("vec_id", "qv", _rhp_signature_col().alias("signature"),
+                norm2_q(F.col("qv")).cast("double").alias("qn"))
+    )
+    bands = F.array(
+        F.struct(F.lit(0).alias("band"),
+                 F.col("signature").bitwiseAND(F.lit(255)).alias("chunk")),
+        F.struct(F.lit(1).alias("band"),
+                 F.shiftright(F.col("signature"), 8).bitwiseAND(F.lit(255))
+                 .alias("chunk")),
+    )
+    chunks = (sigs.select("vec_id", "qv", "qn", F.explode(bands).alias("c"))
+              .select("vec_id", "qv", "qn",
+                      F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk")))
+    wb = Window.partitionBy("band", "chunk").orderBy(F.asc("vec_id"))
+    capped = (chunks.withColumn("rn", F.row_number().over(wb))
+              .where(F.col("rn") <= KNN_BUCKET_CAP).drop("rn"))
+    a = capped.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa"),
+                      F.col("qn").alias("na"), "band", "chunk")
+    b = capped.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb"),
+                      F.col("qn").alias("nb"), "band", "chunk")
+    cand = (a.join(b, ["band", "chunk"])
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst", "qa", "qb", "na", "nb")
+            .distinct())
+    ws = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    # materialized: the edge frame feeds BOTH sides of the mutual join —
+    # without a persist the whole candidate pipeline would execute twice
+    edges = _materialize(
+        cand.select("src", "dst",
+                    (dot_q(F.col("qa"), F.col("qb")).cast("double")
+                     / F.sqrt(F.col("na") * F.col("nb"))).alias("cos"))
+        .withColumn("rank", F.row_number().over(ws))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "dst",
+                F.floor(F.col("cos") * 10000 + 0.5).cast("long").alias("cos_x10k"))
+    )
+    rev = edges.select(F.col("src").alias("r_dst"), F.col("dst").alias("r_src"))
+    return (
+        edges.join(rev, (F.col("r_src") == F.col("src"))
+                   & (F.col("r_dst") == F.col("dst")), "left")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"),
+             F.sum(F.when(F.col("r_src").isNotNull(), 1).otherwise(0))
+             .cast("long").alias("n_mutual"),
+             F.max("cos_x10k").cast("long").alias("top1_cos_x10k"))
+        .select(F.col("src").alias("vec_id"), "degree", "n_mutual",
+                "top1_cos_x10k")
+    )

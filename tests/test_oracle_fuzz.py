@@ -56,6 +56,9 @@ _FUZZED = [
     # round-8: stride-1 exact-substring window dedup (short docs below
     # W, within-doc repeats, clone pair)
     "dedup_exact_substrings",
+    # round-8: temperature-scaled language mixing (single-lang corpora,
+    # pow/quantize boundary, tiny n_docs)
+    "temperature_mixing",
     # custom-sink roundtrip — unicode + NULL text must survive the JSON
     # hop through the staged-commit jsonl_shards writer
     "jsonl_sink_roundtrip",
@@ -132,6 +135,9 @@ _EMB_FUZZED = [
     # for; the id scheme makes the strided roles non-trivial.
     "ivf_clusters", "ann_ivf", "ann_ivf_multiprobe", "ann_sq8", "ann_rhp",
     "kmeans_centroids", "ivf_clusters_trained", "dedup_semantic",
+    # round-8: LSH kNN-graph (degenerate all-identical buckets hit the
+    # fan-in cap; mutual-edge marking under ties)
+    "knn_graph",
 ]
 
 # Row i gets _EMB_IDS[i], not i: sequential ids give a <=18-row corpus
@@ -302,6 +308,11 @@ _WH_FUZZED = [
     # round-8: z-order layout planner (all-NULL date corpus -> empty
     # bounds row; single-date corpus -> zero-width quantization)
     "zorder_layout",
+    # round-8: FS record linkage (NULL balances/names, constant fields ->
+    # u=1 smoothing arm, empty blocks), PSI drift (empty slices, all-one-
+    # bucket corpora), and incremental join maintenance (NULL dates land
+    # in the old slice; the identity must hold under every split)
+    "record_linkage_fs", "psi_drift", "incremental_join_maintenance",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))
