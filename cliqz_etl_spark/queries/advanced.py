@@ -20,7 +20,12 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 # As-of join: for each purchase, the user's most recent STRICTLY PRIOR
 # click. Implemented as a single pass over a per-user time-ordered window
 # (last_value IGNORE NULLS over preceding rows) — the scalable as-of shape:
-# one shuffle on user_id, no range self-join.
+# one shuffle on user_id, no range self-join. NULL-timestamp events are
+# excluded up front: an undated event cannot be ordered "before" anything,
+# and leaving it in puts the row wherever each engine's NULL sort order
+# says (Spark first, DuckDB last — a real divergence the event fuzz
+# caught: a NULL-ts click became every purchase's "prior" click on the
+# Spark side only).
 # --------------------------------------------------------------------------
 @query(
     "asof_last_click_before_purchase",
@@ -33,7 +38,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
                last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
                    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id AS user_id, event_id AS purchase_id,
            last_click_id AS last_click_id,
@@ -42,7 +47,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     """,
 )
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.asc("ts"), F.asc("event_id"))
@@ -786,7 +791,11 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE over the broadcast weights; the output groupBy has <= 8 groups
     (one per gamma pattern), so map-side combine reduces everything
     before the final shuffle. Nothing materializes per-pair except
-    inside the block join itself."""
+    inside the block join itself. The prepped sides are persisted: five
+    consumers each (three u-stats, the total count, the pair join) would
+    otherwise re-scan the source five times."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
 
@@ -798,8 +807,8 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"right(trim({name}), 1)").alias("f3"),
         )
 
-    a = prep(cust, "c_nationkey", "c_acctbal", "c_name")
-    b = prep(supp, "s_nationkey", "s_acctbal", "s_name")
+    a = _materialize(prep(cust, "c_nationkey", "c_acctbal", "c_name"))
+    b = _materialize(prep(supp, "s_nationkey", "s_acctbal", "s_name"))
 
     def ufreq(col):
         fa = (a.where(F.col(col).isNotNull()).groupBy(col)
