@@ -212,6 +212,16 @@ _PLAN_BUDGET = {
     "variant_roundtrip_stats": (2, 0),
     "curation_pipeline_v2": (4, 0),
     "supplier_part_pagerank": (6, 0),
+    # round-8 pins
+    "dedup_exact_substrings": (2, 0),
+    "zorder_layout": (2, 0),
+    "psi_drift": (3, 0),
+    "temperature_mixing": (3, 0),
+    # 12 = three tiny u-stat frequency joins + counts, all dimension-
+    # sized; the budget exists to catch a PAIR-sized shuffle appearing
+    "record_linkage_fs": (12, 0),
+    "incremental_join_maintenance": (4, 0),
+    "knn_graph": (4, 0),
 }
 
 
