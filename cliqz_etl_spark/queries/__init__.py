@@ -65,6 +65,9 @@ DRIVER_ORDER: list[str] = [
     "temperature_mixing",
     "incremental_join_maintenance",
     "knn_graph",
+    "script_mix",
+    "event_pmi",
+    "triangle_counts",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -105,10 +108,10 @@ DRIVER_ORDER: list[str] = [
     "shipping_priority",
     "nation_trade_volume",
     "parts_supplier_stats",
+    # ---------------- past the check window ----------------
     "above_avg_balance_customers",
     "data_quality_checks",
     "order_rank_family",
-    # ---------------- past the check window ----------------
     "region_status_grid",
     "dedup_exact",
     "minhash_signatures",

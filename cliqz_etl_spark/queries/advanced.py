@@ -962,3 +962,84 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(_psi_term_sql("n_ref", "n_cur", "a_tot", "b_tot"))
                 .alias("psi_contrib_micro"))
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph — the canonical
+# distributed-graph benchmark (clustering coefficient, community
+# density). Nodes = parts; an edge joins two parts appearing in the same
+# order. Edges are ORIENTED a < b at build time, so each triangle is
+# counted exactly once as (a < b < c): the wedge join matches e(a,b) with
+# e(b,c) and the closing join checks e(a,c) — the standard two-join plan
+# whose work is bounded by sum-of-degree^2 on the oriented graph (the
+# reason every production triangle counter orients edges first). Edge
+# generation explodes each order's part LIST into ordered pairs
+# scan-side, so the only corpus-sized shuffles are the edge distinct and
+# the wedge join.
+# --------------------------------------------------------------------------
+@query(
+    "triangle_counts",
+    oracle="""
+    WITH e AS (
+        -- same edge set the Spark side builds scan-side from each
+        -- order's sorted part list: distinct within-order pairs, a < b
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+        WHERE x.l_orderkey IS NOT NULL
+    ), wedges AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+    ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM wedges w JOIN e ON e.a = w.a AND e.b = w.c
+    )
+    SELECT CAST((SELECT count(DISTINCT x) FROM
+                    (SELECT a AS x FROM e UNION ALL SELECT b FROM e)) AS BIGINT)
+               AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the co-purchase graph.
+
+    Plan shape: groupBy(order) collects each order's distinct parts
+    (map-side combine), ordered pairs explode scan-side from the sorted
+    list, one distinct dedups edges, then wedge join (shuffle on the
+    shared endpoint) + closing join (shuffle on (a, c)). The persisted
+    edge frame feeds four consumers. At 100 TB the orientation bounds
+    wedge counts by the oriented degree; further skew control = cap
+    parts-per-order (basket size is naturally small) exactly as the
+    range join caps its buckets."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()))
+    ps = (li.groupBy("l_orderkey")
+          .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    n = F.size("ps")
+    pairs = ps.select(
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda j: F.when(i < j, F.struct(
+                    F.element_at("ps", i + 1).alias("a"),
+                    F.element_at("ps", j + 1).alias("b"))),
+            )))).alias("p")
+    ).where(F.col("p").isNotNull()).select("p.a", "p.b")
+    e = _materialize(pairs.distinct())
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e.join(e2, "b").select("a", "b", "c")
+    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    nodes = (e.select(F.col("a").alias("x"))
+             .unionByName(e.select(F.col("b").alias("x")))
+             .agg(F.countDistinct("x").cast("long").alias("n_nodes")))
+    edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (nodes.crossJoin(F.broadcast(edges))
+            .crossJoin(F.broadcast(tri))
+            .select("n_nodes", "n_edges", "n_triangles"))

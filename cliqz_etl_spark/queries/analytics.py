@@ -1002,3 +1002,74 @@ def jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("text").isNull().cast("long")).cast("long")
              .alias("null_texts"))
     )
+
+
+# --------------------------------------------------------------------------
+# Pointwise mutual information between event types at the user level —
+# the association statistic behind co-occurrence embeddings (word2vec's
+# SGNS objective factorizes a shifted PMI matrix) and market-basket
+# lift. Universe = users with at least one typed event; c_x = users
+# exhibiting type x, c_xy = users exhibiting both; PMI = ln(c_xy * N /
+# (c_x * c_y)), quantized to milli per PAIR (the dsir ln discipline —
+# the pair frame has at most |types|^2 rows, so quantization cost is
+# nil and the integer output is engine-stable).
+# --------------------------------------------------------------------------
+@query(
+    "event_pmi",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ), n AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+    ), cx AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY event_type
+    ), cxy AS (
+        SELECT a.event_type AS x, b.event_type AS y,
+               CAST(count(*) AS BIGINT) AS c_xy
+        FROM ut a JOIN ut b ON b.user_id = a.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT cxy.x AS x, cxy.y AS y, cxy.c_xy AS c_xy,
+           CAST(floor(1000 * ln(CAST(cxy.c_xy * n.n_users AS DOUBLE)
+                                / CAST(fx.c * fy.c AS DOUBLE)) + 0.5) AS BIGINT)
+               AS pmi_milli
+    FROM cxy
+    JOIN cx fx ON fx.event_type = cxy.x
+    JOIN cx fy ON fy.event_type = cxy.y
+    CROSS JOIN n
+    """,
+)
+def event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI over co-occurring event types per user.
+
+    Plan shape: one distinct (user, type) pass — the only corpus-sized
+    shuffle; the per-user self-join explodes to at most
+    |types-per-user|^2 rows (bounded by the closed type vocabulary, not
+    by event volume); marginals and the user count are tiny aggregates
+    broadcast into the final pair frame. The persisted distinct frame
+    feeds three consumers (self-join sides, marginals, user count) so
+    the corpus is scanned once."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = _materialize(
+        ev.where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type").distinct())
+    n = ut.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    cx = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = ut.select("user_id", F.col("event_type").alias("x"))
+    b = ut.select("user_id", F.col("event_type").alias("y"))
+    cxy = (a.join(b, "user_id")
+           .where(F.col("x") < F.col("y"))
+           .groupBy("x", "y")
+           .agg(F.count(F.lit(1)).cast("long").alias("c_xy")))
+    fx = cx.select(F.col("event_type").alias("x"), F.col("c").alias("cfx"))
+    fy = cx.select(F.col("event_type").alias("y"), F.col("c").alias("cfy"))
+    return (cxy.join(F.broadcast(fx), "x").join(F.broadcast(fy), "y")
+            .crossJoin(F.broadcast(n))
+            .select("x", "y", "c_xy",
+                    F.floor(1000 * F.log(
+                        (F.col("c_xy") * F.col("n_users")).cast("double")
+                        / (F.col("cfx") * F.col("cfy")).cast("double"))
+                        + F.lit(0.5)).cast("long").alias("pmi_milli")))

@@ -591,3 +591,87 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum_ppm div n_bigrams").cast("long").alias("avg_cond_ppm"),
         "nll_milli",
         F.ntile(3).over(w).cast("long").alias("ppl_bucket"))
+
+
+# --------------------------------------------------------------------------
+# Unicode-script profile: the multilingual-curation gate that runs BEFORE
+# language ID (a CJK page should never reach the Latin-ngram scorer, and
+# mixed-script spam — Latin words stuffed with CJK SEO filler — shows up
+# as no script reaching dominance). Counts per script class by the
+# length-difference trick (len(text) - len(text with the class removed)),
+# which stays in whole-stage codegen on the Spark side and replays
+# identically in DuckDB. Whitespace is the EXPLICIT class [ \t\n\r] —
+# regex \s differs between Java (adds \x0B\f) and RE2 (adds \f), so the
+# shared grammar pins the exact set. Dominance ties break in fixed
+# latin > cjk > digit > space > other order on both engines.
+# --------------------------------------------------------------------------
+_SCRIPT_CLASSES = [
+    ("latin", "[A-Za-z]"),
+    ("cjk", "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\n\\r]"),
+]
+
+
+def _script_count_sql(cls_re: str) -> str:
+    return (f"CAST(length(text) - length(regexp_replace(text, '{cls_re}', '', 'g'))"
+            f" AS BIGINT)")
+
+
+def _dominant_sql() -> str:
+    names = [n for n, _ in _SCRIPT_CLASSES] + ["other"]
+    arms = []
+    for i, n in enumerate(names[:-1]):
+        geq = " AND ".join(f"n_{n} >= n_{m}" for m in names if m != n)
+        arms.append(f"WHEN {geq} THEN '{n}'")
+    return "CASE " + " ".join(arms) + " ELSE 'other' END"
+
+
+@query(
+    "script_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id,
+               {_script_count_sql('[A-Za-z]')} AS n_latin,
+               {_script_count_sql(_SCRIPT_CLASSES[1][1])} AS n_cjk,
+               {_script_count_sql('[0-9]')} AS n_digit,
+               {_script_count_sql(_SCRIPT_CLASSES[3][1])} AS n_space,
+               CAST(length(text) AS BIGINT) AS n_all
+        FROM documents WHERE text IS NOT NULL
+    ), named AS (
+        SELECT doc_id, n_latin, n_cjk, n_digit, n_space,
+               n_all - n_latin - n_cjk - n_digit - n_space AS n_other
+        FROM counts
+    )
+    SELECT doc_id AS doc_id, n_latin, n_cjk, n_digit, n_space, n_other,
+           {_dominant_sql()} AS dominant
+    FROM named
+    """,
+)
+def script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unicode-script histogram + dominant script.
+
+    Plan shape: pure scan-side map work — five regexp_replace/length
+    expressions and a CASE chain, all inside one whole-stage-codegen
+    span, zero shuffles (the chunk_documents discipline: at 100 TB this
+    is embarrassingly parallel and reads only (doc_id, text))."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    def cnt(cls_re):
+        return (F.length("text")
+                - F.length(F.regexp_replace("text", cls_re, ""))).cast("long")
+
+    named = docs.select(
+        "doc_id",
+        cnt("[A-Za-z]").alias("n_latin"),
+        cnt("[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]").alias("n_cjk"),
+        cnt("[0-9]").alias("n_digit"),
+        cnt("[ \\t\\n\\r]").alias("n_space"),
+        F.length("text").cast("long").alias("n_all"),
+    ).withColumn(
+        "n_other",
+        F.col("n_all") - F.col("n_latin") - F.col("n_cjk")
+        - F.col("n_digit") - F.col("n_space"),
+    )
+    return named.select("doc_id", "n_latin", "n_cjk", "n_digit", "n_space",
+                        "n_other", F.expr(_dominant_sql()).alias("dominant"))

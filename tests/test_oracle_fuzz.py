@@ -59,6 +59,9 @@ _FUZZED = [
     # round-8: temperature-scaled language mixing (single-lang corpora,
     # pow/quantize boundary, tiny n_docs)
     "temperature_mixing",
+    # round-8: unicode-script histogram — the length-parity gauntlet
+    # (CJK, emoji, NULL/empty text, mixed-script ties)
+    "script_mix",
     # custom-sink roundtrip — unicode + NULL text must survive the JSON
     # hop through the staged-commit jsonl_shards writer
     "jsonl_sink_roundtrip",
@@ -221,6 +224,9 @@ _EV_FUZZED = [
     # round-7: VARIANT encode->decode roundtrip — to_json drops NULL
     # fields and try_variant_get must surface them back as NULL
     "variant_roundtrip_stats",
+    # round-8: user-level event-type PMI (NULL users/types drop on both
+    # sides; single-type corpora produce an empty pair frame)
+    "event_pmi",
 ]
 
 _TS = st.one_of(
@@ -443,6 +449,9 @@ _TPCH_FUZZED = [
     # single-pass observed write: NULL-injected prices/dates light up the
     # null-count metrics the clean corpus keeps at zero
     "observed_write_metrics",
+    # round-8: triangle census — NULL order/part keys drop at scan; the
+    # oriented-edge dedup must agree across engines
+    "triangle_counts",
 ]
 
 _PERTURB_COLS = {
