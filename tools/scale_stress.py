@@ -88,6 +88,15 @@ vectors): LSH 2.8x, simhash 4.5x, ngram-jaccard 16.7x, incremental LSH
 14.4x, SQ8 4.3x, IVF 14.9x, span dedup 17.7x, unigram 27.2x,
 curation_v2 21.2x, chunk 28.7x wall-clock at 100x the data — all
 sub-linear; pii scan stays overhead-bound (0.2 s at either scale).
+
+Round-8 default-mode run: the two new heavy ops hold the curve —
+dedup_exact_substrings 1.53 s -> 4.01 s (2.6x wall at 10x docs; the
+W-times window expansion rides map-side combine, so duplicate-heavy
+synthetic text collapses before the shuffle) and knn_graph 2.89 s ->
+8.12 s (2.8x at 16x vectors; the per-bucket fan-in cap holds candidate
+volume at cap^2 x occupied-buckets, so growth flattens as buckets
+fill). Events/streaming families in their usual bands (sessionize
+1.8x, as-of 1.5x, retention/funnel ~1x, windowed drain 0.6x).
 SemDeDup with corpus-scaled K (5000 clusters): 212 s full-corpus fit vs
 128 s with the sampled-fit knob (10 samples/centroid) at identical
 output — the sampled path is the 100x-scale default; its huge printed
@@ -315,6 +324,16 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         # track token volume ~linearly with zero shuffle
         ("chunk_documents", lambda p: lambda: _registry()
             ["chunk_documents"].fn(spark, p)),
+        # round-8: stride-1 exact-substring window dedup — W-times token
+        # expansion into groupBy(h) + join-back; shuffle volume is
+        # O(W x tokens) with map-side combine on repeated windows, so
+        # duplicate-heavy synthetic corpora should come in sub-linear
+        ("dedup_exact_substrings", lambda p: lambda: _registry()
+            ["dedup_exact_substrings"].fn(spark, p)),
+        # round-8: bucket-capped LSH kNN graph — candidate work bounded
+        # by cap^2 x buckets, so growth should flatten once buckets fill
+        ("knn_graph", lambda p: lambda: _registry()
+            ["knn_graph"].fn(spark, p)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
