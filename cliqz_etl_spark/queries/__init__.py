@@ -68,6 +68,7 @@ DRIVER_ORDER: list[str] = [
     "script_mix",
     "event_pmi",
     "triangle_counts",
+    "streaming_daily_peak",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "approx_distinct_users",
     "shipping_priority",
     "nation_trade_volume",
-    "parts_supplier_stats",
     # ---------------- past the check window ----------------
+    "parts_supplier_stats",
     "above_avg_balance_customers",
     "data_quality_checks",
     "order_rank_family",
@@ -333,6 +334,9 @@ BENCH_HEADLINE: list[str] = [
     # correctness gate only, per the gopher/fuzzy-match precedent.
     "knn_graph",
     "incremental_join_maintenance",
+    # the chained window-of-window drain: the fourth streaming state
+    # shape (two stacked watermarked aggs, append-mode finalization)
+    "streaming_daily_peak",
 ]
 
 

@@ -665,3 +665,60 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _drain(j, "lojoin", mode="append",
                   state_partitions=_state_partitions(spark, sf_dir))
+
+
+@query(
+    "streaming_daily_peak",
+    oracle="""
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events WHERE ts IS NOT NULL
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+           CAST(max(n) AS BIGINT) AS peak_hourly,
+           CAST(sum(n) AS BIGINT) AS n_daily
+    FROM (SELECT date_trunc('day', h) AS d, event_type, n FROM hourly)
+         CROSS JOIN wm
+    WHERE d + INTERVAL 1 DAY <= wm.w
+    GROUP BY d, event_type
+    """,
+    # Emission cutoff pinned EMPIRICALLY (the left-outer-join discipline):
+    # a probe corpus with max(ts) exactly one hour past a day boundary —
+    # final watermark == that day's end — shows the day EMITTING, so the
+    # rule is day_end <= watermark, non-strict. Every hour of an emitted
+    # day is itself closed (hour_end <= day_end <= wm), so emitted days
+    # aggregate their full hour set and the batch oracle is exact.
+)
+@_scoped_legacy_nanos
+def streaming_daily_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained windowed aggregation (window-of-window, Spark 3.4+
+    multiple-stateful-operator support): watermarked hourly counts
+    re-aggregated INSIDE THE SAME STREAM into per-day peak and total —
+    the two-level rollup (minute->hour->day) every monitoring pipeline
+    wants without a second job or an intermediate sink.
+
+    Append mode is mandatory — two stateful aggregations cannot run
+    under complete output — so only watermark-closed day windows reach
+    the sink; the oracle reproduces the cutoff from max(ts). State is
+    bounded by the union of open hour + open day windows (rate x
+    horizon, not stream length). The hourly->daily handoff passes only
+    FINALIZED hourly rows downstream, which is what makes the re-
+    aggregation exactly-once per window."""
+    ev = _event_stream(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"), "event_type")
+        .agg(F.max("n").cast("long").alias("peak_hourly"),
+             F.sum("n").cast("long").alias("n_daily"))
+        .select(F.date_format(F.col("d.start"), "yyyy-MM-dd").alias("day"),
+                "event_type", "peak_hourly", "n_daily")
+    )
+    return _drain(daily, "daily_peak", mode="append",
+                  state_partitions=_state_partitions(spark, sf_dir))

@@ -556,6 +556,10 @@ _STREAM_FUZZED = [
     # left-outer stream-stream join: the empirically-pinned watermark
     # cutoff for NULL emission must hold on adversarial corpora too
     "streaming_left_outer_join",
+    # round-8 chained window-of-window: the non-strict day_end <= wm
+    # emission pin and the hourly->daily finalized handoff must hold on
+    # adversarial corpora (NULL ts, single-event days, exact-boundary ts)
+    "streaming_daily_peak",
 ]
 
 
