@@ -69,6 +69,7 @@ DRIVER_ORDER: list[str] = [
     "event_pmi",
     "triangle_counts",
     "streaming_daily_peak",
+    "bm25_search",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "monthly_revenue",
     "approx_distinct_users",
     "shipping_priority",
-    "nation_trade_volume",
     # ---------------- past the check window ----------------
+    "nation_trade_volume",
     "parts_supplier_stats",
     "above_avg_balance_customers",
     "data_quality_checks",

@@ -328,3 +328,84 @@ def interpolate_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.cast("long").alias("cents_filled"),
         F.col("cents").isNull().alias("interpolated"),
     )
+
+
+# --------------------------------------------------------------------------
+# Okapi BM25 — the default ranking function of every production search
+# engine (Lucene/Elasticsearch), upgrading tfidf_search with document-
+# length normalization and tf saturation. Written to be integer-exact:
+# with k1 = 6/5 and b = 3/4, the per-term factor
+#     tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# multiplies out (by 10*S, S = total corpus tokens, avgdl = S/N) to
+#     22*tf*S / (10*S*tf + 3*S + 9*dl*N)
+# — a ratio of exact BIGINT products — and Lucene's always-positive idf
+#     ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1))
+# also takes exact integer arguments. The per-(doc, term) score is
+# micro-quantized before the integer sum (the tfidf discipline).
+# --------------------------------------------------------------------------
+def _bm25_term_sql() -> str:
+    idf = "ln(CAST(2 * n + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"
+    sat = ("(CAST(22 * tf * s AS DOUBLE)"
+           " / CAST(10 * s * tf + 3 * s + 9 * dl * n AS DOUBLE))")
+    return (f"CAST(floor(1000000 * {idf} * {sat} + 0.5) AS BIGINT)")
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), dlen AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), corp AS (
+        SELECT CAST(COALESCE(sum(dl), 0) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM dlen
+    ), tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+        WHERE w IN ({_terms_sql()}) GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        WHERE w IN ({_terms_sql()}) GROUP BY 1
+    )
+    SELECT tf.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum({_bm25_term_sql()}) AS BIGINT) AS bm25_micro
+    FROM tf JOIN dfreq USING (w) JOIN dlen USING (doc_id) CROSS JOIN corp
+    GROUP BY tf.doc_id
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against the fixed query terms.
+
+    Plan shape: one token explode feeds doc lengths, term frequencies,
+    and document frequencies (three aggregates over the same scan —
+    the exploded frame is persisted so the corpus tokenizes once); df
+    and the 1-row corpus stats broadcast into the tf frame; scoring is
+    a map-stage expression and ONE groupBy(doc). The inverted-index
+    join is keyed on the query vocabulary, so work scales with postings
+    for the query terms, not corpus size — the retrieval shape that
+    survives 100 TB."""
+    from cliqz_etl_spark.functions.text import tokens
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _materialize(
+        docs.where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(tokens("text")).alias("w")))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    corp = dlen.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    qt = tok.where(F.col("w").isin(_QUERY_TERMS))
+    tf = qt.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = qt.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
+             F.sum(F.expr(_bm25_term_sql())).cast("long").alias("bm25_micro"))
+    )

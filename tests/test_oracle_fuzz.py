@@ -62,6 +62,9 @@ _FUZZED = [
     # round-8: unicode-script histogram — the length-parity gauntlet
     # (CJK, emoji, NULL/empty text, mixed-script ties)
     "script_mix",
+    # round-8: BM25 (integer-exact rational k1/b; zero-match corpora,
+    # single-doc corpora where dl == avgdl exactly)
+    "bm25_search",
     # custom-sink roundtrip — unicode + NULL text must survive the JSON
     # hop through the staged-commit jsonl_shards writer
     "jsonl_sink_roundtrip",
