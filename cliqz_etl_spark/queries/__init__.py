@@ -70,6 +70,8 @@ DRIVER_ORDER: list[str] = [
     "triangle_counts",
     "streaming_daily_peak",
     "bm25_search",
+    "ks_drift",
+    "winsorize_stats",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -106,9 +108,9 @@ DRIVER_ORDER: list[str] = [
     "value_percentiles_by_type",
     "word_counts",
     "monthly_revenue",
+    # ---------------- past the check window ----------------
     "approx_distinct_users",
     "shipping_priority",
-    # ---------------- past the check window ----------------
     "nation_trade_volume",
     "parts_supplier_stats",
     "above_avg_balance_customers",

@@ -1043,3 +1043,161 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (nodes.crossJoin(F.broadcast(edges))
             .crossJoin(F.broadcast(tri))
             .select("n_nodes", "n_edges", "n_triangles"))
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic between the same pre/post-
+# cutoff order-price slices psi_drift buckets — the distribution-free
+# drift test for when equal-width buckets would hide tail movement. The
+# CDF comparison is EXACT integer arithmetic: at every distinct price p,
+# D contribution = |cum_ref * n_cur - cum_cur * n_ref| (cross-multiplied
+# to avoid the division), maximized over p, reported as d_ppm =
+# 10^6 * D_num / (n_ref * n_cur). Grouping by distinct value FIRST makes
+# ties across slices well-defined (both CDFs jump at p together).
+# --------------------------------------------------------------------------
+@query(
+    "ks_drift",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_totalprice AS p,
+               CAST(o_orderdate >= TIMESTAMP '{_PSI_CUTOFF} 00:00:00' AS BIGINT) AS cur
+        FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    ), per_v AS (
+        SELECT p, CAST(sum(1 - cur) AS BIGINT) AS r, CAST(sum(cur) AS BIGINT) AS c
+        FROM base GROUP BY p
+    ), cum AS (
+        SELECT sum(r) OVER (ORDER BY p ASC) AS cr,
+               sum(c) OVER (ORDER BY p ASC) AS cc
+        FROM per_v
+    ), tot AS (
+        SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS n_ref,
+               CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_cur
+        FROM per_v
+    )
+    SELECT tot.n_ref AS n_ref, tot.n_cur AS n_cur,
+           CAST(COALESCE(max(abs(cr * tot.n_cur - cc * tot.n_ref)), 0) AS BIGINT)
+               AS d_num,
+           CAST(CASE WHEN tot.n_ref * tot.n_cur = 0 THEN NULL
+                ELSE (1000000 * COALESCE(max(abs(cr * tot.n_cur - cc * tot.n_ref)), 0))
+                     // (tot.n_ref * tot.n_cur) END AS BIGINT) AS d_ppm
+    FROM cum CROSS JOIN tot GROUP BY tot.n_ref, tot.n_cur
+    """,
+)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between order-price slices.
+
+    Plan shape: one groupBy(price) collapses the corpus to its distinct
+    values (map-side combine), then the cumulative window runs over THAT
+    frame. The window is deliberately global-ordered — exactness is what
+    the oracle gate checks; at 100 TB distinct values, replace with
+    range-repartitioned per-partition cumsums merged by partition-total
+    prefix sums (same arithmetic, no single-task sort), or accept the
+    approx-quantile KS bound. Totals broadcast from the same per-value
+    frame, so the corpus is scanned once."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders
+        .where(F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(F.col("o_totalprice").alias("p"),
+                (F.col("o_orderdate")
+                 >= F.lit(f"{_PSI_CUTOFF} 00:00:00").cast("timestamp"))
+                .cast("long").alias("cur")))
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    per_v = _materialize(
+        base.groupBy("p").agg(F.sum(1 - F.col("cur")).alias("r"),
+                              F.sum("cur").alias("c")))
+    w = Window.orderBy(F.asc("p")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(F.sum("r").over(w).alias("cr"),
+                       F.sum("c").over(w).alias("cc"))
+    tot = per_v.agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("n_ref"),
+                    F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_cur"))
+    d = (cum.crossJoin(F.broadcast(tot))
+         .groupBy("n_ref", "n_cur")
+         .agg(F.coalesce(
+             F.max(F.abs(F.col("cr") * F.col("n_cur")
+                         - F.col("cc") * F.col("n_ref"))), F.lit(0))
+             .cast("long").alias("d_num")))
+    return d.select(
+        "n_ref", "n_cur", "d_num",
+        F.when(F.col("n_ref") * F.col("n_cur") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(1000000 * d_num) div (n_ref * n_cur)"))
+        .cast("long").alias("d_ppm"))
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust statistics — the feature-engineering clip every
+# training pipeline applies before normalization. Cut points are EXACT
+# rank statistics (value at row_number ceil(0.05 n) / ceil(0.95 n) under
+# ORDER BY value — deterministic regardless of tie order, because equal
+# values share a value), clipping and the clipped sum use the cents
+# discipline so the output is integer-stable.
+# --------------------------------------------------------------------------
+@query(
+    "winsorize_stats",
+    oracle="""
+    WITH v AS (
+        SELECT o_totalprice AS p,
+               row_number() OVER (ORDER BY o_totalprice ASC) AS rn
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    cuts AS (
+        SELECT (SELECT p FROM v CROSS JOIN n
+                WHERE rn = CAST(ceil(0.05 * n.n) AS BIGINT)) AS lo,
+               (SELECT p FROM v CROSS JOIN n
+                WHERE rn = CAST(ceil(0.95 * n.n) AS BIGINT)) AS hi
+    )
+    SELECT n.n AS n_rows,
+           CAST(floor(cuts.lo * 100 + 0.5) AS BIGINT) AS lo_cents,
+           CAST(floor(cuts.hi * 100 + 0.5) AS BIGINT) AS hi_cents,
+           CAST(sum(CAST(floor(LEAST(GREATEST(v.p, cuts.lo), cuts.hi) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS clipped_sum_cents,
+           CAST(sum(CASE WHEN v.p < cuts.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clipped,
+           CAST(sum(CASE WHEN v.p > cuts.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clipped
+    FROM v CROSS JOIN cuts CROSS JOIN n
+    GROUP BY n.n, cuts.lo, cuts.hi
+    """,
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 winsorization of order prices: cuts, clipped sum, clip counts.
+
+    Plan shape: the rank pass is a global-ordered window over the value
+    column (the ks_drift caveat applies: swap for approx_percentile or
+    a partition-prefix merge at 100 TB distinct values — exactness here
+    is what the oracle checks); the two cut values collapse to a 1-row
+    broadcast; clipping is a map stage over the original scan feeding a
+    single global aggregate."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = (orders.where(F.col("o_totalprice").isNotNull())
+         .select(F.col("o_totalprice").alias("p")))
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    ranked = _materialize(
+        v.withColumn("rn", F.row_number().over(Window.orderBy(F.asc("p")))))
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cuts = (ranked.crossJoin(F.broadcast(n))
+            .where((F.col("rn") == F.ceil(0.05 * F.col("n")))
+                   | (F.col("rn") == F.ceil(0.95 * F.col("n"))))
+            .agg(F.min(F.when(F.col("rn") == F.ceil(0.05 * F.col("n")),
+                              F.col("p"))).alias("lo"),
+                 F.min(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")),
+                              F.col("p"))).alias("hi")))
+    clipped = F.least(F.greatest(F.col("p"), F.col("lo")), F.col("hi"))
+    return (
+        ranked.crossJoin(F.broadcast(cuts)).crossJoin(F.broadcast(n))
+        .groupBy("n", "lo", "hi")
+        .agg(F.sum(F.floor(clipped * 100 + F.lit(0.5)).cast("long"))
+             .cast("long").alias("clipped_sum_cents"),
+             F.sum(F.when(F.col("p") < F.col("lo"), 1).otherwise(0))
+             .cast("long").alias("n_lo_clipped"),
+             F.sum(F.when(F.col("p") > F.col("hi"), 1).otherwise(0))
+             .cast("long").alias("n_hi_clipped"))
+        .select(F.col("n").alias("n_rows"),
+                F.floor(F.col("lo") * 100 + F.lit(0.5)).cast("long").alias("lo_cents"),
+                F.floor(F.col("hi") * 100 + F.lit(0.5)).cast("long").alias("hi_cents"),
+                "clipped_sum_cents", "n_lo_clipped", "n_hi_clipped")
+    )

@@ -322,6 +322,10 @@ _WH_FUZZED = [
     # bucket corpora), and incremental join maintenance (NULL dates land
     # in the old slice; the identity must hold under every split)
     "record_linkage_fs", "psi_drift", "incremental_join_maintenance",
+    # round-8: exact KS drift (empty slices -> NULL d_ppm; tied prices
+    # across slices) and rank-based winsorization (tiny n where the 5%
+    # and 95% cuts coincide; all-equal values)
+    "ks_drift", "winsorize_stats",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))
