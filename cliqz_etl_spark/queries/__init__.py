@@ -72,6 +72,7 @@ DRIVER_ORDER: list[str] = [
     "bm25_search",
     "ks_drift",
     "winsorize_stats",
+    "label_propagation",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "value_histogram",
     "value_percentiles_by_type",
     "word_counts",
-    "monthly_revenue",
     # ---------------- past the check window ----------------
+    "monthly_revenue",
     "approx_distinct_users",
     "shipping_priority",
     "nation_trade_volume",

@@ -964,6 +964,30 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (a < b) distinct part co-purchase edges, built scan-side:
+    each order's distinct parts collect into a sorted list (map-side
+    combine), ordered pairs explode from the list — no lineitem
+    self-join, so edge generation costs one groupBy(order) regardless of
+    corpus size. Shared by triangle_counts and label_propagation."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()))
+    ps = (li.groupBy("l_orderkey")
+          .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    n = F.size("ps")
+    return (ps.select(
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda j: F.when(i < j, F.struct(
+                    F.element_at("ps", i + 1).alias("a"),
+                    F.element_at("ps", j + 1).alias("b"))),
+            )))).alias("p"))
+        .where(F.col("p").isNotNull()).select("p.a", "p.b")
+        .distinct())
+
+
 # --------------------------------------------------------------------------
 # Triangle counting over the part co-purchase graph — the canonical
 # distributed-graph benchmark (clustering coefficient, community
@@ -1015,22 +1039,7 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join caps its buckets."""
     from cliqz_etl_spark.operators.dedup import _materialize
 
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()))
-    ps = (li.groupBy("l_orderkey")
-          .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
-    n = F.size("ps")
-    pairs = ps.select(
-        F.explode(F.flatten(F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.transform(
-                F.sequence(F.lit(0), n - 1),
-                lambda j: F.when(i < j, F.struct(
-                    F.element_at("ps", i + 1).alias("a"),
-                    F.element_at("ps", j + 1).alias("b"))),
-            )))).alias("p")
-    ).where(F.col("p").isNotNull()).select("p.a", "p.b")
-    e = _materialize(pairs.distinct())
+    e = _materialize(_copurchase_edges(spark, sf_dir))
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = e.join(e2, "b").select("a", "b", "c")
     closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
@@ -1201,3 +1210,83 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("hi") * 100 + F.lit(0.5)).cast("long").alias("hi_cents"),
                 "clipped_sum_cents", "n_lo_clipped", "n_hi_clipped")
     )
+
+
+# --------------------------------------------------------------------------
+# Synchronous label propagation (Raghavan et al. 2007) — the linear-time
+# community-detection baseline, here made fully deterministic: every
+# node starts as its own label, and each of the two fixed rounds
+# reassigns it to the MOST FREQUENT label among its neighbors, ties
+# broken by smallest label (classic LPA breaks ties randomly, which no
+# oracle could replay). Two rounds over the symmetric co-purchase edge
+# set; output is the community-size histogram — the corpus-partitioning
+# artifact (near-dup families, co-occurrence clusters) downstream
+# sampling consumes. Joins connected components (path doubling) and
+# PageRank as the engine's third iterative-graph family member.
+# --------------------------------------------------------------------------
+_LPA_ITER = 2
+
+
+def _lpa_oracle() -> str:
+    cte = ["""
+    WITH e0 AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+        WHERE x.l_orderkey IS NOT NULL
+    ), e AS (
+        SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+    ), l0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM e
+    )"""]
+    for i in range(1, _LPA_ITER + 1):
+        cte.append(f"""
+    , v{i} AS (
+        SELECT e.dst AS node, l{i - 1}.label, count(*) AS c
+        FROM e JOIN l{i - 1} ON l{i - 1}.node = e.src GROUP BY 1, 2
+    ), l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM v{i})
+        WHERE rn = 1
+    )""")
+    return "".join(cte) + f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM l{_LPA_ITER} GROUP BY label
+    """
+
+
+@query("label_propagation", oracle=_lpa_oracle())
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after two deterministic LPA rounds.
+
+    Plan shape per round: one edge-label equi-join on src (the persisted
+    symmetric edge list re-probes each round), one groupBy(dst, label)
+    with map-side combine, one per-node window for the argmax — all
+    keyed on node, so the three stages share a shuffle key. Label frames
+    have one consumer each (no persist); the edge frame is built once.
+    At 100 TB: iterations are data-parallel joins exactly like PageRank,
+    and deep runs would add the same periodic localCheckpoint."""
+    from pyspark.sql import Window
+
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = _materialize(
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))))
+    labels = e.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_LPA_ITER):
+        votes = (e.join(labels, e.src == labels.node)
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1).select("node", "label"))
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")) \
+        .select(F.col("label").cast("long").alias("label"), "n_members")

@@ -459,6 +459,9 @@ _TPCH_FUZZED = [
     # round-8: triangle census — NULL order/part keys drop at scan; the
     # oriented-edge dedup must agree across engines
     "triangle_counts",
+    # round-8: deterministic LPA — vote ties (c equal) must break to the
+    # smallest label on both engines; NULL keys drop at edge build
+    "label_propagation",
 ]
 
 _PERTURB_COLS = {
