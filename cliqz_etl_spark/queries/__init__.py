@@ -73,6 +73,7 @@ DRIVER_ORDER: list[str] = [
     "ks_drift",
     "winsorize_stats",
     "label_propagation",
+    "streaming_progress_audit",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "unpivot_event_counts",
     "value_histogram",
     "value_percentiles_by_type",
-    "word_counts",
     # ---------------- past the check window ----------------
+    "word_counts",
     "monthly_revenue",
     "approx_distinct_users",
     "shipping_priority",

@@ -722,3 +722,87 @@ def streaming_daily_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _drain(daily, "daily_peak", mode="append",
                   state_partitions=_state_partitions(spark, sf_dir))
+
+
+@query(
+    "streaming_progress_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_input_rows,
+           CAST(count(DISTINCT user_id)
+                + CASE WHEN count(*) FILTER (user_id IS NULL) > 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS final_state_rows
+    FROM events
+    """,
+)
+@_scoped_legacy_nanos
+def streaming_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamingQueryListener-driven observability, oracle-checked.
+
+    A listener accumulates numInputRows and the final stateOperators
+    numRowsTotal across every micro-batch of a keyed-count drain; the
+    query's OUTPUT is those listener readings — so the monitoring path
+    itself (the API a production alerting hook consumes) is what the
+    DuckDB oracle verifies: total input rows must equal count(*), final
+    state rows must equal the distinct key count (NULL key included —
+    a groupBy state row addresses NULL like any other key).
+
+    Listener events are delivered on a separate bus thread AFTER
+    awaitTermination can return, so the drain polls until the readings
+    go stable (bounded wait) before reporting — the part naive listener
+    consumers get wrong. Complete-mode keyed count keeps state =
+    |keys|, constant per key regardless of stream length."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from cliqz_etl_spark.operators.cache import track_temp_view
+    from cliqz_etl_spark.tables import scoped_conf
+
+    class _Audit(StreamingQueryListener):
+        def __init__(self):
+            self.rows = 0
+            self.state = None
+            self.batches = 0
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            self.rows += p.numInputRows
+            self.batches += 1
+            if p.stateOperators:
+                self.state = p.stateOperators[0].numRowsTotal
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    ev = _event_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    listener = _Audit()
+    spark.streams.addListener(listener)
+    name = f"progress_audit_{next(_SINK_IDS)}"
+    try:
+        with scoped_conf(spark, "spark.sql.shuffle.partitions",
+                         str(_state_partitions(spark, sf_dir)), default="32"):
+            (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True)
+             .start().awaitTermination())
+        # listener bus is async: wait for the readings to stabilize
+        # (two consecutive identical non-empty snapshots), bounded
+        prev = None
+        for _ in range(60):
+            snap = (listener.rows, listener.state, listener.batches)
+            if listener.batches > 0 and snap == prev:
+                break
+            prev = snap
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    track_temp_view(spark, name)
+    return spark.createDataFrame(
+        [(int(listener.rows), int(listener.state or 0))],
+        "total_input_rows long, final_state_rows long")

@@ -570,6 +570,10 @@ _STREAM_FUZZED = [
     # emission pin and the hourly->daily finalized handoff must hold on
     # adversarial corpora (NULL ts, single-event days, exact-boundary ts)
     "streaming_daily_peak",
+    # round-8 listener audit: numInputRows must count EVERY row (NULL
+    # ts/key included — no watermark op in this drain) and state rows
+    # must count the NULL key group
+    "streaming_progress_audit",
 ]
 
 
