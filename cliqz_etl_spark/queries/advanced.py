@@ -1096,14 +1096,14 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic between order-price slices.
 
     Plan shape: one groupBy(price) collapses the corpus to its distinct
-    values (map-side combine), then the cumulative window runs over THAT
-    frame. The window is deliberately global-ordered — exactness is what
-    the oracle gate checks; at 100 TB distinct values, replace with
-    range-repartitioned per-partition cumsums merged by partition-total
-    prefix sums (same arithmetic, no single-task sort), or accept the
-    approx-quantile KS bound. Totals broadcast from the same per-value
-    frame, so the corpus is scanned once."""
-    from pyspark.sql import Window
+    values (map-side combine), then the cumulative distribution comes
+    from operators/stats.py::ranged_cumsum — range-repartitioned
+    per-partition cumsums merged by broadcast partition-total prefix
+    offsets, so NO stage moves all rows to one task (the two-pass scheme
+    every MPP engine uses for exact CDFs; the only single-task window
+    runs over the <= n_ranges totals frame). Totals broadcast from the
+    same per-value frame, so the corpus is scanned once."""
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     base = (
@@ -1118,9 +1118,8 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = _materialize(
         base.groupBy("p").agg(F.sum(1 - F.col("cur")).alias("r"),
                               F.sum("cur").alias("c")))
-    w = Window.orderBy(F.asc("p")).rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(F.sum("r").over(w).alias("cr"),
-                       F.sum("c").over(w).alias("cc"))
+    cum = (ranged_cumsum(per_v, "p", ["r", "c"])
+           .select(F.col("cum_r").alias("cr"), F.col("cum_c").alias("cc")))
     tot = per_v.agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("n_ref"),
                     F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_cur"))
     d = (cum.crossJoin(F.broadcast(tot))
@@ -1172,13 +1171,14 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5/95 winsorization of order prices: cuts, clipped sum, clip counts.
 
-    Plan shape: the rank pass is a global-ordered window over the value
-    column (the ks_drift caveat applies: swap for approx_percentile or
-    a partition-prefix merge at 100 TB distinct values — exactness here
-    is what the oracle checks); the two cut values collapse to a 1-row
-    broadcast; clipping is a map stage over the original scan feeding a
-    single global aggregate."""
-    from pyspark.sql import Window
+    Plan shape: ranks come from operators/stats.py::ranged_cumsum (a
+    running count under range partitioning — no single-task global
+    sort; ranks within a tie block land in arbitrary order, but the
+    VALUE at any rank is deterministic because tied rows share the
+    value, which is all the cut lookup reads); the two cut values
+    collapse to a 1-row broadcast; clipping is a map stage over the
+    ranked frame feeding a single global aggregate."""
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     v = (orders.where(F.col("o_totalprice").isNotNull())
@@ -1186,7 +1186,8 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliqz_etl_spark.operators.dedup import _materialize
 
     ranked = _materialize(
-        v.withColumn("rn", F.row_number().over(Window.orderBy(F.asc("p")))))
+        ranged_cumsum(v.withColumn("one", F.lit(1)), "p", ["one"])
+        .select("p", F.col("cum_one").alias("rn")))
     n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
     cuts = (ranked.crossJoin(F.broadcast(n))
             .where((F.col("rn") == F.ceil(0.05 * F.col("n")))

@@ -222,6 +222,12 @@ _PLAN_BUDGET = {
     "record_linkage_fs": (12, 0),
     "incremental_join_maintenance": (4, 0),
     "knn_graph": (4, 0),
+    # exchanges include ranged_cumsum's range repartition + pid window
+    # shuffle; the ceiling exists to catch a corpus-sized SINGLE-task
+    # sort creeping back in (it would show as Exchange SinglePartition,
+    # which also counts here)
+    "ks_drift": (4, 0),
+    "winsorize_stats": (6, 0),
 }
 
 
