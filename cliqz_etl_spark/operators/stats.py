@@ -16,6 +16,14 @@ uses:
 The result is independent of where the range boundaries fall (they are
 sampled), because contiguous ranges + within-range order compose to the
 global order for any boundary choice.
+
+Measured (local[32], 10M rows): checksum-identical to the global window
+(max and sum of the cumulative column match exactly) at equal
+wall-clock — on one machine the single sort fits comfortably and both
+plans are sort-bound. The scheme's value is the memory bound, not local
+speed: the global window materializes the ENTIRE frame in one task
+(at 100 TB, one executor's heap), while this one holds at most one
+range per task at any scale.
 """
 
 from __future__ import annotations
