@@ -74,6 +74,7 @@ DRIVER_ORDER: list[str] = [
     "winsorize_stats",
     "label_propagation",
     "streaming_progress_audit",
+    "dedup_prefix_filter",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "pivot_event_counts",
     "unpivot_event_counts",
     "value_histogram",
-    "value_percentiles_by_type",
     # ---------------- past the check window ----------------
+    "value_percentiles_by_type",
     "word_counts",
     "monthly_revenue",
     "approx_distinct_users",

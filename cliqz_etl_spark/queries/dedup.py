@@ -466,3 +466,108 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_windows", "n_dup",
                     F.expr("(n_dup * 1000000) div n_windows").cast("long")
                     .alias("dup_ppm")))
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact all-pairs Jaccard join (PPJoin family, Chaudhuri
+# et al. 2006 / Xiao et al. 2008): the NO-false-negative exact similarity
+# join. Tokens are globally ordered rarest-first (document frequency asc,
+# token asc); each document indexes only its PREFIX — the first
+# n - ceil(t*n) + 1 tokens in that order — and the prefix-filter theorem
+# guarantees any pair with Jaccard >= t shares at least one prefix
+# token. Candidate volume collapses because prefixes are dominated by
+# RARE tokens (short postings lists), which is exactly why this beats
+# the full inverted index (dedup_ngram_jaccard's shape) at the same
+# exactness: the stopword postings that force that operator's skew guard
+# never enter the index here. Verification is exact set intersection;
+# the threshold compare is pure integers (10*i >= 7*(na+nb-i) <=>
+# jac >= 0.7), so no float ever decides membership.
+# --------------------------------------------------------------------------
+_PF_T_NUM, _PF_T_DEN = 7, 10  # Jaccard threshold 0.7 as an exact rational
+
+
+@query(
+    "dedup_prefix_filter",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_WS}) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), vocab AS (
+        SELECT w, count(*) AS df FROM tok GROUP BY w
+    ), ranked AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY df ASC, w ASC) AS r FROM vocab
+    ), d AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               list_sort(list(r)) AS rs
+        FROM tok JOIN ranked USING (w) GROUP BY doc_id
+    ), pre AS (
+        SELECT doc_id,
+               unnest(rs[1 : CAST(n - ceil({_PF_T_NUM} / {_PF_T_DEN}.0 * n)
+                               + 1 AS BIGINT)]) AS r
+        FROM d
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM pre a JOIN pre b ON b.r = a.r AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT da, db, x.n AS na, y.n AS nb,
+               CAST(len(list_intersect(x.rs, y.rs)) AS BIGINT) AS i
+        FROM cand JOIN d x ON x.doc_id = cand.da
+                  JOIN d y ON y.doc_id = cand.db
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST((1000 * i) // (na + nb - i) AS BIGINT) AS jac_x1000
+    FROM pairs
+    WHERE {_PF_T_DEN} * i >= {_PF_T_NUM} * (na + nb - i)
+    """,
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard >= 0.7 pairs via prefix filtering.
+
+    Plan shape: one distinct-token pass builds the vocabulary; the
+    rarity ranking is a window over the VOCAB frame (vocab-sized — far
+    below corpus-sized; at 100 TB swap for ranged_cumsum ranks exactly
+    like ks_drift); per-doc sorted rank arrays come from one
+    groupBy(doc); the candidate join indexes ONLY prefix tokens, so
+    postings lists are short by construction (rare tokens lead the
+    order) — the property that makes this exact join feasible where a
+    full inverted index needs dedup_ngram_jaccard's frequency cutoff;
+    verification reads the two persisted rank arrays and decides with
+    integer arithmetic."""
+    from pyspark.sql import Window
+
+    from cliqz_etl_spark.functions.text import tokens
+    from cliqz_etl_spark.operators.dedup import _materialize, _spread
+
+    t_frac = _PF_T_NUM / _PF_T_DEN
+    docs = _spread(load_table(spark, sf_dir, "documents")
+                   .select("doc_id", "text"))
+    tok = (docs.where(F.trim(F.col("text")) != "")
+           .select("doc_id", F.explode(tokens("text")).alias("w"))
+           .distinct())
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = vocab.select(
+        "w", F.row_number().over(
+            Window.orderBy(F.asc("df"), F.asc("w"))).cast("long").alias("r"))
+    d = _materialize(
+        tok.join(ranked, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sort_array(F.collect_list("r")).alias("rs")))
+    plen = (F.col("n") - F.ceil(F.lit(t_frac) * F.col("n")) + 1).cast("int")
+    pre = d.select("doc_id", F.explode(F.slice("rs", 1, plen)).alias("r"))
+    cand = (pre.alias("a").join(pre.alias("b"), "r")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .distinct())
+    x = d.select(F.col("doc_id").alias("da"), F.col("n").alias("na"),
+                 F.col("rs").alias("ra"))
+    y = d.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"),
+                 F.col("rs").alias("rb"))
+    i = F.size(F.array_intersect("ra", "rb")).cast("long")
+    return (cand.join(x, "da").join(y, "db")
+            .withColumn("i", i)
+            .where(F.lit(_PF_T_DEN) * F.col("i")
+                   >= F.lit(_PF_T_NUM) * (F.col("na") + F.col("nb") - F.col("i")))
+            .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                    F.expr("(1000 * i) div (na + nb - i)").cast("long")
+                    .alias("jac_x1000")))

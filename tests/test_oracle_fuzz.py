@@ -65,6 +65,10 @@ _FUZZED = [
     # round-8: BM25 (integer-exact rational k1/b; zero-match corpora,
     # single-doc corpora where dl == avgdl exactly)
     "bm25_search",
+    # round-8: prefix-filtered exact all-pairs Jaccard — the clone pair
+    # must always surface (jac=1.0); single-token docs have prefix = the
+    # whole set; the no-false-negative guarantee under adversarial text
+    "dedup_prefix_filter",
     # custom-sink roundtrip — unicode + NULL text must survive the JSON
     # hop through the staged-commit jsonl_shards writer
     "jsonl_sink_roundtrip",

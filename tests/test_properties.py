@@ -399,3 +399,52 @@ def test_pagerank_matches_python_reference(spark, pairs):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["rank"] for r in pagerank(df, N_ITER).collect()}
     assert got == rank
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(
+    ["a", "b", "c", "dd", "ee", "ff", "gg", "zz"]),
+    min_size=1, max_size=8).map(lambda ws: " ".join(ws)),
+    min_size=2, max_size=12))
+def test_prefix_filter_equals_bruteforce_allpairs(spark, texts):
+    """The prefix-filter theorem, pinned against brute force: on random
+    corpora, dedup_prefix_filter must return EXACTLY the pairs whose
+    word-SET Jaccard clears the 0.7 threshold — no false negatives from
+    prefix indexing, no false positives from the verify step. The tiny
+    vocabulary forces heavy token sharing (many candidates, many
+    near-threshold pairs — the regime where an off-by-one prefix length
+    silently drops pairs)."""
+    import tempfile
+
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.queries import load_all
+
+    # plant a clone pair so at least one jac=1.0 pair always exists
+    texts = list(texts)
+    texts[-1] = texts[0]
+    rows = [(i, t, "en", "fuzz", len(t)) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    tmp = tempfile.mkdtemp(prefix="pfprop_")
+    try:
+        sdf.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        q = load_all()["dedup_prefix_filter"]
+        try:
+            got = {(r["doc_a"], r["doc_b"]): r["jac_x1000"]
+                   for r in q.fn(spark, tmp).collect()}
+        finally:
+            release_all()
+        sets = {i: set(t.split()) for i, t in enumerate(texts) if t.strip()}
+        want = {}
+        ids = sorted(sets)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if 10 * inter >= 7 * union:
+                    want[(a, b)] = (1000 * inter) // union
+        assert got == want, (texts, got, want)
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
