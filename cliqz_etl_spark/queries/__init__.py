@@ -75,6 +75,8 @@ DRIVER_ORDER: list[str] = [
     "label_propagation",
     "streaming_progress_audit",
     "dedup_prefix_filter",
+    "equidepth_histogram",
+    "mad_outliers",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -106,9 +108,9 @@ DRIVER_ORDER: list[str] = [
     "funnel_counts",
     "weekly_retention",
     "pivot_event_counts",
+    # ---------------- past the check window ----------------
     "unpivot_event_counts",
     "value_histogram",
-    # ---------------- past the check window ----------------
     "value_percentiles_by_type",
     "word_counts",
     "monthly_revenue",

@@ -1291,3 +1291,138 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")) \
         .select(F.col("label").cast("long").alias("label"), "n_members")
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram — the data-profiling artifact optimizers and
+# drift monitors both want (equal-POPULATION buckets adapt to skew where
+# psi_drift's equal-width buckets cannot). Bucket = (rank-1)*B div n
+# over the exact global rank, which ranged_cumsum supplies without a
+# single-task sort; ties share a value, so bucket EDGES are
+# deterministic even though tied rows may split across buckets (an
+# equal-count histogram must split ties or give up equal counts — both
+# engines split identically by the same rank arithmetic only at the
+# aggregate level: per-bucket counts/min/max are tie-order-independent).
+# --------------------------------------------------------------------------
+_EQD_B = 10
+
+
+@query(
+    "equidepth_histogram",
+    oracle=f"""
+    WITH v AS (
+        SELECT o_totalprice AS p,
+               row_number() OVER (ORDER BY o_totalprice ASC) AS rn
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+    SELECT CAST(((rn - 1) * {_EQD_B}) // n.n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(floor(min(p) * 100 + 0.5) AS BIGINT) AS lo_cents,
+           CAST(floor(max(p) * 100 + 0.5) AS BIGINT) AS hi_cents
+    FROM v CROSS JOIN n GROUP BY 1
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten equal-population price buckets with their value ranges.
+
+    Per-bucket counts and min/max are independent of how tied rows were
+    ordered within the rank (tied rows carry the same value), so the
+    output hash-matches even though row_number itself is tie-arbitrary.
+    Plan: ranged_cumsum rank (no global single-task sort) + one <= B-
+    group aggregate with map-side combine."""
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = (orders.where(F.col("o_totalprice").isNotNull())
+         .select(F.col("o_totalprice").alias("p")))
+    ranked = (ranged_cumsum(v.withColumn("one", F.lit(1)), "p", ["one"])
+              .select("p", F.col("cum_one").alias("rn")))
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (ranked.crossJoin(F.broadcast(n))
+            .select(F.expr(f"((rn - 1) * {_EQD_B}) div n").cast("long")
+                    .alias("bucket"), "p")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.floor(F.min("p") * 100 + F.lit(0.5)).cast("long").alias("lo_cents"),
+                 F.floor(F.max("p") * 100 + F.lit(0.5)).cast("long").alias("hi_cents")))
+
+
+# --------------------------------------------------------------------------
+# MAD outlier screen — the robust anomaly gate (median + median absolute
+# deviation tolerate the very outliers mean/stddev absorb). Medians are
+# EXACT DISCRETE rank statistics with the lower-middle rule pinned
+# (value at rank ceil(n/2) under ORDER BY value — deterministic under
+# ties), computed per event_type with a window PARTITIONED on the group
+# key, so every stage is group-parallel (no global sort anywhere).
+# Deviations quantize to cents before the second median, and the outlier
+# rule |v - med| > 3 * MAD compares integers.
+# --------------------------------------------------------------------------
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), med AS (
+        SELECT event_type, c AS med_cents FROM (
+            SELECT event_type, c,
+                   row_number() OVER (PARTITION BY event_type ORDER BY c ASC) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v)
+        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ), dev AS (
+        SELECT v.event_type, v.c, med.med_cents,
+               abs(v.c - med.med_cents) AS d
+        FROM v JOIN med USING (event_type)
+    ), mad AS (
+        SELECT event_type, d AS mad_cents FROM (
+            SELECT event_type, d,
+                   row_number() OVER (PARTITION BY event_type ORDER BY d ASC) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev)
+        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    )
+    SELECT dev.event_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(dev.med_cents) AS BIGINT) AS med_cents,
+           CAST(min(mad.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN dev.d > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier counts via median/MAD.
+
+    Plan shape: two rank passes, each a window PARTITIONED by
+    event_type (group-parallel — the MAD pipeline never needs a global
+    order); medians broadcast back as tiny per-group frames; the final
+    screen is one grouped aggregate. All comparisons integer (cents)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+         .select("event_type",
+                 F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")))
+
+    def group_median(df, col, out):
+        w = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type", col,
+            F.row_number().over(w.orderBy(F.asc(col))).alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n"))
+        return (ranked.where(F.col("rn") == F.ceil(F.col("n") / 2.0))
+                .select("event_type", F.col(col).alias(out)))
+
+    med = group_median(v, "c", "med_cents")
+    dev = (v.join(F.broadcast(med), "event_type")
+           .withColumn("d", F.abs(F.col("c") - F.col("med_cents"))))
+    mad = group_median(dev.select("event_type", "d"), "d", "mad_cents")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min("med_cents").cast("long").alias("med_cents"),
+                 F.min("mad_cents").cast("long").alias("mad_cents"),
+                 F.sum(F.when(F.col("d") > 3 * F.col("mad_cents"), 1)
+                       .otherwise(0)).cast("long").alias("n_outliers")))

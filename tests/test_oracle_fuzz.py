@@ -234,6 +234,9 @@ _EV_FUZZED = [
     # round-8: user-level event-type PMI (NULL users/types drop on both
     # sides; single-type corpora produce an empty pair frame)
     "event_pmi",
+    # round-8: MAD outlier screen (lower-middle median rule under ties,
+    # MAD = 0 groups where every value equals the median)
+    "mad_outliers",
 ]
 
 _TS = st.one_of(
@@ -330,6 +333,9 @@ _WH_FUZZED = [
     # across slices) and rank-based winsorization (tiny n where the 5%
     # and 95% cuts coincide; all-equal values)
     "ks_drift", "winsorize_stats",
+    # round-8: equi-depth histogram (tie splitting must stay aggregate-
+    # deterministic; n < B corpora leave empty bucket ids unemitted)
+    "equidepth_histogram",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))
