@@ -32,18 +32,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def ranged_cumsum(df: DataFrame, order_col: str, sum_cols: list[str],
-                  *, n_ranges: int = 32) -> DataFrame:
+def ranged_cumsum(df: DataFrame, order_col: str | list[str],
+                  sum_cols: list[str], *, n_ranges: int = 32) -> DataFrame:
     """Return ``df`` with ``cum_<c>`` columns: the running sum of each
-    ``sum_cols`` entry under ``ORDER BY order_col ASC``, computed without
-    a global single-task sort. Rows with equal ``order_col`` values get
-    their within-value order from the range partition's sort, so callers
-    that need well-defined ties (CDFs) should pre-aggregate to distinct
-    ``order_col`` values first — exactly what a cumulative distribution
-    does anyway."""
-    ranged = (df.repartitionByRange(n_ranges, F.asc(order_col))
+    ``sum_cols`` entry under ``ORDER BY order_col ASC`` (one column or a
+    composite key list), computed without a global single-task sort.
+    Rows with equal order-key values get their within-value order from
+    the range partition's sort, so callers that need well-defined ties
+    (CDFs) should pre-aggregate to distinct key values first — exactly
+    what a cumulative distribution does anyway."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ranged = (df.repartitionByRange(n_ranges, *[F.asc(c) for c in order_cols])
               .withColumn("__pid", F.spark_partition_id()))
-    within = Window.partitionBy("__pid").orderBy(F.asc(order_col)) \
+    within = Window.partitionBy("__pid") \
+        .orderBy(*[F.asc(c) for c in order_cols]) \
         .rowsBetween(Window.unboundedPreceding, 0)
     cur = ranged.select(
         "*", *[F.sum(c).over(within).alias(f"__w_{c}") for c in sum_cols])

@@ -77,6 +77,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_prefix_filter",
     "equidepth_histogram",
     "mad_outliers",
+    "ewma_user_value",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "next_event_gap",
     "funnel_counts",
     "weekly_retention",
-    "pivot_event_counts",
     # ---------------- past the check window ----------------
+    "pivot_event_counts",
     "unpivot_event_counts",
     "value_histogram",
     "value_percentiles_by_type",

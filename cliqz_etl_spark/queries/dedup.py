@@ -524,19 +524,19 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard >= 0.7 pairs via prefix filtering.
 
     Plan shape: one distinct-token pass builds the vocabulary; the
-    rarity ranking is a window over the VOCAB frame (vocab-sized — far
-    below corpus-sized; at 100 TB swap for ranged_cumsum ranks exactly
-    like ks_drift); per-doc sorted rank arrays come from one
+    rarity ranking is a ranged_cumsum running count over the composite
+    (df, w) key — partition-parallel even when the vocabulary itself is
+    huge (no single-task sort anywhere in this query); per-doc sorted
+    rank arrays come from one
     groupBy(doc); the candidate join indexes ONLY prefix tokens, so
     postings lists are short by construction (rare tokens lead the
     order) — the property that makes this exact join feasible where a
     full inverted index needs dedup_ngram_jaccard's frequency cutoff;
     verification reads the two persisted rank arrays and decides with
     integer arithmetic."""
-    from pyspark.sql import Window
-
     from cliqz_etl_spark.functions.text import tokens
     from cliqz_etl_spark.operators.dedup import _materialize, _spread
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
 
     t_frac = _PF_T_NUM / _PF_T_DEN
     docs = _spread(load_table(spark, sf_dir, "documents")
@@ -545,9 +545,11 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("doc_id", F.explode(tokens("text")).alias("w"))
            .distinct())
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    ranked = vocab.select(
-        "w", F.row_number().over(
-            Window.orderBy(F.asc("df"), F.asc("w"))).cast("long").alias("r"))
+    # (df, w) is unique per vocab row, so the running count IS the
+    # row_number of the global rarity order — partition-parallel
+    ranked = (ranged_cumsum(vocab.withColumn("one", F.lit(1)),
+                            ["df", "w"], ["one"])
+              .select("w", F.col("cum_one").cast("long").alias("r")))
     d = _materialize(
         tok.join(ranked, "w")
         .groupBy("doc_id")

@@ -409,3 +409,67 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
              F.sum(F.expr(_bm25_term_sql())).cast("long").alias("bm25_micro"))
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user EWMA — the exponentially weighted running level every
+# monitoring/feature pipeline keeps per entity. Made engine-exact with a
+# rational alpha = 1/4 and an INTEGER recurrence:
+#     s_t = floor((3*s_{t-1} + v_t) / 4.0)
+# folded over the user's time-ordered cent-quantized values (first value
+# seeds the state). The one subtlety is negative values: Spark's `div`
+# truncates toward zero while DuckDB's `//` floors, so the step divides
+# in DOUBLE and floors explicitly — identical IEEE operations on both
+# engines, exact below 2^53. The fold runs JVM-side via F.aggregate
+# over each user's collected array (array size = events per user, the
+# same per-key bound sessionization carries), mirrored by DuckDB's
+# list_reduce, which seeds from the first element exactly like the
+# explicit slice+init on the Spark side.
+# --------------------------------------------------------------------------
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ), arr AS (
+        SELECT user_id,
+               list_transform(list_sort(list({'ts': ts, 'eid': event_id, 'c': c})),
+                              x -> x.c) AS cs
+        FROM v GROUP BY user_id
+    )
+    SELECT user_id AS user_id,
+           CAST(len(cs) AS BIGINT) AS n_events,
+           CAST(list_reduce(cs, (acc, x) ->
+                CAST(floor((3 * acc + x) / 4.0) AS BIGINT)) AS BIGINT)
+               AS ewma_cents
+    FROM arr
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (alpha=1/4) of each user's value stream, in cents.
+
+    Plan shape: one groupBy(user) collects the time-ordered value array
+    (struct sort pins ties by event_id), then the fold is a scan-side
+    F.aggregate — no window, no per-step shuffle; per-user state is one
+    array, the same per-key memory bound the sessionizers carry. At
+    100 TB the fold shape is what a streaming applyInPandasWithState
+    EWMA would checkpoint — this is its batch twin."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("value").isNotNull())
+         .select("user_id", "ts", "event_id",
+                 F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")))
+    cs = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "c"))),
+        lambda x: x["c"])
+    step = lambda acc, x: F.floor((3 * acc + x) / F.lit(4.0)).cast("long")  # noqa: E731
+    return (v.groupBy("user_id")
+            .agg(cs.alias("cs"))
+            .select("user_id",
+                    F.size("cs").cast("long").alias("n_events"),
+                    F.aggregate(F.expr("slice(cs, 2, size(cs) - 1)"),
+                                F.element_at("cs", 1), step)
+                    .cast("long").alias("ewma_cents")))

@@ -237,6 +237,10 @@ _EV_FUZZED = [
     # round-8: MAD outlier screen (lower-middle median rule under ties,
     # MAD = 0 groups where every value equals the median)
     "mad_outliers",
+    # round-8: integer EWMA fold (negative values exercise the
+    # double-floor step where div/// semantics diverge; duplicate
+    # timestamps pin the struct-sort tie-break)
+    "ewma_user_value",
 ]
 
 _TS = st.one_of(
