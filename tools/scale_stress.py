@@ -89,6 +89,16 @@ vectors): LSH 2.8x, simhash 4.5x, ngram-jaccard 16.7x, incremental LSH
 curation_v2 21.2x, chunk 28.7x wall-clock at 100x the data — all
 sub-linear; pii scan stays overhead-bound (0.2 s at either scale).
 
+Round-8 --100x refresh (500k docs / 200k vectors): LSH 3.0x, simhash
+6.9x, ngram-jaccard 20.3x, incremental LSH 9.9x, SQ8 4.1x, IVF 15.7x,
+span dedup 19.4x, unigram 25.0x, curation_v2 20.1x, chunk 25.5x — and
+the round-8 newcomers dedup_exact_substrings 17.4x and knn_graph 12.9x
+wall-clock at 100x the data, both well under linear. semantic_verdicts
+reads 101x/126x (full/sampled fit): that is AT its documented scale law
+(K scales to hold cluster size, so pair volume is LINEAR in n — the
+ratio measures the law holding, not a regression); pii scan stays
+overhead-bound at 1.0x.
+
 Round-8 default-mode run: the two new heavy ops hold the curve —
 dedup_exact_substrings 1.53 s -> 4.01 s (2.6x wall at 10x docs; the
 W-times window expansion rides map-side combine, so duplicate-heavy
