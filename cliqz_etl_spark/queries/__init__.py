@@ -78,6 +78,7 @@ DRIVER_ORDER: list[str] = [
     "equidepth_histogram",
     "mad_outliers",
     "ewma_user_value",
+    "join_size_estimate",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "asof_last_click_before_purchase",
     "next_event_gap",
     "funnel_counts",
-    "weekly_retention",
     # ---------------- past the check window ----------------
+    "weekly_retention",
     "pivot_event_counts",
     "unpivot_event_counts",
     "value_histogram",

@@ -1073,3 +1073,99 @@ def event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("c_xy") * F.col("n_users")).cast("double")
                         / (F.col("cfx") * F.col("cfy")).cast("double"))
                         + F.lit(0.5)).cast("long").alias("pmi_milli")))
+
+
+# --------------------------------------------------------------------------
+# Sketch-based join-cardinality estimation — the optimizer statistic
+# behind join reordering at 100 TB, where computing the real join size
+# costs the join itself. The CountMin inner product Sum_b cmA[d][b] *
+# cmB[d][b] upper-bounds the true size Sum_k nA(k)*nB(k) for every hash
+# row (collisions only ADD cross terms), so min over depths is the
+# classic one-pass estimate. Built from the same seeded-md5 4x256 sketch
+# as countmin_user_counts, so even the collisions are deterministic and
+# the ESTIMATE itself oracle-checks exactly — the output carries the
+# exact size beside it, making the over-estimation bound a tested
+# invariant, not a comment.
+# --------------------------------------------------------------------------
+@query(
+    "join_size_estimate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id AS k FROM events WHERE user_id IS NOT NULL
+    ), ord AS (
+        SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
+    ), se AS (
+        SELECT d, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {d} AS d, {_cms_bucket_sql('k', d)} AS b FROM ev"
+                for d in range(CMS_DEPTH))}
+        ) GROUP BY d, b
+    ), so AS (
+        SELECT d, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {d} AS d, {_cms_bucket_sql('k', d)} AS b FROM ord"
+                for d in range(CMS_DEPTH))}
+        ) GROUP BY d, b
+    ), ip AS (
+        SELECT se.d, CAST(sum(se.cnt * so.cnt) AS BIGINT) AS est
+        FROM se JOIN so ON so.d = se.d AND so.b = se.b GROUP BY se.d
+    ), est AS (
+        SELECT CAST(COALESCE(min(est), 0) AS BIGINT) AS est_pairs FROM ip
+    ), ex AS (
+        SELECT CAST(COALESCE(sum(a.n * b.n), 0) AS BIGINT) AS exact_pairs
+        FROM (SELECT k, count(*) AS n FROM ev GROUP BY k) a
+        JOIN (SELECT k, count(*) AS n FROM ord GROUP BY k) b USING (k)
+    )
+    SELECT ex.exact_pairs, est.est_pairs,
+           CAST(CASE WHEN ex.exact_pairs = 0 THEN NULL
+                ELSE ((est.est_pairs - ex.exact_pairs) * 1000000)
+                     // ex.exact_pairs END AS BIGINT) AS over_ppm
+    FROM ex CROSS JOIN est
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|events >< orders| on the user/customer key: exact vs CountMin.
+
+    Plan shape: each side collapses to a <= D*W-row sketch in one
+    map-side-combined aggregate (the D-fold bucket explode is scan-side);
+    the inner product joins two sketch-sized frames; the exact size
+    joins two KEY-COUNT frames (not the fact tables). Nothing
+    corpus-sized crosses the network twice, and the estimate path never
+    touches a corpus-sized join at all — which is the point: the
+    estimator costs two scans regardless of how large the join it
+    predicts would be."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    D = CMS_DEPTH
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    evk = _materialize(ev.where(F.col("user_id").isNotNull())
+                       .select(F.col("user_id").alias("k")))
+    ordk = _materialize(orders.where(F.col("o_custkey").isNotNull())
+                        .select(F.col("o_custkey").alias("k")))
+
+    def sketch(df):
+        buckets = F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"), _cms_bucket(F.col("k"), d).alias("b"))
+            for d in range(D)])).alias("x")
+        return (df.select(buckets)
+                .groupBy(F.col("x.d").alias("d"), F.col("x.b").alias("b"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+    se = sketch(evk)
+    so = (sketch(ordk).select(F.col("d").alias("d2"), F.col("b").alias("b2"),
+                              F.col("cnt").alias("cnt2")))
+    ip = (se.join(so, (F.col("d") == F.col("d2")) & (F.col("b") == F.col("b2")))
+          .groupBy("d").agg(F.sum(F.col("cnt") * F.col("cnt2")).alias("est")))
+    est = ip.agg(F.coalesce(F.min("est"), F.lit(0)).cast("long").alias("est_pairs"))
+    a = evk.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    b = ordk.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+    ex = (a.join(b, "k")
+          .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+               .cast("long").alias("exact_pairs")))
+    return (ex.crossJoin(F.broadcast(est))
+            .select("exact_pairs", "est_pairs",
+                    F.when(F.col("exact_pairs") == 0, F.lit(None).cast("long"))
+                    .otherwise(F.expr(
+                        "((est_pairs - exact_pairs) * 1000000) div exact_pairs"))
+                    .cast("long").alias("over_ppm")))

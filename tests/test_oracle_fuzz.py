@@ -243,6 +243,7 @@ _EV_FUZZED = [
     "ewma_user_value",
 ]
 
+
 _TS = st.one_of(
     st.none(),
     st.integers(0, 90 * 86_400).map(
@@ -476,6 +477,10 @@ _TPCH_FUZZED = [
     # round-8: deterministic LPA — vote ties (c equal) must break to the
     # smallest label on both engines; NULL keys drop at edge build
     "label_propagation",
+    # round-8: CountMin join-size estimate — NULL-injected keys drop on
+    # both sides; the min-over-depths and the over-estimation invariant
+    # must survive perturbed key distributions
+    "join_size_estimate",
 ]
 
 _PERTURB_COLS = {
