@@ -79,6 +79,7 @@ DRIVER_ORDER: list[str] = [
     "mad_outliers",
     "ewma_user_value",
     "join_size_estimate",
+    "curation_pipeline_v3",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "per_key_limit",
     "asof_last_click_before_purchase",
     "next_event_gap",
-    "funnel_counts",
     # ---------------- past the check window ----------------
+    "funnel_counts",
     "weekly_retention",
     "pivot_event_counts",
     "unpivot_event_counts",

@@ -253,3 +253,59 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.chunk_idx", "c.chunk_start", "c.n_tokens",
                 "c.chunk")
     )
+
+
+# --------------------------------------------------------------------------
+# curation_pipeline_v3 — the round-8 LLM-data gates composed into one
+# selection artifact: unicode-script routing (only latin-dominant pages
+# reach the Latin-trained scorers), the stride-1 exact-substring dup
+# screen (drop documents that are mostly duplicated text), and DSIR
+# importance weighting over what survives. Unlike curation_pipeline_v2
+# (which re-trains its scorer on the curated text), v3 composes the
+# member queries' OUTPUTS — corpus-level gates intersected by key — so
+# both engines assemble the same result from the members' own verbatim
+# SQL: the oracle below embeds REGISTRY["script_mix"/"dedup_exact_
+# substrings"/"dsir_importance_weights"].oracle unchanged as subqueries,
+# making it impossible for the composition to drift from the parts.
+# --------------------------------------------------------------------------
+from cliqz_etl_spark.queries import REGISTRY as _REG  # noqa: E402
+from cliqz_etl_spark.queries import dedup as _dedup_mod  # noqa: F401,E402
+from cliqz_etl_spark.queries import llmdata as _llm_mod  # noqa: F401,E402
+from cliqz_etl_spark.queries import textops as _text_mod  # noqa: F401,E402
+
+_V3_DUP_PPM = 500_000  # drop docs more than half duplicated windows
+
+
+@query(
+    "curation_pipeline_v3",
+    oracle=f"""
+    WITH m AS ({_REG["script_mix"].oracle}),
+    w AS ({_REG["dsir_importance_weights"].oracle}),
+    d AS ({_REG["dedup_exact_substrings"].oracle})
+    SELECT w.doc_id AS doc_id, w.n_tok AS n_tok,
+           w.dsir_weight_milli AS dsir_weight_milli
+    FROM w JOIN m ON m.doc_id = w.doc_id AND m.dominant = 'latin'
+    WHERE w.doc_id NOT IN
+          (SELECT doc_id FROM d WHERE dup_ppm > {_V3_DUP_PPM})
+    """,
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-routed, dup-screened, DSIR-weighted selection table.
+
+    Spark side composes by CALLING the member queries and joining their
+    outputs (inner join on the latin-dominant routing set, anti join on
+    the heavy-duplication set, weights carried through) — zero
+    re-implementation, so the members' own oracle gates transitively
+    cover every stage here; this gate only has to prove the composition
+    joins. Documents shorter than the dedup window W carry no dup
+    profile and pass the screen by definition. Plan: three member plans
+    plus two key-joins; the routing and dup sets are doc-id-sized, so
+    both joins broadcast at gate scale and shuffle on doc_id beyond."""
+    mix = (_REG["script_mix"].fn(spark, sf_dir)
+           .where(F.col("dominant") == "latin").select("doc_id"))
+    dup_heavy = (_REG["dedup_exact_substrings"].fn(spark, sf_dir)
+                 .where(F.col("dup_ppm") > _V3_DUP_PPM).select("doc_id"))
+    w = _REG["dsir_importance_weights"].fn(spark, sf_dir)
+    return (w.join(mix, "doc_id")
+            .join(dup_heavy, "doc_id", "left_anti")
+            .select("doc_id", "n_tok", "dsir_weight_milli"))

@@ -65,6 +65,11 @@ _FUZZED = [
     # round-8: BM25 (integer-exact rational k1/b; zero-match corpora,
     # single-doc corpora where dl == avgdl exactly)
     "bm25_search",
+    # round-8: the composed v3 selection (script routing x dup screen x
+    # DSIR weights must intersect identically on any corpus — the
+    # composition joins are what this wave exercises; members are
+    # fuzzed standalone above)
+    "curation_pipeline_v3",
     # round-8: prefix-filtered exact all-pairs Jaccard — the clone pair
     # must always surface (jac=1.0); single-token docs have prefix = the
     # whole set; the no-false-negative guarantee under adversarial text
