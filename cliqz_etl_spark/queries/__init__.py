@@ -80,6 +80,11 @@ DRIVER_ORDER: list[str] = [
     "ewma_user_value",
     "join_size_estimate",
     "curation_pipeline_v3",
+    "postings_intersect",
+    "phrase_search",
+    "postings_compress_stats",
+    "wand_bm25_topk",
+    "rrf_hybrid_search",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -103,12 +108,12 @@ DRIVER_ORDER: list[str] = [
     "indicator_sums",
     "value_hours_per_user",
     "distinct_purchasers",
+    # ---------------- past the check window ----------------
     "ever_purchased",
     "recency_filter",
     "per_key_limit",
     "asof_last_click_before_purchase",
     "next_event_gap",
-    # ---------------- past the check window ----------------
     "funnel_counts",
     "weekly_retention",
     "pivot_event_counts",
@@ -365,6 +370,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         privacy,
         relational,
+        retrieval,
         sessions,
         similarity,
         streamq,

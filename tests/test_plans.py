@@ -228,6 +228,15 @@ _PLAN_BUDGET = {
     # which also counts here)
     "ks_drift": (4, 0),
     "winsorize_stats": (6, 0),
+    # retrieval family: phrase matching is map-only; the boolean AND is
+    # two postings-sized shuffles; the compression planner's third
+    # exchange is the (term, shard) lag window; WAND/RRF ceilings catch
+    # a corpus-sized sort replacing the TakeOrderedAndProject cuts
+    "postings_intersect": (2, 0),
+    "phrase_search": (0, 0),
+    "postings_compress_stats": (3, 0),
+    "wand_bm25_topk": (6, 0),
+    "rrf_hybrid_search": (6, 0),
 }
 
 
