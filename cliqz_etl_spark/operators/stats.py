@@ -67,3 +67,86 @@ def ranged_cumsum(df: DataFrame, order_col: str | list[str],
     return out.drop("__pid",
                     *[f"__w_{c}" for c in sum_cols],
                     *[f"__o_{c}" for c in sum_cols])
+
+
+def ranged_cummax(df: DataFrame, order_col: str | list[str],
+                  cols: list[str], *, exclusive: bool = False,
+                  n_ranges: int = 32) -> DataFrame:
+    """``cummax_<c>`` columns: the running MAX of each ``cols`` entry under
+    ``ORDER BY order_col ASC``, by the same two-pass range scheme as
+    ``ranged_cumsum`` (no global single-task sort). With ``exclusive=True``
+    the max covers strictly-preceding rows only (NULL for the global
+    first row) — the skyline/dominance shape, where each row is compared
+    against everything before it. Callers needing well-defined ties
+    should pre-aggregate to distinct order-key values first."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ranged = (df.repartitionByRange(n_ranges, *[F.asc(c) for c in order_cols])
+              .withColumn("__pid", F.spark_partition_id()))
+    lo = Window.unboundedPreceding
+    hi = -1 if exclusive else 0
+    within = Window.partitionBy("__pid") \
+        .orderBy(*[F.asc(c) for c in order_cols]) \
+        .rowsBetween(lo, hi)
+    cur = ranged.select(
+        "*", *[F.max(c).over(within).alias(f"__w_{c}") for c in cols])
+    totals = ranged.groupBy("__pid").agg(
+        *[F.max(c).alias(f"__t_{c}") for c in cols])
+    prefix = Window.orderBy(F.asc("__pid")) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        *[F.max(f"__t_{c}").over(prefix).alias(f"__o_{c}") for c in cols])
+    out = cur.join(F.broadcast(offsets), "__pid")
+    for c in cols:
+        # greatest() ignores NULL arms; NULL only when BOTH are (the
+        # global first row under exclusive mode — the caller's identity)
+        out = out.withColumn(f"cummax_{c}",
+                             F.greatest(F.col(f"__w_{c}"), F.col(f"__o_{c}")))
+    return out.drop("__pid",
+                    *[f"__w_{c}" for c in cols],
+                    *[f"__o_{c}" for c in cols])
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Misra-Gries heavy-hitter candidate screen: one Arrow-batched pass
+    per partition with ``k`` counters, returning the union of surviving
+    keys (column ``col``, distinct).
+
+    Guarantee (the two-pass exact heavy-hitters contract): any key with
+    GLOBAL count > n/k has, by averaging, count > n_p/k in at least one
+    partition, and Misra-Gries with k counters never evicts such a key —
+    so the candidate union is a superset of the true heavy hitters no
+    matter how rows are partitioned. The candidate set is at most
+    k x n_partitions rows (a model-sized frame, broadcastable), and the
+    exact verification pass counts ONLY candidates. This is the shape
+    that finds heavy hitters over 100 TB when the key cardinality is far
+    too large to groupBy wholesale: the first pass holds k counters per
+    task, the second pass is a broadcast-filtered aggregation.
+
+    The intermediate candidate set depends on partitioning; the FINAL
+    exact-verified output does not — callers must filter on the exact
+    counts (cnt * k > n), which tests pin by comparing against a plain
+    groupBy oracle."""
+    import pandas as pd  # local import: worker-side dependency only
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for w in pdf[col]:
+                if w is None:
+                    continue
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k - 1:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for d in dead:
+                        del counters[d]
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return df.select(col).mapInPandas(summarize, f"{col} string").distinct()

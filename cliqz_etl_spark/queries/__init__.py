@@ -85,6 +85,10 @@ DRIVER_ORDER: list[str] = [
     "postings_compress_stats",
     "wand_bm25_topk",
     "rrf_hybrid_search",
+    "heavy_hitters_exact",
+    "pareto_frontier",
+    "compaction_plan",
+    "minmax_prune_plan",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -104,11 +108,11 @@ DRIVER_ORDER: list[str] = [
     # ---- latest green row: r5 ----
     "frame_sample_stats",
     "dedup_canonicalize",
+    # ---------------- past the check window ----------------
     "mode_per_user",
     "indicator_sums",
     "value_hours_per_user",
     "distinct_purchasers",
-    # ---------------- past the check window ----------------
     "ever_purchased",
     "recency_filter",
     "per_key_limit",

@@ -1169,3 +1169,114 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .otherwise(F.expr(
                         "((est_pairs - exact_pairs) * 1000000) div exact_pairs"))
                     .cast("long").alias("over_ppm")))
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters by two-pass Misra-Gries: pass 1 streams each
+# partition through k=32 counters (operators/stats.py:mg_candidates — a
+# model-sized candidate union that provably contains every key with
+# global count > n/k regardless of partitioning); pass 2 exact-counts
+# candidates only, behind a broadcast semi-filter, and keeps cnt*k > n.
+# The oracle is a plain GROUP BY + HAVING — a different algorithm, so
+# the hash match is evidence the screen loses nothing. At 100 TB this
+# is how frequent-term extraction runs when the vocabulary itself
+# (URLs, n-grams, user ids) cannot be grouped wholesale: the first pass
+# holds 32 counters per task, the shuffle carries candidates only.
+# --------------------------------------------------------------------------
+HH_K = 32
+
+
+@query(
+    "heavy_hitters_exact",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok CROSS JOIN tot
+    GROUP BY w, tot.n
+    HAVING count(*) * {HH_K} > tot.n
+    """,
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms with frequency > n/32 over the document corpus, exactly.
+
+    Plan shape: mapInPandas candidate screen (k counters/partition, no
+    shuffle) → broadcast the candidate union into the token scan →
+    map-side-combined groupBy over candidates only → 1-row corpus total
+    broadcast back for the threshold. Deterministic despite the
+    partition-dependent intermediate: the exact pass decides."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+    from cliqz_etl_spark.operators.stats import mg_candidates
+    from cliqz_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _materialize(
+        docs.where(F.trim(F.col("text")) != "")
+        .select(F.explode(tokens("text")).alias("w")))
+    n = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cand = mg_candidates(tok, "w", HH_K)
+    return (tok.join(F.broadcast(cand), "w", "left_semi")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .crossJoin(F.broadcast(n))
+            .where(F.col("cnt") * HH_K > F.col("n"))
+            .select(F.col("w").alias("term"), "cnt"))
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline): parts where no other part is both cheaper-
+# or-equal AND larger-or-equal with one strict — the classic 2-D skyline
+# (Borzsony et al. 2001). The Spark shape is the O(n log n) sweep, not
+# the O(n^2) dominance join: collapse to one row per distinct price
+# (max size), take the EXCLUSIVE running max of size over ascending
+# price via the partition-parallel two-pass scheme (ranged_cummax — no
+# single-task global sort), and a part survives iff its size beats every
+# strictly-cheaper part's max AND equals its own price's max. The oracle
+# is the quadratic NOT EXISTS dominance predicate — a genuinely
+# different algorithm, so the hash match tests the sweep's logic.
+# --------------------------------------------------------------------------
+@query(
+    "pareto_frontier",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS p_size
+        FROM part
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    )
+    SELECT a.p_partkey AS p_partkey, a.price_cents AS price_cents,
+           a.p_size AS p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE (b.price_cents < a.price_cents AND b.p_size >= a.p_size)
+           OR (b.price_cents <= a.price_cents AND b.p_size > a.p_size)
+    )
+    """,
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the (min price, max size) Pareto frontier.
+
+    Plan shape: groupBy(price) pre-aggregation (map-side combined),
+    ranged_cummax's two range-parallel windows + broadcast offsets, one
+    shuffle join back to the fact rows on price. Nothing ever sorts the
+    corpus in one task; dominance never materializes as pairs."""
+    from cliqz_etl_spark.operators.stats import ranged_cummax
+
+    part = load_table(spark, sf_dir, "part")
+    p = (part.where(F.col("p_retailprice").isNotNull()
+                    & F.col("p_size").isNotNull())
+         .select("p_partkey",
+                 F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+                 .cast("long").alias("price_cents"),
+                 F.col("p_size").cast("long").alias("p_size")))
+    m = p.groupBy("price_cents").agg(F.max("p_size").alias("msize"))
+    curve = ranged_cummax(m, "price_cents", ["msize"], exclusive=True)
+    return (p.join(curve, "price_cents")
+            .where((F.col("p_size") == F.col("msize"))
+                   & ((F.col("cummax_msize").isNull())
+                      | (F.col("p_size") > F.col("cummax_msize"))))
+            .select("p_partkey", "price_cents", "p_size"))

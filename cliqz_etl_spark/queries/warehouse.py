@@ -739,3 +739,111 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("x") - F.min("x")).cast("long").alias("cust_span"),
         (F.max("y") - F.min("y")).cast("long").alias("day_span"),
     )
+
+
+# --------------------------------------------------------------------------
+# Compaction planning — the small-files maintenance pass every lakehouse
+# table service runs (Iceberg/Delta OPTIMIZE): given a file inventory
+# (here: per (ship-month, returnflag) fragment sizes, the partition
+# grain the engine's own writers produce), pack fragments into target-
+# capacity rewrite bins by sorted sequential packing — sort by size
+# descending, running-total, bin = floor(preceding_total / capacity).
+# Deterministic, one pass, and the running total never sorts in one
+# task: it rides ranged_cumsum's composite-key two-pass scheme. The
+# plan output is metadata-sized (one row per fragment).
+# --------------------------------------------------------------------------
+COMPACT_TARGET_ROWS = 4_000
+
+
+@query(
+    "compaction_plan",
+    oracle=f"""
+    WITH inv AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS month,
+               l_returnflag AS returnflag,
+               CAST(count(*) AS BIGINT) AS size_rows
+        FROM lineitem WHERE l_shipdate IS NOT NULL
+        GROUP BY 1, 2
+    ), seq AS (
+        SELECT month, returnflag, size_rows,
+               CAST(sum(size_rows) OVER (
+                   ORDER BY size_rows DESC, month ASC, returnflag ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM inv
+    )
+    SELECT month, returnflag, size_rows,
+           CAST((cum - size_rows) // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin
+    FROM seq
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-packed rewrite plan for the (month, returnflag) fragments.
+
+    Plan shape: one map-side-combined groupBy builds the inventory;
+    ranged_cumsum (order: size desc via negated key, then month/flag as
+    deterministic tiebreaks) assigns running totals with range-parallel
+    windows; the bin id is a scan-side div. First-fit-decreasing would
+    pack marginally tighter but is inherently sequential; sorted
+    sequential packing is the distributed-planner standard."""
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inv = (li.where(F.col("l_shipdate").isNotNull())
+           .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+                    F.col("l_returnflag").alias("returnflag"))
+           .agg(F.count(F.lit(1)).cast("long").alias("size_rows")))
+    seq = ranged_cumsum(
+        inv.withColumn("neg_size", -F.col("size_rows")),
+        ["neg_size", "month", "returnflag"], ["size_rows"])
+    return seq.select(
+        "month", "returnflag", "size_rows",
+        F.expr(f"(cum_size_rows - size_rows) div {COMPACT_TARGET_ROWS}")
+        .cast("long").alias("bin"))
+
+
+# --------------------------------------------------------------------------
+# Zone-map pruning plan — the scan-planning arithmetic behind every
+# columnar format's min/max statistics (parquet row groups, ORC stripes,
+# Iceberg manifests): per month partition of orders, the price min/max
+# (cents-quantized so both engines compare exact integers) and whether a
+# BETWEEN predicate can skip the partition entirely. The planner reads
+# only aggregated stats — the 100 TB version prunes from metadata
+# without touching data files; this query IS that metadata computation,
+# one map-side-combined aggregation of the fact table.
+# --------------------------------------------------------------------------
+PRUNE_LO_CENTS = 5_000_000    # 50,000.00
+PRUNE_HI_CENTS = 15_000_000   # 150,000.00
+
+
+@query(
+    "minmax_prune_plan",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents,
+           (max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) < {PRUNE_LO_CENTS}
+            OR min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) > {PRUNE_HI_CENTS})
+               AS prunable
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def minmax_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which monthly partitions a 50k-150k price predicate can skip.
+
+    One aggregation, partition-count output rows; the prunable flag is
+    the exact zone-map test (max < lo OR min > hi)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (o.where(F.col("o_orderdate").isNotNull()
+                    & F.col("o_totalprice").isNotNull())
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min(cents).cast("long").alias("min_cents"),
+                 F.max(cents).cast("long").alias("max_cents"))
+            .withColumn("prunable",
+                        (F.col("max_cents") < PRUNE_LO_CENTS)
+                        | (F.col("min_cents") > PRUNE_HI_CENTS)))

@@ -237,6 +237,15 @@ _PLAN_BUDGET = {
     "postings_compress_stats": (3, 0),
     "wand_bm25_topk": (6, 0),
     "rrf_hybrid_search": (6, 0),
+    # two-pass heavy hitters: the single python stage is the Arrow MG
+    # screen; shuffles carry candidates + the distinct, never raw tokens
+    "heavy_hitters_exact": (3, 1),
+    # skyline sweep / sequential packer ride ranged_cummax/ranged_cumsum
+    # (range repartition + pid window + tiny offset window each); the
+    # ceiling catches a corpus-sized single-task sort replacing them
+    "pareto_frontier": (6, 0),
+    "compaction_plan": (6, 0),
+    "minmax_prune_plan": (1, 0),
 }
 
 

@@ -448,3 +448,48 @@ def test_prefix_filter_equals_bruteforce_allpairs(spark, texts):
     finally:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(-10**6, 10**6), st.integers(-10**9, 10**9)),
+    min_size=1, max_size=60))
+def test_ranged_cummax_matches_global_window(spark, rows):
+    """ranged_cummax (inclusive and exclusive) equals the single-task
+    global-window running max on arbitrary data, including duplicate
+    order keys (pre-aggregated away, per the operator's contract) and
+    negative values."""
+    from pyspark.sql import Window
+
+    from cliqz_etl_spark.operators.stats import ranged_cummax
+
+    df = (spark.createDataFrame(rows, ["k", "v"])
+          .groupBy("k").agg(F.max("v").alias("v")))
+    for exclusive in (False, True):
+        got = {r["k"]: r["cummax_v"]
+               for r in ranged_cummax(df, "k", ["v"],
+                                      exclusive=exclusive,
+                                      n_ranges=4).collect()}
+        hi = -1 if exclusive else 0
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, hi)
+        want = {r["k"]: r["want"]
+                for r in df.select("k", F.max("v").over(w).alias("want")).collect()}
+        assert got == want, (exclusive, got, want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=200),
+       st.integers(2, 8))
+def test_mg_candidates_superset_of_heavy_hitters(spark, items, k):
+    """The Misra-Gries screen never loses a true heavy hitter
+    (count * k > n), for any partitioning — forced here to a skewed
+    4-way repartition to exercise the per-partition merge."""
+    from collections import Counter
+
+    from cliqz_etl_spark.operators.stats import mg_candidates
+
+    df = spark.createDataFrame([(w,) for w in items], ["w"]).repartition(4)
+    cand = {r["w"] for r in mg_candidates(df, "w", k).collect()}
+    counts = Counter(items)
+    heavy = {w for w, c in counts.items() if c * k > len(items)}
+    assert heavy <= cand, (heavy, cand, k)
