@@ -77,6 +77,13 @@ _FUZZED = [
     # custom-sink roundtrip — unicode + NULL text must survive the JSON
     # hop through the staged-commit jsonl_shards writer
     "jsonl_sink_roundtrip",
+    # round-8 retrieval family: conjunctive AND on zero-match corpora,
+    # the sequence(1, n<1) descending-range trap in phrase matching,
+    # bin()-based gap coding on unicode vocab, WAND's prune-vs-brute
+    # equality when every doc ties, and the MG screen on corpora where
+    # everything (or nothing) is heavy
+    "postings_intersect", "phrase_search", "postings_compress_stats",
+    "wand_bm25_topk", "heavy_hitters_exact",
 ]
 
 _WORD = st.one_of(
@@ -486,6 +493,11 @@ _TPCH_FUZZED = [
     # both sides; the min-over-depths and the over-estimation invariant
     # must survive perturbed key distributions
     "join_size_estimate",
+    # round-8: the skyline sweep must equal the quadratic dominance
+    # oracle when price/size go NULL (both guarded out at scan);
+    # sequential packing under NULL ship dates; zone maps where a whole
+    # month's prices are NULL
+    "pareto_frontier", "compaction_plan", "minmax_prune_plan",
 ]
 
 _PERTURB_COLS = {
