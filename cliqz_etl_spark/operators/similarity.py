@@ -218,6 +218,100 @@ def sq8_reconstructed(emb: DataFrame, id_col: str, vec_col: str,
     return q.select("_id", "_qv", F.transform("_qv", decode).alias("_rv"))
 
 
+def _require_integral_ids(id_col: str, op: str,
+                          **frames: DataFrame) -> None:
+    """Fail fast when an id column is non-integral: the broadcast query
+    models and mapInPandas output schemas carry ids as int64, so a
+    string-id corpus should error clearly, not cast-crash inside Arrow."""
+    from pyspark.sql.types import IntegralType
+
+    for side, frame in frames.items():
+        dt = frame.schema[id_col].dataType
+        if not isinstance(dt, IntegralType):
+            raise TypeError(
+                f"{op} requires an integral id column "
+                f"({side}.{id_col} is {dt.simpleString()})")
+
+
+def pq_reconstructed(corpus: DataFrame, codebook: DataFrame, id_col: str,
+                     vec_col: str, dim: int, n_sub: int) -> DataFrame:
+    """(_id, _qv, _rv): product-quantization round-trip — each vector
+    encoded as ``n_sub`` codebook indices (one per dim/n_sub-wide
+    subspace, nearest codeword by exact int64 L2), decoded back as the
+    concatenation of its codewords (Jégou et al. 2011). The decoded
+    ints stand in for the code bytes the way sq8_reconstructed's do:
+    the real layout stores n_sub uint8 codes per vector (dim/n_sub x
+    smaller than SQ8, 32x smaller than float32 at dim=64/n_sub=8), and
+    only rerank touches full vectors.
+
+    The codebook is model-sized by contract (strided sample or trained
+    centroids): it collects to the driver once (same K-row model policy
+    as IVF), broadcasts, and encode+decode run as ONE zero-shuffle
+    Arrow pass over the corpus — int64 numpy throughout, exact under
+    the valid_quantized magnitude envelope (subspace distances are
+    strictly smaller than the full-dim norms the bound was sized for).
+    Codeword ties break to the smallest codebook id on both engines:
+    the model is sorted by id and np.argmin keeps the first minimum,
+    mirroring the oracle's ORDER BY d ASC, cid ASC."""
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    q = valid_quantized(corpus, id_col, vec_col, dim)
+    model = _collect_centroids(codebook, id_col, vec_col, dim)
+    if not model:
+        raise ValueError(
+            "pq_reconstructed: codebook has no valid rows — cannot encode")
+    model.sort(key=lambda t: t[0])
+    cents = [v for _, v in model]
+    sub = dim // n_sub
+    from cliqz_etl_spark.operators.cache import track_broadcast
+    bc = track_broadcast(
+        q.sparkSession.sparkContext.broadcast((cents, sub)))
+
+    def recode(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(bc.value[0], dtype=np.int64)
+        s = bc.value[1]
+        n_spaces = C.shape[1] // s
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.int64) for v in pdf["_qv"]],
+                         dtype=np.int64)
+            rv = np.empty_like(V)
+            for m in range(n_spaces):
+                Vm = V[:, m * s:(m + 1) * s]
+                Cm = C[:, m * s:(m + 1) * s]
+                d2 = ((Vm * Vm).sum(axis=1)[:, None]
+                      - 2 * (Vm @ Cm.T)
+                      + (Cm * Cm).sum(axis=1)[None, :])
+                codes = np.argmin(d2, axis=1)  # first min = smallest cid
+                rv[:, m * s:(m + 1) * s] = Cm[codes]
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(dtype=np.int64),
+                "_qv": list(V.tolist()),
+                "_rv": list(rv.tolist()),
+            })
+
+    return q.mapInPandas(
+        recode, schema="_id long, _qv array<long>, _rv array<long>")
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+            id_col: str, vec_col: str, dim: int, n_sub: int,
+            k: int = 5, rerank: int = 20) -> DataFrame:
+    """ANN via product quantization: approximate cosine (query
+    exact-milli x corpus PQ decode — numerically identical to the
+    classic per-query ADC table lookup, since dot(q, concat(codewords))
+    = sum of per-subspace table entries) prunes to ``rerank`` candidates
+    per query; exact cosine reranks candidates only. Same scan shape as
+    sq8_topk with a (dim/n_sub)x smaller resident corpus."""
+    _require_integral_ids(id_col, "pq_topk", corpus=corpus, queries=queries)
+    rec = pq_reconstructed(corpus, codebook, id_col, vec_col, dim, n_sub)
+    return _approx_rerank_topk(rec, queries, id_col, vec_col, dim, k, rerank)
+
+
 def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, dim: int, k: int = 5,
              rerank: int = 20) -> DataFrame:
@@ -234,23 +328,25 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     join-based formulation, which was id-type-generic). Checked up front
     so a string-id corpus fails with a clear error, not a cast crash deep
     inside an Arrow batch."""
-    from pyspark.sql import Window
-    from pyspark.sql.types import IntegralType
-
-    for side, frame in (("corpus", corpus), ("queries", queries)):
-        dt = frame.schema[id_col].dataType
-        if not isinstance(dt, IntegralType):
-            raise TypeError(
-                f"sq8_topk requires an integral id column "
-                f"({side}.{id_col} is {dt.simpleString()}) — the broadcast "
-                "query model and mapInPandas output schema are int64")
-
+    _require_integral_ids(id_col, "sq8_topk", corpus=corpus, queries=queries)
     # No persist on the decoded corpus: the approx scan reads (_id, _rv)
     # and the rerank join reads (_id, _qv), so column pruning gives each
     # branch only its own cheap transform over the scan — an eager
     # persist+count cost a whole extra job, which dominates at bench
     # scale now that the decode is O(1) expressions.
     rec = sq8_reconstructed(corpus, id_col, vec_col, dim)
+    return _approx_rerank_topk(rec, queries, id_col, vec_col, dim, k, rerank)
+
+
+def _approx_rerank_topk(rec: DataFrame, queries: DataFrame, id_col: str,
+                        vec_col: str, dim: int, k: int,
+                        rerank: int) -> DataFrame:
+    """Shared tail of the compressed-scan ANN family (SQ8, PQ): score
+    the decoded corpus (_id, _qv, _rv) against the broadcast exact-milli
+    query model per Arrow batch (batch-local top-``rerank``), narrow to
+    the global top-``rerank`` per query, exact-rerank those rows only."""
+    from pyspark.sql import Window
+
     qs = (
         valid_quantized(queries, id_col, vec_col, dim)
         .select(F.col("_id").alias("query_id"), F.col("_qv").alias("qv"))

@@ -89,6 +89,8 @@ DRIVER_ORDER: list[str] = [
     "pareto_frontier",
     "compaction_plan",
     "minmax_prune_plan",
+    "ann_pq",
+    "deletion_propagation",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -105,10 +107,10 @@ DRIVER_ORDER: list[str] = [
     "event_transition_matrix",
     "full_outer_rollup",
     "two_key_join",
+    # ---------------- past the check window ----------------
     # ---- latest green row: r5 ----
     "frame_sample_stats",
     "dedup_canonicalize",
-    # ---------------- past the check window ----------------
     "mode_per_user",
     "indicator_sums",
     "value_hours_per_user",

@@ -156,5 +156,81 @@ def k_anonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# GDPR/CCPA deletion propagation — the right-to-be-forgotten cascade
+# every compliance pipeline runs: a (small) deletion-request set of
+# subjects fans out through the foreign-key graph (customer -> orders ->
+# lineitems), and the job's deliverable is the per-nation AUDIT of what
+# each table would lose — the count evidence a DPO signs off before the
+# anti-join rewrite executes. Request set here: c_custkey % 37 = 0 (the
+# deterministic stand-in for a request table). At 100 TB the request
+# side is tiny by nature, so it broadcasts into the orders scan; only
+# the affected orders (a small fraction) key the lineitem join, and
+# every aggregate is nation-sized.
+# --------------------------------------------------------------------------
+DELETE_MOD = 37
+
+
+@query(
+    "deletion_propagation",
+    oracle=f"""
+    WITH req AS (
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_custkey % {DELETE_MOD} = 0
+    ), ordd AS (
+        SELECT r.c_nationkey, o.o_orderkey
+        FROM req r JOIN orders o ON o.o_custkey = r.c_custkey
+    ), lid AS (
+        SELECT d.c_nationkey
+        FROM ordd d JOIN lineitem l ON l.l_orderkey = d.o_orderkey
+    ), c AS (
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+        FROM req GROUP BY 1
+    ), o AS (
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM ordd GROUP BY 1
+    ), l AS (
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_lineitems
+        FROM lid GROUP BY 1
+    )
+    SELECT c.c_nationkey AS nationkey, c.n_customers AS n_customers,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(l.n_lineitems, 0) AS BIGINT) AS n_lineitems
+    FROM c LEFT JOIN o USING (c_nationkey) LEFT JOIN l USING (c_nationkey)
+    """,
+)
+def deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation audit of the deletion cascade for the request set.
+
+    Plan shape: the request projection broadcasts into orders; affected
+    orders key one join into lineitem; three nation-sized aggregates
+    recombine with broadcast left joins. Nations whose requested
+    customers placed no orders still report (n_orders = 0)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    req = (cust.where(F.col("c_custkey") % DELETE_MOD == 0)
+           .select("c_custkey", "c_nationkey"))
+    ordd = (orders.join(F.broadcast(req),
+                        orders["o_custkey"] == req["c_custkey"])
+            .select("c_nationkey", "o_orderkey"))
+    lid = (li.join(ordd, li["l_orderkey"] == ordd["o_orderkey"])
+           .select("c_nationkey"))
+    c = req.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"))
+    o = ordd.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"))
+    ll = lid.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+    return (c.join(F.broadcast(o), "c_nationkey", "left")
+            .join(F.broadcast(ll), "c_nationkey", "left")
+            .select(F.col("c_nationkey").alias("nationkey"),
+                    "n_customers",
+                    F.coalesce("n_orders", F.lit(0)).cast("long")
+                    .alias("n_orders"),
+                    F.coalesce("n_lineitems", F.lit(0)).cast("long")
+                    .alias("n_lineitems")))
+
+
 __all__ = ["pii_scan_docs", "pseudonymize_customers", "k_anonymize_customers",
-           "redact_pii", "redact_pii_sql"]
+           "deletion_propagation", "redact_pii", "redact_pii_sql"]

@@ -570,6 +570,102 @@ def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k=TOP_K, rerank=SQ_RERANK)
 
 
+# ---- PQ: product-quantized approximate scan + exact rerank -----------------
+#
+# The third leg of the vector-compression family (Jégou et al. 2011):
+# IVF prunes PARTITIONS, SQ8 compresses per-element, PQ compresses per-
+# SUBSPACE — n_sub codebook indices per vector (8 bytes at 64-d/8-sub vs
+# 256 float bytes). Codebook = the strided sample (vec_id % 100), same
+# model policy as ivf_clusters; each vector's subvectors snap to their
+# nearest codeword by exact int64 L2 (ties -> smallest codebook id on
+# both engines), and approximate cosine scores the decoded concatenation
+# — numerically the ADC table-lookup sum. Exact rerank touches only
+# Q x rerank full vectors. The oracle replays encode/decode/prune/rerank
+# value-for-value.
+
+PQ_NSUB = 8                      # subspaces
+_PQW = VEC_DIM // PQ_NSUB        # dims per subspace
+
+_PQ_CW = "list_slice(c.v, s.m * {w} + 1, (s.m + 1) * {w})".format(w=_PQW)
+_PQ_CTE = _QCTE + f"""
+    , cb AS (SELECT vec_id AS cid, v FROM q WHERE vec_id % {CENTROID_MOD} = 0)
+    , sub AS (
+        SELECT q.vec_id, t.m,
+               list_slice(q.v, t.m * {_PQW} + 1, (t.m + 1) * {_PQW}) AS sv
+        FROM q CROSS JOIN (SELECT unnest(range({PQ_NSUB})) AS m) t
+    ), pairs AS (
+        SELECT s.vec_id, s.m, c.cid,
+               list_sum(list_transform(range(1, {_PQW} + 1),
+                   i -> (s.sv[i] - {_PQ_CW}[i]) * (s.sv[i] - {_PQ_CW}[i])))
+                   AS d,
+               {_PQ_CW} AS cw
+        FROM sub s CROSS JOIN cb c
+    ), asg AS (
+        SELECT vec_id, m, cw FROM (
+            SELECT vec_id, m, cw,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, cid ASC) AS rn
+            FROM pairs) WHERE rn = 1
+    ), rv_ AS (
+        SELECT vec_id, flatten(list(cw ORDER BY m)) AS rv
+        FROM asg GROUP BY vec_id
+    ), rec AS (
+        SELECT q.vec_id, q.v, rv_.rv FROM q JOIN rv_ USING (vec_id)
+    )
+"""
+
+
+@query(
+    "ann_pq",
+    oracle=_PQ_CTE + f"""
+    , approx AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ({_dot('a.v', 'b.rv')}
+                / sqrt({_dot('a.v', 'a.v')} * {_dot('b.rv', 'b.rv')})) AS acos
+        FROM rec a JOIN rec b ON a.vec_id != b.vec_id
+        WHERE a.vec_id % {QUERY_MOD} = 0
+    ), cand AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY acos DESC, neighbor_id ASC) AS arn
+              FROM approx)
+        WHERE arn <= {SQ_RERANK}
+    )
+    SELECT query_id AS query_id, rank AS rank,
+           neighbor_id AS neighbor_id, cos_x10k AS cos_x10k
+    FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY {_cos('qa.v', 'qb.v')} DESC,
+                                           c.neighbor_id ASC) AS rank,
+               CAST(floor({_cos('qa.v', 'qb.v')} * 10000 + 0.5) AS BIGINT) AS cos_x10k
+        FROM cand c
+        JOIN q qa ON qa.vec_id = c.query_id
+        JOIN q qb ON qb.vec_id = c.neighbor_id
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: strided codebook, per-subspace int64 L2
+    encode, ADC-equivalent approximate cosine over the decoded corpus,
+    exact rerank of top-{SQ_RERANK} — the 8-bytes-per-vector layout.
+
+    Plan shape: codebook collects once (K-row model), encode+decode is
+    ONE zero-shuffle Arrow pass, then the shared compressed-scan tail
+    (batch-local top-rerank, bounded global narrow, Q x rerank exact
+    join) — identical scaling story to ann_sq8 with (dim/n_sub)x the
+    compression."""
+    from cliqz_etl_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    codebook = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
+    return pq_topk(emb, queries, codebook, "vec_id", "embedding", VEC_DIM,
+                   n_sub=PQ_NSUB, k=TOP_K, rerank=SQ_RERANK)
+
+
 # ---- semantic dedup (SemDeDup-style) ---------------------------------------
 #
 # Cluster the corpus with the TRAINED coarse quantizer, then compare

@@ -160,6 +160,10 @@ _EMB_FUZZED = [
     # round-8: LSH kNN-graph (degenerate all-identical buckets hit the
     # fan-in cap; mutual-edge marking under ties)
     "knn_graph",
+    # round-8: product quantization — codeword argmin ties must break to
+    # the smallest cid on both engines; the no-valid-codebook corpus
+    # exercises the ValueError arm; subspace slicing on adversarial ints
+    "ann_pq",
 ]
 
 # Row i gets _EMB_IDS[i], not i: sequential ids give a <=18-row corpus
@@ -498,6 +502,10 @@ _TPCH_FUZZED = [
     # sequential packing under NULL ship dates; zone maps where a whole
     # month's prices are NULL
     "pareto_frontier", "compaction_plan", "minmax_prune_plan",
+    # round-8: the deletion cascade under NULL-injected o_custkey /
+    # c_nationkey — inner joins must drop NULL keys identically and the
+    # NULL nation group must aggregate identically on both engines
+    "deletion_propagation",
 ]
 
 _PERTURB_COLS = {

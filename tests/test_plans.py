@@ -246,6 +246,13 @@ _PLAN_BUDGET = {
     "pareto_frontier": (6, 0),
     "compaction_plan": (6, 0),
     "minmax_prune_plan": (1, 0),
+    # PQ: 3 python stages = validity projection + recode pass + the
+    # shared approx kernel; 2 shuffles = the bounded candidate narrow +
+    # rerank join — a corpus-sized pair shuffle appearing would breach
+    "ann_pq": (2, 3),
+    # request set broadcasts into orders; 3 keyed shuffles ceiling
+    # (lineitem join + nation aggregates), dimension-sized outputs
+    "deletion_propagation": (3, 0),
 }
 
 

@@ -238,9 +238,24 @@ def family_sweep(spark, big_dir: str, scale_label: str,
     from cliqz_etl_spark.functions.privacy import PII_CLASSES, pii_count
     from cliqz_etl_spark.operators.similarity import (
         ivf_topk,
+        pq_topk,
         semantic_verdicts,
         sq8_topk,
     )
+
+    def _wand_on_vocab(spark, p):
+        """Run wand_bm25_topk with mid-frequency vocabulary terms (Zipf
+        ranks 50/200/1000) so the postings side has real work on the
+        synthetic corpus; the module constant is rebound around the call
+        (single-threaded sweep) and restored."""
+        from cliqz_etl_spark.queries import retrieval as _ret
+
+        saved = _ret._QUERY_TERMS
+        _ret._QUERY_TERMS = [VOCAB[50], VOCAB[200], VOCAB[1000]]
+        try:
+            return _registry()["wand_bm25_topk"].fn(spark, p)
+        finally:
+            _ret._QUERY_TERMS = saved
 
     _reg: dict = {}
 
@@ -344,6 +359,32 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         # by cap^2 x buckets, so growth should flatten once buckets fill
         ("knn_graph", lambda p: lambda: _registry()
             ["knn_graph"].fn(spark, p)),
+        # round-8 second wave: all-terms postings compression planner —
+        # the (term, shard) lag windows over a 10k-word Zipf vocabulary;
+        # shuffle volume is O(distinct (term, doc)), should track corpus
+        # ~linearly with the hottest term bounded by its 16 shards
+        ("postings_compress_stats", lambda p: lambda: _registry()
+            ["postings_compress_stats"].fn(spark, p)),
+        # round-8 second wave: two-pass Misra-Gries heavy hitters — the
+        # Arrow screen is a narrow pass (k counters/task), the exact
+        # pass shuffles candidates only; should track token volume
+        ("heavy_hitters_exact", lambda p: lambda: _registry()
+            ["heavy_hitters_exact"].fn(spark, p)),
+        # round-8 second wave: WAND pruned BM25 against mid-frequency
+        # vocabulary terms (the fixed gate terms don't occur in the
+        # synthetic vocab; retrieval._QUERY_TERMS is rebound for the
+        # call so postings are non-empty at every scale)
+        ("wand_bm25_topk", lambda p: lambda: _wand_on_vocab(spark, p)),
+        # round-8 second wave: product quantization with the sweep's
+        # fixed-Q (~64 queries) and fixed-K (~32 codewords) methodology,
+        # matching the sq8/ivf rows it shares the scan shape with
+        ("pq_topk", lambda p: lambda: pq_topk(
+            emb_at(p),
+            emb_at(p).where(
+                F.col("vec_id") % (qmod_small if p == SMALL else qmod) == 0),
+            emb_at(p).where(
+                F.col("vec_id") % max(1, _rows(p, "embeddings") // 32) == 0),
+            "vec_id", "embedding", 64, 8, 5, 20)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
