@@ -359,6 +359,18 @@ BENCH_HEADLINE: list[str] = [
     # the chained window-of-window drain: the fourth streaming state
     # shape (two stacked watermarked aggs, append-mode finalization)
     "streaming_daily_peak",
+    # Round-8 second-wave additions: the retrieval stack's pruned and
+    # hybrid rankers (bound-and-prune vs the already-tracked brute
+    # bm25_search; lexical x vector fusion), the two-pass exact heavy
+    # hitters (Arrow MG screen + broadcast-filtered count), the skyline
+    # sweep on ranged_cummax, the PQ compressed scan (sibling of the
+    # tracked ann_sq8), and the sequential-packing compaction planner.
+    "wand_bm25_topk",
+    "rrf_hybrid_search",
+    "heavy_hitters_exact",
+    "pareto_frontier",
+    "ann_pq",
+    "compaction_plan",
 ]
 
 
