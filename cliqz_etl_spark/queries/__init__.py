@@ -91,6 +91,8 @@ DRIVER_ORDER: list[str] = [
     "minmax_prune_plan",
     "ann_pq",
     "deletion_propagation",
+    "udtf_run_lengths",
+    "decimal_money_rollup",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -105,9 +107,9 @@ DRIVER_ORDER: list[str] = [
     "snapshot_diff_customers",
     "linear_attribution",
     "event_transition_matrix",
+    # ---------------- past the check window ----------------
     "full_outer_rollup",
     "two_key_join",
-    # ---------------- past the check window ----------------
     # ---- latest green row: r5 ----
     "frame_sample_stats",
     "dedup_canonicalize",

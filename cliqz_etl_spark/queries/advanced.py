@@ -1426,3 +1426,96 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("mad_cents").cast("long").alias("mad_cents"),
                  F.sum(F.when(F.col("d") > 3 * F.col("mad_cents"), 1)
                        .otherwise(0)).cast("long").alias("n_outliers")))
+
+
+# --------------------------------------------------------------------------
+# Python UDTF with TABLE(...) PARTITION BY / ORDER BY — the Spark 4
+# user-defined TABLE function surface: one UDTF instance per partition
+# key, rows streamed in order, terminate() flushes per-partition state.
+# The workload is run-length encoding of each user's event-type
+# sequence (the telemetry compression / behavior-segmentation shape):
+# genuinely stateful row-to-row logic that plain SQL expresses only via
+# the gaps-and-islands trick — which is exactly what the DuckDB oracle
+# uses, so the UDTF's streaming state machine is checked against a
+# different algorithm. At 100 TB each task holds ONE run's counters —
+# O(1) state — and partitioning rides the normal keyed shuffle.
+# --------------------------------------------------------------------------
+def _run_lengths_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=("user_id bigint, run_idx bigint, "
+                      "event_type string, run_len bigint"),
+          useArrow=True)
+    class RunLengths:
+        def __init__(self):
+            self._user = None
+            self._etype = None
+            self._len = 0
+            self._idx = 0
+
+        def _flush(self):
+            if self._len:
+                yield (self._user, self._idx, self._etype, self._len)
+
+        def eval(self, row):
+            # a TABLE(...) argument arrives as ONE Row per eval call
+            user_id, event_type = row["user_id"], row["event_type"]
+            if event_type == self._etype and user_id == self._user:
+                self._len += 1
+                return
+            yield from self._flush()
+            self._idx += 1
+            self._user, self._etype, self._len = user_id, event_type, 1
+
+        def terminate(self):
+            yield from self._flush()
+
+    return RunLengths
+
+
+@query(
+    "udtf_run_lengths",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+    ), o AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rne
+        FROM e
+    ), g AS (
+        SELECT user_id, event_type, rn - rne AS grp,
+               CAST(count(*) AS BIGINT) AS run_len,
+               min(rn) AS first_rn
+        FROM o GROUP BY 1, 2, 3
+    )
+    SELECT user_id AS user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY first_rn) AS BIGINT) AS run_idx,
+           event_type AS event_type, run_len AS run_len
+    FROM g
+    """,
+)
+def udtf_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's time-ordered event-type
+    sequence, as a partitioned-ORDER BY Python UDTF.
+
+    Plan shape: TABLE(...) PARTITION BY user_id ORDER BY (ts, event_id)
+    is one keyed shuffle + in-partition sort; the UDTF streams rows with
+    O(1) state per instance. The oracle reproduces the runs with the
+    gaps-and-islands double-row_number identity."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_ev_udtf")
+    spark.udtf.register("run_lengths_udtf", _run_lengths_udtf())
+    return spark.sql("""
+        SELECT user_id, run_idx, event_type, run_len
+        FROM run_lengths_udtf(
+            TABLE(SELECT user_id, event_type, ts, event_id
+                  FROM _ev_udtf
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                    AND event_type IS NOT NULL)
+            PARTITION BY user_id ORDER BY (ts, event_id))
+    """)

@@ -847,3 +847,48 @@ def minmax_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("prunable",
                         (F.col("max_cents") < PRUNE_LO_CENTS)
                         | (F.col("min_cents") > PRUNE_HI_CENTS)))
+
+
+# --------------------------------------------------------------------------
+# Exact money aggregation through Spark's DecimalType — the surface
+# finance pipelines actually use instead of the engine's cents-BIGINT
+# discipline. Prices quantize to cents with the pinned floor(x*100+0.5)
+# (double->DECIMAL casts round half-up in Spark but round-half-even in
+# some engines — the same class of divergence the cents rule exists
+# for), the SUM runs over exact integers, and the presented values are
+# DECIMAL(18,2): one double division of an exact integer by 100.0,
+# whose nearest 2-digit decimal is unambiguous (the quotient is within
+# ~1e-11 of a 2-digit value, never equidistant), so the cast agrees
+# across engines and Decimal stringification hash-matches.
+# --------------------------------------------------------------------------
+@query(
+    "decimal_money_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    )
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) / 100.0 AS DECIMAL(18,2)) AS total_price,
+           CAST(max(cents) / 100.0 AS DECIMAL(18,2)) AS max_price
+    FROM c GROUP BY o_orderstatus
+    """,
+)
+def decimal_money_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order totals per status as DECIMAL(18,2) money values.
+
+    One map-side-combined aggregation; the DecimalType materializes
+    only in the final projection, from exact integer cents."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (o.where(F.col("o_orderstatus").isNotNull()
+                    & F.col("o_totalprice").isNotNull())
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+                        " / 100.0 AS DECIMAL(18,2))").alias("total_price"),
+                 (F.max(cents) / F.lit(100.0)).cast("decimal(18,2)")
+                 .alias("max_price")))

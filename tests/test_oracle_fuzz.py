@@ -257,6 +257,11 @@ _EV_FUZZED = [
     # double-floor step where div/// semantics diverge; duplicate
     # timestamps pin the struct-sort tie-break)
     "ewma_user_value",
+    # round-8: the partitioned-ORDER BY Arrow UDTF vs the gaps-and-
+    # islands oracle — NULL users/ts/types filter identically, and the
+    # per-partition state machine must match the double-row_number
+    # identity on any event soup
+    "udtf_run_lengths",
 ]
 
 
@@ -506,6 +511,9 @@ _TPCH_FUZZED = [
     # c_nationkey — inner joins must drop NULL keys identically and the
     # NULL nation group must aggregate identically on both engines
     "deletion_propagation",
+    # round-8: DECIMAL(18,2) money rollup — NULL status/price guards,
+    # and the cents->DECIMAL presentation must stringify identically
+    "decimal_money_rollup",
 ]
 
 _PERTURB_COLS = {

@@ -253,6 +253,11 @@ _PLAN_BUDGET = {
     # request set broadcasts into orders; 3 keyed shuffles ceiling
     # (lineitem join + nation aggregates), dimension-sized outputs
     "deletion_propagation": (3, 0),
+    # Arrow UDTF over TABLE(... PARTITION BY): one keyed shuffle + the
+    # single ArrowEvalPythonUDTF stage — a second shuffle or a
+    # BatchEvalPython (row-mode) stage appearing is a regression
+    "udtf_run_lengths": (1, 1),
+    "decimal_money_rollup": (1, 0),
 }
 
 
