@@ -312,6 +312,111 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
     return _approx_rerank_topk(rec, queries, id_col, vec_col, dim, k, rerank)
 
 
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, coarse: DataFrame,
+               pq_src: DataFrame, id_col: str, vec_col: str, dim: int,
+               n_sub: int, n_probe: int = 2, k: int = 5,
+               rerank: int = 20) -> DataFrame:
+    """ANN via the composed IVF+PQ index — the production vector-search
+    layout (FAISS's IVFPQ; Jégou et al. 2011 §IV): a coarse quantizer
+    partitions the corpus, RESIDUALS (vector minus assigned centroid)
+    are product-quantized, queries probe only their ``n_probe`` nearest
+    coarse cells, and approximate cosine scores the reconstructed
+    centroid+decoded-residual vectors of probed rows only — so a query
+    touches n_probe/K of the corpus, each row at n_sub code bytes.
+    Exact rerank reads full vectors for Q x rerank rows.
+
+    Both models are driver-local by contract: the coarse centroids
+    (K rows) and the residual codebook source (model-sized sample, PQ
+    codewords = its residuals under the SAME coarse assignment rule)
+    collect once; encode+decode is ONE zero-shuffle Arrow pass emitting
+    (_id, _qv, _rv, cluster). All arithmetic is exact int64 inside the
+    valid_quantized envelope (residuals are at most 2x the input
+    magnitude, reconstructions 3x — orders of magnitude inside the
+    bound sized for SQ8's 765x decode). Every tie breaks to the
+    smallest id on both engines (sorted models + first-minimum
+    argmin/stable argsort), mirroring the oracle's ORDER BY d, cid."""
+    import numpy as np
+
+    _require_integral_ids(id_col, "ivfpq_topk", corpus=corpus,
+                          queries=queries)
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    coarse_model = _collect_centroids(coarse, id_col, vec_col, dim)
+    if not coarse_model:
+        raise ValueError("ivfpq_topk: coarse quantizer has no valid rows")
+    coarse_model.sort(key=lambda t: t[0])
+    cids = [c for c, _ in coarse_model]
+    C = np.asarray([v for _, v in coarse_model], dtype=np.int64)
+
+    src_model = _collect_centroids(pq_src, id_col, vec_col, dim)
+    if not src_model:
+        raise ValueError("ivfpq_topk: PQ codebook source has no valid rows")
+    src_model.sort(key=lambda t: t[0])
+    S = np.asarray([v for _, v in src_model], dtype=np.int64)
+    # residual codebook: the sample's residuals under the same coarse
+    # assignment every corpus row gets (first-minimum argmin = lowest cid)
+    d_src = (C * C).sum(axis=1)[None, :] - 2 * (S @ C.T)
+    CB = S - C[np.argmin(d_src, axis=1)]
+
+    sub = dim // n_sub
+    from cliqz_etl_spark.operators.cache import track_broadcast
+    q_corpus = valid_quantized(corpus, id_col, vec_col, dim)
+    bc = track_broadcast(q_corpus.sparkSession.sparkContext.broadcast(
+        ([int(c) for c in cids], C.tolist(), CB.tolist(), sub)))
+
+    def recode(batches):
+        import numpy as np
+        import pandas as pd
+
+        cid_arr, c_mat, cb_mat, s = bc.value
+        Cn = np.asarray(c_mat, dtype=np.int64)
+        Cb = np.asarray(cb_mat, dtype=np.int64)
+        cids_np = np.asarray(cid_arr, dtype=np.int64)
+        c_norm = (Cn * Cn).sum(axis=1)
+        n_spaces = Cn.shape[1] // s
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.int64) for v in pdf["_qv"]],
+                         dtype=np.int64)
+            ci = np.argmin(c_norm[None, :] - 2 * (V @ Cn.T), axis=1)
+            resid = V - Cn[ci]
+            dec = np.empty_like(resid)
+            for m in range(n_spaces):
+                Rm = resid[:, m * s:(m + 1) * s]
+                Bm = Cb[:, m * s:(m + 1) * s]
+                d2 = ((Rm * Rm).sum(axis=1)[:, None]
+                      - 2 * (Rm @ Bm.T)
+                      + (Bm * Bm).sum(axis=1)[None, :])
+                dec[:, m * s:(m + 1) * s] = Bm[np.argmin(d2, axis=1)]
+            rv = Cn[ci] + dec
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(dtype=np.int64),
+                "_qv": list(V.tolist()),
+                "_rv": list(rv.tolist()),
+                "cluster": cids_np[ci],
+            })
+
+    rec = q_corpus.mapInPandas(
+        recode,
+        schema="_id long, _qv array<long>, _rv array<long>, cluster long")
+
+    # query-side probe lists: Q x K distances on the driver (both are
+    # models — Q rows by contract, K centroids), stable argsort so ties
+    # break to the lowest centroid id like the oracle's ORDER BY d, cid
+    qv_model = _collect_centroids(queries, id_col, vec_col, dim)
+    probes: dict[int, list[int]] = {}
+    if qv_model:
+        qv_model.sort(key=lambda t: t[0])
+        Qm = np.asarray([v for _, v in qv_model], dtype=np.int64)
+        dq = (C * C).sum(axis=1)[None, :] - 2 * (Qm @ C.T)
+        top = np.argsort(dq, axis=1, kind="stable")[:, :min(n_probe, len(cids))]
+        probes = {int(qid): [int(cids[i]) for i in row]
+                  for (qid, _), row in zip(qv_model, top)}
+    return _approx_rerank_topk(rec, queries, id_col, vec_col, dim, k,
+                               rerank, probes=probes)
+
+
 def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, dim: int, k: int = 5,
              rerank: int = 20) -> DataFrame:
@@ -340,11 +445,17 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 def _approx_rerank_topk(rec: DataFrame, queries: DataFrame, id_col: str,
                         vec_col: str, dim: int, k: int,
-                        rerank: int) -> DataFrame:
-    """Shared tail of the compressed-scan ANN family (SQ8, PQ): score
-    the decoded corpus (_id, _qv, _rv) against the broadcast exact-milli
-    query model per Arrow batch (batch-local top-``rerank``), narrow to
-    the global top-``rerank`` per query, exact-rerank those rows only."""
+                        rerank: int,
+                        probes: dict[int, list[int]] | None = None
+                        ) -> DataFrame:
+    """Shared tail of the compressed-scan ANN family (SQ8, PQ, IVFPQ):
+    score the decoded corpus (_id, _qv, _rv) against the broadcast
+    exact-milli query model per Arrow batch (batch-local
+    top-``rerank``), narrow to the global top-``rerank`` per query,
+    exact-rerank those rows only. With ``probes`` (query_id -> probed
+    cluster ids; ``rec`` must then carry a ``cluster`` column) each
+    query scores ONLY corpus rows in its probed clusters — the IVF
+    partition-pruning composed onto the compressed scan."""
     from pyspark.sql import Window
 
     qs = (
@@ -365,7 +476,10 @@ def _approx_rerank_topk(rec: DataFrame, queries: DataFrame, id_col: str,
     # divide-by-sqrt follows the same IEEE order as the SQL fragment.
     q_rows = qs.collect()  # Q-row model fetch
     q_model = ([int(r["query_id"]) for r in q_rows],
-               [[int(x) for x in r["qv"]] for r in q_rows])
+               [[int(x) for x in r["qv"]] for r in q_rows],
+               None if probes is None
+               else [[int(c) for c in probes.get(int(r["query_id"]), [])]
+                     for r in q_rows])
     from cliqz_etl_spark.operators.cache import track_broadcast
     bc = track_broadcast(rec.sparkSession.sparkContext.broadcast(q_model))
 
@@ -373,7 +487,7 @@ def _approx_rerank_topk(rec: DataFrame, queries: DataFrame, id_col: str,
         import numpy as np
         import pandas as pd
 
-        qid_arr, q_mat = bc.value
+        qid_arr, q_mat, probe_lists = bc.value
         if not qid_arr:
             yield pd.DataFrame({"query_id": pd.Series(dtype="int64"),
                                 "neighbor_id": pd.Series(dtype="int64"),
@@ -386,6 +500,8 @@ def _approx_rerank_topk(rec: DataFrame, queries: DataFrame, id_col: str,
             if len(pdf) == 0:
                 continue
             nid = pdf["_id"].to_numpy(dtype=np.int64)
+            cl = (pdf["cluster"].to_numpy(dtype=np.int64)
+                  if probe_lists is not None else None)
             V = np.array([np.asarray(v, dtype=np.int64) for v in pdf["_rv"]],
                          dtype=np.int64)
             rn = (V * V).sum(axis=1).astype(np.float64)
@@ -395,6 +511,9 @@ def _approx_rerank_topk(rec: DataFrame, queries: DataFrame, id_col: str,
             for j in range(len(qid)):
                 col = acos[:, j]
                 keep = nid != qid[j]  # self-match excluded, as in the join
+                if probe_lists is not None:
+                    keep &= np.isin(cl, np.asarray(probe_lists[j],
+                                                   dtype=np.int64))
                 # batch-local top-`rerank` by (acos DESC, neighbor_id ASC)
                 order = np.lexsort((nid[keep], -col[keep]))[:rerank]
                 out_q.append(np.full(len(order), qid[j], dtype=np.int64))
@@ -406,7 +525,8 @@ def _approx_rerank_topk(rec: DataFrame, queries: DataFrame, id_col: str,
                 "acos": np.concatenate(out_a),
             })
 
-    approx = rec.select("_id", "_rv").mapInPandas(
+    scan_cols = ["_id", "_rv"] + (["cluster"] if probes is not None else [])
+    approx = rec.select(*scan_cols).mapInPandas(
         score, schema="query_id long, neighbor_id long, acos double")
     wa = Window.partitionBy("query_id").orderBy(F.desc("acos"),
                                                 F.asc("neighbor_id"))

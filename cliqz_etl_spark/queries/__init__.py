@@ -93,6 +93,7 @@ DRIVER_ORDER: list[str] = [
     "deletion_propagation",
     "udtf_run_lengths",
     "decimal_money_rollup",
+    "ann_ivfpq",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "running_total",
     "snapshot_diff_customers",
     "linear_attribution",
-    "event_transition_matrix",
     # ---------------- past the check window ----------------
+    "event_transition_matrix",
     "full_outer_rollup",
     "two_key_join",
     # ---- latest green row: r5 ----
@@ -373,6 +374,8 @@ BENCH_HEADLINE: list[str] = [
     "pareto_frontier",
     "ann_pq",
     "compaction_plan",
+    # the composed production index: partition pruning x code compression
+    "ann_ivfpq",
 ]
 
 

@@ -666,6 +666,121 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                    n_sub=PQ_NSUB, k=TOP_K, rerank=SQ_RERANK)
 
 
+# ---- IVFPQ: the composed production index ----------------------------------
+#
+# IVF's partition pruning and PQ's code compression COMPOSED — the FAISS
+# IVFPQ layout every production vector store runs: residuals (vector
+# minus assigned coarse centroid) are product-quantized, queries probe
+# their 2 nearest coarse cells, and approximate cosine touches only the
+# probed rows' n_sub-byte codes. The residual codebook is the strided
+# %{PQ_CB_MOD} sample's residuals under the same assignment rule. The
+# oracle replays coarse-assign / residual / PQ-encode / decode / probe /
+# prune / rerank value-for-value, reusing the shared assignment CTEs.
+
+PQ_CB_MOD = 50
+IVFPQ_PROBE = 2
+
+_IVFPQ_CW = "list_slice(c.r, s.m * {w} + 1, (s.m + 1) * {w})".format(w=_PQW)
+_IVFPQ_CTE = _ASSIGN_CTE + f"""
+    , res AS (
+        SELECT q.vec_id, a.cluster,
+               list_transform(range(1, {VEC_DIM} + 1),
+                              i -> q.v[i] - c.cv[i]) AS r
+        FROM q JOIN assigned a USING (vec_id)
+        JOIN cent c ON c.cid = a.cluster
+    ), cb AS (SELECT vec_id AS pcid, r FROM res WHERE vec_id % {PQ_CB_MOD} = 0)
+    , sub AS (
+        SELECT res.vec_id, t.m,
+               list_slice(res.r, t.m * {_PQW} + 1, (t.m + 1) * {_PQW}) AS sv
+        FROM res CROSS JOIN (SELECT unnest(range({PQ_NSUB})) AS m) t
+    ), pairs AS (
+        SELECT s.vec_id, s.m, c.pcid,
+               list_sum(list_transform(range(1, {_PQW} + 1),
+                   i -> (s.sv[i] - {_IVFPQ_CW}[i])
+                      * (s.sv[i] - {_IVFPQ_CW}[i]))) AS d,
+               {_IVFPQ_CW} AS cw
+        FROM sub s CROSS JOIN cb c
+    ), asg2 AS (
+        SELECT vec_id, m, cw FROM (
+            SELECT vec_id, m, cw,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, pcid ASC) AS rn
+            FROM pairs) WHERE rn = 1
+    ), rv_ AS (
+        SELECT vec_id, flatten(list(cw ORDER BY m)) AS dr
+        FROM asg2 GROUP BY vec_id
+    ), rec AS (
+        SELECT res.vec_id, q.v, res.cluster,
+               list_transform(range(1, {VEC_DIM} + 1),
+                              i -> c.cv[i] + rv_.dr[i]) AS rv
+        FROM res JOIN rv_ USING (vec_id) JOIN q USING (vec_id)
+        JOIN cent c ON c.cid = res.cluster
+    ), probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d ASC, cid ASC) AS rn
+            FROM dists WHERE vec_id % {QUERY_MOD} = 0)
+        WHERE rn <= {IVFPQ_PROBE}
+    )
+"""
+
+
+@query(
+    "ann_ivfpq",
+    oracle=_IVFPQ_CTE + f"""
+    , approx AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ({_dot('a.v', 'b.rv')}
+                / sqrt({_dot('a.v', 'a.v')} * {_dot('b.rv', 'b.rv')})) AS acos
+        FROM q a
+        JOIN probes p ON p.query_id = a.vec_id
+        JOIN rec b ON b.cluster = p.cid AND b.vec_id != a.vec_id
+        WHERE a.vec_id % {QUERY_MOD} = 0
+    ), cand AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY acos DESC, neighbor_id ASC) AS arn
+              FROM approx)
+        WHERE arn <= {SQ_RERANK}
+    )
+    SELECT query_id AS query_id, rank AS rank,
+           neighbor_id AS neighbor_id, cos_x10k AS cos_x10k
+    FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY {_cos('qa.v', 'qb.v')} DESC,
+                                           c.neighbor_id ASC) AS rank,
+               CAST(floor({_cos('qa.v', 'qb.v')} * 10000 + 0.5) AS BIGINT) AS cos_x10k
+        FROM cand c
+        JOIN q qa ON qa.vec_id = c.query_id
+        JOIN q qb ON qb.vec_id = c.neighbor_id
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN: coarse partition pruning (2 probes) over
+    product-quantized residuals, exact rerank of top-{SQ_RERANK}.
+
+    Plan shape: two model collects (coarse K rows, codebook sample),
+    ONE zero-shuffle Arrow recode pass emitting codes+cluster, the
+    probed compressed scan (each query masks to its 2 cells inside the
+    shared batch kernel), bounded candidate narrow, Q x rerank exact
+    join — at production scale a query reads n_probe/K of the corpus
+    at n_sub bytes per vector, the IVFPQ economics."""
+    from cliqz_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    coarse = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
+    pq_src = emb.where(F.col("vec_id") % PQ_CB_MOD == 0)
+    return ivfpq_topk(emb, queries, coarse, pq_src, "vec_id", "embedding",
+                      VEC_DIM, n_sub=PQ_NSUB, n_probe=IVFPQ_PROBE,
+                      k=TOP_K, rerank=SQ_RERANK)
+
+
 # ---- semantic dedup (SemDeDup-style) ---------------------------------------
 #
 # Cluster the corpus with the TRAINED coarse quantizer, then compare

@@ -164,6 +164,10 @@ _EMB_FUZZED = [
     # the smallest cid on both engines; the no-valid-codebook corpus
     # exercises the ValueError arm; subspace slicing on adversarial ints
     "ann_pq",
+    # round-8: the composed IVFPQ — residual arithmetic on adversarial
+    # ints, probe masks under centroid ties, and BOTH ValueError arms
+    # (no coarse rows / no codebook rows)
+    "ann_ivfpq",
 ]
 
 # Row i gets _EMB_IDS[i], not i: sequential ids give a <=18-row corpus

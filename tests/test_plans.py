@@ -258,6 +258,9 @@ _PLAN_BUDGET = {
     # BatchEvalPython (row-mode) stage appearing is a regression
     "udtf_run_lengths": (1, 1),
     "decimal_money_rollup": (1, 0),
+    # IVFPQ: 3 python stages = validity projection + recode pass + the
+    # probed approx kernel; 2 shuffles = candidate narrow + rerank join
+    "ann_ivfpq": (2, 3),
 }
 
 

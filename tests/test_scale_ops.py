@@ -400,8 +400,8 @@ def test_every_query_survives_an_empty_corpus(spark, tmp_path):
         "kmeans_centroids", "ivf_clusters", "ivf_clusters_trained",
         "ann_ivf", "ann_ivf_multiprobe", "embedding_near_pairs",
         "dedup_semantic",
-        # PQ cannot build a codebook from nothing (round-8)
-        "ann_pq",
+        # PQ/IVFPQ cannot build codebooks from nothing (round-8)
+        "ann_pq", "ann_ivfpq",
     }
     ugly = []
     for name, q in load_all().items():
