@@ -94,6 +94,7 @@ DRIVER_ORDER: list[str] = [
     "udtf_run_lengths",
     "decimal_money_rollup",
     "ann_ivfpq",
+    "bootstrap_ci_revenue",
     # ---- latest green row: r4 ----
     "order_cube",
     "sliding_event_counts",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "order_grouping_sets",
     "running_total",
     "snapshot_diff_customers",
-    "linear_attribution",
     # ---------------- past the check window ----------------
+    "linear_attribution",
     "event_transition_matrix",
     "full_outer_rollup",
     "two_key_join",

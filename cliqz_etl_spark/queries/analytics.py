@@ -1280,3 +1280,97 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & ((F.col("cummax_msize").isNull())
                       | (F.col("p_size") > F.col("cummax_msize"))))
             .select("p_partkey", "price_cents", "p_size"))
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap — THE scalable bootstrap (Chamandy et al., "Estimating
+# uncertainty for massive data streams", Google 2012): instead of B full
+# resamples, each row draws an independent Poisson(1) replication count
+# per resample, so B bootstrap aggregates compute in ONE pass with
+# map-side combine into B groups — no data movement beyond a B-row
+# shuffle. Deterministic and engine-portable: the draw inverts the
+# Poisson(1) CDF at p = md5(key#b)/2^60, with the CDF thresholds baked
+# as shared integer literals (floor(CDF_k * 2^60)); the per-resample
+# mean is one double division of exact integer sums, identical IEEE
+# text on both engines. Output: the full 32-resample bootstrap
+# distribution of mean order value, rank-ordered — percentile CIs read
+# straight off the ranks.
+# --------------------------------------------------------------------------
+BOOTSTRAP_B = 32
+# floor(CDF_Poisson(1)(k) * 2^60) for k = 0..4; weight 5 beyond
+_POIS_T = [424136118829305344, 848272237658610688, 1060340297073263360,
+           1131029650211480832, 1148701988496035200]
+_POIS_W = (f"CASE WHEN p < {_POIS_T[0]} THEN 0 WHEN p < {_POIS_T[1]} THEN 1 "
+           f"WHEN p < {_POIS_T[2]} THEN 2 WHEN p < {_POIS_T[3]} THEN 3 "
+           f"WHEN p < {_POIS_T[4]} THEN 4 ELSE 5 END")
+_BOOT_MEAN = "CAST(floor(1000000.0 * s / n_resampled / 100.0 + 0.5) AS BIGINT)"
+
+
+def _bootstrap_oracle() -> str:
+    from cliqz_etl_spark.functions.hashing import md5_long_sql
+
+    p = md5_long_sql("CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)")
+    return f"""
+    WITH src AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ), expanded AS (
+        SELECT t.b, {p} AS p, cents
+        FROM src CROSS JOIN (SELECT unnest(range({BOOTSTRAP_B})) AS b) t
+    ), agg AS (
+        SELECT b, CAST(sum({_POIS_W}) AS BIGINT) AS n_resampled,
+               CAST(sum({_POIS_W} * cents) AS BIGINT) AS s
+        FROM expanded GROUP BY b
+    )
+    SELECT CAST(b AS BIGINT) AS b, n_resampled,
+           {_BOOT_MEAN} AS mean_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY {_BOOT_MEAN} ASC, b ASC)
+                AS BIGINT) AS rank
+    FROM agg WHERE n_resampled > 0
+    """
+
+
+@query("bootstrap_ci_revenue", oracle=None)  # oracle attached below
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-resample Poisson-bootstrap distribution of mean order value
+    (micro-dollars), rank-ordered for percentile CIs.
+
+    Plan shape: scan-side explode to (row, b) — a Bx map expansion that
+    never shuffles — then ONE groupBy(b) whose map-side combine
+    collapses every partition to B rows; the final rank window sees 32
+    rows. At 100 TB this is the only bootstrap that works: B passes
+    become one, and the network carries B x n_partitions partial rows."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+
+    o = load_table(spark, sf_dir, "orders")
+    src = (o.where(F.col("o_orderkey").isNotNull()
+                   & F.col("o_totalprice").isNotNull())
+           .select("o_orderkey",
+                   F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                   .cast("long").alias("cents")))
+    expanded = (src.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),
+        "o_orderkey")
+        .withColumn("p", md5_long(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit("#"),
+                     F.col("b").cast("string")))))
+    w = F.expr(_POIS_W)
+    agg = (expanded.groupBy("b")
+           .agg(F.sum(w).cast("long").alias("n_resampled"),
+                F.sum(w * F.col("cents")).cast("long").alias("s")))
+    ranked = (agg.where(F.col("n_resampled") > 0)
+              .select(F.col("b").cast("long").alias("b"), "n_resampled",
+                      F.expr(_BOOT_MEAN).alias("mean_micro")))
+    win = Window.orderBy(F.asc("mean_micro"), F.asc("b"))
+    return ranked.select(
+        "b", "n_resampled", "mean_micro",
+        F.row_number().over(win).cast("long").alias("rank"))
+
+
+from cliqz_etl_spark.queries import REGISTRY as _REG2  # noqa: E402
+import dataclasses as _dc2  # noqa: E402
+
+_REG2["bootstrap_ci_revenue"] = _dc2.replace(
+    _REG2["bootstrap_ci_revenue"], oracle=_bootstrap_oracle())

@@ -518,6 +518,10 @@ _TPCH_FUZZED = [
     # round-8: DECIMAL(18,2) money rollup — NULL status/price guards,
     # and the cents->DECIMAL presentation must stringify identically
     "decimal_money_rollup",
+    # round-8: Poisson bootstrap — the hash-CDF weights and the chained
+    # double divisions must agree on NULL-thinned corpora, including
+    # resamples that draw zero rows (excluded on both sides)
+    "bootstrap_ci_revenue",
 ]
 
 _PERTURB_COLS = {

@@ -261,6 +261,9 @@ _PLAN_BUDGET = {
     # IVFPQ: 3 python stages = validity projection + recode pass + the
     # probed approx kernel; 2 shuffles = candidate narrow + rerank join
     "ann_ivfpq": (2, 3),
+    # Poisson bootstrap: the Bx expansion must stay scan-side — one
+    # groupBy(b) shuffle of B-row partials plus the 32-row rank window
+    "bootstrap_ci_revenue": (2, 0),
 }
 
 
