@@ -32,6 +32,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pin_ranges(df: DataFrame, order_cols: list[str],
+                n_ranges: int) -> DataFrame:
+    """Range-repartition and MATERIALIZE the (rows, __pid) frame before
+    it fans out to the within-range windows and the per-range totals.
+
+    This persist is load-bearing for correctness, not a cache hint:
+    ``repartitionByRange`` draws SAMPLED boundaries inside the exchange,
+    and the two consumers are separate plan subtrees — when the optimizer
+    does not reuse the exchange, each evaluation samples its own
+    boundaries, the branches disagree on which rows live in which
+    ``__pid``, and the broadcast offsets silently correct the WRONG
+    partials (observed: ks_drift returned a different KS max on every
+    run at sf0.01 while the sf0.001 suite stayed green — the reused-
+    exchange case). Persist+count pins one sampled partitioning as data;
+    both branches then read identical (row, __pid) assignments, and the
+    two-pass scheme's boundary-independence argument applies. The
+    persisted frame is the operator's input (for CDFs: the DISTINCT
+    value frame, far smaller than the corpus), registered with
+    operators/cache.py for deterministic release."""
+    from cliqz_etl_spark.operators.cache import track
+
+    ranged = track(
+        df.repartitionByRange(n_ranges, *[F.asc(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist())
+    ranged.count()
+    return ranged
+
+
 def ranged_cumsum(df: DataFrame, order_col: str | list[str],
                   sum_cols: list[str], *, n_ranges: int = 32) -> DataFrame:
     """Return ``df`` with ``cum_<c>`` columns: the running sum of each
@@ -42,8 +71,7 @@ def ranged_cumsum(df: DataFrame, order_col: str | list[str],
     (CDFs) should pre-aggregate to distinct key values first — exactly
     what a cumulative distribution does anyway."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    ranged = (df.repartitionByRange(n_ranges, *[F.asc(c) for c in order_cols])
-              .withColumn("__pid", F.spark_partition_id()))
+    ranged = _pin_ranges(df, order_cols, n_ranges)
     within = Window.partitionBy("__pid") \
         .orderBy(*[F.asc(c) for c in order_cols]) \
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -80,8 +108,7 @@ def ranged_cummax(df: DataFrame, order_col: str | list[str],
     against everything before it. Callers needing well-defined ties
     should pre-aggregate to distinct order-key values first."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    ranged = (df.repartitionByRange(n_ranges, *[F.asc(c) for c in order_cols])
-              .withColumn("__pid", F.spark_partition_id()))
+    ranged = _pin_ranges(df, order_cols, n_ranges)
     lo = Window.unboundedPreceding
     hi = -1 if exclusive else 0
     within = Window.partitionBy("__pid") \

@@ -523,3 +523,37 @@ def test_semantic_verdicts_sampled_fit(spark):
             assert "train_limit" in str(e)
     finally:
         release_all()
+
+
+def test_ranged_cumsum_is_deterministic_and_exact_at_scale(spark):
+    """Regression for the round-8 sampled-boundary race: ranged_cumsum's
+    range exchange fans out to two consumers (within-range windows,
+    per-range totals); before the _pin_ranges persist, each branch could
+    re-sample DIFFERENT boundaries when the optimizer did not reuse the
+    exchange, and the offsets silently corrected the wrong partials —
+    ks_drift returned a different KS max on every run at sf0.01. This
+    pins both properties the fix restores on a frame big enough to
+    actually split across ranges: equality with the single-task global
+    window, and run-to-run stability."""
+    from pyspark.sql import Window
+
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
+
+    df = (spark.range(20_000)
+          .select((F.conv(F.substring(F.md5(F.col("id").cast("string")),
+                                      1, 15), 16, 10).cast("long"))
+                  .alias("k"),
+                  (F.col("id") % 97 + 1).alias("v"))
+          .groupBy("k").agg(F.sum("v").alias("v")))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["k"]: r["c"]
+            for r in df.select("k", F.sum("v").over(w).alias("c")).collect()}
+    seen = []
+    for _ in range(3):
+        got = {r["k"]: r["cum_v"]
+               for r in ranged_cumsum(df, "k", ["v"], n_ranges=16).collect()}
+        release_all()
+        seen.append(got)
+    assert seen[0] == want
+    assert seen[1] == seen[0] and seen[2] == seen[0]
