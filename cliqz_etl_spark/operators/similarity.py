@@ -505,6 +505,19 @@ def _approx_rerank_topk(rec: DataFrame, queries: DataFrame, id_col: str,
             V = np.array([np.asarray(v, dtype=np.int64) for v in pdf["_rv"]],
                          dtype=np.int64)
             rn = (V * V).sum(axis=1).astype(np.float64)
+            # PQ decode can yield an all-zero vector (every subspace
+            # snapping to a zero codeword) even when the ORIGINAL vector
+            # passed valid_quantized; its acos would be 0/0 = NaN, which
+            # numpy lexsort ranks LAST but DuckDB's float total order
+            # ranks greatest — drop such rows from the approx scan, the
+            # same rule the all-zero-_qv guard applies on the exact side.
+            nz = rn > 0
+            if not nz.all():
+                nid, V, rn = nid[nz], V[nz], rn[nz]
+                if cl is not None:
+                    cl = cl[nz]
+                if len(nid) == 0:
+                    continue
             acos = (V @ Qm.T).astype(np.float64) / np.sqrt(
                 rn[:, None] * qn[None, :])
             out_q, out_n, out_a = [], [], []

@@ -56,58 +56,8 @@ DRIVER_ORDER: list[str] = [
     # driver checks slots 1-50. Regenerate after each driver run:
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
-    "bigram_lm_score",
-    "dsir_importance_weights",
-    "dedup_exact_substrings",
-    "zorder_layout",
-    "record_linkage_fs",
-    "psi_drift",
-    "temperature_mixing",
-    "incremental_join_maintenance",
-    "knn_graph",
-    "script_mix",
-    "event_pmi",
-    "triangle_counts",
-    "streaming_daily_peak",
-    "bm25_search",
-    "ks_drift",
-    "winsorize_stats",
-    "label_propagation",
-    "streaming_progress_audit",
-    "dedup_prefix_filter",
-    "equidepth_histogram",
-    "mad_outliers",
-    "ewma_user_value",
-    "join_size_estimate",
-    "curation_pipeline_v3",
-    "postings_intersect",
-    "phrase_search",
-    "postings_compress_stats",
-    "wand_bm25_topk",
-    "rrf_hybrid_search",
-    "heavy_hitters_exact",
-    "pareto_frontier",
-    "compaction_plan",
-    "minmax_prune_plan",
-    "ann_pq",
-    "deletion_propagation",
-    "udtf_run_lengths",
-    "decimal_money_rollup",
-    "ann_ivfpq",
-    "bootstrap_ci_revenue",
+    "jpeg_decode_stats",
     # ---- latest green row: r4 ----
-    "order_cube",
-    "sliding_event_counts",
-    "moving_avg_value",
-    "top_orders",
-    "nations_without_suppliers",
-    "nations_with_both",
-    "all_account_balances",
-    "order_rollup",
-    "order_grouping_sets",
-    "running_total",
-    "snapshot_diff_customers",
-    # ---------------- past the check window ----------------
     "linear_attribution",
     "event_transition_matrix",
     "full_outer_rollup",
@@ -158,6 +108,7 @@ DRIVER_ORDER: list[str] = [
     "scalar_gauntlet",
     "text_quality",
     "lang_id",
+    # ---------------- past the check window ----------------
     "doc_fingerprint",
     # ---- latest green row: r6 ----
     "nations_in_region",
@@ -261,6 +212,57 @@ DRIVER_ORDER: list[str] = [
     "anomalous_days",
     "mixture_sample",
     "dedup_cascade",
+    # ---- latest green row: r8 ----
+    "bigram_lm_score",
+    "dsir_importance_weights",
+    "dedup_exact_substrings",
+    "zorder_layout",
+    "record_linkage_fs",
+    "psi_drift",
+    "temperature_mixing",
+    "incremental_join_maintenance",
+    "knn_graph",
+    "script_mix",
+    "event_pmi",
+    "triangle_counts",
+    "streaming_daily_peak",
+    "bm25_search",
+    "ks_drift",
+    "winsorize_stats",
+    "label_propagation",
+    "streaming_progress_audit",
+    "dedup_prefix_filter",
+    "equidepth_histogram",
+    "mad_outliers",
+    "ewma_user_value",
+    "join_size_estimate",
+    "curation_pipeline_v3",
+    "postings_intersect",
+    "phrase_search",
+    "postings_compress_stats",
+    "wand_bm25_topk",
+    "rrf_hybrid_search",
+    "heavy_hitters_exact",
+    "pareto_frontier",
+    "compaction_plan",
+    "minmax_prune_plan",
+    "ann_pq",
+    "deletion_propagation",
+    "udtf_run_lengths",
+    "decimal_money_rollup",
+    "ann_ivfpq",
+    "bootstrap_ci_revenue",
+    "order_cube",
+    "sliding_event_counts",
+    "moving_avg_value",
+    "top_orders",
+    "nations_without_suppliers",
+    "nations_with_both",
+    "all_account_balances",
+    "order_rollup",
+    "order_grouping_sets",
+    "running_total",
+    "snapshot_diff_customers",
     # === END GENERATED WINDOW ===
 ]
 

@@ -372,9 +372,53 @@ def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, clear/end, 4096-entry dict with reset, LSB bit packing,
     255-byte sub-blocks, global color table) -> decode (incl. the KwKwK
     case) -> nearest-neighbor resample, value-checked against pure
-    arithmetic. Fifth owned codec after BMP/PNG/PPM/WAV; JPEG stays
-    stubbed by design (lossy quantization is not oracle-replayable)."""
+    arithmetic. Fifth owned codec after BMP/PNG/PPM/WAV; see
+    jpeg_decode_stats for the sixth (baseline JPEG)."""
     from cliqz_etl_spark.multimodal.binary_ops import gif_roundtrip_stats
 
     docs = load_table(spark, sf_dir, "documents")
     return gif_roundtrip_stats(docs, "doc_id", _DEC_TW, _DEC_TH)
+
+
+@query(
+    "jpeg_decode_stats",
+    # Per-block-constant images make the lossy codec's round trip EXACT
+    # (DC-only blocks under a unit quant table — see binary_ops.py JPEG
+    # section), so the oracle recomputes the decoded-pixel checksum from
+    # pure arithmetic: pixel (x, y) of doc rid is
+    # (rid*37 + ((y//8)*ceil(w/8) + x//8)*29) % 256.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, (doc_id % 21) + 4 AS w, (doc_id % 11) + 4 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id,
+               SUM((i + 1) * ((doc_id * 37
+                    + (((i // w) // 8) * ((w + 7) // 8) + (i % w) // 8) * 29)
+                   % 256)) AS px_wsum
+        FROM (SELECT doc_id, w, unnest(range(w * h)) AS i FROM d)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_components,
+           CAST(((w + 7) // 8) * ((h + 7) // 8) AS BIGINT) AS n_mcus,
+           CAST(px.px_wsum AS BIGINT) AS px_wsum
+    FROM d JOIN px USING (doc_id)
+    """,
+)
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG end-to-end (round-8 verdict item 5): per-block-
+    constant grayscale images per document id through encode (forward
+    DCT, canonical Annex K Huffman, DC prediction across the block chain,
+    0xFF byte stuffing) -> decode (full marker parse, generic Huffman/
+    DQT tables, AC run-length machinery, dequantize, literal-constant
+    IDCT) -> pixel checksum. Sixth owned codec after BMP/PNG/PPM/WAV/GIF;
+    the general lossy path (AC coefficients) is pinned by unit tests with
+    the codec's own error bound, and video decode remains the last
+    declared stub (container demuxing needs external libs)."""
+    from cliqz_etl_spark.multimodal.binary_ops import jpeg_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_roundtrip_stats(docs, "doc_id")

@@ -303,7 +303,7 @@ def wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_micro = F.expr(_bm25_term_sql())
     # upper bound: the same per-term score with dl replaced by the
     # corpus minimum (sat is decreasing in dl; floor keeps the order)
-    ub_micro = F.expr(_bm25_term_sql().replace("dl", "dlm"))
+    ub_micro = F.expr(_bm25_term_sql(dl_expr="dlm"))
 
     bounds = _materialize(
         base.groupBy("doc_id").agg(F.sum(ub_micro).cast("long").alias("ub")))

@@ -530,7 +530,9 @@ _SQ8_CTE = _QCTE + f"""
                ({_dot('a.v', 'b.rv')}
                 / sqrt({_dot('a.v', 'a.v')} * {_dot('b.rv', 'b.rv')})) AS acos
         FROM rec a JOIN rec b ON a.vec_id != b.vec_id
-        WHERE a.vec_id % {QUERY_MOD} = 0
+        -- all-zero DECODED vectors are unscorable (0/0 acos = NaN, which
+        -- numpy and DuckDB order differently); both engines drop them
+        WHERE {_dot('b.rv', 'b.rv')} > 0 AND a.vec_id % {QUERY_MOD} = 0
     ), cand AS (
         SELECT query_id, neighbor_id
         FROM (SELECT query_id, neighbor_id,
@@ -623,7 +625,9 @@ _PQ_CTE = _QCTE + f"""
                ({_dot('a.v', 'b.rv')}
                 / sqrt({_dot('a.v', 'a.v')} * {_dot('b.rv', 'b.rv')})) AS acos
         FROM rec a JOIN rec b ON a.vec_id != b.vec_id
-        WHERE a.vec_id % {QUERY_MOD} = 0
+        -- all-zero DECODED vectors are unscorable (0/0 acos = NaN, which
+        -- numpy and DuckDB order differently); both engines drop them
+        WHERE {_dot('b.rv', 'b.rv')} > 0 AND a.vec_id % {QUERY_MOD} = 0
     ), cand AS (
         SELECT query_id, neighbor_id
         FROM (SELECT query_id, neighbor_id,
@@ -736,7 +740,9 @@ _IVFPQ_CTE = _ASSIGN_CTE + f"""
         FROM q a
         JOIN probes p ON p.query_id = a.vec_id
         JOIN rec b ON b.cluster = p.cid AND b.vec_id != a.vec_id
-        WHERE a.vec_id % {QUERY_MOD} = 0
+        -- all-zero DECODED vectors are unscorable (0/0 acos = NaN, which
+        -- numpy and DuckDB order differently); both engines drop them
+        WHERE {_dot('b.rv', 'b.rv')} > 0 AND a.vec_id % {QUERY_MOD} = 0
     ), cand AS (
         SELECT query_id, neighbor_id
         FROM (SELECT query_id, neighbor_id,

@@ -759,7 +759,14 @@ def streaming_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliqz_etl_spark.tables import scoped_conf
 
     class _Audit(StreamingQueryListener):
-        def __init__(self):
+        """Accumulates progress for ONE query, matched by name: the
+        listener bus is session-global and asynchronous, so without the
+        filter a late-delivered event from a previous drain (or any
+        concurrent stream in the session) corrupts the oracle-gated
+        readings."""
+
+        def __init__(self, query_name: str):
+            self.query_name = query_name
             self.rows = 0
             self.state = None
             self.batches = 0
@@ -769,6 +776,8 @@ def streaming_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def onQueryProgress(self, event):
             p = event.progress
+            if p.name != self.query_name:
+                return
             self.rows += p.numInputRows
             self.batches += 1
             if p.stateOperators:
@@ -782,9 +791,9 @@ def streaming_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _event_stream(spark, sf_dir)
     agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    listener = _Audit()
-    spark.streams.addListener(listener)
     name = f"progress_audit_{next(_SINK_IDS)}"
+    listener = _Audit(name)
+    spark.streams.addListener(listener)
     try:
         with scoped_conf(spark, "spark.sql.shuffle.partitions",
                          str(_state_partitions(spark, sf_dir)), default="32"):

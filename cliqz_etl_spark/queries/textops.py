@@ -540,8 +540,16 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       partitioning, an integer sum's doesn't). ln() runs on the identical
       quantized double on both engines, so cross-engine drift is bounded
       to the sub-ulp floor boundary, which the fuzz gate patrols;
-    - ppl_bucket = global ntile(3) over mean-nll order (1=head fluent,
-      3=tail noise), the exact CCNet head/middle/tail split.
+    - ppl_bucket = exact ntile(3) over mean-nll order (1=head fluent,
+      3=tail noise), the exact CCNet head/middle/tail split — computed
+      WITHOUT a global single-task window (round-8 verdict item 3): the
+      exact global rank comes from ``ranged_cumsum`` (range-repartition +
+      within-range window + broadcast prefix offsets; the
+      equidepth_histogram shape) over the unique composite key
+      (mean_nll, doc_id), and ntile's bucket-size arithmetic —
+      the first N%k buckets take ceil(N/k) rows, the rest floor(N/k) —
+      is then a closed-form integer expression of (rank, N). Equality
+      with the oracle's real ntile(3) is pinned by the oracle gate.
 
     Plan shape: bigrams come from one arrays_zip of two slices (scan-side,
     no shuffle); c2 is ONE groupBy over the train bigrams (map-side
@@ -549,10 +557,9 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan); V rides a broadcast crossJoin as a 1-row aggregate. Scoring is
     two keyed equi-joins (w1,w2)/(w1) — broadcastable when the trained
     vocab is bounded, shuffled-but-keyed otherwise — then one groupBy(doc).
-    The global ntile is a single-task sort over |docs| rows of 4 ints; at
-    100 TB swap it for approx-quantile cutoffs (documented tradeoff:
-    exactness is what the oracle gate needs)."""
+    No stage materializes more than one value range per task."""
     from cliqz_etl_spark.operators.cache import track
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
 
     docs = _spread_docs(spark, sf_dir, "doc_id", "text")
     base = (docs.where(F.trim(F.col("text")) != "")
@@ -584,13 +591,28 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
                 F.sum("ppm").alias("sum_ppm"),
                 F.sum(nll).cast("long").alias("nll_milli")))
-    w = Window.orderBy(F.expr("nll_milli div n_bigrams").asc(),
-                       F.col("doc_id").asc())
-    return per.select(
-        "doc_id", "n_bigrams",
-        F.expr("sum_ppm div n_bigrams").cast("long").alias("avg_cond_ppm"),
-        "nll_milli",
-        F.ntile(3).over(w).cast("long").alias("ppl_bucket"))
+    # exact ntile(3) without a global window: rank by ranged prefix-count
+    # over the UNIQUE key (mean_nll, doc_id), then ntile's bucket-size
+    # arithmetic in closed form (first N%3 buckets hold ceil(N/3) rows).
+    keyed = per.select(
+        "doc_id", "n_bigrams", "sum_ppm", "nll_milli",
+        F.expr("nll_milli div n_bigrams").cast("long").alias("__mnd"),
+        F.lit(1).cast("long").alias("__one"))
+    ranked = ranged_cumsum(keyed, ["__mnd", "doc_id"], ["__one"])
+    n_total = ranked.groupBy().agg(
+        F.max("cum___one").cast("long").alias("__n"))
+    return (ranked.crossJoin(F.broadcast(n_total))
+            .select(
+                "doc_id", "n_bigrams",
+                F.expr("sum_ppm div n_bigrams").cast("long")
+                .alias("avg_cond_ppm"),
+                "nll_milli",
+                F.expr(
+                    "CASE WHEN cum___one <= (__n % 3) * (__n div 3 + 1)"
+                    " THEN (cum___one - 1) div (__n div 3 + 1) + 1"
+                    " ELSE __n % 3 + (cum___one - 1 - (__n % 3) * (__n div 3 + 1))"
+                    " div (__n div 3) + 1 END").cast("long")
+                .alias("ppl_bucket")))
 
 
 # --------------------------------------------------------------------------

@@ -343,10 +343,15 @@ def interpolate_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # also takes exact integer arguments. The per-(doc, term) score is
 # micro-quantized before the integer sum (the tfidf discipline).
 # --------------------------------------------------------------------------
-def _bm25_term_sql() -> str:
+def _bm25_term_sql(dl_expr: str = "dl") -> str:
+    """Shared per-(doc, term) BM25 fragment. ``dl_expr`` parameterizes the
+    document-length identifier so WAND's upper bound can substitute the
+    corpus-minimum length (``dlm``) WITHOUT textual .replace() on the
+    rendered SQL — a substring rewrite would silently corrupt the bound
+    the moment any future identifier in this fragment contained 'dl'."""
     idf = "ln(CAST(2 * n + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"
     sat = ("(CAST(22 * tf * s AS DOUBLE)"
-           " / CAST(10 * s * tf + 3 * s + 9 * dl * n AS DOUBLE))")
+           f" / CAST(10 * s * tf + 3 * s + 9 * {dl_expr} * n AS DOUBLE))")
     return (f"CAST(floor(1000000 * {idf} * {sat} + 0.5) AS BIGINT)")
 
 

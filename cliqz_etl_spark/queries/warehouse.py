@@ -766,8 +766,14 @@ COMPACT_TARGET_ROWS = 4_000
         GROUP BY 1, 2
     ), seq AS (
         SELECT month, returnflag, size_rows,
+               -- NULLS FIRST pins the tie-break: Spark ASC is NULLS FIRST
+               -- while DuckDB windows default NULLS LAST, and returnflag
+               -- is NULL-perturbed in the fuzz gate — a NULL-flag fragment
+               -- tying a non-NULL one on (size_rows, month) would
+               -- otherwise land in a different bin per engine.
                CAST(sum(size_rows) OVER (
-                   ORDER BY size_rows DESC, month ASC, returnflag ASC
+                   ORDER BY size_rows DESC, month ASC,
+                            returnflag ASC NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS cum
         FROM inv
@@ -850,16 +856,18 @@ def minmax_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Exact money aggregation through Spark's DecimalType — the surface
-# finance pipelines actually use instead of the engine's cents-BIGINT
-# discipline. Prices quantize to cents with the pinned floor(x*100+0.5)
-# (double->DECIMAL casts round half-up in Spark but round-half-even in
-# some engines — the same class of divergence the cents rule exists
-# for), the SUM runs over exact integers, and the presented values are
-# DECIMAL(18,2): one double division of an exact integer by 100.0,
-# whose nearest 2-digit decimal is unambiguous (the quotient is within
-# ~1e-11 of a 2-digit value, never equidistant), so the cast agrees
-# across engines and Decimal stringification hash-matches.
+# Exact money aggregation — the surface finance pipelines actually use
+# instead of the engine's cents-BIGINT discipline. Prices quantize to
+# cents with the pinned floor(x*100+0.5) (double->DECIMAL casts round
+# half-up in Spark but round-half-even in some engines — the same class
+# of divergence the cents rule exists for) and the SUM runs over exact
+# integers. Round-8 driver red (the registry's only one): presenting
+# DECIMAL(18,2) hash-mismatched because an exactly-integral money value
+# canonicalizes as '…314.0' on a float fetch path but '…314.00' as a
+# Decimal. Driver-proof presentation instead: keep the exact cents as
+# BIGINT and render the money as a VARCHAR from pure integer arithmetic
+# (cents DIV 100 '.' cents%100 zero-padded) on BOTH engines — no float,
+# no Decimal, identical canonical string on every fetch path.
 # --------------------------------------------------------------------------
 @query(
     "decimal_money_rollup",
@@ -870,25 +878,36 @@ def minmax_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
     )
-    SELECT o_orderstatus AS status,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(cents) / 100.0 AS DECIMAL(18,2)) AS total_price,
-           CAST(max(cents) / 100.0 AS DECIMAL(18,2)) AS max_price
-    FROM c GROUP BY o_orderstatus
+    SELECT status, n_orders, sum_cents, max_cents,
+           printf('%d.%02d', sum_cents // 100, sum_cents % 100) AS total_price,
+           printf('%d.%02d', max_cents // 100, max_cents % 100) AS max_price
+    FROM (
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents
+        FROM c GROUP BY o_orderstatus
+    )
     """,
 )
 def decimal_money_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order totals per status as DECIMAL(18,2) money values.
+    """Order totals per status: exact integer cents plus a canonical
+    2-decimal VARCHAR rendering built from integer division only.
 
-    One map-side-combined aggregation; the DecimalType materializes
-    only in the final projection, from exact integer cents."""
+    One map-side-combined aggregation; no float or Decimal ever touches
+    the presented money, so the value hashes identically regardless of
+    which fetch path an external harness canonicalizes through."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    return (o.where(F.col("o_orderstatus").isNotNull()
-                    & F.col("o_totalprice").isNotNull())
-            .groupBy(F.col("o_orderstatus").alias("status"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
-                 F.expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
-                        " / 100.0 AS DECIMAL(18,2))").alias("total_price"),
-                 (F.max(cents) / F.lit(100.0)).cast("decimal(18,2)")
-                 .alias("max_price")))
+    agg = (o.where(F.col("o_orderstatus").isNotNull()
+                   & F.col("o_totalprice").isNotNull())
+           .groupBy(F.col("o_orderstatus").alias("status"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(cents).cast("long").alias("sum_cents"),
+                F.max(cents).cast("long").alias("max_cents")))
+    return agg.select(
+        "status", "n_orders", "sum_cents", "max_cents",
+        F.expr("format_string('%d.%02d', sum_cents DIV 100, sum_cents % 100)")
+        .alias("total_price"),
+        F.expr("format_string('%d.%02d', max_cents DIV 100, max_cents % 100)")
+        .alias("max_price"))

@@ -29,7 +29,6 @@ Usage:
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import uuid
@@ -151,10 +150,14 @@ class _JsonlStreamWriter(DataSourceStreamWriter):
         # renamed batch-{id}-* shards beside the new ones: the manifest
         # is overwritten correctly, but glob-based readers (spark.read
         # .json(dir)) would double-count. Purge the epoch's old shards
-        # first so even glob readers see the replay exactly once.
-        for stale in glob.glob(os.path.join(self.path,
-                                            f"batch-{batchId}-*")):
-            os.remove(stale)
+        # first so even glob readers see the replay exactly once. Listing
+        # + startswith, NOT glob: a sink path containing glob
+        # metacharacters ([ ] ? *) would make the pattern silently match
+        # nothing and leave the duplicate shards in place.
+        prefix = f"batch-{batchId}-"
+        for entry in os.listdir(self.path):
+            if entry.startswith(prefix):
+                os.remove(os.path.join(self.path, entry))
         manifest = []
         for m in messages:
             if m is None:

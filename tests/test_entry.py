@@ -29,22 +29,19 @@ def test_contract_shape():
 
 
 def _latest_green_round() -> dict[str, int]:
-    """Latest round with a green (rows-match) driver row per query, from
-    the committed CORRECTNESS_r*.json artifacts. Never-checked -> 0."""
-    import glob
-    import json
-    import re as _re
+    """Latest round with a green (rows-match) driver row per query, over the
+    SAME pinned evidence set tools/rotate_window.py uses (the files present
+    at the last commit touching DRIVER_ORDER) — so the driver dropping
+    CORRECTNESS_r{N}.json after the round's final commit cannot redden the
+    window gates (round-6/8 structural red). Never-checked -> 0."""
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", "/root/repo/tools/rotate_window.py")
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
 
     from cliqz_etl_spark.queries import DRIVER_ORDER
 
-    latest = {n: 0 for n in DRIVER_ORDER}
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        rnd = int(_re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
-        with open(path) as f:
-            for name, res in json.load(f).items():
-                if name in latest and res.get("rows_match"):
-                    latest[name] = max(latest[name], rnd)
-    return latest
+    return rw.latest_green_rounds(list(DRIVER_ORDER))
 
 
 def test_new_queries_sit_inside_driver_window():

@@ -410,3 +410,105 @@ def test_gif_truncation_raises_valueerror_never_indexerror():
             decode_gif(blob[:cut])
     with pytest.raises(ValueError):
         decode_gif(b"GIF89a")
+
+
+def test_jpeg_flat_blocks_roundtrip_exactly():
+    """DC-only blocks under the unit quant table are lossless — the
+    property the jpeg_decode_stats oracle rides (binary_ops.py JPEG
+    section derivation)."""
+    from cliqz_etl_spark.multimodal.binary_ops import (decode_jpeg,
+                                                       encode_jpeg_gray)
+
+    for rid in (0, 7, 13, 200, 255):
+        w, h = rid % 21 + 4, rid % 11 + 4
+        bw = (w + 7) // 8
+        px = bytes((rid * 37 + ((y // 8) * bw + x // 8) * 29) % 256
+                   for y in range(h) for x in range(w))
+        meta = decode_jpeg(encode_jpeg_gray(w, h, px))
+        assert meta["pixels"] == px
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["n_components"] == 1
+        assert meta["n_mcus"] == bw * ((h + 7) // 8)
+
+
+def test_jpeg_general_path_within_codec_error_bound():
+    """Non-flat blocks exercise the AC machinery (run lengths, ZRL, EOB,
+    magnitude categories both signs); the FDCT->unit-quant->IDCT round
+    trip is then lossy only through coefficient rounding, which bounds
+    per-pixel error by ~1 (64 coefficients x 0.5 rounding each, but the
+    orthonormal basis spreads it)."""
+    import random
+
+    from cliqz_etl_spark.multimodal.binary_ops import (decode_jpeg,
+                                                       encode_jpeg_gray)
+
+    rng = random.Random(42)
+    for w, h in ((8, 8), (19, 13), (24, 14), (1, 1), (9, 17)):
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        meta = decode_jpeg(encode_jpeg_gray(w, h, px))
+        errs = [abs(a - b) for a, b in zip(px, meta["pixels"])]
+        assert max(errs) <= 2, (w, h, max(errs))
+        # gradient image: long zero runs in AC exercise ZRL
+        px2 = bytes(min(255, x * 3 + y) for y in range(h) for x in range(w))
+        meta2 = decode_jpeg(encode_jpeg_gray(w, h, px2))
+        errs2 = [abs(a - b) for a, b in zip(px2, meta2["pixels"])]
+        assert max(errs2) <= 2
+
+
+def test_jpeg_byte_stuffing_survives_roundtrip():
+    """Force entropy bytes worth of 0xFF: the writer must stuff 0xFF00
+    and the reader must unstuff it (otherwise the stream misparses as a
+    marker)."""
+    import random
+
+    from cliqz_etl_spark.multimodal.binary_ops import (decode_jpeg,
+                                                       encode_jpeg_gray)
+
+    rng = random.Random(7)
+    stuffed = 0
+    for _ in range(20):
+        w = h = 16
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        blob = encode_jpeg_gray(w, h, px)
+        # count FF00 pairs inside the entropy segment (after SOS)
+        sos = blob.find(b"\xff\xda")
+        stuffed += blob.count(b"\xff\x00", sos)
+        meta = decode_jpeg(blob)
+        assert max(abs(a - b)
+                   for a, b in zip(px, meta["pixels"])) <= 2
+    assert stuffed > 0, "no 0xFF byte was ever stuffed — weak test corpus"
+
+
+def test_jpeg_truncation_and_seams_raise_valueerror():
+    import pytest
+
+    from cliqz_etl_spark.multimodal.binary_ops import (decode_jpeg,
+                                                       encode_jpeg_gray)
+
+    blob = encode_jpeg_gray(9, 9, bytes(81))
+    for cut in (1, 3, 10, 25, 100, len(blob) - 3):
+        if cut >= len(blob):
+            continue
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:cut])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    # declared seams: subsampling and progressive must fail LOUDLY
+    ba = bytearray(blob)
+    sof = blob.find(b"\xff\xc0")
+    ba[sof + 11] = 0x22  # 2x2 sampling
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(ba))
+    ba = bytearray(blob)
+    ba[sof + 1] = 0xC2   # progressive SOF2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(ba))
+
+
+def test_jpeg_through_decode_image_seam():
+    from cliqz_etl_spark.multimodal.binary_ops import (decode_image,
+                                                       encode_jpeg_gray)
+
+    meta = decode_image(encode_jpeg_gray(8, 8, bytes(range(64))))
+    assert meta["format"] == "jpeg"
+    assert (meta["width"], meta["height"]) == (8, 8)

