@@ -379,6 +379,9 @@ BENCH_HEADLINE: list[str] = [
     "compaction_plan",
     # the composed production index: partition pruning x code compression
     "ann_ivfpq",
+    # Round-9: the sixth owned codec (real Huffman+DCT per doc inside
+    # Arrow mapInPandas — replaces the gif-era JPEG stub)
+    "jpeg_decode_stats",
 ]
 
 

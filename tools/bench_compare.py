@@ -1,0 +1,124 @@
+"""Calibration-normalized bench-vs-baseline comparison.
+
+BASELINE.md's numbers were pinned across rounds on a shared box whose
+speed swings 1.5-3x between windows (measured: spark_job calibration
+0.368 s round 6 -> 0.744 s round 8 -> 1.10 s observed round 9). Raw
+ratios therefore conflate plan regressions with host drift — the round-8
+verdict's two ">1.5x" rows (incremental_join_maintenance 1.69x,
+fuzzy_match_parts 1.52x) were both pure calibration skew. This tool
+makes the comparison honest:
+
+    norm_ratio = (bench_sec / cal_now) / (base_sec / cal_base)
+
+where cal_* is the same-run ``spark_job_sec`` probe (bench.py runs an
+identical deterministic Spark job every round). Every BASELINE.md row
+since round 4 carries its calibration stamp in the notes column; rows
+from the round-1 table predate the probe and use the round-4 stamp
+(0.472 s, the nearest recorded window) marked approximate.
+
+Usage:
+    python tools/bench_compare.py                 # latest BENCH_r*.json
+    python tools/bench_compare.py BENCH_r08.json  # specific round
+    python tools/bench_compare.py --threshold 1.5 # exit 1 on violations
+
+Exit status 1 iff any query's NORMALIZED ratio exceeds the threshold —
+the per-round regression gate the raw numbers can't be.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+ROUND1_SPARK_CAL = 0.472  # round-4 stamp; rounds 1-3 predate the probe
+
+
+def parse_baselines() -> dict[str, dict]:
+    """{query: {sec, cal, stamped}} from BASELINE.md's two tables."""
+    out: dict[str, dict] = {}
+    for line in (REPO / "BASELINE.md").read_text().splitlines():
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*s\s*\|(.*)", line)
+        if not m:
+            continue
+        name, sec, rest = m.group(1), float(m.group(2)), m.group(3)
+        calm = re.search(r"spark(?:\s+job)?\s+([0-9.]+)\s*s", rest)
+        out[name] = {
+            "sec": sec,
+            "cal": float(calm.group(1)) if calm else ROUND1_SPARK_CAL,
+            "stamped": bool(calm),
+        }
+    return out
+
+
+def load_bench(path: str | None) -> dict:
+    if path is None:
+        paths = sorted(glob.glob(str(REPO / "BENCH_r*.json")))
+        if not paths:
+            raise SystemExit("no BENCH_r*.json found")
+        path = paths[-1]
+    raw = json.loads(Path(path).read_text())
+    # driver-recorded files wrap the JSON line in a {"tail": "..."} capture
+    if "queries" not in raw and "tail" in raw:
+        m = re.search(r'\{"metric".*\}', raw["tail"])
+        if not m:
+            raise SystemExit(f"{path}: no bench JSON line in tail")
+        raw = json.loads(m.group(0))
+    return raw
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench", nargs="?", default=None,
+                    help="BENCH_r*.json (default: latest)")
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="fail when a normalized ratio exceeds this")
+    args = ap.parse_args()
+
+    bench = load_bench(args.bench)
+    cal_now = (bench.get("calibration") or {}).get("spark_job_sec")
+    if not cal_now:
+        raise SystemExit("bench file carries no calibration probe")
+    baselines = parse_baselines()
+
+    rows = []
+    for name, sec in bench["queries"].items():
+        base = baselines.get(name)
+        if base is None:
+            rows.append((name, sec, None, None, None, ""))
+            continue
+        raw = sec / base["sec"]
+        norm = (sec / cal_now) / (base["sec"] / base["cal"])
+        rows.append((name, sec, base["sec"], raw, norm,
+                     "" if base["stamped"] else "~"))
+
+    rows.sort(key=lambda r: -(r[4] or 0))
+    print(f"bench calibration spark_job_sec = {cal_now}")
+    print(f"{'query':34} {'sec':>7} {'base':>7} {'raw':>6} {'norm':>6}")
+    bad = []
+    for name, sec, base, raw, norm, approx in rows:
+        if base is None:
+            print(f"{name:34} {sec:7.3f} {'--':>7}   (no baseline row)")
+            continue
+        flag = " <-- OVER" if norm > args.threshold else ""
+        print(f"{name:34} {sec:7.3f} {base:7.3f} {raw:6.2f} "
+              f"{norm:6.2f}{approx}{flag}")
+        if norm > args.threshold:
+            bad.append(name)
+    norms = [r[4] for r in rows if r[4] is not None]
+    norms.sort()
+    if norms:
+        import math
+        geo = math.exp(sum(math.log(x) for x in norms) / len(norms))
+        print(f"\n{len(norms)} compared: median norm "
+              f"{norms[len(norms) // 2]:.2f}, geomean {geo:.2f}, "
+              f"{len(bad)} over {args.threshold}x: {bad or '-'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
