@@ -56,6 +56,11 @@ DRIVER_ORDER: list[str] = [
     # driver checks slots 1-50. Regenerate after each driver run:
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
+    "hll_distinct_users",
+    "contrastive_triplets",
+    "nb_quality_classifier",
+    "theil_sen_trend",
+    "interval_union_days",
     "jpeg_decode_stats",
     # ---- latest green row: r4 ----
     "linear_attribution",
@@ -103,12 +108,12 @@ DRIVER_ORDER: list[str] = [
     "earliest_order_per_customer",
     "semi_join_orders",
     "anti_join_customers",
+    # ---------------- past the check window ----------------
     "map_valued_agg",
     "regex_validity_filter",
     "scalar_gauntlet",
     "text_quality",
     "lang_id",
-    # ---------------- past the check window ----------------
     "doc_fingerprint",
     # ---- latest green row: r6 ----
     "nations_in_region",

@@ -275,10 +275,11 @@ def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KMV (k-minimum-values) distinct-count sketch — count-min's sibling for
 # cardinality: hash every key into [0, 2^60), keep the K smallest hashes
 # per group (mergeable: min-heap union), estimate distinct = (K-1) *
-# 2^60 / kth_smallest. Unlike HyperLogLog (whose register layout is
-# engine-specific), KMV over the portable md5 hash is bit-deterministic,
-# so the ESTIMATE itself oracle-checks — the sketch discipline this
-# engine applies everywhere: approximate answers, exact reproducibility.
+# 2^60 / kth_smallest. KMV over the portable md5 hash is
+# bit-deterministic, so the ESTIMATE itself oracle-checks — the sketch
+# discipline this engine applies everywhere: approximate answers, exact
+# reproducibility (hll_distinct_users below applies the same discipline
+# to HyperLogLog by building its registers from the portable hash).
 # --------------------------------------------------------------------------
 KMV_K = 32
 _KMV_DOMAIN = 1 << 60
@@ -337,6 +338,91 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", est.cast("long").alias("est_distinct"),
                 F.col("n_distinct").cast("long").alias("exact_distinct"))
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog — THE production cardinality sketch (constant 64-register
+# state per group vs KMV's K values), made engine-portable by building
+# registers from the md5 hash family: register = h % 64, and rho =
+# leading-zero count of the remaining 54 bits + 1 computed EXACTLY via
+# length(bin(h2)) (bin() renders the same minimal binary string on both
+# engines, bin(0) = '0'). The register table is one groupBy MAX — the
+# mergeable-sketch shape: partial max per map task IS the HLL merge, so
+# at 100 TB every executor ships 64 small ints per group, nothing else.
+# The harmonic sum stays exact-integer (terms 2^(57-rho) in BIGINT,
+# 63 registers x 2^57 < 2^63); the only floats are one division of exact
+# integers and the standard linear-counting ln() fallback for sparse
+# registers, both IEEE-identical cross-engine on identical inputs.
+# --------------------------------------------------------------------------
+HLL_M = 64                      # registers; alpha_64 = 0.709 (Flajolet)
+_HLL_SCALE = 1 << 57            # harmonic terms scaled to integers
+
+
+def _hll_est_sql(s: str, n_present: str) -> str:
+    """Shared estimate expression: raw HLL with the linear-counting
+    small-range correction (V = empty registers)."""
+    raw = (f"(0.709 * {HLL_M * HLL_M}) * CAST({_HLL_SCALE} AS DOUBLE)"
+           f" / CAST({s} + ({HLL_M} - {n_present}) * {_HLL_SCALE} AS DOUBLE)")
+    v = f"({HLL_M} - {n_present})"
+    return (f"CAST(floor(CASE WHEN {raw} <= {2.5 * HLL_M} AND {v} > 0"
+            f" THEN {HLL_M} * ln({HLL_M}.0 / {v}) ELSE {raw} END + 0.5)"
+            f" AS BIGINT)")
+
+
+@query(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT event_type, {_md5_long_sql("user_id")} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ), split AS (
+        SELECT event_type, h % {HLL_M} AS r, h // {HLL_M} AS h2 FROM hashed
+    ), regs AS (
+        SELECT event_type, r,
+               MAX(CASE WHEN h2 = 0 THEN 55
+                        ELSE 55 - length(bin(h2)) END) AS mr
+        FROM split GROUP BY event_type, r
+    ), per_type AS (
+        SELECT event_type,
+               SUM(CAST(1 AS BIGINT) << (57 - mr)) AS s,
+               COUNT(*) AS n_present
+        FROM regs GROUP BY event_type
+    ), exact AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT p.event_type AS event_type,
+           {_hll_est_sql("s", "n_present")} AS est_distinct,
+           e.exact_distinct AS exact_distinct
+    FROM per_type p JOIN exact e ON p.event_type IS NOT DISTINCT FROM e.event_type
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a 64-register HyperLogLog beside
+    the exact count. Two map-side-combined aggregations (register max,
+    then per-type fold over <= 64 rows); the estimate is pure expression
+    arithmetic on the folded integers."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    split = (ev.select("event_type", md5_long(F.col("user_id")).alias("h"))
+             .select("event_type", (F.col("h") % HLL_M).alias("r"),
+                     F.expr(f"h div {HLL_M}").alias("h2")))
+    regs = split.groupBy("event_type", "r").agg(
+        F.max(F.when(F.col("h2") == 0, F.lit(55))
+              .otherwise(F.lit(55) - F.length(F.expr("bin(h2)")))).alias("mr"))
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 57 - mr)")).alias("s"),
+        F.count(F.lit(1)).alias("n_present"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    est = F.expr(_hll_est_sql("s", "n_present"))
+    # null-safe join: a NULL event_type is a real group on both engines
+    return (per_type.join(exact,
+                          per_type["event_type"].eqNullSafe(
+                              exact["event_type"]))
+            .select(per_type["event_type"].alias("event_type"),
+                    est.alias("est_distinct"), "exact_distinct"))
 
 
 # --------------------------------------------------------------------------
@@ -1374,3 +1460,84 @@ import dataclasses as _dc2  # noqa: E402
 
 _REG2["bootstrap_ci_revenue"] = _dc2.replace(
     _REG2["bootstrap_ci_revenue"], oracle=_bootstrap_oracle())
+
+
+# --------------------------------------------------------------------------
+# Interval union (sweep line) — the coverage shape: merge each customer's
+# overlapping 30-day activity windows into maximal islands and measure
+# covered days. Distinct from user_type_history's equality-run islands:
+# here islands form wherever intervals OVERLAP, which needs the running
+# max of interval ends (an interval can be swallowed by an earlier, longer
+# one). All windows partition by customer — parallel at any scale; island
+# assembly is one keyed groupBy with map-side combine.
+# --------------------------------------------------------------------------
+INTERVAL_SPAN_DAYS = 30
+
+
+@query(
+    "interval_union_days",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS s,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                    + {INTERVAL_SPAN_DAYS} AS BIGINT) AS e
+        FROM orders WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+    ), marked AS (
+        SELECT custkey, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY custkey ORDER BY s ASC, e ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR s > max(e) OVER (
+                        PARTITION BY custkey ORDER BY s ASC, e ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT custkey,
+               SUM(new_island) OVER (
+                   PARTITION BY custkey ORDER BY s ASC, e ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+               s, e
+        FROM marked
+    ), merged AS (
+        SELECT custkey, island,
+               MIN(s) AS is_, MAX(e) AS ie
+        FROM islands GROUP BY custkey, island
+    )
+    SELECT custkey AS custkey,
+           CAST(SUM(ie - is_) AS BIGINT) AS covered_days,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(ie - is_) AS BIGINT) AS longest_island_days
+    FROM merged GROUP BY custkey
+    """,
+)
+def interval_union_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer union of overlapping 30-day order windows: total
+    covered days, island count, longest island. One per-key window pass
+    marks island starts against the running max end (the sweep line),
+    a second assigns island ids, one groupBy merges."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = (o.where(F.col("o_orderdate").isNotNull()
+                  & F.col("o_custkey").isNotNull())
+          .select(F.col("o_custkey").alias("custkey"),
+                  F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+                  .cast("long").alias("s"))
+          .withColumn("e", F.col("s") + INTERVAL_SPAN_DAYS))
+    w = Window.partitionBy("custkey").orderBy(F.asc("s"), F.asc("e"))
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0))
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    merged = (islands.groupBy("custkey", "island")
+              .agg(F.min("s").alias("is_"), F.max("e").alias("ie")))
+    return (merged.groupBy("custkey")
+            .agg(F.sum(F.col("ie") - F.col("is_")).cast("long")
+                 .alias("covered_days"),
+                 F.count(F.lit(1)).cast("long").alias("n_islands"),
+                 F.max(F.col("ie") - F.col("is_")).cast("long")
+                 .alias("longest_island_days")))

@@ -8,8 +8,10 @@ engines (see operators/similarity.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from cliqz_etl_spark.functions.hashing import md5_long_sql
 
 from cliqz_etl_spark.operators.similarity import (
     brute_force_topk,
@@ -958,3 +960,87 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("vec_id"), "degree", "n_mutual",
                 "top1_cos_x10k")
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive training triplets — the (anchor, positive, negative) miner
+# every embedding-model fine-tune consumes. Positive = exact nearest
+# neighbor (the brute_force_topk rank-1, so recall is by construction);
+# negative = a HASH-PICKED corpus vector (min md5(anchor#candidate) over
+# the non-positive candidates) — deterministic "random" sampling both
+# engines replay bit-for-bit, the engine's stand-in for the uniform
+# negative draw (a seeded RNG would not be oracle-replayable). One
+# broadcast of the anchor set, one corpus scan, two windows over the
+# same per-anchor partition (no second shuffle).
+# --------------------------------------------------------------------------
+@query(
+    "contrastive_triplets",
+    oracle=_QCTE + f"""
+    , pairs AS (
+        SELECT a.vec_id AS anchor_id, b.vec_id AS nb,
+               CAST(floor({_cos('a.v', 'b.v')} * 10000 + 0.5) AS BIGINT)
+                   AS cos_x10k,
+               {md5_long_sql("CAST(a.vec_id AS VARCHAR) || '#' || CAST(b.vec_id AS VARCHAR)")}
+                   AS h
+        FROM q a JOIN q b ON a.vec_id != b.vec_id
+        WHERE a.vec_id % {QUERY_MOD} = 0
+    ), pos_ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos_x10k DESC, nb ASC) AS rp
+        FROM pairs
+    ), neg_ranked AS (
+        SELECT anchor_id, nb, cos_x10k,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY h ASC, nb ASC) AS rn
+        FROM pos_ranked WHERE rp > 1
+    )
+    SELECT p.anchor_id AS anchor_id,
+           p.nb AS pos_id, p.cos_x10k AS pos_cos_x10k,
+           n.nb AS neg_id, n.cos_x10k AS neg_cos_x10k,
+           CAST(p.cos_x10k - n.cos_x10k AS BIGINT) AS margin_x10k
+    FROM (SELECT * FROM pos_ranked WHERE rp = 1) p
+    JOIN (SELECT * FROM neg_ranked WHERE rn = 1) n
+      ON n.anchor_id = p.anchor_id
+    """,
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, hardest-positive, hash-sampled-negative) triples with the
+    cosine margin. Anchor set broadcasts; the corpus scans once; positive
+    and negative ranks share one per-anchor exchange."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+    from cliqz_etl_spark.operators.similarity import (dot_q, norm2_q,
+                                                      valid_quantized)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
+         .select(F.col("_id").alias("vec_id"), F.col("_qv").alias("v")))
+    a = (q.where(F.col("vec_id") % QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av")))
+    pairs = (q.select(F.col("vec_id").alias("nb"), F.col("v").alias("bv"))
+             .join(F.broadcast(a), F.col("anchor_id") != F.col("nb"))
+             .select(
+                 "anchor_id", "nb",
+                 F.floor(dot_q(F.col("av"), F.col("bv")).cast("double")
+                         / F.sqrt(norm2_q(F.col("av")).cast("double")
+                                  * norm2_q(F.col("bv")).cast("double"))
+                         * 10000 + F.lit(0.5)).cast("long").alias("cos_x10k"),
+                 md5_long(F.concat_ws(
+                     "#", F.col("anchor_id").cast("string"),
+                     F.col("nb").cast("string"))).alias("h")))
+    wp = Window.partitionBy("anchor_id").orderBy(F.desc("cos_x10k"),
+                                                 F.asc("nb"))
+    ranked = pairs.withColumn("rp", F.row_number().over(wp))
+    wn = Window.partitionBy("anchor_id").orderBy(F.asc("h"), F.asc("nb"))
+    neg = (ranked.where(F.col("rp") > 1)
+           .withColumn("rn", F.row_number().over(wn))
+           .where(F.col("rn") == 1)
+           .select("anchor_id", F.col("nb").alias("neg_id"),
+                   F.col("cos_x10k").alias("neg_cos_x10k")))
+    pos = (ranked.where(F.col("rp") == 1)
+           .select("anchor_id", F.col("nb").alias("pos_id"),
+                   F.col("cos_x10k").alias("pos_cos_x10k")))
+    return (pos.join(neg, ["anchor_id"])
+            .select("anchor_id", "pos_id", "pos_cos_x10k",
+                    "neg_id", "neg_cos_x10k",
+                    (F.col("pos_cos_x10k") - F.col("neg_cos_x10k"))
+                    .cast("long").alias("margin_x10k")))

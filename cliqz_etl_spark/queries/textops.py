@@ -697,3 +697,119 @@ def script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return named.select("doc_id", "n_latin", "n_cjk", "n_digit", "n_space",
                         "n_other", F.expr(_dominant_sql()).alias("dominant"))
+
+
+# --------------------------------------------------------------------------
+# Naive-Bayes quality classifier — the trainable-model-on-Spark shape
+# missing from the curation stack: TRAIN a token model on a labeled slice
+# (one groupBy), SCORE the whole corpus (one join + one groupBy). Labels
+# are the deterministic Gopher pass/fail (so both engines can replay
+# them); the train slice is the md5(doc_id)%5==0 hash selection the
+# bigram LM established. Per-token evidence is the add-one-smoothed
+# log-likelihood RATIO, one ln() of a ratio of EXACT integer products
+# ((c1+1)(t0+V+1) vs (c0+1)(t1+V+1), both < 2^53), milli-quantized
+# BEFORE the per-doc sum (the tfidf integer-aggregation discipline).
+# Unseen tokens fall out of the same formula with c1 = c0 = 0 via the
+# left join's COALESCE. Decision: prior_milli + sum(evidence) > 0.
+# --------------------------------------------------------------------------
+def _nb_term_sql() -> str:
+    return ("CAST(floor(1000 * ln(CAST((COALESCE(c1, 0) + 1) * (t0 + v + 1)"
+            " AS DOUBLE) / CAST((COALESCE(c0, 0) + 1) * (t1 + v + 1)"
+            " AS DOUBLE)) + 0.5) AS BIGINT)")
+
+
+@query(
+    "nb_quality_classifier",
+    oracle=f"""
+    {_duck_gopher_base()}
+    , labeled AS (
+        SELECT b.doc_id, b.tk, COALESCE(({DUCK_GOPHER_RULES}), FALSE) AS y
+        FROM base b JOIN m ON m.doc_id = b.doc_id
+    ), train AS (
+        SELECT * FROM labeled WHERE {md5_long_sql("doc_id")} % 5 = 0
+    ), tok_train AS (
+        SELECT y, unnest(tk) AS w FROM train
+    ), counts AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c0
+        FROM tok_train GROUP BY w
+    ), tot AS (
+        SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS t1,
+               CAST(COALESCE(SUM(c0), 0) AS BIGINT) AS t0,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM counts
+    ), pr AS (
+        SELECT CAST(floor(1000 * ln(
+                   CAST(COALESCE(SUM(CASE WHEN y THEN 1 ELSE 0 END), 0) + 1
+                        AS DOUBLE)
+                   / CAST(COALESCE(SUM(CASE WHEN y THEN 0 ELSE 1 END), 0) + 1
+                          AS DOUBLE)) + 0.5) AS BIGINT) AS prior_milli
+        FROM train
+    ), alltok AS (
+        SELECT doc_id, unnest(tk) AS w FROM labeled
+    ), evidence AS (
+        SELECT a.doc_id, SUM({_nb_term_sql()}) AS ev_milli
+        FROM alltok a LEFT JOIN counts c ON c.w = a.w CROSS JOIN tot
+        GROUP BY a.doc_id
+    )
+    SELECT l.doc_id AS doc_id,
+           CAST(pr.prior_milli + COALESCE(e.ev_milli, 0) AS BIGINT)
+               AS score_milli,
+           (pr.prior_milli + COALESCE(e.ev_milli, 0)) > 0 AS predicted,
+           l.y AS passes
+    FROM labeled l LEFT JOIN evidence e ON e.doc_id = l.doc_id
+    CROSS JOIN pr
+    """,
+)
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed Naive Bayes over tokens, trained on the hash
+    slice's Gopher labels, scoring every document.
+
+    Plan shape: labels are scan-side expressions (no shuffle); the class-
+    conditional counts are ONE groupBy over train tokens (map-side
+    combine, vocab-sized result); totals and the class prior ride as
+    broadcast 1-row aggregates; scoring is one token equi-join
+    (broadcastable at bounded vocab, shuffled-but-keyed otherwise — the
+    bigram_lm_score contract) plus one groupBy(doc)."""
+    from cliqz_etl_spark.operators.cache import track
+
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text")
+    empty = F.trim(F.col("text")) == ""
+    toks = F.when(empty, F.array().cast("array<string>")) \
+        .otherwise(T.tokens("text"))
+    m = gopher_metrics(docs)
+    rules = functools.reduce(operator.and_, gopher_rule_cols().values())
+    labeled = track(
+        m.select("doc_id", "text",
+                 F.coalesce(rules, F.lit(False)).alias("y"))
+        .select("doc_id", toks.alias("tk"), "y").persist())
+    train = labeled.where(md5_long(F.col("doc_id")) % 5 == 0)
+    tok_train = train.select("y", F.explode("tk").alias("w"))
+    counts = tok_train.groupBy("w").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("long").alias("c0"))
+    tot = counts.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("t1"),
+        F.coalesce(F.sum("c0"), F.lit(0)).cast("long").alias("t0"),
+        F.count(F.lit(1)).cast("long").alias("v"))
+    pr = train.agg(
+        F.floor(F.lit(1000) * F.log(
+            (F.coalesce(F.sum(F.when(F.col("y"), 1).otherwise(0)), F.lit(0))
+             + 1).cast("double")
+            / (F.coalesce(F.sum(F.when(F.col("y"), 0).otherwise(1)), F.lit(0))
+               + 1).cast("double")) + F.lit(0.5))
+        .cast("long").alias("prior_milli"))
+    alltok = labeled.select("doc_id", F.explode("tk").alias("w"))
+    evidence = (alltok.join(counts, ["w"], "left")
+                .crossJoin(F.broadcast(tot))
+                .groupBy("doc_id")
+                .agg(F.sum(F.expr(_nb_term_sql())).alias("ev_milli")))
+    score = F.col("prior_milli") + F.coalesce(F.col("ev_milli"), F.lit(0))
+    return (labeled.select("doc_id", "y")
+            .join(evidence, ["doc_id"], "left")
+            .crossJoin(F.broadcast(pr))
+            .select("doc_id",
+                    score.cast("long").alias("score_milli"),
+                    (score > 0).alias("predicted"),
+                    F.col("y").alias("passes")))

@@ -478,3 +478,85 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.aggregate(F.expr("slice(cs, 2, size(cs) - 1)"),
                                 F.element_at("cs", 1), step)
                     .cast("long").alias("ewma_cents")))
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen trend — the robust regression twin of forecast_revenue's OLS:
+# slope = median of all pairwise slopes, immune to ~29% outlier months
+# (one wild promo month cannot move it, unlike least squares). The pair
+# frame is (n_months choose 2), bounded by the CALENDAR SPAN, not data
+# size — ~84 months of TPC-H dates is <= 3.5k pairs — so the global
+# median window runs on a constant-size frame (the WAND_K/RRF_L rule).
+# The median is presented as the SUM of the two middle elements
+# (2x median) so even-count medians stay integer-exact on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST((year(o_orderdate) - 1970) * 12
+                    + month(o_orderdate) - 1 AS BIGINT) AS m,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ), pairs AS (
+        SELECT a.m AS mi, b.m AS mj,
+               CAST(floor(1000000.0 * (b.cents - a.cents)
+                          / (b.m - a.m) + 0.5) AS BIGINT) AS slope_micro
+        FROM monthly a JOIN monthly b ON b.m > a.m
+    ), ranked AS (
+        SELECT slope_micro,
+               ROW_NUMBER() OVER (ORDER BY slope_micro ASC, mi ASC, mj ASC) AS rn,
+               COUNT(*) OVER () AS n
+        FROM pairs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM monthly) AS BIGINT) AS n_months,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                         THEN slope_micro * (CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                                                  THEN 2 ELSE 1 END)
+                         ELSE 0 END) AS BIGINT) AS slope_micro_x2
+    FROM ranked
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-pairwise-slopes revenue trend (cents/month, micro-
+    quantized, presented as 2x the median). Monthly rollup is one
+    map-side-combined groupBy; the pair join broadcasts the tiny monthly
+    frame against itself; the median window ranks a calendar-bounded
+    frame."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (o.where(F.col("o_orderdate").isNotNull()
+                       & F.col("o_totalprice").isNotNull())
+               .groupBy(((F.year("o_orderdate") - 1970) * 12
+                         + F.month("o_orderdate") - 1).cast("long").alias("m"))
+               .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                          .cast("long")).cast("long").alias("cents")))
+    from cliqz_etl_spark.operators.cache import track
+    monthly = track(monthly.persist())
+    a = monthly.select(F.col("m").alias("mi"), F.col("cents").alias("ci"))
+    b = monthly.select(F.col("m").alias("mj"), F.col("cents").alias("cj"))
+    pairs = (a.join(F.broadcast(b), F.col("mj") > F.col("mi"))
+             .select("mi", "mj",
+                     F.floor(F.lit(1000000.0)
+                             * (F.col("cj") - F.col("ci"))
+                             / (F.col("mj") - F.col("mi")) + F.lit(0.5))
+                     .cast("long").alias("slope_micro")))
+    w = Window.orderBy(F.asc("slope_micro"), F.asc("mi"), F.asc("mj"))
+    ranked = pairs.select(
+        "slope_micro", "mi", "mj",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    mid = F.when(F.col("rn") == lo,
+                 F.when(lo == hi, F.col("slope_micro") * 2)
+                 .otherwise(F.col("slope_micro"))) \
+        .when(F.col("rn") == hi, F.col("slope_micro")) \
+        .otherwise(F.lit(0))
+    n_months = monthly.count()
+    return (ranked.agg(
+        F.lit(n_months).cast("long").alias("n_months"),
+        F.max("n").cast("long").alias("n_pairs"),
+        F.sum(mid).cast("long").alias("slope_micro_x2")))

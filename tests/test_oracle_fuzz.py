@@ -84,6 +84,10 @@ _FUZZED = [
     # everything (or nothing) is heavy
     "postings_intersect", "phrase_search", "postings_compress_stats",
     "wand_bm25_topk", "heavy_hitters_exact",
+    # round-9: NB quality classifier (empty/degenerate train slices, NULL
+    # text -> prior-only score, quantized-ln boundary) and the baseline-
+    # JPEG codec (doc_id-derived dims; per-block-constant exact roundtrip)
+    "nb_quality_classifier", "jpeg_decode_stats",
 ]
 
 _WORD = st.one_of(
@@ -168,6 +172,9 @@ _EMB_FUZZED = [
     # ints, probe masks under centroid ties, and BOTH ValueError arms
     # (no coarse rows / no codebook rows)
     "ann_ivfpq",
+    # round-9: triplet mining (corpora with < 2 valid vectors must yield
+    # no triple; hash-picked negative under adversarial ids)
+    "contrastive_triplets",
 ]
 
 # Row i gets _EMB_IDS[i], not i: sequential ids give a <=18-row corpus
@@ -266,6 +273,9 @@ _EV_FUZZED = [
     # per-partition state machine must match the double-row_number
     # identity on any event soup
     "udtf_run_lengths",
+    # round-9: portable-register HyperLogLog (NULL user_ids ignored, NULL
+    # event_type is a real group, linear-counting fallback on tiny groups)
+    "hll_distinct_users",
 ]
 
 
@@ -366,6 +376,10 @@ _WH_FUZZED = [
     # round-8: equi-depth histogram (tie splitting must stay aggregate-
     # deterministic; n < B corpora leave empty bucket ids unemitted)
     "equidepth_histogram",
+    # round-9: interval sweep-line union (NULL dates/custkeys filtered,
+    # duplicate order dates tie inside one island) and Theil-Sen trend
+    # (single-month corpora -> zero pairs -> NULL slope on both engines)
+    "interval_union_days", "theil_sen_trend",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))
