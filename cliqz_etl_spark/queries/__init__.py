@@ -57,6 +57,8 @@ DRIVER_ORDER: list[str] = [
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
     "hll_distinct_users",
+    "l_diversity_audit",
+    "sequence_funnel",
     "contrastive_triplets",
     "nb_quality_classifier",
     "theil_sen_trend",
@@ -106,9 +108,9 @@ DRIVER_ORDER: list[str] = [
     "multimodal_meta",
     "pricing_summary",
     "earliest_order_per_customer",
+    # ---------------- past the check window ----------------
     "semi_join_orders",
     "anti_join_customers",
-    # ---------------- past the check window ----------------
     "map_valued_agg",
     "regex_validity_filter",
     "scalar_gauntlet",

@@ -1541,3 +1541,78 @@ def interval_union_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("long").alias("n_islands"),
                  F.max(F.col("ie") - F.col("is_")).cast("long")
                  .alias("longest_island_days")))
+
+
+# --------------------------------------------------------------------------
+# Strict sequential funnel — the state-machine (CEP / MATCH_RECOGNIZE)
+# shape funnel_counts deliberately simplifies away. funnel_counts keys
+# each step to the FIRST event of its type, which undercounts: a view
+# before signup hides a qualifying later view (min(t_view) < t_signup).
+# The strict form advances per user through signup -> first view AFTER
+# signup -> first purchase AFTER that view, plus a 30-day conversion
+# window. Spark-first: ONE groupBy collects each user's (ts, type) pairs,
+# sort_array orders them, and F.aggregate folds the state machine over
+# the sorted list — a single exchange, the fold in JVM codegen; at 100 TB
+# this is the minimal-shuffle sequence matcher (three chained
+# conditional-min aggregations would scan-and-shuffle events three
+# times). The fold equals the min-chain semantics the oracle states
+# because processing in ts order makes each "first after" a running min.
+# --------------------------------------------------------------------------
+@query(
+    "sequence_funnel",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN t1 ON t1.user_id = e.user_id
+        WHERE e.event_type = 'view' AND e.ts > t1.t1
+        GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN t2 ON t2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(t1.t1) AS BIGINT) AS n_signup,
+           CAST(COUNT(t2.t2) AS BIGINT) AS n_view_after,
+           CAST(COUNT(t3.t3) AS BIGINT) AS n_purchase_after,
+           CAST(COUNT(CASE WHEN t3.t3 <= t1.t1 + INTERVAL 30 DAY
+                           THEN 1 END) AS BIGINT) AS n_converted_30d
+    FROM t1 LEFT JOIN t2 ON t2.user_id = t1.user_id
+            LEFT JOIN t3 ON t3.user_id = t1.user_id
+    """,
+)
+def sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> later view -> later purchase, 30-day window: one
+    exchange, per-user state machine as a higher-order fold."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.where(F.col("ts").isNotNull()
+                         & F.col("event_type").isin("signup", "view",
+                                                    "purchase"))
+                .groupBy("user_id")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct(F.col("ts"), F.col("event_type").alias("et"))))
+                    .alias("seq")))
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"))
+    step = lambda a, e: F.struct(  # noqa: E731
+        F.when(a["t1"].isNull() & (e["et"] == "signup"), e["ts"])
+        .otherwise(a["t1"]).alias("t1"),
+        F.when(a["t2"].isNull() & a["t1"].isNotNull()
+               & (e["et"] == "view") & (e["ts"] > a["t1"]), e["ts"])
+        .otherwise(a["t2"]).alias("t2"),
+        F.when(a["t3"].isNull() & a["t2"].isNotNull()
+               & (e["et"] == "purchase") & (e["ts"] > a["t2"]), e["ts"])
+        .otherwise(a["t3"]).alias("t3"))
+    st = per_user.select(F.aggregate("seq", init, step).alias("s"))
+    return st.agg(
+        F.count(F.col("s.t1")).cast("long").alias("n_signup"),
+        F.count(F.col("s.t2")).cast("long").alias("n_view_after"),
+        F.count(F.col("s.t3")).cast("long").alias("n_purchase_after"),
+        F.count(F.when(
+            F.col("s.t3") <= F.col("s.t1") + F.expr("INTERVAL 30 DAYS"),
+            1)).cast("long").alias("n_converted_30d"))

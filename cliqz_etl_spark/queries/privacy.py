@@ -233,4 +233,54 @@ def deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["pii_scan_docs", "pseudonymize_customers", "k_anonymize_customers",
-           "deletion_propagation", "redact_pii", "redact_pii_sql"]
+           "deletion_propagation", "l_diversity_audit",
+           "redact_pii", "redact_pii_sql"]
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit — k-anonymity's necessary complement: a cell can be
+# k-large yet leak the sensitive attribute outright when every member
+# shares one value (the classic homogeneity attack). Per quasi-identifier
+# cell (nation, segment), count DISTINCT sensitive values (the banded
+# balance) and flag cells below L. Two chained groupBys, both map-side
+# combined; the second runs over the |cells x bands| frame, never the
+# fact table.
+# --------------------------------------------------------------------------
+L_DIVERSE = 3
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH bands AS (
+        SELECT c_nationkey, c_mktsegment,
+               {value_band_sql('c_acctbal', BAL_BAND_WIDTH)} AS bal_band
+        FROM customer
+    ), cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS n_sensitive
+        FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nation_q,
+           c_mktsegment AS segment_q,
+           group_size AS group_size,
+           n_sensitive AS n_sensitive,
+           n_sensitive >= {L_DIVERSE} AS l_diverse
+    FROM cells
+    """,
+    doc=f"distinct-l diversity (l={L_DIVERSE}) of banded balances per "
+        "(nation, segment) cell.",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bands = cust.select(
+        "c_nationkey", "c_mktsegment",
+        value_band("c_acctbal", BAL_BAND_WIDTH).alias("bal_band"))
+    return (bands.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("group_size"),
+                 F.countDistinct("bal_band").cast("long").alias("n_sensitive"))
+            .select(F.col("c_nationkey").cast("long").alias("nation_q"),
+                    F.col("c_mktsegment").alias("segment_q"),
+                    "group_size", "n_sensitive",
+                    (F.col("n_sensitive") >= L_DIVERSE).alias("l_diverse")))

@@ -1027,20 +1027,31 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  md5_long(F.concat_ws(
                      "#", F.col("anchor_id").cast("string"),
                      F.col("nb").cast("string"))).alias("h")))
+    # Both roles fold out of ONE per-anchor partitioning: rp ranks by
+    # cosine; a second window over the SAME key (a sort, not a new
+    # exchange) ranks by hash with the positive pushed last; one groupBy
+    # (again same key — no exchange) picks both rows. The naive
+    # pos-join-neg form shuffles the Q x N pair frame twice and re-scans
+    # the corpus per branch.
     wp = Window.partitionBy("anchor_id").orderBy(F.desc("cos_x10k"),
                                                  F.asc("nb"))
-    ranked = pairs.withColumn("rp", F.row_number().over(wp))
-    wn = Window.partitionBy("anchor_id").orderBy(F.asc("h"), F.asc("nb"))
-    neg = (ranked.where(F.col("rp") > 1)
-           .withColumn("rn", F.row_number().over(wn))
-           .where(F.col("rn") == 1)
-           .select("anchor_id", F.col("nb").alias("neg_id"),
-                   F.col("cos_x10k").alias("neg_cos_x10k")))
-    pos = (ranked.where(F.col("rp") == 1)
-           .select("anchor_id", F.col("nb").alias("pos_id"),
-                   F.col("cos_x10k").alias("pos_cos_x10k")))
-    return (pos.join(neg, ["anchor_id"])
-            .select("anchor_id", "pos_id", "pos_cos_x10k",
-                    "neg_id", "neg_cos_x10k",
-                    (F.col("pos_cos_x10k") - F.col("neg_cos_x10k"))
-                    .cast("long").alias("margin_x10k")))
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.asc(F.col("rp") == 1), F.asc("h"), F.asc("nb"))
+    ranked = (pairs.withColumn("rp", F.row_number().over(wp))
+              .withColumn("rn", F.row_number().over(wn)))
+    pos = F.max(F.when(F.col("rp") == 1,
+                       F.struct(F.col("nb"), F.col("cos_x10k"))))
+    neg = F.max(F.when((F.col("rn") == 1) & (F.col("rp") > 1),
+                       F.struct(F.col("nb"), F.col("cos_x10k"))))
+    out = (ranked.groupBy("anchor_id").agg(pos.alias("p"), neg.alias("n"))
+           # an anchor with exactly one neighbor has no negative: the
+           # oracle's inner join drops it, mirror that
+           .where(F.col("n").isNotNull()))
+    return out.select(
+        "anchor_id",
+        F.col("p.nb").alias("pos_id"),
+        F.col("p.cos_x10k").alias("pos_cos_x10k"),
+        F.col("n.nb").alias("neg_id"),
+        F.col("n.cos_x10k").alias("neg_cos_x10k"),
+        (F.col("p.cos_x10k") - F.col("n.cos_x10k"))
+        .cast("long").alias("margin_x10k"))

@@ -276,6 +276,9 @@ _EV_FUZZED = [
     # round-9: portable-register HyperLogLog (NULL user_ids ignored, NULL
     # event_type is a real group, linear-counting fallback on tiny groups)
     "hll_distinct_users",
+    # round-9: strict state-machine funnel (ties at equal ts, NULL ts,
+    # repeat steps; fold order must equal the min-chain semantics)
+    "sequence_funnel",
 ]
 
 
@@ -380,6 +383,9 @@ _WH_FUZZED = [
     # duplicate order dates tie inside one island) and Theil-Sen trend
     # (single-month corpora -> zero pairs -> NULL slope on both engines)
     "interval_union_days", "theil_sen_trend",
+    # round-9: l-diversity audit (NULL quasi keys form real cells; NULL
+    # balance bands count as one distinct sensitive value on both engines)
+    "l_diversity_audit",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))

@@ -130,6 +130,23 @@ def test_bigram_lm_bucket_has_no_global_ntile(spark):
     assert "rangepartitioning" in plan  # the ranged_cumsum exchange
 
 
+def test_contrastive_triplets_single_pair_shuffle(spark):
+    """Both triplet roles (cosine-top positive, hash-min negative) must
+    fold out of ONE per-anchor exchange of the Q x N pair frame — a
+    pos-join-neg form would shuffle it twice and re-scan the corpus per
+    branch. The only broadcast is the anchor set."""
+    plan = _plan(spark, "contrastive_triplets")
+    assert plan.count("Exchange hashpartitioning(anchor_id") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_union_single_key_exchange(spark):
+    """Sweep-line interval union: island marking, island ids, and both
+    groupBys all ride one customer-key exchange."""
+    plan = _plan(spark, "interval_union_days")
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_pack_sequences_single_shard_shuffle(spark):
     """Per-shard packing: exactly one hash-partition exchange (on source)
     feeds the cumulative window — no global-order sort."""

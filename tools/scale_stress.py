@@ -266,6 +266,16 @@ def family_sweep(spark, big_dir: str, scale_label: str,
             _reg.update(load_all())
         return _reg
 
+    def _contrastive_fixed_q(spark, p, mod):
+        from cliqz_etl_spark.queries import similarity as _sim
+
+        saved = _sim.QUERY_MOD
+        _sim.QUERY_MOD = mod
+        try:
+            return _registry()["contrastive_triplets"].fn(spark, p)
+        finally:
+            _sim.QUERY_MOD = saved
+
     def docs_at(path):
         return spark.read.parquet(f"{path}/documents.parquet")
 
@@ -385,6 +395,22 @@ def family_sweep(spark, big_dir: str, scale_label: str,
             emb_at(p).where(
                 F.col("vec_id") % max(1, _rows(p, "embeddings") // 32) == 0),
             "vec_id", "embedding", 64, 8, 5, 20)),
+        # round-9: NB quality classifier — train-slice token agg + vocab
+        # join + per-doc agg; token volume drives both shuffles, the Zipf
+        # vocabulary bounds the model, so ~linear like unigram_freq_score
+        ("nb_quality_classifier", lambda p: lambda: _registry()
+            ["nb_quality_classifier"].fn(spark, p)),
+        # round-9: real JPEG encode->decode per doc inside mapInPandas —
+        # per-row Python codec work, partition-parallel, must track row
+        # count ~linearly (the gif_decode_stats profile)
+        ("jpeg_decode_stats", lambda p: lambda: _registry()
+            ["jpeg_decode_stats"].fn(spark, p)),
+        # round-9: triplet mining at the sweep's fixed-Q methodology
+        # (the registry query's anchor set grows with the corpus; rebind
+        # the modulus so the ratio isolates corpus-side growth, matching
+        # the sq8/ivf rows it shares the broadcast-scan shape with)
+        ("contrastive_triplets", lambda p: lambda: _contrastive_fixed_q(
+            spark, p, qmod_small if p == SMALL else qmod)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
@@ -407,7 +433,11 @@ def family_sweep(spark, big_dir: str, scale_label: str,
                   "streaming_hourly_counts", "streaming_dedup",
                   # round-7: the VARIANT encode/extract roundtrip (pure
                   # scan-shaped, codegen) and the statestore audit read
-                  "variant_roundtrip_stats", "state_store_probe"]:
+                  "variant_roundtrip_stats", "state_store_probe",
+                  # round-9: portable-register HLL (two bounded-key aggs
+                  # — must track event volume linearly) and the strict
+                  # state-machine funnel (one exchange + per-user fold)
+                  "hll_distinct_users", "sequence_funnel"]:
         fn = registry[qname].fn
         t_small = run(f"{qname} @small", lambda: fn(spark, SMALL))
         t_big = run(f"{qname} @{scale_label}", lambda: fn(spark, big_dir))
