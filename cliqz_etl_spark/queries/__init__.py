@@ -57,6 +57,9 @@ DRIVER_ORDER: list[str] = [
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
     "hll_distinct_users",
+    "ab_test_ztest",
+    "cusum_changepoint",
+    "market_basket_rules",
     "l_diversity_audit",
     "sequence_funnel",
     "contrastive_triplets",
@@ -105,10 +108,10 @@ DRIVER_ORDER: list[str] = [
     "stratified_sample",
     "train_test_split",
     "normalize_text",
+    # ---------------- past the check window ----------------
     "multimodal_meta",
     "pricing_summary",
     "earliest_order_per_customer",
-    # ---------------- past the check window ----------------
     "semi_join_orders",
     "anti_join_customers",
     "map_valued_agg",

@@ -1616,3 +1616,137 @@ def sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(
             F.col("s.t3") <= F.col("s.t1") + F.expr("INTERVAL 30 DAYS"),
             1)).cast("long").alias("n_converted_30d"))
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test A/B analysis — the experimentation-analytics
+# shape: hash-assign every user to a variant (deterministic md5 split,
+# so both engines replay the assignment), measure a binary conversion,
+# and compute the pooled two-proportion z statistic. One conditional
+# aggregation over users; the statistic is expression arithmetic over
+# exact integer counts (the only floats are divisions of exact ints and
+# one sqrt — IEEE-identical cross-engine).
+# --------------------------------------------------------------------------
+def _ab_z_sql() -> str:
+    """z = (p1 - p2) / sqrt(p(1-p)(1/n1 + 1/n2)), milli-quantized; NULL
+    when a variant is empty or the pooled rate is degenerate (0 or 1)."""
+    p1 = "(CAST(conv_a AS DOUBLE) / n_a)"
+    p2 = "(CAST(conv_b AS DOUBLE) / n_b)"
+    p = "(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+    return (f"CASE WHEN n_a > 0 AND n_b > 0"
+            f" AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b"
+            f" THEN CAST(floor(1000 * ({p1} - {p2})"
+            f" / sqrt({p} * (1 - {p}) * (1.0 / n_a + 1.0 / n_b)) + 0.5)"
+            f" AS BIGINT) END")
+
+
+@query(
+    "ab_test_ztest",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               {_md5_long_sql("user_id")} % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), cells AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        FROM assigned
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           {_ab_z_sql()} AS z_milli,
+           abs(COALESCE({_ab_z_sql()}, 0)) > 1960 AS significant
+    FROM cells
+    """,
+)
+def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split A/B with purchase conversion and the pooled
+    two-proportion z statistic (|z| > 1.96 at milli precision)."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    assigned = (ev.groupBy("user_id")
+                .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).alias("conv"))
+                .select((md5_long(F.col("user_id")) % 2).alias("variant"),
+                        "conv"))
+    cells = assigned.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("long").alias("conv_b"))
+    z = F.expr(_ab_z_sql())
+    return cells.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        z.alias("z_milli"),
+        (F.abs(F.coalesce(z, F.lit(0))) > 1960).alias("significant"))
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint — where did the daily revenue level shift? The
+# cumulative sum of MEAN-CENTERED deviations peaks (in absolute value)
+# at the changepoint. Kept exact-integer by scaling: with n days and
+# total T, dev_i = n*cents_i - T (integer), so CUSUM_i = n*prefix_i -
+# i*T needs no division. The prefix rides ranged_cumsum (no single-task
+# sort even though the daily frame is calendar-bounded); the argmax is
+# one TakeOrderedAndProject over the daily frame.
+# --------------------------------------------------------------------------
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS t
+        FROM daily
+    ), cum AS (
+        SELECT day,
+               CAST(SUM(cents) OVER (ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS pre,
+               CAST(ROW_NUMBER() OVER (ORDER BY day ASC) AS BIGINT) AS i
+        FROM daily
+    )
+    SELECT day AS change_day,
+           CAST(abs(tot.n * pre - i * tot.t) AS BIGINT) AS max_abs_cusum,
+           tot.n AS n_days
+    FROM cum CROSS JOIN tot
+    ORDER BY abs(tot.n * pre - i * tot.t) DESC, day ASC
+    LIMIT 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day of the maximal |CUSUM| of mean-centered daily revenue.
+    Integer-exact via the n*prefix - i*total scaling (no division);
+    prefix sums and day indexes come from one ranged_cumsum pass."""
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.where(F.col("o_orderdate").isNotNull()
+                     & F.col("o_totalprice").isNotNull())
+             .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                        .cast("long")).cast("long").alias("cents")))
+    cum = ranged_cumsum(
+        daily.withColumn("one", F.lit(1).cast("long")),
+        "day", ["cents", "one"])
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("t"))
+    scored = (cum.crossJoin(F.broadcast(tot))
+              .select(F.col("day").alias("change_day"),
+                      F.abs(F.col("n") * F.col("cum_cents")
+                            - F.col("cum_one") * F.col("t"))
+                      .cast("long").alias("max_abs_cusum"),
+                      F.col("n").alias("n_days")))
+    return (scored.orderBy(F.desc("max_abs_cusum"), F.asc("change_day"))
+            .limit(1))

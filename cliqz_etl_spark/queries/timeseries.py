@@ -555,8 +555,13 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(F.col("slope_micro"))) \
         .when(F.col("rn") == hi, F.col("slope_micro")) \
         .otherwise(F.lit(0))
-    n_months = monthly.count()
-    return (ranked.agg(
-        F.lit(n_months).cast("long").alias("n_months"),
+    # month count rides as a 1-row aggregate crossJoined AFTER the pair
+    # aggregation (both global aggs emit exactly one row even on empty
+    # input, so a single-month corpus still yields the oracle's
+    # (n_months, NULL, NULL) row) — never a driver-side .count() job.
+    nm = monthly.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    pair_agg = ranked.agg(
         F.max("n").cast("long").alias("n_pairs"),
-        F.sum(mid).cast("long").alias("slope_micro_x2")))
+        F.sum(mid).cast("long").alias("slope_micro_x2"))
+    return (nm.crossJoin(F.broadcast(pair_agg))
+            .select("n_months", "n_pairs", "slope_micro_x2"))

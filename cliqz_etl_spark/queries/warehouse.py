@@ -911,3 +911,96 @@ def decimal_money_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
         F.expr("format_string('%d.%02d', max_cents DIV 100, max_cents % 100)")
         .alias("max_price"))
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules — the A-Priori first pass at brand
+# grain: brands co-ordered in the same order, support-pruned, with both
+# confidences and lift. The pair explosion is bounded by ITEMS PER
+# ORDER (<= distinct brands per order, ~7 lines in TPC-H), so the
+# self-join's output is ~items^2/2 per order — linear in order count at
+# fixed basket size, the textbook scalable shape. Brand lookup is a
+# broadcast dim join; every aggregate is brand- or pair-grain.
+# --------------------------------------------------------------------------
+BASKET_MIN_SUPPORT = 5
+
+
+@query(
+    "market_basket_rules",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL
+    ), n_orders AS (
+        SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM items
+    ), brand_support AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY brand
+    ), pair_support AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_s
+        FROM items a JOIN items b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT p.brand_a AS brand_a, p.brand_b AS brand_b,
+           p.pair_s AS pair_support,
+           sa.s AS support_a, sb.s AS support_b,
+           CAST(floor(10000.0 * p.pair_s / sa.s + 0.5) AS BIGINT)
+               AS conf_a_to_b_x10k,
+           CAST(floor(10000.0 * p.pair_s / sb.s + 0.5) AS BIGINT)
+               AS conf_b_to_a_x10k,
+           CAST(floor(10000.0 * p.pair_s * n.n
+                      / (CAST(sa.s AS DOUBLE) * sb.s) + 0.5) AS BIGINT)
+               AS lift_x10k
+    FROM pair_support p
+    JOIN brand_support sa ON sa.brand = p.brand_a
+    JOIN brand_support sb ON sb.brand = p.brand_b
+    CROSS JOIN n_orders n
+    """,
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-purchase rules with support/confidence/lift. One distinct
+    projection, one keyed self-join per order, brand-sized broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (li.where(F.col("l_orderkey").isNotNull())
+             .join(F.broadcast(part.where(F.col("p_brand").isNotNull())
+                               .select("p_partkey", "p_brand")),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .select(F.col("l_orderkey").alias("okey"),
+                     F.col("p_brand").alias("brand"))
+             .distinct())
+    from cliqz_etl_spark.operators.cache import track
+    items = track(items.persist())
+    n_orders = items.agg(F.countDistinct("okey").cast("long").alias("n"))
+    brand_support = items.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("s"))
+    a = items.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = items.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pair_support = (a.join(b, ["okey"])
+                    .where(F.col("brand_a") < F.col("brand_b"))
+                    .groupBy("brand_a", "brand_b")
+                    .agg(F.count(F.lit(1)).cast("long").alias("pair_s"))
+                    .where(F.col("pair_s") >= BASKET_MIN_SUPPORT))
+    sa = brand_support.select(F.col("brand").alias("brand_a"),
+                              F.col("s").alias("support_a"))
+    sb = brand_support.select(F.col("brand").alias("brand_b"),
+                              F.col("s").alias("support_b"))
+    return (pair_support
+            .join(F.broadcast(sa), ["brand_a"])
+            .join(F.broadcast(sb), ["brand_b"])
+            .crossJoin(F.broadcast(n_orders))
+            .select(
+                "brand_a", "brand_b",
+                F.col("pair_s").alias("pair_support"),
+                "support_a", "support_b",
+                F.floor(F.lit(10000.0) * F.col("pair_s") / F.col("support_a")
+                        + F.lit(0.5)).cast("long").alias("conf_a_to_b_x10k"),
+                F.floor(F.lit(10000.0) * F.col("pair_s") / F.col("support_b")
+                        + F.lit(0.5)).cast("long").alias("conf_b_to_a_x10k"),
+                F.floor(F.lit(10000.0) * F.col("pair_s") * F.col("n")
+                        / (F.col("support_a").cast("double")
+                           * F.col("support_b"))
+                        + F.lit(0.5)).cast("long").alias("lift_x10k")))

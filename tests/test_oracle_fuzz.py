@@ -279,6 +279,9 @@ _EV_FUZZED = [
     # round-9: strict state-machine funnel (ties at equal ts, NULL ts,
     # repeat steps; fold order must equal the min-chain semantics)
     "sequence_funnel",
+    # round-9: hash-split A/B z-test (empty variants, all/none converted
+    # -> NULL z on both engines; md5 split under adversarial user ids)
+    "ab_test_ztest",
 ]
 
 
@@ -386,6 +389,9 @@ _WH_FUZZED = [
     # round-9: l-diversity audit (NULL quasi keys form real cells; NULL
     # balance bands count as one distinct sensitive value on both engines)
     "l_diversity_audit",
+    # round-9: CUSUM changepoint (single-day corpora -> zero deviations;
+    # NULL dates/prices filtered; argmax tie -> earliest day)
+    "cusum_changepoint",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))
