@@ -57,6 +57,7 @@ DRIVER_ORDER: list[str] = [
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
     "hll_distinct_users",
+    "streaming_sequence_funnel",
     "ab_test_ztest",
     "cusum_changepoint",
     "market_basket_rules",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_simhash",
     "stratified_sample",
     "train_test_split",
-    "normalize_text",
     # ---------------- past the check window ----------------
+    "normalize_text",
     "multimodal_meta",
     "pricing_summary",
     "earliest_order_per_customer",

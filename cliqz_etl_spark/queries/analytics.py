@@ -1558,9 +1558,9 @@ def interval_union_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 # times). The fold equals the min-chain semantics the oracle states
 # because processing in ts order makes each "first after" a running min.
 # --------------------------------------------------------------------------
-@query(
-    "sequence_funnel",
-    oracle="""
+# shared with streaming_sequence_funnel (queries/streamq.py): the stateful
+# streaming drain must agree with the SAME min-chain semantics.
+SEQ_FUNNEL_ORACLE = """
     WITH t1 AS (
         SELECT user_id, MIN(ts) AS t1 FROM events
         WHERE event_type = 'signup' GROUP BY user_id
@@ -1582,8 +1582,10 @@ def interval_union_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 1 END) AS BIGINT) AS n_converted_30d
     FROM t1 LEFT JOIN t2 ON t2.user_id = t1.user_id
             LEFT JOIN t3 ON t3.user_id = t1.user_id
-    """,
-)
+    """
+
+
+@query("sequence_funnel", oracle=SEQ_FUNNEL_ORACLE)
 def sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """signup -> later view -> later purchase, 30-day window: one
     exchange, per-user state machine as a higher-order fold."""

@@ -14,11 +14,12 @@ import functools
 import itertools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.functions.hashing import md5_long_sql
+from cliqz_etl_spark.queries.analytics import SEQ_FUNNEL_ORACLE
 from cliqz_etl_spark.queries.sessions import _SESSION_CTE
 from cliqz_etl_spark.streaming.jobs import (
     click_purchase_join,
@@ -815,3 +816,40 @@ def streaming_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(listener.rows), int(listener.state or 0))],
         "total_input_rows long, final_state_rows long")
+
+
+@query(
+    "streaming_sequence_funnel",
+    # the batch sequence_funnel's oracle verbatim: the stateful drain and
+    # the batch fold implement the same min-chain semantics, so the hash
+    # match proves the streaming buffer+refold equivalent — the fourth
+    # independent implementation of a shared semantics gate (after the
+    # three sessionizers)
+    oracle=SEQ_FUNNEL_ORACLE,
+)
+@_scoped_legacy_nanos
+def streaming_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict signup -> later view -> later purchase funnel as an
+    arbitrary-stateful stream (applyInPandasWithState CEP buffer +
+    refold), drained to completion, latest per-user reading aggregated
+    batch-side into the same four counts the batch oracle states."""
+    from cliqz_etl_spark.streaming.jobs import funnel_progress
+
+    ev = (_event_stream(spark, sf_dir)
+          .where(F.col("ts").isNotNull()
+                 & F.col("event_type").isin("signup", "view", "purchase"))
+          .select("user_id", F.unix_micros("ts").alias("tsu"),
+                  F.col("event_type").alias("et")))
+    drained = _drain(funnel_progress(ev), "seqfunnel", mode="update",
+                     state_partitions=_state_partitions(spark, sf_dir))
+    w = Window.partitionBy("user_id")
+    latest = (drained
+              .withColumn("mx", F.max("n_seen").over(w))
+              .where(F.col("n_seen") == F.col("mx")))
+    month_us = 30 * 86400 * 1000000
+    return latest.agg(
+        F.count("t1").cast("long").alias("n_signup"),
+        F.count("t2").cast("long").alias("n_view_after"),
+        F.count("t3").cast("long").alias("n_purchase_after"),
+        F.count(F.when(F.col("t3") <= F.col("t1") + F.lit(month_us), 1))
+        .cast("long").alias("n_converted_30d"))

@@ -319,3 +319,57 @@ def state_store_conf(provider: str = "rocksdb") -> dict[str, str]:
     if provider == "default":
         return {}
     raise ValueError(f"unknown state store provider {provider!r}")
+
+
+def funnel_progress(events: DataFrame) -> DataFrame:
+    """Out-of-order-safe strict-funnel state: per user, buffer the funnel
+    events seen so far (micros + type code) and REFOLD the ordered state
+    machine each micro-batch. Sequence matching over unordered arrival
+    cannot keep a constant-size sufficient statistic (a late EARLIER
+    signup can re-qualify views the old threshold rejected), so the
+    buffer is the honest cost — exactly the CEP engine's within-horizon
+    event buffer; production deployments bound it with watermark
+    eviction, which a drain-to-completion gate does not need. n_seen is
+    strictly monotone per user, so the update-mode sink's max-n_seen row
+    is the complete reading.
+
+    Input contract: (user_id, tsu micros, et in {signup, view, purchase}).
+    Type codes sort like the strings (purchase < signup < view) so the
+    fold's tie order equals the batch sequence_funnel's sort_array fold."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    code = {"purchase": 0, "signup": 1, "view": 2}
+
+    def update(key, pdfs, state: GroupState):
+        ts, et = ((list(state.get[0]), list(state.get[1]))
+                  if state.exists else ([], []))
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["tsu"])
+            et.extend(code[e] for e in pdf["et"])
+        t1 = t2 = t3 = None
+        for i in sorted(range(len(ts)), key=lambda j: (ts[j], et[j])):
+            t, c = ts[i], et[i]
+            if t1 is None and c == 1:
+                t1 = t
+            if t2 is None and t1 is not None and c == 2 and t > t1:
+                t2 = t
+            if t3 is None and t2 is not None and c == 0 and t > t2:
+                t3 = t
+        state.update((ts, et))
+        yield pd.DataFrame({
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "n_seen": [len(ts)],
+            "t1": pd.array([t1], dtype="Int64"),
+            "t2": pd.array([t2], dtype="Int64"),
+            "t3": pd.array([t3], dtype="Int64"),
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("user_id bigint, n_seen bigint, "
+                          "t1 bigint, t2 bigint, t3 bigint"),
+        stateStructType="ts array<bigint>, et array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
