@@ -57,6 +57,7 @@ DRIVER_ORDER: list[str] = [
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
     "hll_distinct_users",
+    "cluster_topics",
     "streaming_sequence_funnel",
     "ab_test_ztest",
     "cusum_changepoint",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "simhash_values",
     "dedup_simhash",
     "stratified_sample",
-    "train_test_split",
     # ---------------- past the check window ----------------
+    "train_test_split",
     "normalize_text",
     "multimodal_meta",
     "pricing_summary",

@@ -1055,3 +1055,90 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.cos_x10k").alias("neg_cos_x10k"),
         (F.col("p.cos_x10k") - F.col("n.cos_x10k"))
         .cast("long").alias("margin_x10k"))
+
+
+# --------------------------------------------------------------------------
+# Topic labeling of embedding clusters — the composed shape every corpus
+# exploration pipeline runs after clustering: train the K=50 quantizer,
+# assign every document's vector, then label each cluster with its most
+# DISTINCTIVE tokens (c-TF-IDF-style lift: in-cluster frequency vs
+# corpus frequency, exact integer cross-products, one quantized
+# division). The assignment is the zero-shuffle broadcast-argmin pass;
+# token scoring is one groupBy(cluster, word) with map-side combine;
+# the top-3 window ranks per-cluster frames bounded by the cluster's
+# vocabulary. Joins documents to embeddings on the shared id (the
+# testdata contract: vec_id == doc_id).
+# --------------------------------------------------------------------------
+TOPIC_TOP_N = 3
+TOPIC_MIN_TF = 3
+
+
+@query(
+    "cluster_topics",
+    oracle=_kmeans_cte(KM_K, KM_ITER) + _km_assign_cte("fin", f"c{KM_ITER}") + f"""
+    , tok AS (
+        SELECT f.cid AS cluster, unnest(string_split_regex(trim(d.text), '\\s+')) AS w
+        FROM fin f JOIN documents d ON d.doc_id = f.vec_id
+        WHERE d.text IS NOT NULL AND trim(d.text) <> ''
+    ), cw AS (
+        SELECT cluster, w, CAST(COUNT(*) AS BIGINT) AS cf
+        FROM tok GROUP BY 1, 2
+    ), ct AS (
+        SELECT cluster, CAST(SUM(cf) AS BIGINT) AS ctot FROM cw GROUP BY 1
+    ), corp AS (
+        SELECT w, CAST(SUM(cf) AS BIGINT) AS wf FROM cw GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cf) AS BIGINT) AS n FROM cw
+    ), scored AS (
+        SELECT cw.cluster, cw.w,
+               CAST(floor(10000.0 * (cw.cf * tot.n)
+                          / (CAST(ct.ctot AS DOUBLE) * corp.wf) + 0.5)
+                    AS BIGINT) AS lift_x10k,
+               cw.cf
+        FROM cw JOIN ct USING (cluster) JOIN corp USING (w) CROSS JOIN tot
+        WHERE cw.cf >= {TOPIC_MIN_TF}
+    )
+    SELECT cluster AS cluster, CAST(rnk AS BIGINT) AS rank, w AS word,
+           lift_x10k AS lift_x10k, cf AS tf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                       ORDER BY lift_x10k DESC, w ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOPIC_TOP_N}
+    """,
+)
+def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{3} distinctive tokens per trained embedding cluster."""
+    from cliqz_etl_spark.functions.text import tokens
+    from cliqz_etl_spark.operators.cache import track
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = kmeans_fit(emb, "vec_id", "embedding", KM_K, KM_ITER,
+                       dim=VEC_DIM, train_limit=KM_TRAIN_LIMIT)
+    proj = valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
+    asg = ivf_assign_q(proj, list(range(len(cents))), cents).select(
+        F.col("_id").alias("doc_id"), "cluster")
+    tok = (docs.where(F.col("text").isNotNull()
+                      & (F.trim(F.col("text")) != ""))
+           .join(asg, ["doc_id"])
+           .select("cluster", F.explode(tokens("text")).alias("w")))
+    cw = track(tok.groupBy("cluster", "w")
+               .agg(F.count(F.lit(1)).cast("long").alias("cf")).persist())
+    ct = cw.groupBy("cluster").agg(F.sum("cf").cast("long").alias("ctot"))
+    corp = cw.groupBy("w").agg(F.sum("cf").cast("long").alias("wf"))
+    tot = cw.agg(F.sum("cf").cast("long").alias("n"))
+    scored = (cw.where(F.col("cf") >= TOPIC_MIN_TF)
+              .join(F.broadcast(ct), ["cluster"])
+              .join(corp, ["w"])
+              .crossJoin(F.broadcast(tot))
+              .select("cluster", "w", "cf",
+                      F.floor(F.lit(10000.0) * (F.col("cf") * F.col("n"))
+                              / (F.col("ctot").cast("double") * F.col("wf"))
+                              + F.lit(0.5)).cast("long").alias("lift_x10k")))
+    win = Window.partitionBy("cluster").orderBy(F.desc("lift_x10k"),
+                                                F.asc("w"))
+    return (scored.withColumn("rnk", F.row_number().over(win))
+            .where(F.col("rnk") <= TOPIC_TOP_N)
+            .select("cluster", F.col("rnk").cast("long").alias("rank"),
+                    F.col("w").alias("word"), "lift_x10k",
+                    F.col("cf").alias("tf")))

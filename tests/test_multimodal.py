@@ -512,3 +512,47 @@ def test_jpeg_through_decode_image_seam():
     meta = decode_image(encode_jpeg_gray(8, 8, bytes(range(64))))
     assert meta["format"] == "jpeg"
     assert (meta["width"], meta["height"]) == (8, 8)
+
+
+def test_jpeg_multi_component_interleaved_scan():
+    """The decoder's generality beyond the gray encoder: a hand-crafted
+    two-component (1x1 sampling) stream with per-component DC predictors
+    must decode to interleaved planes."""
+    from cliqz_etl_spark.multimodal.binary_ops import (_JPEG_AC_BITS,
+                                                       _JPEG_AC_VALS,
+                                                       _JPEG_DC_BITS,
+                                                       _JPEG_DC_VALS,
+                                                       _huff_codes,
+                                                       _jpeg_magnitude,
+                                                       _jpeg_seg,
+                                                       _JpegBitWriter,
+                                                       decode_jpeg)
+
+    dc = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    for value in (100, 200):               # one MCU: comp1 block, comp2 block
+        t, amp = _jpeg_magnitude(8 * (value - 128))
+        code, ln = dc[t]
+        w.write(code, ln)
+        if t:
+            w.write(amp, t)
+        code, ln = ac[0x00]                 # EOB, DC-only block
+        w.write(code, ln)
+    blob = bytearray(b"\xff\xd8")
+    blob += _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    blob += _jpeg_seg(0xC0, bytes([8]) + (8).to_bytes(2, "big")
+                      + (8).to_bytes(2, "big")
+                      + bytes([2, 1, 0x11, 0, 2, 0x11, 0]))
+    blob += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                      + bytes(_JPEG_DC_VALS))
+    blob += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                      + bytes(_JPEG_AC_VALS))
+    blob += _jpeg_seg(0xDA, bytes([2, 1, 0x00, 2, 0x00, 0, 63, 0]))
+    blob += w.flush() + b"\xff\xd9"
+    meta = decode_jpeg(bytes(blob))
+    assert meta["n_components"] == 2
+    assert meta["n_mcus"] == 1
+    px = meta["pixels"]
+    assert px[0::2] == bytes([100] * 64)    # plane 1 interleaved first
+    assert px[1::2] == bytes([200] * 64)
