@@ -177,3 +177,31 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
         yield pd.DataFrame({col: list(counters.keys())})
 
     return df.select(col).mapInPandas(summarize, f"{col} string").distinct()
+
+
+def ranged_ntile(df: DataFrame, order_cols: list[str], k: int,
+                 out_col: str, *, n_ranges: int = 32) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY order_cols)`` WITHOUT the global
+    single-task window sort: the global 1-based rank comes from
+    ``ranged_cumsum`` over a unit column, and ntile's bucket-size rule —
+    the first N % k buckets take ceil(N/k) rows, the rest floor(N/k) —
+    is a closed-form integer expression of (rank, N). ``order_cols``
+    must form a UNIQUE key (append a tiebreak id), the same requirement
+    the window form has for determinism. N rides back as a broadcast
+    1-row aggregate of the ranked frame's max rank (reuses the pinned
+    range partitioning, no extra corpus scan)."""
+    ranked = ranged_cumsum(
+        df.withColumn("__one", F.lit(1).cast("long")),
+        order_cols, ["__one"])
+    n_total = ranked.groupBy().agg(
+        F.max("cum___one").cast("long").alias("__n"))
+    q = f"(__n div {k})"
+    rem = f"(__n % {k})"
+    cut = f"({rem} * ({q} + 1))"
+    expr = (f"CAST(CASE WHEN cum___one <= {cut}"
+            f" THEN (cum___one - 1) div ({q} + 1) + 1"
+            f" ELSE {rem} + (cum___one - 1 - {cut}) div {q} + 1 END"
+            f" AS BIGINT)")
+    return (ranked.crossJoin(F.broadcast(n_total))
+            .withColumn(out_col, F.expr(expr))
+            .drop("__one", "cum___one", "__n"))

@@ -57,6 +57,7 @@ DRIVER_ORDER: list[str] = [
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
     "hll_distinct_users",
+    "rfm_segments",
     "cluster_topics",
     "streaming_sequence_funnel",
     "ab_test_ztest",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_lsh",
     "simhash_values",
     "dedup_simhash",
-    "stratified_sample",
     # ---------------- past the check window ----------------
+    "stratified_sample",
     "train_test_split",
     "normalize_text",
     "multimodal_meta",

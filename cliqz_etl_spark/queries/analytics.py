@@ -1752,3 +1752,78 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n").alias("n_days")))
     return (scored.orderBy(F.desc("max_abs_cusum"), F.asc("change_day"))
             .limit(1))
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation — the classic lifecycle-marketing rollup:
+# recency / frequency / monetary quintiles per customer, then a rule
+# segment. Each quintile is an EXACT ntile(5) computed by
+# operators/stats.ranged_ntile (range-repartitioned prefix ranks +
+# ntile's closed-form bucket arithmetic) — three range exchanges over
+# the customer-grain frame, never a single-task global sort. Quintile
+# order keys are (metric, custkey), a unique composite, so ties are
+# pinned identically on both engines.
+# --------------------------------------------------------------------------
+def _rfm_segment_sql() -> str:
+    return ("CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4"
+            " THEN 'champion'"
+            " WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk_big_spender'"
+            " WHEN f_score >= 4 THEN 'loyal'"
+            " WHEN m_score >= 4 THEN 'big_spender'"
+            " WHEN r_score >= 4 THEN 'recent'"
+            " ELSE 'other' END")
+
+
+@query(
+    "rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey AS custkey,
+               CAST(MAX(date_diff('day', DATE '1970-01-01', o_orderdate))
+                    AS BIGINT) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ), scored AS (
+        SELECT custkey, last_day, n_orders, sum_cents,
+               CAST(ntile(5) OVER (ORDER BY last_day ASC, custkey ASC)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY n_orders ASC, custkey ASC)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY sum_cents ASC, custkey ASC)
+                    AS BIGINT) AS m_score
+        FROM cust
+    )
+    SELECT custkey, last_day, n_orders, sum_cents,
+           r_score, f_score, m_score,
+           {_rfm_segment_sql()} AS segment
+    FROM scored
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary quintiles + rule segment per customer;
+    exact ntile(5) three times via ranged_ntile, no global window."""
+    from cliqz_etl_spark.operators.stats import ranged_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = (o.where(F.col("o_custkey").isNotNull()
+                    & F.col("o_orderdate").isNotNull()
+                    & F.col("o_totalprice").isNotNull())
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.max(F.datediff(F.to_date("o_orderdate"),
+                                  F.lit("1970-01-01"))).cast("long")
+                 .alias("last_day"),
+                 F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                       .cast("long")).cast("long").alias("sum_cents")))
+    scored = ranged_ntile(cust, ["last_day", "custkey"], 5, "r_score")
+    scored = ranged_ntile(scored, ["n_orders", "custkey"], 5, "f_score")
+    scored = ranged_ntile(scored, ["sum_cents", "custkey"], 5, "m_score")
+    return scored.select(
+        "custkey", "last_day", "n_orders", "sum_cents",
+        "r_score", "f_score", "m_score",
+        F.expr(_rfm_segment_sql()).alias("segment"))

@@ -559,7 +559,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab is bounded, shuffled-but-keyed otherwise — then one groupBy(doc).
     No stage materializes more than one value range per task."""
     from cliqz_etl_spark.operators.cache import track
-    from cliqz_etl_spark.operators.stats import ranged_cumsum
+    from cliqz_etl_spark.operators.stats import ranged_ntile
 
     docs = _spread_docs(spark, sf_dir, "doc_id", "text")
     base = (docs.where(F.trim(F.col("text")) != "")
@@ -591,28 +591,16 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
                 F.sum("ppm").alias("sum_ppm"),
                 F.sum(nll).cast("long").alias("nll_milli")))
-    # exact ntile(3) without a global window: rank by ranged prefix-count
-    # over the UNIQUE key (mean_nll, doc_id), then ntile's bucket-size
-    # arithmetic in closed form (first N%3 buckets hold ceil(N/3) rows).
+    # exact ntile(3) without a global window: operators/stats.ranged_ntile
+    # over the UNIQUE key (mean_nll, doc_id).
     keyed = per.select(
         "doc_id", "n_bigrams", "sum_ppm", "nll_milli",
-        F.expr("nll_milli div n_bigrams").cast("long").alias("__mnd"),
-        F.lit(1).cast("long").alias("__one"))
-    ranked = ranged_cumsum(keyed, ["__mnd", "doc_id"], ["__one"])
-    n_total = ranked.groupBy().agg(
-        F.max("cum___one").cast("long").alias("__n"))
-    return (ranked.crossJoin(F.broadcast(n_total))
-            .select(
-                "doc_id", "n_bigrams",
-                F.expr("sum_ppm div n_bigrams").cast("long")
-                .alias("avg_cond_ppm"),
-                "nll_milli",
-                F.expr(
-                    "CASE WHEN cum___one <= (__n % 3) * (__n div 3 + 1)"
-                    " THEN (cum___one - 1) div (__n div 3 + 1) + 1"
-                    " ELSE __n % 3 + (cum___one - 1 - (__n % 3) * (__n div 3 + 1))"
-                    " div (__n div 3) + 1 END").cast("long")
-                .alias("ppl_bucket")))
+        F.expr("nll_milli div n_bigrams").cast("long").alias("__mnd"))
+    return (ranged_ntile(keyed, ["__mnd", "doc_id"], 3, "ppl_bucket")
+            .select("doc_id", "n_bigrams",
+                    F.expr("sum_ppm div n_bigrams").cast("long")
+                    .alias("avg_cond_ppm"),
+                    "nll_milli", "ppl_bucket"))
 
 
 # --------------------------------------------------------------------------

@@ -392,6 +392,9 @@ _WH_FUZZED = [
     # round-9: CUSUM changepoint (single-day corpora -> zero deviations;
     # NULL dates/prices filtered; argmax tie -> earliest day)
     "cusum_changepoint",
+    # round-9: RFM quintiles (ranged_ntile on tiny/NULL-heavy corpora —
+    # every N % 5 remainder case; segment CASE chain tie semantics)
+    "rfm_segments",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))

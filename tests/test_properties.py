@@ -493,3 +493,25 @@ def test_mg_candidates_superset_of_heavy_hitters(spark, items, k):
     counts = Counter(items)
     heavy = {w for w, c in counts.items() if c * k > len(items)}
     assert heavy <= cand, (heavy, cand, k)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=60,
+                unique=True),
+       st.integers(2, 7))
+def test_ranged_ntile_matches_global_ntile(spark, keys, k):
+    """ranged_ntile's closed-form bucket arithmetic over ranged prefix
+    ranks equals the real global-window ntile(k) for every N/k remainder
+    case, including N < k (each row its own bucket)."""
+    from pyspark.sql import Window
+
+    from cliqz_etl_spark.operators.stats import ranged_ntile
+
+    df = spark.createDataFrame([(x,) for x in keys], ["k"])
+    got = {r["k"]: r["b"]
+           for r in ranged_ntile(df, ["k"], k, "b", n_ranges=4).collect()}
+    w = Window.orderBy("k")
+    want = {r["k"]: r["want"]
+            for r in df.select(
+                "k", F.ntile(k).over(w).cast("long").alias("want")).collect()}
+    assert got == want, (k, got, want)
