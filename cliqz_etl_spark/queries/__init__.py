@@ -395,6 +395,17 @@ BENCH_HEADLINE: list[str] = [
     # Round-9: the sixth owned codec (real Huffman+DCT per doc inside
     # Arrow mapInPandas — replaces the gif-era JPEG stub)
     "jpeg_decode_stats",
+    # Round-9 second wave: the portable-register HLL (bounded-key double
+    # agg), the stateful CEP funnel drain (applyInPandasWithState buffer
+    # + refold), the basket self-join, triple ranged_ntile quintiles,
+    # NB train+score, and the trained-quantizer topic labeling (kmeans
+    # fit + broadcast argmin + c-TF-IDF window)
+    "hll_distinct_users",
+    "streaming_sequence_funnel",
+    "market_basket_rules",
+    "rfm_segments",
+    "nb_quality_classifier",
+    "cluster_topics",
 ]
 
 
