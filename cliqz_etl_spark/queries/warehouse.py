@@ -961,27 +961,36 @@ BASKET_MIN_SUPPORT = 5
     """,
 )
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brand co-purchase rules with support/confidence/lift. One distinct
-    projection, one keyed self-join per order, brand-sized broadcasts."""
+    """Brand co-purchase rules with support/confidence/lift. ONE keyed
+    exchange builds per-order sorted brand sets (collect_set inside the
+    aggregate is the distinct); pair generation is then a scan-side
+    array-combination expression over each basket (JVM higher-order
+    transforms — no self-join, which would shuffle the items frame
+    twice), and every aggregate after it is brand- or pair-grain with
+    map-side combine. The persisted basket frame feeds all three stats."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    items = (li.where(F.col("l_orderkey").isNotNull())
-             .join(F.broadcast(part.where(F.col("p_brand").isNotNull())
-                               .select("p_partkey", "p_brand")),
-                   F.col("l_partkey") == F.col("p_partkey"))
-             .select(F.col("l_orderkey").alias("okey"),
-                     F.col("p_brand").alias("brand"))
-             .distinct())
     from cliqz_etl_spark.operators.cache import track
-    items = track(items.persist())
-    n_orders = items.agg(F.countDistinct("okey").cast("long").alias("n"))
-    brand_support = items.groupBy("brand").agg(
-        F.count(F.lit(1)).cast("long").alias("s"))
-    a = items.select(F.col("okey"), F.col("brand").alias("brand_a"))
-    b = items.select(F.col("okey"), F.col("brand").alias("brand_b"))
-    pair_support = (a.join(b, ["okey"])
-                    .where(F.col("brand_a") < F.col("brand_b"))
-                    .groupBy("brand_a", "brand_b")
+    baskets = track(
+        li.where(F.col("l_orderkey").isNotNull())
+        .join(F.broadcast(part.where(F.col("p_brand").isNotNull())
+                          .select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+        .persist())
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    brand_support = (baskets.select(F.explode("bs").alias("brand"))
+                     .groupBy("brand")
+                     .agg(F.count(F.lit(1)).cast("long").alias("s")))
+    # all i<j combinations of the sorted basket, scan-side
+    pairs_expr = F.flatten(F.transform(
+        "bs", lambda x, i: F.transform(
+            F.slice("bs", i + 2, F.size("bs")),
+            lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")))))
+    pair_support = (baskets.select(F.explode(pairs_expr).alias("p"))
+                    .groupBy(F.col("p.brand_a").alias("brand_a"),
+                             F.col("p.brand_b").alias("brand_b"))
                     .agg(F.count(F.lit(1)).cast("long").alias("pair_s"))
                     .where(F.col("pair_s") >= BASKET_MIN_SUPPORT))
     sa = brand_support.select(F.col("brand").alias("brand_a"),
