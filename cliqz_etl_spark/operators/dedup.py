@@ -430,6 +430,7 @@ DEFAULT_MAX_SHINGLE_FREQ = 1000
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3, threshold: float = 0.2,
                         max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+                        metric: str = "jaccard",
                         ) -> DataFrame:
     """Exact Jaccard over distinct k-word shingles, computed via an
     inverted index: explode distinct shingles, self-join on shingle,
@@ -504,7 +505,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     else:
         sh = _materialize(sh)  # both self-join sides read it
     a, b = sh.alias("a"), sh.alias("b")
-    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    # containment = |A ∩ B| / min(|A|, |B|): the ASYMMETRIC near-dup
+    # metric — a short document fully embedded in a long one scores 1.0
+    # here but a tiny Jaccard (union is dominated by the long side), so
+    # subset duplication is invisible to the symmetric metric. Same
+    # postings, same join, different denominator.
+    if metric == "containment":
+        score = F.col("n_common") / F.least("sz_a", "sz_b")
+        out_name = "containment_x10k"
+    elif metric == "jaccard":
+        score = F.col("n_common") / (F.col("sz_a") + F.col("sz_b")
+                                     - F.col("n_common"))
+        out_name = "jaccard_x10k"
+    else:
+        raise ValueError(f"unknown ngram pair metric {metric!r}")
     return (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(
@@ -514,9 +528,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .agg(F.count(F.lit(1)).alias("n_common"))
         .select(
             "id_a", "id_b",
-            F.floor(jac * 10000 + 0.5).cast("long").alias("jaccard_x10k"),
+            F.floor(score * 10000 + 0.5).cast("long").alias(out_name),
         )
-        .where(F.col("jaccard_x10k") >= int(threshold * 10000))
+        .where(F.col(out_name) >= int(threshold * 10000))
     )
 
 

@@ -57,6 +57,7 @@ DRIVER_ORDER: list[str] = [
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
     "hll_distinct_users",
+    "dedup_ngram_containment",
     "rfm_segments",
     "cluster_topics",
     "streaming_sequence_funnel",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "minhash_signatures",
     "dedup_minhash_lsh",
     "simhash_values",
-    "dedup_simhash",
     # ---------------- past the check window ----------------
+    "dedup_simhash",
     "stratified_sample",
     "train_test_split",
     "normalize_text",

@@ -88,6 +88,9 @@ _FUZZED = [
     # text -> prior-only score, quantized-ln boundary) and the baseline-
     # JPEG codec (doc_id-derived dims; per-block-constant exact roundtrip)
     "nb_quality_classifier", "jpeg_decode_stats",
+    # round-9: asymmetric containment near-dup (clone pairs, short-in-long
+    # embedding, min-denominator ties)
+    "dedup_ngram_containment",
 ]
 
 _WORD = st.one_of(
