@@ -57,6 +57,7 @@ DRIVER_ORDER: list[str] = [
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
     "hll_distinct_users",
+    "cohort_ltv",
     "dedup_ngram_containment",
     "rfm_segments",
     "cluster_topics",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",
-    "simhash_values",
     # ---------------- past the check window ----------------
+    "simhash_values",
     "dedup_simhash",
     "stratified_sample",
     "train_test_split",

@@ -1827,3 +1827,72 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "last_day", "n_orders", "sum_cents",
         "r_score", "f_score", "m_score",
         F.expr(_rfm_segment_sql()).alias("segment"))
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV — weekly_retention's revenue-weighted sibling: customers
+# cohorted by first-order month, then each (cohort, months-since) cell
+# reports active customers, revenue, and revenue-per-cohort-customer.
+# Two keyed aggregations and one customer-grain join; the cohort frame
+# is customer-grain (broadcastable at dim scale, shuffled-keyed at fact
+# scale — AQE's call), every cell aggregate map-side combines.
+# --------------------------------------------------------------------------
+@query(
+    "cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey AS custkey,
+               CAST(MIN((year(o_orderdate) - 1970) * 12
+                        + month(o_orderdate) - 1) AS BIGINT) AS cohort_m
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY 1
+    ), cells AS (
+        SELECT f.cohort_m,
+               CAST((year(o.o_orderdate) - 1970) * 12
+                    + month(o.o_orderdate) - 1 - f.cohort_m AS BIGINT) AS month_k,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders o JOIN firsts f ON f.custkey = o.o_custkey
+        WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort_m AS cohort_m, c.month_k AS month_k,
+           c.n_active AS n_active, c.revenue_cents AS revenue_cents,
+           s.cohort_size AS cohort_size,
+           CAST(floor(CAST(c.revenue_cents AS DOUBLE) / s.cohort_size + 0.5)
+                AS BIGINT) AS cents_per_cohort_customer
+    FROM cells c JOIN sizes s ON s.cohort_m = c.cohort_m
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per cohort customer by months-since-first-order."""
+    from cliqz_etl_spark.operators.cache import track
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull())
+    month = ((F.year("o_orderdate") - 1970) * 12
+             + F.month("o_orderdate") - 1).cast("long")
+    firsts = track(
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.min(month).alias("cohort_m")).persist())
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    cells = (o.join(firsts, o["o_custkey"] == firsts["custkey"])
+             .groupBy("cohort_m", (month - F.col("cohort_m")).cast("long")
+                      .alias("month_k"))
+             .agg(F.countDistinct("o_custkey").cast("long").alias("n_active"),
+                  F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                        .cast("long")).cast("long").alias("revenue_cents")))
+    return (cells.join(F.broadcast(sizes), ["cohort_m"])
+            .select("cohort_m", "month_k", "n_active", "revenue_cents",
+                    "cohort_size",
+                    F.floor(F.col("revenue_cents").cast("double")
+                            / F.col("cohort_size") + F.lit(0.5))
+                    .cast("long").alias("cents_per_cohort_customer")))

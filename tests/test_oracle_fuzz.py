@@ -398,6 +398,9 @@ _WH_FUZZED = [
     # round-9: RFM quintiles (ranged_ntile on tiny/NULL-heavy corpora —
     # every N % 5 remainder case; segment CASE chain tie semantics)
     "rfm_segments",
+    # round-9: cohort LTV (NULL dates/customers filtered; single-cohort
+    # and single-month corpora; per-customer division quantization)
+    "cohort_ltv",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))
