@@ -182,26 +182,40 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
 def ranged_ntile(df: DataFrame, order_cols: list[str], k: int,
                  out_col: str, *, n_ranges: int = 32) -> DataFrame:
     """Exact ``ntile(k) OVER (ORDER BY order_cols)`` WITHOUT the global
-    single-task window sort: the global 1-based rank comes from
-    ``ranged_cumsum`` over a unit column, and ntile's bucket-size rule —
-    the first N % k buckets take ceil(N/k) rows, the rest floor(N/k) —
-    is a closed-form integer expression of (rank, N). ``order_cols``
-    must form a UNIQUE key (append a tiebreak id), the same requirement
-    the window form has for determinism. N rides back as a broadcast
-    1-row aggregate of the ranked frame's max rank (reuses the pinned
-    range partitioning, no extra corpus scan)."""
-    ranked = ranged_cumsum(
-        df.withColumn("__one", F.lit(1).cast("long")),
-        order_cols, ["__one"])
-    n_total = ranked.groupBy().agg(
-        F.max("cum___one").cast("long").alias("__n"))
+    single-task window sort: the global 1-based rank is a ranged prefix
+    count (the ranged_cumsum two-pass scheme, inlined), and ntile's
+    bucket-size rule — the first N % k buckets take ceil(N/k) rows, the
+    rest floor(N/k) — is a closed-form integer expression of (rank, N).
+    ``order_cols`` must form a UNIQUE key (append a tiebreak id), the
+    same requirement the window form has for determinism.
+
+    Inlined rather than composed over ranged_cumsum so N comes from the
+    <= n_ranges-row per-range TOTALS frame (one tiny aggregate) — the
+    composed form read max(cum) off the full ranked output, re-running
+    the within-range window and the offsets join once per call just to
+    fetch one number (review finding, round 9)."""
+    work = df.withColumn("__one", F.lit(1).cast("long"))
+    ranged = _pin_ranges(work, order_cols, n_ranges)
+    within = Window.partitionBy("__pid") \
+        .orderBy(*[F.asc(c) for c in order_cols]) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cur = ranged.select("*", F.sum("__one").over(within).alias("__w"))
+    totals = ranged.groupBy("__pid").agg(F.sum("__one").alias("__t"))
+    prefix = Window.orderBy(F.asc("__pid")) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(prefix), F.lit(0)).alias("__o"))
+    n_total = totals.agg(F.sum("__t").cast("long").alias("__n"))
+    ranked = (cur.join(F.broadcast(offsets), "__pid")
+              .withColumn("__rank", F.col("__w") + F.col("__o")))
     q = f"(__n div {k})"
     rem = f"(__n % {k})"
     cut = f"({rem} * ({q} + 1))"
-    expr = (f"CAST(CASE WHEN cum___one <= {cut}"
-            f" THEN (cum___one - 1) div ({q} + 1) + 1"
-            f" ELSE {rem} + (cum___one - 1 - {cut}) div {q} + 1 END"
+    expr = (f"CAST(CASE WHEN __rank <= {cut}"
+            f" THEN (__rank - 1) div ({q} + 1) + 1"
+            f" ELSE {rem} + (__rank - 1 - {cut}) div {q} + 1 END"
             f" AS BIGINT)")
     return (ranked.crossJoin(F.broadcast(n_total))
             .withColumn(out_col, F.expr(expr))
-            .drop("__one", "cum___one", "__n"))
+            .drop("__pid", "__one", "__w", "__o", "__rank", "__n"))

@@ -1562,8 +1562,12 @@ def interval_union_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming drain must agree with the SAME min-chain semantics.
 SEQ_FUNNEL_ORACLE = """
     WITH t1 AS (
+        -- user_id IS NOT NULL on BOTH engines: the oracle's equality
+        -- joins would silently drop a NULL user from t2/t3 while a
+        -- groupBy fold advances it — the hll/ab_test discipline
         SELECT user_id, MIN(ts) AS t1 FROM events
-        WHERE event_type = 'signup' GROUP BY user_id
+        WHERE event_type = 'signup' AND user_id IS NOT NULL
+        GROUP BY user_id
     ), t2 AS (
         SELECT e.user_id, MIN(e.ts) AS t2
         FROM events e JOIN t1 ON t1.user_id = e.user_id
@@ -1591,6 +1595,7 @@ def sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, per-user state machine as a higher-order fold."""
     ev = load_table(spark, sf_dir, "events")
     per_user = (ev.where(F.col("ts").isNotNull()
+                         & F.col("user_id").isNotNull()
                          & F.col("event_type").isin("signup", "view",
                                                     "purchase"))
                 .groupBy("user_id")

@@ -210,10 +210,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=2)
 
 
-def _ngram_jaccard_oracle(max_freq: int, threshold_x10k: int) -> str:
+def _ngram_jaccard_oracle(max_freq: int, threshold_x10k: int,
+                          metric: str = "jaccard") -> str:
     """Oracle twin of operators/dedup.py::ngram_jaccard_pairs including the
     per-shingle doc-frequency cutoff and the post-filter size recount (the
-    Jaccard denominator must count only surviving shingles)."""
+    denominator must count only surviving shingles). ``metric`` selects
+    the same denominator the operator's ``metric`` parameter does —
+    jaccard (union) or containment (min set size) — so the two gates can
+    never desynchronize on the shared postings logic."""
+    if metric == "containment":
+        denom, out = "least(sa.sz, sb.sz)", "containment_x10k"
+    else:
+        denom, out = "(sa.sz + sb.sz - n_common)", "jaccard_x10k"
+    score = f"CAST(floor(CAST(n_common AS DOUBLE) / {denom} * 10000 + 0.5) AS BIGINT)"
     return f"""
     WITH sh0 AS (
         -- the operator joins on the shingle's 60-bit md5, not the raw
@@ -234,12 +243,11 @@ def _ngram_jaccard_oracle(max_freq: int, threshold_x10k: int) -> str:
         GROUP BY 1, 2
     )
     SELECT id_a AS id_a, id_b AS id_b,
-           CAST(floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) AS BIGINT)
-               AS jaccard_x10k
+           {score} AS {out}
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) AS BIGINT) >= {threshold_x10k}
+    WHERE {score} >= {threshold_x10k}
     """
 
 
@@ -254,41 +262,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", SHINGLE_K, threshold=0.2)
 
 
-def _ngram_containment_oracle(max_freq: int, threshold_x10k: int) -> str:
-    """Containment twin of _ngram_jaccard_oracle: |A ∩ B| / min(|A|, |B|)
-    — the asymmetric metric that catches a short document embedded
-    verbatim in a long one (Jaccard dilutes it by the long side's
-    union). Same postings, cutoff, and join; only the denominator
-    differs."""
-    return f"""
-    WITH sh0 AS (
-        SELECT doc_id, {md5_long_sql('s')} AS s
-        FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
-              FROM documents WHERE text IS NOT NULL)
-    ), keep AS (
-        SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {max_freq}
-    ), sh AS (
-        SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep ON keep.s = sh0.s
-    ), sizes AS (
-        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-    ), common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a AS id_a, id_b AS id_b,
-           CAST(floor(CAST(n_common AS DOUBLE) / least(sa.sz, sb.sz) * 10000 + 0.5) AS BIGINT)
-               AS containment_x10k
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(floor(CAST(n_common AS DOUBLE) / least(sa.sz, sb.sz) * 10000 + 0.5) AS BIGINT) >= {threshold_x10k}
-    """
-
-
 @query(
     "dedup_ngram_containment",
-    oracle=_ngram_containment_oracle(max_freq=1000, threshold_x10k=6000),
+    oracle=_ngram_jaccard_oracle(max_freq=1000, threshold_x10k=6000,
+                             metric="containment"),
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: 3-gram-shingle containment >= 0.6 — flags a

@@ -156,7 +156,10 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                   ORDER BY ts ASC, event_id ASC) AS rn_type
-        FROM events WHERE ts IS NOT NULL
+        -- user_id IS NOT NULL on both engines: a streak has no identity
+        -- without a user, and the numpy path's pandas groupby DROPS NaN
+        -- keys while SQL's PARTITION BY keeps the NULL group (fuzz-found)
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ), islands AS (
         SELECT user_id, event_type, rn - rn_type AS island, COUNT(*) AS streak
         FROM ordered GROUP BY 1, 2, 3
@@ -186,8 +189,9 @@ def longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         # NULL-ts rows excluded on both sides (fuzz-pinned): the engines
-        # sort NULLs to opposite ends, so run boundaries would differ
-        .where(F.col("ts").isNotNull())
+        # sort NULLs to opposite ends, so run boundaries would differ.
+        # NULL users too: pandas groupby drops NaN keys, SQL keeps them
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", "ts", "event_id", "event_type")
         .repartition("user_id")
         .sortWithinPartitions("user_id", "ts", "event_id")

@@ -836,7 +836,7 @@ def streaming_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliqz_etl_spark.streaming.jobs import funnel_progress
 
     ev = (_event_stream(spark, sf_dir)
-          .where(F.col("ts").isNotNull()
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()
                  & F.col("event_type").isin("signup", "view", "purchase"))
           .select("user_id", F.unix_micros("ts").alias("tsu"),
                   F.col("event_type").alias("et")))

@@ -879,8 +879,13 @@ def minmax_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
     )
     SELECT status, n_orders, sum_cents, max_cents,
-           printf('%d.%02d', sum_cents // 100, sum_cents % 100) AS total_price,
-           printf('%d.%02d', max_cents // 100, max_cents % 100) AS max_price
+           -- sign rendered explicitly: truncating division on negative
+           -- cents would otherwise emit '-3.-14'-style garbage (review
+           -- finding; latent while prices stay positive)
+           printf('%s%d.%02d', CASE WHEN sum_cents < 0 THEN '-' ELSE '' END,
+                  abs(sum_cents) // 100, abs(sum_cents) % 100) AS total_price,
+           printf('%s%d.%02d', CASE WHEN max_cents < 0 THEN '-' ELSE '' END,
+                  abs(max_cents) // 100, abs(max_cents) % 100) AS max_price
     FROM (
         SELECT o_orderstatus AS status,
                CAST(count(*) AS BIGINT) AS n_orders,
@@ -905,12 +910,15 @@ def decimal_money_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                 F.sum(cents).cast("long").alias("sum_cents"),
                 F.max(cents).cast("long").alias("max_cents")))
+    def money(c: str) -> str:
+        return (f"format_string('%s%d.%02d',"
+                f" CASE WHEN {c} < 0 THEN '-' ELSE '' END,"
+                f" abs({c}) DIV 100, abs({c}) % 100)")
+
     return agg.select(
         "status", "n_orders", "sum_cents", "max_cents",
-        F.expr("format_string('%d.%02d', sum_cents DIV 100, sum_cents % 100)")
-        .alias("total_price"),
-        F.expr("format_string('%d.%02d', max_cents DIV 100, max_cents % 100)")
-        .alias("max_price"))
+        F.expr(money("sum_cents")).alias("total_price"),
+        F.expr(money("max_cents")).alias("max_price"))
 
 
 # --------------------------------------------------------------------------

@@ -295,7 +295,9 @@ _TS = st.one_of(
         + __import__("datetime").timedelta(seconds=s)),
 )
 _EVENT = st.tuples(
-    st.integers(0, 5),                                     # user_id
+    # NULL user_ids included (round-9: the sequence_funnel NULL-user
+    # divergence was invisible while this strategy never generated one)
+    st.one_of(st.none(), st.integers(0, 5)),               # user_id
     _TS,
     st.one_of(st.none(),
               st.sampled_from(["click", "view", "purchase", "signup"])),
