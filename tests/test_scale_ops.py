@@ -402,6 +402,8 @@ def test_every_query_survives_an_empty_corpus(spark, tmp_path):
         "dedup_semantic",
         # PQ/IVFPQ cannot build codebooks from nothing (round-8)
         "ann_pq", "ann_ivfpq",
+        # topic labeling trains the same coarse quantizer (round-9)
+        "cluster_topics",
     }
     ugly = []
     for name, q in load_all().items():
