@@ -57,6 +57,7 @@ DRIVER_ORDER: list[str] = [
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
     "hll_distinct_users",
+    "postings_ef_roundtrip",
     "cohort_ltv",
     "dedup_ngram_containment",
     "rfm_segments",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "region_status_grid",
     "dedup_exact",
     "minhash_signatures",
-    "dedup_minhash_lsh",
     # ---------------- past the check window ----------------
+    "dedup_minhash_lsh",
     "simhash_values",
     "dedup_simhash",
     "stratified_sample",

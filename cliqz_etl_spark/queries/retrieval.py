@@ -474,3 +474,79 @@ import dataclasses as _dc  # noqa: E402
 
 _REG["rrf_hybrid_search"] = _dc.replace(
     _REG["rrf_hybrid_search"], oracle=_rrf_oracle())
+
+
+# --------------------------------------------------------------------------
+# Elias-Fano posting lists FOR REAL — postings_compress_stats prices the
+# layout; this gate runs the actual codec (functions/eliasfano.py): every
+# term's sorted doc-id list packs into the quasi-succinct byte layout and
+# unpacks back inside one Arrow mapInPandas pass. The oracle pins BOTH
+# halves: the byte size via the exact integer size formula
+# (l = floor(log2(u div n)) by length(bin()), payload = n*l + n +
+# (max_id >> l) + 1, plus the 16-byte n/max header), and the decoded
+# VALUES via a checksum over the original postings — a hash match proves
+# decode(encode(x)) == x end-to-end on the whole vocabulary. Per-term
+# rows are posting-list-grain; the groupBy is the only shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "postings_ef_roundtrip",
+    oracle=f"""
+    WITH tok AS ({_tok_cte()}),
+    post AS (SELECT DISTINCT w, doc_id FROM tok),
+    per AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(doc_id) AS BIGINT) AS mx
+        FROM post GROUP BY w
+    ), params AS (
+        SELECT w, n, mx,
+               CASE WHEN (mx + 1) // n > 0
+                    THEN length(bin((mx + 1) // n)) - 1 ELSE 0 END AS l
+        FROM per
+    ), wsum AS (
+        SELECT w, CAST(SUM(rn * doc_id) AS BIGINT) AS decoded_wsum
+        FROM (SELECT w, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id ASC)
+                         AS rn
+              FROM post)
+        GROUP BY w
+    )
+    SELECT p.w AS term, p.n AS n_docs,
+           CAST(16 + (p.n * p.l + p.n + (p.mx >> p.l) + 1 + 7) // 8
+                AS BIGINT) AS ef_bytes,
+           s.decoded_wsum AS decoded_wsum
+    FROM params p JOIN wsum s ON s.w = p.w
+    """,
+)
+def postings_ef_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode every term's posting list through the real
+    Elias-Fano codec; emit byte size and a decoded-value checksum."""
+    import pandas as pd
+
+    from cliqz_etl_spark.functions.eliasfano import ef_decode, ef_encode
+
+    posts = (_tokens_nonempty(spark, sf_dir)
+             .groupBy("w")
+             .agg(F.sort_array(F.collect_set("doc_id")).alias("ids")))
+
+    def process(batches):
+        for pdf in batches:
+            out = {"term": [], "n_docs": [], "ef_bytes": [],
+                   "decoded_wsum": []}
+            for w, ids in zip(pdf["w"], pdf["ids"]):
+                ids = [int(x) for x in ids]
+                blob = ef_encode(ids)
+                dec = ef_decode(blob)
+                if dec != ids:
+                    raise ValueError(
+                        f"EF roundtrip mismatch for term {w!r}")
+                out["term"].append(w)
+                out["n_docs"].append(len(ids))
+                out["ef_bytes"].append(len(blob))
+                out["decoded_wsum"].append(
+                    sum((i + 1) * x for i, x in enumerate(dec)))
+            yield pd.DataFrame(out)
+
+    return posts.mapInPandas(
+        process, schema=("term string, n_docs long, ef_bytes long, "
+                         "decoded_wsum long"))

@@ -91,6 +91,9 @@ _FUZZED = [
     # round-9: asymmetric containment near-dup (clone pairs, short-in-long
     # embedding, min-denominator ties)
     "dedup_ngram_containment",
+    # round-9: real Elias-Fano roundtrip (singleton lists, dense 0..n
+    # ranges where l=0, blank-only corpora -> empty result)
+    "postings_ef_roundtrip",
 ]
 
 _WORD = st.one_of(

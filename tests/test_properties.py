@@ -515,3 +515,36 @@ def test_ranged_ntile_matches_global_ntile(spark, keys, k):
             for r in df.select(
                 "k", F.ntile(k).over(w).cast("long").alias("want")).collect()}
     assert got == want, (k, got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sets(st.integers(0, 200_000), min_size=1, max_size=80))
+def test_elias_fano_roundtrip_and_size_formula(ids):
+    """decode(encode(x)) == x for arbitrary sorted id sets, and the blob
+    length equals the closed-form payload size the oracle states."""
+    from cliqz_etl_spark.functions.eliasfano import (ef_decode, ef_encode,
+                                                     ef_params)
+
+    seq = sorted(ids)
+    blob = ef_encode(seq)
+    assert ef_decode(blob) == seq
+    _, bits = ef_params(len(seq), seq[-1])
+    assert len(blob) == 16 + (bits + 7) // 8
+
+
+def test_elias_fano_rejects_malformed():
+    import pytest
+
+    from cliqz_etl_spark.functions.eliasfano import ef_decode, ef_encode
+
+    with pytest.raises(ValueError):
+        ef_encode([])
+    with pytest.raises(ValueError):
+        ef_encode([3, 3])          # not strictly increasing
+    with pytest.raises(ValueError):
+        ef_encode([-1, 4])
+    blob = ef_encode([1, 5, 9])
+    with pytest.raises(ValueError):
+        ef_decode(blob[:10])       # truncated header
+    with pytest.raises(ValueError):
+        ef_decode(blob + b"\x00")  # payload size mismatch
