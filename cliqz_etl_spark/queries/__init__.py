@@ -57,6 +57,7 @@ DRIVER_ORDER: list[str] = [
     #     python tools/rotate_window.py
     # ---- latest green row: rnew/churn ----
     "hll_distinct_users",
+    "streaming_heavy_hitters",
     "postings_ef_roundtrip",
     "cohort_ltv",
     "dedup_ngram_containment",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "order_rank_family",
     "region_status_grid",
     "dedup_exact",
-    "minhash_signatures",
     # ---------------- past the check window ----------------
+    "minhash_signatures",
     "dedup_minhash_lsh",
     "simhash_values",
     "dedup_simhash",

@@ -853,3 +853,55 @@ def streaming_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t3").cast("long").alias("n_purchase_after"),
         F.count(F.when(F.col("t3") <= F.col("t1") + F.lit(month_us), 1))
         .cast("long").alias("n_converted_30d"))
+
+
+SHH_K = 128     # global heavy-hitter threshold divisor AND per-bucket counters
+SHH_BUCKETS = 8
+
+
+@query(
+    "streaming_heavy_hitters",
+    # exact GROUP BY + HAVING — a different algorithm entirely, so the
+    # hash match is evidence the streaming MG screen lost no heavy hitter
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev)
+    SELECT user_id AS user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM ev CROSS JOIN tot
+    GROUP BY user_id, tot.n
+    HAVING count(*) * {SHH_K} > tot.n
+    """,
+)
+@_scoped_legacy_nanos
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with frequency > n/{128} — heavy_hitters_exact's STREAMING
+    sibling: the Misra-Gries screen runs as bounded per-bucket state
+    over the event stream (128 counters per bucket survive any batch
+    split; eviction engages once a bucket sees >128 distinct users, as
+    the sf0.1 corpus does), then the exact pass counts candidates only
+    against the batch table. The bounded-state screen is the shape that
+    tracks hot keys over an unbounded stream where per-key state
+    (running_user_totals) would grow without limit."""
+    from cliqz_etl_spark.streaming.jobs import mg_candidate_state
+    from cliqz_etl_spark.tables import load_table as _lt
+
+    ev = (_event_stream(spark, sf_dir)
+          .where(F.col("user_id").isNotNull())
+          .select("user_id", (F.col("user_id") % SHH_BUCKETS).alias("bucket")))
+    drained = _drain(mg_candidate_state(ev, SHH_K, SHH_BUCKETS), "shh",
+                     mode="update",
+                     state_partitions=_state_partitions(spark, sf_dir))
+    w = Window.partitionBy("bucket")
+    cand = (drained.withColumn("mx", F.max("n_seen").over(w))
+            .where(F.col("n_seen") == F.col("mx"))
+            .select(F.explode("candidates").alias("user_id"))
+            .distinct())
+    evb = _lt(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    n = evb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (evb.join(F.broadcast(cand), ["user_id"], "left_semi")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .crossJoin(F.broadcast(n))
+            .where(F.col("cnt") * SHH_K > F.col("n"))
+            .select("user_id", "cnt"))

@@ -373,3 +373,64 @@ def funnel_progress(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def mg_candidate_state(events: DataFrame, k: int,
+                       n_buckets: int) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter screen: users hash into
+    ``n_buckets`` state groups, each holding at most ``k`` MG counters
+    that update across micro-batches (MG is a one-pass streaming
+    algorithm by construction — state is the counter dict, bounded at
+    k entries per bucket regardless of stream length).
+
+    Soundness with k = K (the global threshold divisor): a user's whole
+    count lives in ONE bucket (the hash partitions users, not rows), so
+    global count > n/K implies bucket count > bucket_n/K, and MG with K
+    counters never evicts such a key — the candidate union is a
+    superset of every global heavy hitter for ANY bucket sizing. The
+    exact verification pass then makes the output deterministic.
+    Emits (bucket, n_seen, candidates[]) per touched bucket per batch;
+    n_seen is monotone, so the drain's max-n_seen row per bucket is the
+    final screen."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            users, counts, n_seen = state.get
+            counters = dict(zip(users, counts))
+        else:
+            counters, n_seen = {}, 0
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                u = int(u)
+                n_seen += 1
+                if u in counters:
+                    counters[u] += 1
+                elif len(counters) < k:
+                    counters[u] = 1
+                else:
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for d in dead:
+                        del counters[d]
+        state.update((list(counters.keys()),
+                      list(counters.values()), n_seen))
+        yield pd.DataFrame({
+            "bucket": pd.array([key[0]], dtype="Int64"),
+            "n_seen": [n_seen],
+            "candidates": [list(counters.keys())],
+        })
+
+    return events.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=("bucket bigint, n_seen bigint, "
+                          "candidates array<bigint>"),
+        stateStructType=("users array<bigint>, counts array<bigint>, "
+                         "n_seen bigint"),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -288,6 +288,9 @@ _EV_FUZZED = [
     # round-9: hash-split A/B z-test (empty variants, all/none converted
     # -> NULL z on both engines; md5 split under adversarial user ids)
     "ab_test_ztest",
+    # round-9: streaming MG heavy-hitter screen (tiny corpora where the
+    # threshold passes everyone / no one; NULL users excluded both sides)
+    "streaming_heavy_hitters",
 ]
 
 
