@@ -36,6 +36,7 @@ PHRASE = ("table", "value")
 N_SHARDS = 16
 
 WAND_K = 10       # top-k for the pruned BM25 query
+WAND_BLOCK = 64   # doc ids per block-max bound block (index metadata)
 RRF_L = 50        # per-list candidate depth for hybrid fusion
 RRF_K = 60        # the canonical RRF rank damping constant
 RRF_SCALE = 1_000_000_000  # per-list quantization of 1/(RRF_K + rank)
@@ -279,12 +280,15 @@ def wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of scoring the corpus.
 
     Plan shape: the postings frame (tf x df x 1-row stats, broadcast)
-    is materialized once and feeds three bounded passes — (1) upper
-    bounds, one map + groupBy(doc); (2) top-k seeds via
-    TakeOrderedAndProject (per-partition top-k, merge of k*n_parts rows
-    — never a global sort) scored exactly; (3) survivors (bound >=
-    theta) scored exactly. The dlen join runs only for seeds and
-    survivors. The final rank window sees <= k rows by construction."""
+    is materialized once and feeds three bounded passes — (1) BLOCK-MAX
+    upper bounds (per-(term, doc-block) maxima of the exact posting
+    scores — the precomputed index metadata of block-max WAND — summed
+    per doc); (2) top-k seeds via TakeOrderedAndProject (per-partition
+    top-k, merge of k*n_parts rows — never a global sort) scored
+    exactly; (3) survivors (bound >= theta) scored exactly. The block
+    bound is tighter-or-equal to the old global min-dl bound everywhere,
+    so the survivor rescoring pass shrinks. The final rank window sees
+    <= k rows by construction."""
     from cliqz_etl_spark.operators.dedup import _materialize
 
     tok = _materialize(_tokens_nonempty(spark, sf_dir))
@@ -301,12 +305,27 @@ def wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(dfreq), "w").crossJoin(F.broadcast(stats)))
 
     term_micro = F.expr(_bm25_term_sql())
-    # upper bound: the same per-term score with dl replaced by the
-    # corpus minimum (sat is decreasing in dl; floor keeps the order)
-    ub_micro = F.expr(_bm25_term_sql(dl_expr="dlm"))
 
+    # Block-max bounds (round-9, replacing the global min-dl bound): per
+    # (term, doc-id block) the max EXACT per-posting score — the index
+    # metadata every block-max WAND engine precomputes at build time and
+    # amortizes across queries. Sound: the block max dominates every
+    # member's true term score, so the per-doc sum of its blocks' maxima
+    # dominates the true BM25; and since the min-dl score dominates each
+    # block max, this bound is tighter-or-equal everywhere (fewer
+    # survivors rescored). Cost: one keyed dlen join over the
+    # query-vocabulary postings — the build-side pass; per-query reads
+    # touch block maxima (blocks-sized) plus seeds/survivors only.
+    blk = F.expr(f"doc_id div {WAND_BLOCK}")
+    scored_posts = _materialize(
+        base.join(dlen, "doc_id")
+        .select("doc_id", "w", blk.alias("blk"),
+                term_micro.alias("tsc")))
+    block_ub = scored_posts.groupBy("w", "blk").agg(
+        F.max("tsc").alias("bub"))
     bounds = _materialize(
-        base.groupBy("doc_id").agg(F.sum(ub_micro).cast("long").alias("ub")))
+        scored_posts.join(block_ub, ["w", "blk"])
+        .groupBy("doc_id").agg(F.sum("bub").cast("long").alias("ub")))
     seeds = bounds.orderBy(F.desc("ub"), F.asc("doc_id")).limit(WAND_K)
 
     def _exact(doc_set: DataFrame, how: str) -> DataFrame:
