@@ -52,63 +52,12 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # --------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
     # === BEGIN GENERATED WINDOW (tools/rotate_window.py) ===
-    # Ordered oldest-evidence-first (new/zero-evidence queries lead); the
-    # driver checks slots 1-50. Regenerate after each driver run:
-    #     python tools/rotate_window.py
-    # ---- latest green row: rnew/churn ----
-    "hll_distinct_users",
-    "streaming_heavy_hitters",
-    "postings_ef_roundtrip",
-    "cohort_ltv",
-    "dedup_ngram_containment",
-    "rfm_segments",
-    "cluster_topics",
-    "streaming_sequence_funnel",
-    "ab_test_ztest",
-    "cusum_changepoint",
-    "market_basket_rules",
-    "l_diversity_audit",
-    "sequence_funnel",
-    "contrastive_triplets",
-    "nb_quality_classifier",
-    "theil_sen_trend",
-    "interval_union_days",
-    "jpeg_decode_stats",
-    # ---- latest green row: r4 ----
-    "linear_attribution",
-    "event_transition_matrix",
-    "full_outer_rollup",
-    "two_key_join",
+    # Ordered red-latest-row first, then new/zero-evidence, then oldest
+    # green evidence; the driver checks slots 1-50. Regenerate after
+    # each driver run:  python tools/rotate_window.py
+    # ---- RED latest row ----
+    "decimal_money_rollup",
     # ---- latest green row: r5 ----
-    "frame_sample_stats",
-    "dedup_canonicalize",
-    "mode_per_user",
-    "indicator_sums",
-    "value_hours_per_user",
-    "distinct_purchasers",
-    "ever_purchased",
-    "recency_filter",
-    "per_key_limit",
-    "asof_last_click_before_purchase",
-    "next_event_gap",
-    "funnel_counts",
-    "weekly_retention",
-    "pivot_event_counts",
-    "unpivot_event_counts",
-    "value_histogram",
-    "value_percentiles_by_type",
-    "word_counts",
-    "monthly_revenue",
-    "approx_distinct_users",
-    "shipping_priority",
-    "nation_trade_volume",
-    "parts_supplier_stats",
-    "above_avg_balance_customers",
-    "data_quality_checks",
-    "order_rank_family",
-    "region_status_grid",
-    "dedup_exact",
-    # ---------------- past the check window ----------------
     "minhash_signatures",
     "dedup_minhash_lsh",
     "simhash_values",
@@ -159,6 +108,7 @@ DRIVER_ORDER: list[str] = [
     "large_volume_customers",
     "brand_filtered_revenue",
     "customer_order_distribution",
+    # ---------------- past the check window ----------------
     "sole_late_supplier_blame",
     "idle_balance_customers",
     "national_market_share",
@@ -266,7 +216,6 @@ DRIVER_ORDER: list[str] = [
     "ann_pq",
     "deletion_propagation",
     "udtf_run_lengths",
-    "decimal_money_rollup",
     "ann_ivfpq",
     "bootstrap_ci_revenue",
     "order_cube",
@@ -280,6 +229,57 @@ DRIVER_ORDER: list[str] = [
     "order_grouping_sets",
     "running_total",
     "snapshot_diff_customers",
+    # ---- latest green row: r9 ----
+    "hll_distinct_users",
+    "streaming_heavy_hitters",
+    "postings_ef_roundtrip",
+    "cohort_ltv",
+    "dedup_ngram_containment",
+    "rfm_segments",
+    "cluster_topics",
+    "streaming_sequence_funnel",
+    "ab_test_ztest",
+    "cusum_changepoint",
+    "market_basket_rules",
+    "l_diversity_audit",
+    "sequence_funnel",
+    "contrastive_triplets",
+    "nb_quality_classifier",
+    "theil_sen_trend",
+    "interval_union_days",
+    "jpeg_decode_stats",
+    "linear_attribution",
+    "event_transition_matrix",
+    "full_outer_rollup",
+    "two_key_join",
+    "frame_sample_stats",
+    "dedup_canonicalize",
+    "mode_per_user",
+    "indicator_sums",
+    "value_hours_per_user",
+    "distinct_purchasers",
+    "ever_purchased",
+    "recency_filter",
+    "per_key_limit",
+    "asof_last_click_before_purchase",
+    "next_event_gap",
+    "funnel_counts",
+    "weekly_retention",
+    "pivot_event_counts",
+    "unpivot_event_counts",
+    "value_histogram",
+    "value_percentiles_by_type",
+    "word_counts",
+    "monthly_revenue",
+    "approx_distinct_users",
+    "shipping_priority",
+    "nation_trade_volume",
+    "parts_supplier_stats",
+    "above_avg_balance_customers",
+    "data_quality_checks",
+    "order_rank_family",
+    "region_status_grid",
+    "dedup_exact",
     # === END GENERATED WINDOW ===
 ]
 

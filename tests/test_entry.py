@@ -28,20 +28,26 @@ def test_contract_shape():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
 
 
-def _latest_green_round() -> dict[str, int]:
-    """Latest round with a green (rows-match) driver row per query, over the
-    SAME pinned evidence set tools/rotate_window.py uses (the files present
-    at the last commit touching DRIVER_ORDER) — so the driver dropping
-    CORRECTNESS_r{N}.json after the round's final commit cannot redden the
-    window gates (round-6/8 structural red). Never-checked -> 0."""
+def _rotate_window():
     spec = importlib.util.spec_from_file_location(
         "rotate_window", "/root/repo/tools/rotate_window.py")
     rw = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rw)
+    return rw
 
+
+def _latest_green_round() -> dict[str, int]:
+    """Latest round with a FULLY-green (rows+schema+hash) driver row per
+    query, over the SAME pinned evidence set tools/rotate_window.py uses
+    (the files present at the last commit touching DRIVER_ORDER) — so the
+    driver dropping CORRECTNESS_r{N}.json after the round's final commit
+    cannot redden the window gates (round-6/8 structural red).
+    Rows-match alone is NOT green (round-9 postmortem: a hash-red row
+    counted as fresh evidence and rotated out of the window). Never
+    checked -> 0."""
     from cliqz_etl_spark.queries import DRIVER_ORDER
 
-    return rw.latest_green_rounds(list(DRIVER_ORDER))
+    return _rotate_window().latest_green_rounds(list(DRIVER_ORDER))
 
 
 def test_new_queries_sit_inside_driver_window():
@@ -57,6 +63,21 @@ def test_new_queries_sit_inside_driver_window():
     assert not outside, (
         f"queries with zero driver evidence sit past the 50-slot check "
         f"window: {outside} — move them into slots 1-50 of DRIVER_ORDER")
+
+
+def test_red_latest_row_sits_inside_driver_window():
+    """Red-row discipline (round-9 verdict): any query whose LATEST driver
+    row is not fully green (rows+schema+hash) carries an unproven fix and
+    must occupy window slots 1-50 so the very next driver run re-verifies
+    it. This is the gate that would have caught round 9 rotating the
+    hash-red decimal_money_rollup row out of the window."""
+    from cliqz_etl_spark.queries import DRIVER_ORDER
+
+    red = _rotate_window().currently_red(list(DRIVER_ORDER))
+    outside = [n for n in DRIVER_ORDER[50:] if n in red]
+    assert not outside, (
+        f"queries whose latest driver row is RED sit past the 50-slot "
+        f"check window: {outside} — rotate DRIVER_ORDER so they lead it")
 
 
 def test_driver_window_rotates_oldest_evidence_first():

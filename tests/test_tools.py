@@ -26,6 +26,60 @@ def test_baseline_table_parses_and_is_stamped():
     assert all(b["sec"] > 0 and b["cal"] > 0 for b in baselines.values())
 
 
+def test_round9_truncated_tail_recovers():
+    """BENCH_r09.json as committed: the driver's tail capture clipped the
+    JSON line's prefix (the file starts mid-token at `unit": "sec"`), which
+    broke the round's own regression gate. load_bench must reconstruct the
+    object from the intact tail end — verbatim artifact, no fixture."""
+    bc = _load_bench_compare()
+    bench = bc.load_bench("/root/repo/BENCH_r09.json")
+    assert "queries" in bench and len(bench["queries"]) >= 60
+    assert bench["calibration"]["spark_job_sec"] == 0.499
+    assert bench["queries"]["cluster_topics"] == 1.795
+
+
+def test_tail_recovery_rejects_mid_queries_clip():
+    """A tail clipped INSIDE the queries map must fail loudly, not return
+    a silently partial comparison."""
+    import pytest
+
+    bc = _load_bench_compare()
+    good = ('{"metric": "bench", "value": 1.0, "unit": "sec", '
+            '"queries": {"a": 0.5, "b": 0.7}, "sf": 0.1}')
+    assert bc._recover_from_tail(good, "x")["queries"] == {"a": 0.5, "b": 0.7}
+    clipped_prefix = good[18:]  # mid-token, before "queries"
+    assert bc._recover_from_tail(clipped_prefix, "x")["queries"]["b"] == 0.7
+    with pytest.raises(SystemExit):
+        bc._recover_from_tail(good[good.index('"a"'):], "x")
+
+
+def test_rotation_green_requires_all_three_flags(tmp_path):
+    """rotate_window's green predicate (round-9 postmortem): rows_match
+    alone is NOT green; an explicit False on schema/hash makes the row red,
+    and a red latest row sorts to the very front of the window."""
+    import importlib.util as iu
+
+    spec = iu.spec_from_file_location(
+        "rotate_window", "/root/repo/tools/rotate_window.py")
+    rw = iu.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+
+    assert rw._fully_green({"rows_match": True, "schema_match": True,
+                            "hash_match": True})
+    assert not rw._fully_green({"rows_match": True, "schema_match": True,
+                                "hash_match": False})  # the r8 failure mode
+    assert not rw._fully_green({"rows_match": False})
+    # rows-only evidence (no oracle SQL): flags absent counts as green
+    assert rw._fully_green({"rows_match": True})
+
+    # decimal_money_rollup's real history (r8 red, no green since) must
+    # classify as currently-red over the repo's own evidence set
+    red = rw.currently_red(["decimal_money_rollup"])
+    green = rw.latest_green_rounds(["decimal_money_rollup"])
+    if green["decimal_money_rollup"] == 0:  # no green row recorded yet
+        assert red == {"decimal_money_rollup"}
+
+
 def test_round8_bench_normalizes_clean():
     """The round-8 verdict's two >1.5x raw rows were host drift; pinned
     here: at matching calibration NO round-8 row exceeds 1.5x, and the

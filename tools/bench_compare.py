@@ -67,11 +67,38 @@ def load_bench(path: str | None) -> dict:
     raw = json.loads(Path(path).read_text())
     # driver-recorded files wrap the JSON line in a {"tail": "..."} capture
     if "queries" not in raw and "tail" in raw:
-        m = re.search(r'\{"metric".*\}', raw["tail"])
-        if not m:
-            raise SystemExit(f"{path}: no bench JSON line in tail")
-        raw = json.loads(m.group(0))
+        raw = _recover_from_tail(raw["tail"], path)
     return raw
+
+
+def _recover_from_tail(tail: str, path: str) -> dict:
+    """Parse the bench JSON line out of a driver tail capture.
+
+    The driver stores only the LAST N chars of bench.py's stdout, so the
+    line's prefix can be clipped mid-token (BENCH_r09.json starts at
+    `unit": "sec"`). Anchor on the intact END of the line: find the final
+    `}` and re-grow a valid object by scanning forward to the first key
+    quote that yields parseable JSON containing "queries". Clipping only
+    ever costs leading scalar fields ("metric"/"value"); the queries map
+    and calibration probe live at the line's tail and survive.
+    """
+    m = re.search(r'\{"metric".*\}', tail)
+    if m:
+        return json.loads(m.group(0))
+    if '"queries"' not in tail:
+        raise SystemExit(f"{path}: no bench JSON line in tail")
+    end = tail.rfind("}") + 1
+    for i, ch in enumerate(tail[:end]):
+        if ch != '"':
+            continue
+        try:
+            obj = json.loads("{" + tail[i:end])
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "queries" in obj:
+            return obj
+    raise SystemExit(f"{path}: bench JSON line in tail is unrecoverable "
+                     "(clipped inside the queries map)")
 
 
 def main() -> int:

@@ -73,15 +73,50 @@ def evidence_paths() -> list[str]:
         return on_disk
 
 
-def latest_green_rounds(order: list[str]) -> dict[str, int]:
-    latest = {n: 0 for n in order}
+def _fully_green(res: dict) -> bool:
+    """A driver row counts as green ONLY when all three checks pass.
+
+    Round-9 postmortem: counting ``rows_match`` alone let round 8's single
+    hash-red row (decimal_money_rollup) masquerade as fresh green evidence
+    and rotate OUT of the round-9 window instead of to its front. Rows-only
+    evidence (queries with no oracle SQL) carries schema/hash as absent, so
+    treat a missing flag as pass but an explicit False as red.
+    """
+    return (bool(res.get("rows_match"))
+            and res.get("schema_match") is not False
+            and res.get("hash_match") is not False)
+
+
+def latest_rounds(order: list[str]) -> tuple[dict[str, int], dict[str, int]]:
+    """(latest fully-green round, latest round with ANY row) per query."""
+    green = {n: 0 for n in order}
+    any_row = {n: 0 for n in order}
     for path in evidence_paths():
         rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
         with open(path) as f:
             for name, res in json.load(f).items():
-                if name in latest and res.get("rows_match"):
-                    latest[name] = max(latest[name], rnd)
-    return latest
+                if name not in green:
+                    continue
+                any_row[name] = max(any_row[name], rnd)
+                if _fully_green(res):
+                    green[name] = max(green[name], rnd)
+    return green, any_row
+
+
+def latest_green_rounds(order: list[str]) -> dict[str, int]:
+    return latest_rounds(order)[0]
+
+
+def currently_red(order: list[str]) -> set[str]:
+    """Queries whose LATEST driver row exists and is not fully green.
+
+    These must occupy window slots 1-50 unconditionally: a red row is the
+    strongest possible claim on re-verification, stronger than zero
+    evidence (the fix is unproven against the driver until a later green
+    row supersedes the red one).
+    """
+    green, any_row = latest_rounds(order)
+    return {n for n in order if any_row[n] > 0 and green[n] < any_row[n]}
 
 
 def current_order() -> list[str]:
@@ -92,32 +127,36 @@ def current_order() -> list[str]:
 
 def rotated(order: list[str], churn: list[str]) -> list[str]:
     latest = latest_green_rounds(order)
+    red = currently_red(order)
     slot = {n: i for i, n in enumerate(order)}
     unknown = [n for n in churn if n not in slot]
     if unknown:
         raise SystemExit(f"--churn names not in DRIVER_ORDER: {unknown}")
 
     def key(n: str):
+        if n in red:
+            return (0, 0, slot[n])        # latest row red: leads the window
         if latest[n] == 0:
-            return (0, 0, slot[n])        # brand new: front of the window
+            return (0, 1, slot[n])        # brand new: right behind
         if n in churn:
-            return (0, 1, slot[n])        # churn re-verify: right behind
-        return (latest[n], 2, slot[n])    # stale evidence oldest-first
+            return (0, 2, slot[n])        # churn re-verify: next
+        return (latest[n], 3, slot[n])    # stale evidence oldest-first
     return sorted(order, key=key)
 
 
-def render(order: list[str], latest: dict[str, int]) -> str:
+def render(order: list[str], latest: dict[str, int], red: set[str]) -> str:
     lines = [BEGIN]
-    lines.append("    # Ordered oldest-evidence-first (new/zero-evidence queries lead); the")
-    lines.append(f"    # driver checks slots 1-{WINDOW}. Regenerate after each driver run:")
-    lines.append("    #     python tools/rotate_window.py")
+    lines.append("    # Ordered red-latest-row first, then new/zero-evidence, then oldest")
+    lines.append(f"    # green evidence; the driver checks slots 1-{WINDOW}. Regenerate after")
+    lines.append("    # each driver run:  python tools/rotate_window.py")
     prev = None
     for i, n in enumerate(order):
         if i == WINDOW:
             lines.append("    # ---------------- past the check window ----------------")
-        tag = latest[n] or "new/churn"
+        tag = "RED latest row" if n in red else latest[n] or "new/churn"
         if tag != prev:
-            lines.append(f"    # ---- latest green row: r{tag} ----")
+            label = tag if n in red else f"latest green row: r{tag}"
+            lines.append(f"    # ---- {label} ----")
             prev = tag
         lines.append(f'    "{n}",')
     lines.append(END)
@@ -140,7 +179,7 @@ def main() -> int:
                          "section was removed; restore the BEGIN/END comments")
     pre, rest = src.split(BEGIN, 1)
     _, post = rest.split(END, 1)
-    block = render(new_order, latest_green_rounds(order))
+    block = render(new_order, latest_green_rounds(order), currently_red(order))
     out = pre + block + post
     if out == src:
         print(f"DRIVER_ORDER already rotated (window = {WINDOW} oldest)")
