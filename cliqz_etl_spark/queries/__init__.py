@@ -57,6 +57,11 @@ DRIVER_ORDER: list[str] = [
     # each driver run:  python tools/rotate_window.py
     # ---- RED latest row ----
     "decimal_money_rollup",
+    # ---- latest green row: rnew/churn ----
+    "min_cost_supplier",
+    "product_profit_rollup",
+    "important_part_value",
+    "promotable_part_suppliers",
     # ---- latest green row: r5 ----
     "minhash_signatures",
     "dedup_minhash_lsh",
@@ -104,11 +109,11 @@ DRIVER_ORDER: list[str] = [
     "returned_item_top_customers",
     "priority_line_counts",
     "promo_revenue_pct",
+    # ---------------- past the check window ----------------
     "top_revenue_suppliers",
     "large_volume_customers",
     "brand_filtered_revenue",
     "customer_order_distribution",
-    # ---------------- past the check window ----------------
     "sole_late_supplier_blame",
     "idle_balance_customers",
     "national_market_share",

@@ -292,6 +292,21 @@ _PLAN_BUDGET = {
     # Poisson bootstrap: the Bx expansion must stay scan-side — one
     # groupBy(b) shuffle of B-row partials plus the 32-row rank window
     "bootstrap_ci_revenue": (2, 0),
+    # TPC-H Q2 analogue: one (part,supp) agg shuffle + one partitioned
+    # window on partkey; lineitem scanned exactly ONCE (the groupBy-then-
+    # self-join alternative re-derives the fact subtree) and every
+    # dimension broadcasts
+    "min_cost_supplier": (2, 0),
+    # TPC-H Q9 analogue: fact-fact join on orderkey + final (nation,year)
+    # agg; part/supplier/nation all broadcast
+    "product_profit_rollup": (2, 0),
+    # TPC-H Q11 analogue: one partkey agg shuffle + the 1-row total's
+    # SinglePartition exchange; the HAVING is an integer cross-multiply
+    # against the broadcast total, never a float division
+    "important_part_value": (2, 0),
+    # TPC-H Q20 analogue: nested semi-joins — one (supp,part) agg shuffle;
+    # part keys and the qualifying-supplier aggregate both broadcast
+    "promotable_part_suppliers": (2, 0),
 }
 
 
