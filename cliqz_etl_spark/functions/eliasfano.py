@@ -40,6 +40,8 @@ def ef_encode(ids: list[int]) -> bytes:
     max_id = ids[-1]
     if ids[0] < 0:
         raise ValueError("ef_encode: negative id")
+    if max_id >= 1 << 64:
+        raise ValueError("ef_encode: id does not fit the 64-bit header")
     l, payload_bits = ef_params(n, max_id)
     buf = bytearray(16 + (payload_bits + 7) // 8)
     buf[0:8] = n.to_bytes(8, "little")
@@ -84,6 +86,12 @@ def ef_decode(blob: bytes) -> list[int]:
     bucket = 0      # current high-bits value (ids[i] >> l)
     p = n * l
     while i < n:
+        # bound BEFORE the read: p == payload_bits would index one byte
+        # past the buffer when payload_bits % 8 == 0 (a malformed blob
+        # with fewer than n set high bits must fail as ValueError, not
+        # IndexError)
+        if p >= payload_bits:
+            raise ValueError("ef_decode: ran past the high-bit vector")
         if get_bit(p):
             lo = 0
             if l:
@@ -94,6 +102,4 @@ def ef_decode(blob: bytes) -> list[int]:
         else:
             bucket += 1
         p += 1
-        if p > n * l + n + (max_id >> l) + 1:
-            raise ValueError("ef_decode: ran past the high-bit vector")
     return out

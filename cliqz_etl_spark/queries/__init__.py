@@ -62,6 +62,8 @@ DRIVER_ORDER: list[str] = [
     "product_profit_rollup",
     "important_part_value",
     "promotable_part_suppliers",
+    "jpeg_lossy_stats",
+    "mjpeg_frame_stats",
     # ---- latest green row: r5 ----
     "minhash_signatures",
     "dedup_minhash_lsh",
@@ -107,9 +109,9 @@ DRIVER_ORDER: list[str] = [
     "order_priority_checking",
     "forecast_revenue",
     "returned_item_top_customers",
+    # ---------------- past the check window ----------------
     "priority_line_counts",
     "promo_revenue_pct",
-    # ---------------- past the check window ----------------
     "top_revenue_suppliers",
     "large_volume_customers",
     "brand_filtered_revenue",

@@ -556,3 +556,74 @@ def test_jpeg_multi_component_interleaved_scan():
     px = meta["pixels"]
     assert px[0::2] == bytes([100] * 64)    # plane 1 interleaved first
     assert px[1::2] == bytes([200] * 64)
+
+
+def test_jpeg_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+    (round-9 advice). Inject fill padding before every non-SOI marker of
+    a valid file; the decode must be byte-identical to the unpadded one."""
+    from cliqz_etl_spark.multimodal.binary_ops import (decode_jpeg,
+                                                       encode_jpeg_gray)
+
+    w, h = 12, 9
+    bw = (w + 7) // 8
+    px = bytes((5 * 37 + ((y // 8) * bw + x // 8) * 29) % 256
+               for y in range(h) for x in range(w))
+    blob = encode_jpeg_gray(w, h, px)
+    # re-emit with fill bytes: after SOI, before each segment marker
+    padded = bytearray(blob[:2])
+    pos = 2
+    import struct
+    while pos < len(blob):
+        assert blob[pos] == 0xFF
+        marker = blob[pos + 1]
+        padded += b"\xff\xff\xff"          # three fill bytes, then marker
+        if marker == 0xDA:                 # SOS: rest is entropy + EOI
+            padded += blob[pos:]
+            break
+        ln = struct.unpack_from(">H", blob, pos + 2)[0]
+        padded += blob[pos:pos + 2 + ln]
+        pos += 2 + ln
+    meta = decode_jpeg(bytes(padded))
+    assert meta["pixels"] == px
+    assert (meta["width"], meta["height"]) == (w, h)
+
+
+def test_avi_mjpeg_demux_roundtrip_and_errors():
+    """RIFF/AVI MJPG container: encode -> demux recovers every frame blob
+    byte-identically (word alignment with odd-length JPEGs included), the
+    avih frame count is cross-checked, and malformed input raises
+    ValueError per the family's error->NULL discipline."""
+    import pytest
+
+    from cliqz_etl_spark.multimodal.binary_ops import (decode_avi_mjpeg,
+                                                       decode_jpeg,
+                                                       encode_avi_mjpeg,
+                                                       encode_jpeg_gray)
+
+    w, h = 11, 6           # odd-ish dims -> odd-length frame blobs likely
+    bw = (w + 7) // 8
+    frames = []
+    for f in range(4):
+        px = bytes((9 * 37 + f * 11 + ((y // 8) * bw + x // 8) * 29) % 256
+                   for y in range(h) for x in range(w))
+        frames.append(encode_jpeg_gray(w, h, px))
+    avi = encode_avi_mjpeg(w, h, frames)
+    meta = decode_avi_mjpeg(avi)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 4)
+    assert meta["frames"] == frames
+    for f, jpg in enumerate(meta["frames"]):
+        assert decode_jpeg(jpg)["width"] == w
+
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")   # wrong form type
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(avi[:40])                       # truncated chunk
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg(8, 8, [])                       # no frames
+    # frame-count cross-check: lie in avih
+    import struct
+    pos = avi.index(b"avih") + 8 + 16
+    forged = avi[:pos] + struct.pack("<I", 9) + avi[pos + 4:]
+    with pytest.raises(ValueError, match="declares"):
+        decode_avi_mjpeg(forged)

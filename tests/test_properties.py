@@ -548,3 +548,15 @@ def test_elias_fano_rejects_malformed():
         ef_decode(blob[:10])       # truncated header
     with pytest.raises(ValueError):
         ef_decode(blob + b"\x00")  # payload size mismatch
+    with pytest.raises(ValueError):
+        ef_encode([1, 1 << 64])    # id overflows the 64-bit header
+    # round-9 advice: a high-bit vector with fewer than n set bits must
+    # raise the documented ValueError, not IndexError — n=1, max_id=32
+    # makes payload_bits a byte multiple, so the old post-increment guard
+    # read one byte past the buffer before it could fire
+    ok = ef_encode([32])
+    zeroed = bytearray(ok)
+    for i in range(16, len(zeroed)):
+        zeroed[i] = 0
+    with pytest.raises(ValueError, match="high-bit vector"):
+        ef_decode(bytes(zeroed))
