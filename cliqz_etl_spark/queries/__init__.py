@@ -417,6 +417,16 @@ BENCH_HEADLINE: list[str] = [
     "rfm_segments",
     "nb_quality_classifier",
     "cluster_topics",
+    # Round-10: the four closing TPC-H shapes (Q2 window-min supplier,
+    # Q9 broadcast-dim profit rollup, Q11 integer HAVING-vs-total, Q20
+    # nested semi-joins), the JPEG AC-path gate, and the AVI/MJPEG
+    # multi-frame demux (1->N frame rows out of Arrow mapInPandas)
+    "min_cost_supplier",
+    "product_profit_rollup",
+    "important_part_value",
+    "promotable_part_suppliers",
+    "jpeg_lossy_stats",
+    "mjpeg_frame_stats",
 ]
 
 

@@ -21,6 +21,18 @@ from cliqz_etl_spark.multimodal.binary_ops import (
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
 
+
+def _codec_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id-only scan, repartitioned iff the source file count cannot
+    fill the cluster (textops._spread_docs' discipline): the sf0.1 corpus
+    is ONE parquet file -> one scan split, which serializes the owned
+    pure-Python codecs onto a single core of 32. The shuffle moves only
+    the id column once; at production file counts it is a no-op and the
+    plan stays scan-side map."""
+    from cliqz_etl_spark.operators.dedup import _spread
+
+    return _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
 # Gate parameters for frame_sample_stats: 64-byte 'frames', every 2nd one
 # sampled — sized so the ~300-byte test documents produce multi-chunk blobs
 # and the sampling stride actually skips frames.
@@ -177,7 +189,11 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the expected numbers with pure arithmetic. This is the
     substance gate for the multimodal family: real bytes, real parser
     (bottom-up rows, BGR order, stride padding), real resampler."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NOT spread: the BMP codec is numpy slicing — cheap enough that
+    # 32-way scheduling overhead exceeds the single-split decode cost
+    # at bench scale (0.35 s pinned vs 0.52 s spread); the heavier
+    # codecs (PNG inflate, LZW, JPEG DCT) keep _codec_ids
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return bmp_roundtrip_stats(docs, "doc_id", _DEC_TW, _DEC_TH)
 
 
@@ -223,7 +239,7 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib zlib."""
     from cliqz_etl_spark.multimodal.binary_ops import png_roundtrip_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _codec_ids(spark, sf_dir)
     return png_roundtrip_stats(docs, "doc_id", _DEC_TW, _DEC_TH)
 
 
@@ -274,7 +290,7 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked against a pure-arithmetic oracle."""
     from cliqz_etl_spark.multimodal.binary_ops import wav_roundtrip_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _codec_ids(spark, sf_dir)
     return wav_roundtrip_stats(docs, "doc_id", _WAV_DST)
 
 
@@ -376,7 +392,7 @@ def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpeg_decode_stats for the sixth (baseline JPEG)."""
     from cliqz_etl_spark.multimodal.binary_ops import gif_roundtrip_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _codec_ids(spark, sf_dir)
     return gif_roundtrip_stats(docs, "doc_id", _DEC_TW, _DEC_TH)
 
 
@@ -420,7 +436,7 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared stub (container demuxing needs external libs)."""
     from cliqz_etl_spark.multimodal.binary_ops import jpeg_roundtrip_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _codec_ids(spark, sf_dir)
     return jpeg_roundtrip_stats(docs, "doc_id")
 
 
@@ -452,7 +468,7 @@ def jpeg_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip. Bounded-error contract, per-doc, driver-hash-checked."""
     from cliqz_etl_spark.multimodal.binary_ops import jpeg_lossy_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _codec_ids(spark, sf_dir)
     return jpeg_lossy_stats(docs, "doc_id")
 
 
@@ -494,5 +510,5 @@ def mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (H.26x et al.) remain behind frame_sample's ``decoder=`` seam."""
     from cliqz_etl_spark.multimodal.binary_ops import mjpeg_frame_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _codec_ids(spark, sf_dir)
     return mjpeg_frame_stats(docs, "doc_id")

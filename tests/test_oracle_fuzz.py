@@ -94,6 +94,10 @@ _FUZZED = [
     # round-9: real Elias-Fano roundtrip (singleton lists, dense 0..n
     # ranges where l=0, blank-only corpora -> empty result)
     "postings_ef_roundtrip",
+    # round-10: the JPEG AC-path bounded-error gate and the AVI/MJPEG
+    # multi-frame demux (doc_id-derived dims/frame counts; per-frame
+    # DC-exact checksums) — documents-only like jpeg_decode_stats
+    "jpeg_lossy_stats", "mjpeg_frame_stats",
 ]
 
 _WORD = st.one_of(
