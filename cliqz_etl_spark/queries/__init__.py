@@ -64,6 +64,8 @@ DRIVER_ORDER: list[str] = [
     "promotable_part_suppliers",
     "jpeg_lossy_stats",
     "mjpeg_frame_stats",
+    "token_pmi",
+    "kmv_set_algebra",
     # ---- latest green row: r5 ----
     "minhash_signatures",
     "dedup_minhash_lsh",
@@ -107,9 +109,9 @@ DRIVER_ORDER: list[str] = [
     "revenue_by_nation",
     "price_quantity_corr",
     "order_priority_checking",
+    # ---------------- past the check window ----------------
     "forecast_revenue",
     "returned_item_top_customers",
-    # ---------------- past the check window ----------------
     "priority_line_counts",
     "promo_revenue_pct",
     "top_revenue_suppliers",
@@ -427,6 +429,11 @@ BENCH_HEADLINE: list[str] = [
     "promotable_part_suppliers",
     "jpeg_lossy_stats",
     "mjpeg_frame_stats",
+    # Round-10 second wave: collocation mining (two token passes +
+    # broadcast vocab joins) and theta-sketch set algebra (one distinct
+    # shuffle + sketch-sized algebra)
+    "token_pmi",
+    "kmv_set_algebra",
 ]
 
 

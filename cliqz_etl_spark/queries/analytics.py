@@ -1901,3 +1901,133 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("revenue_cents").cast("double")
                             / F.col("cohort_size") + F.lit(0.5))
                     .cast("long").alias("cents_per_cohort_customer")))
+
+
+# --------------------------------------------------------------------------
+# KMV / theta-sketch SET ALGEBRA — the production answer to "how many
+# users did A AND B" when neither side's key set fits anywhere: theta =
+# the K-th smallest hash of the UNION sample, every hash below theta is a
+# uniform DOMAIN/theta-weighted sample of the union, and membership of
+# those sampled hashes in each side estimates intersection. Because
+# theta <= each side's own K-th value, each side's K-sketch provably
+# contains all its hashes below theta — the sketches alone suffice, which
+# is what makes this mergeable across 1000 executors (K values per side,
+# nothing else moves). Estimates are bit-deterministic over the portable
+# md5 hash (the kmv_distinct_users discipline), so they oracle-check
+# exactly; exact counts ride along to expose the error.
+# --------------------------------------------------------------------------
+@query(
+    "kmv_set_algebra",
+    oracle=f"""
+    WITH hashed AS (
+        -- NULL users are no user: md5(NULL) is NULL and the engines sort
+        -- NULLs to opposite ends (Spark ASC=NULLS FIRST, DuckDB=LAST), so
+        -- the filter is a correctness contract, not a nicety
+        SELECT DISTINCT event_type, {_KMV_H} AS h
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
+    ), sk AS (  -- per-side K-minimum sketch
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h ASC) AS rn
+            FROM hashed)
+        WHERE rn <= {KMV_K}
+    ), uni AS (  -- K-th smallest of the union of the two sketches
+        SELECT h, row_number() OVER (ORDER BY h ASC) AS rn,
+               count(*) OVER () AS n_u
+        FROM (SELECT DISTINCT h FROM sk)
+    ), theta AS (
+        SELECT h AS th, n_u FROM uni
+        WHERE rn = CASE WHEN n_u >= {KMV_K} THEN {KMV_K} ELSE n_u END
+    ), below AS (  -- union-sample members below theta, per side
+        SELECT sk.h,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+        FROM sk CROSS JOIN theta WHERE sk.h < theta.th
+        GROUP BY sk.h
+    ), est AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_below,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+        FROM below
+    ), exact AS (
+        SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_union,
+               CAST(sum(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_inter
+        FROM (SELECT h, count(DISTINCT event_type) AS n_types
+              FROM hashed GROUP BY h)
+    )
+    SELECT CAST(CASE WHEN theta.n_u >= {KMV_K}
+                THEN floor(CAST(est.n_below AS DOUBLE) * {_KMV_DOMAIN}
+                           / CAST(theta.th AS DOUBLE) + 0.5)
+                ELSE exact.exact_union END AS BIGINT) AS est_union,
+           exact.exact_union AS exact_union,
+           CAST(CASE WHEN theta.n_u >= {KMV_K}
+                THEN floor(CAST(est.n_common AS DOUBLE) * {_KMV_DOMAIN}
+                           / CAST(theta.th AS DOUBLE) + 0.5)
+                ELSE exact.exact_inter END AS BIGINT) AS est_intersection,
+           exact.exact_inter AS exact_intersection
+    FROM est CROSS JOIN theta CROSS JOIN exact
+    """,
+)
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|clickers UNION purchasers| and |clickers INTERSECT purchasers|
+    estimated from two K=32 sketches, beside the exact counts.
+
+    Plan shape: ONE distinct over (type, hash) — the only data-sized
+    shuffle; the per-side sketch is a type-partitioned top-K window; all
+    theta/membership/estimate algebra runs on <= 2K rows of broadcast
+    frames. Below K distinct union hashes the estimates fall back to the
+    exact small-set counts (standard KMV behavior)."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+    from cliqz_etl_spark.operators.cache import track
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = track(
+        ev.where(F.col("event_type").isin("click", "purchase")
+                 & F.col("user_id").isNotNull())
+        .select("event_type", md5_long(F.col("user_id")).alias("h"))
+        .distinct().persist())
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    sk = (hashed.select("event_type", "h",
+                        F.row_number().over(w).alias("rn"))
+          .where(F.col("rn") <= KMV_K).select("event_type", "h"))
+    # everything from here on is sketch-sized (<= 2K rows)
+    uni = (sk.select("h").distinct()
+           .select("h",
+                   F.row_number().over(Window.orderBy(F.asc("h"))).alias("rn"),
+                   F.count(F.lit(1)).over(Window.partitionBy()).alias("n_u")))
+    theta = (uni.where(F.col("rn") == F.when(F.col("n_u") >= KMV_K,
+                                             F.lit(KMV_K))
+                       .otherwise(F.col("n_u")))
+             .select(F.col("h").alias("th"), "n_u"))
+    below = (sk.crossJoin(F.broadcast(theta))
+             .where(F.col("h") < F.col("th"))
+             .groupBy("h")
+             .agg(F.max(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).alias("in_a"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("in_b")))
+    est = below.agg(
+        F.count(F.lit(1)).cast("long").alias("n_below"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"))
+    exact = (hashed.groupBy("h")
+             .agg(F.countDistinct("event_type").alias("n_types"))
+             .agg(F.countDistinct(F.col("h")).cast("long").alias("exact_union"),
+                  F.sum(F.when(F.col("n_types") == 2, 1).otherwise(0))
+                  .cast("long").alias("exact_inter")))
+    dom = float(_KMV_DOMAIN)
+    eu = (F.when(F.col("n_u") >= KMV_K,
+                 F.floor(F.col("n_below").cast("double") * dom
+                         / F.col("th").cast("double") + 0.5))
+          .otherwise(F.col("exact_union"))).cast("long")
+    ei = (F.when(F.col("n_u") >= KMV_K,
+                 F.floor(F.col("n_common").cast("double") * dom
+                         / F.col("th").cast("double") + 0.5))
+          .otherwise(F.col("exact_inter"))).cast("long")
+    return (est.crossJoin(F.broadcast(theta))
+            .crossJoin(F.broadcast(exact))
+            .select(eu.alias("est_union"),
+                    F.col("exact_union"),
+                    ei.alias("est_intersection"),
+                    F.col("exact_inter").alias("exact_intersection")))

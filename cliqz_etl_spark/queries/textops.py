@@ -801,3 +801,99 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     score.cast("long").alias("score_milli"),
                     (score > 0).alias("predicted"),
                     F.col("y").alias("passes")))
+
+
+# --------------------------------------------------------------------------
+# Pointwise mutual information over adjacent token pairs — the collocation
+# miner (word2vec-style phrase detection: "new york" scores high because
+# its pair count beats the unigram-independence expectation). PMI =
+# ln(p(ab) / (p(a)p(b))) with p(ab) over the bigram stream and p(w) over
+# the token stream; the ratio is assembled left-associatively from exact
+# counts cast to DOUBLE so both engines produce the identical IEEE double
+# before the single ln(), then milli-quantized (the bigram_lm discipline).
+# Support floor >= 3 keeps the emitted pair set vocabulary-bounded — no
+# global ordering anywhere, the compare is order-insensitive.
+# --------------------------------------------------------------------------
+_PMI_MIN_SUPPORT = 3
+
+
+@query(
+    "token_pmi",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+        WHERE trim(text) <> ''
+    ), uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(tk) AS w FROM base) GROUP BY w
+    ), n_tok AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni
+    ), big AS (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+              FROM base WHERE len(tk) >= 2)
+    ), pairs AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+        FROM big GROUP BY w1, w2
+        HAVING count(*) >= {_PMI_MIN_SUPPORT}
+    ), n_big AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_big FROM big
+    )
+    SELECT p.w1 AS w1, p.w2 AS w2, p.c_ab AS pair_count,
+           CAST(floor(1000 * ln(
+                 (CAST(p.c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                  * CAST(n_tok AS DOUBLE))
+               / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)
+                  * CAST(n_big AS DOUBLE))) + 0.5) AS BIGINT) AS pmi_milli
+    FROM pairs p
+    JOIN uni a ON p.w1 = a.w
+    JOIN uni b ON p.w2 = b.w
+    CROSS JOIN n_tok CROSS JOIN n_big
+    """,
+)
+def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocations: adjacent-pair PMI, support >= 3, milli-quantized.
+
+    Plan shape: bigrams from one arrays_zip of two slices (scan-side, no
+    shuffle); ONE groupBy each for unigram and pair counts (map-side
+    combine; pair stream pre-shrunk by the support HAVING before any
+    join); unigram table and the two 1-row totals broadcast — at 100 TB
+    the Zipf vocabulary bounds every post-aggregate frame, so the only
+    data-sized work is the two scan+combine passes."""
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text")
+    base = (docs.where(F.trim(F.col("text")) != "")
+            .select("doc_id", T.tokens("text").alias("tk")))
+    n = F.size("tk")
+    from cliqz_etl_spark.operators.cache import track
+
+    # persisted: uni feeds counts + total + two join sides; big feeds the
+    # pair agg + total (vocab-sized and stream-sized respectively — the
+    # totals are derived, never a second corpus scan)
+    uni = track(base.select(F.explode("tk").alias("w"))
+                .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .persist())
+    n_tok = uni.agg(F.sum("c").cast("long").alias("n_tok"))
+    big = track(base.where(n >= 2)
+                .select(F.explode(F.arrays_zip(
+                    F.slice("tk", F.lit(1), n - 1).alias("w1"),
+                    F.slice("tk", F.lit(2), n - 1).alias("w2"))).alias("bg"))
+                .select(F.col("bg.w1").alias("w1"),
+                        F.col("bg.w2").alias("w2"))
+                .persist())
+    pairs = (big.groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+             .where(F.col("c_ab") >= _PMI_MIN_SUPPORT))
+    n_big = big.agg(F.count(F.lit(1)).cast("long").alias("n_big"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    ratio = ((F.col("c_ab").cast("double") * F.col("n_tok").cast("double")
+              * F.col("n_tok").cast("double"))
+             / (F.col("c_a").cast("double") * F.col("c_b").cast("double")
+                * F.col("n_big").cast("double")))
+    return (pairs.join(F.broadcast(ua), "w1")
+            .join(F.broadcast(ub), "w2")
+            .crossJoin(F.broadcast(n_tok))
+            .crossJoin(F.broadcast(n_big))
+            .select("w1", "w2", F.col("c_ab").alias("pair_count"),
+                    F.floor(F.lit(1000) * F.log(ratio) + F.lit(0.5))
+                    .cast("long").alias("pmi_milli")))

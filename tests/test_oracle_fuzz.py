@@ -98,6 +98,10 @@ _FUZZED = [
     # multi-frame demux (doc_id-derived dims/frame counts; per-frame
     # DC-exact checksums) — documents-only like jpeg_decode_stats
     "jpeg_lossy_stats", "mjpeg_frame_stats",
+    # round-10: adjacent-pair PMI (support >= 3 rarely met on tiny
+    # corpora -> empty result both sides; NULL/blank text filters
+    # identically; the ln() runs on one identical IEEE double)
+    "token_pmi",
 ]
 
 _WORD = st.one_of(
@@ -295,6 +299,11 @@ _EV_FUZZED = [
     # round-9: streaming MG heavy-hitter screen (tiny corpora where the
     # threshold passes everyone / no one; NULL users excluded both sides)
     "streaming_heavy_hitters",
+    # round-10: KMV/theta set algebra (below-K exact fallback is the only
+    # branch tiny corpora reach; NULL users filtered on both sides — the
+    # engines sort NULL hashes to opposite ends; empty click/purchase
+    # corpora collapse to zero rows through the empty-theta cross join)
+    "kmv_set_algebra",
 ]
 
 

@@ -411,6 +411,15 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         # the sq8/ivf rows it shares the broadcast-scan shape with)
         ("contrastive_triplets", lambda p: lambda: _contrastive_fixed_q(
             spark, p, qmod_small if p == SMALL else qmod)),
+        # round-10: the JPEG AC path (heavier per-row codec work than
+        # jpeg_decode_stats' DC-only blocks — entropy coding both sides)
+        # and the AVI/MJPEG demux (avg 4 frame decodes + container walk
+        # per row, 1->N output). Both spread via _codec_ids, so the
+        # ratio must track row count ~linearly across all cores.
+        ("jpeg_lossy_stats", lambda p: lambda: _registry()
+            ["jpeg_lossy_stats"].fn(spark, p)),
+        ("mjpeg_frame_stats", lambda p: lambda: _registry()
+            ["mjpeg_frame_stats"].fn(spark, p)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
