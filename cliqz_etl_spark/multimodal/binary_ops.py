@@ -1450,21 +1450,27 @@ def decode_avi_mjpeg(blob: bytes) -> dict:
     width = height = n_declared = None
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
-        nonlocal width, height, n_declared
-        for cid, start, size in _riff_chunks(blob, pos, end):
-            if cid == b"LIST":
-                walk(start + 4, start + size)
-            elif cid == b"avih":
-                if size < 40:
-                    raise ValueError("avih header too short")
-                n_declared = struct.unpack_from("<I", blob, start + 16)[0]
-                width = struct.unpack_from("<I", blob, start + 32)[0]
-                height = struct.unpack_from("<I", blob, start + 36)[0]
-            elif cid in (b"00dc", b"00db"):
-                frames.append(blob[start:start + size])
-
-    walk(12, len(blob))
+    # iterative LIST walk (stack of chunk generators = exact depth-first
+    # order, frames stay in stream order): a crafted blob of thousands of
+    # nested LIST headers must fail/finish as data, never as
+    # RecursionError — the ef_decode IndexError lesson applied here
+    stack = [_riff_chunks(blob, 12, len(blob))]
+    while stack:
+        step = next(stack[-1], None)
+        if step is None:
+            stack.pop()
+            continue
+        cid, start, size = step
+        if cid == b"LIST":
+            stack.append(_riff_chunks(blob, start + 4, start + size))
+        elif cid == b"avih":
+            if size < 40:
+                raise ValueError("avih header too short")
+            n_declared = struct.unpack_from("<I", blob, start + 16)[0]
+            width = struct.unpack_from("<I", blob, start + 32)[0]
+            height = struct.unpack_from("<I", blob, start + 36)[0]
+        elif cid in (b"00dc", b"00db"):
+            frames.append(blob[start:start + size])
     if width is None:
         raise ValueError("missing avih main header")
     if n_declared != len(frames):

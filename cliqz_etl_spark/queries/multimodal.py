@@ -24,14 +24,14 @@ from cliqz_etl_spark.tables import load_table
 
 def _codec_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id-only scan, repartitioned iff the source file count cannot
-    fill the cluster (textops._spread_docs' discipline): the sf0.1 corpus
-    is ONE parquet file -> one scan split, which serializes the owned
-    pure-Python codecs onto a single core of 32. The shuffle moves only
-    the id column once; at production file counts it is a no-op and the
-    plan stays scan-side map."""
-    from cliqz_etl_spark.operators.dedup import _spread
+    fill the cluster: the sf0.1 corpus is ONE parquet file -> one scan
+    split, which serializes the owned pure-Python codecs onto a single
+    core of 32. Delegates to textops._spread_docs — ONE copy of the
+    spread-iff-single-split policy. At production file counts it is a
+    no-op and the plan stays scan-side map."""
+    from cliqz_etl_spark.queries.textops import _spread_docs
 
-    return _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return _spread_docs(spark, sf_dir, "doc_id")
 
 # Gate parameters for frame_sample_stats: 64-byte 'frames', every 2nd one
 # sampled — sized so the ~300-byte test documents produce multi-chunk blobs

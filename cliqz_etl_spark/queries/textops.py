@@ -866,24 +866,24 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size("tk")
     from cliqz_etl_spark.operators.cache import track
 
-    # persisted: uni feeds counts + total + two join sides; big feeds the
-    # pair agg + total (vocab-sized and stream-sized respectively — the
-    # totals are derived, never a second corpus scan)
+    # ONLY vocab-bounded frames persist: both totals derive from their
+    # aggregates (n_tok = sum of unigram counts, n_big = sum of pair
+    # counts taken BEFORE the support filter), so the corpus-sized token
+    # and bigram streams are each scanned exactly once and never cached
     uni = track(base.select(F.explode("tk").alias("w"))
                 .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
                 .persist())
     n_tok = uni.agg(F.sum("c").cast("long").alias("n_tok"))
-    big = track(base.where(n >= 2)
-                .select(F.explode(F.arrays_zip(
-                    F.slice("tk", F.lit(1), n - 1).alias("w1"),
-                    F.slice("tk", F.lit(2), n - 1).alias("w2"))).alias("bg"))
-                .select(F.col("bg.w1").alias("w1"),
-                        F.col("bg.w2").alias("w2"))
-                .persist())
-    pairs = (big.groupBy("w1", "w2")
-             .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-             .where(F.col("c_ab") >= _PMI_MIN_SUPPORT))
-    n_big = big.agg(F.count(F.lit(1)).cast("long").alias("n_big"))
+    all_pairs = track(
+        base.where(n >= 2)
+        .select(F.explode(F.arrays_zip(
+            F.slice("tk", F.lit(1), n - 1).alias("w1"),
+            F.slice("tk", F.lit(2), n - 1).alias("w2"))).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .persist())
+    pairs = all_pairs.where(F.col("c_ab") >= _PMI_MIN_SUPPORT)
+    n_big = all_pairs.agg(F.sum("c_ab").cast("long").alias("n_big"))
     ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     ratio = ((F.col("c_ab").cast("double") * F.col("n_tok").cast("double")

@@ -627,3 +627,13 @@ def test_avi_mjpeg_demux_roundtrip_and_errors():
     forged = avi[:pos] + struct.pack("<I", 9) + avi[pos + 4:]
     with pytest.raises(ValueError, match="declares"):
         decode_avi_mjpeg(forged)
+
+    # adversarial nesting (review finding): ~5000 nested LIST headers must
+    # walk iteratively to the missing-avih ValueError, never RecursionError
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"xxxx" + inner
+    deep = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(ValueError, match="avih"):
+        decode_avi_mjpeg(deep)

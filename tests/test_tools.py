@@ -83,7 +83,12 @@ def test_rotation_green_requires_all_three_flags(tmp_path):
 def test_round8_bench_normalizes_clean():
     """The round-8 verdict's two >1.5x raw rows were host drift; pinned
     here: at matching calibration NO round-8 row exceeds 1.5x, and the
-    two named rows normalize under 1.0."""
+    two named rows normalize under 1.0. Rows whose baseline was
+    RE-PINNED after round 8 are excluded — a later pin describes a
+    changed plan (e.g. the round-10 _codec_ids spread cut
+    gif_decode_stats 1.38 -> 0.48 s), so normalizing round-8's
+    single-split reading against it measures the improvement, not
+    drift."""
     bc = _load_bench_compare()
     bench = bc.load_bench("/root/repo/BENCH_r08.json")
     cal_now = bench["calibration"]["spark_job_sec"]
@@ -91,7 +96,7 @@ def test_round8_bench_normalizes_clean():
     over = []
     for name, sec in bench["queries"].items():
         base = baselines.get(name)
-        if base is None:
+        if base is None or (base["round"] or 0) > 8:
             continue
         norm = (sec / cal_now) / (base["sec"] / base["cal"])
         if norm > 1.5:

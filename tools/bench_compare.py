@@ -40,7 +40,13 @@ ROUND1_PY_CAL = 0.303
 
 
 def parse_baselines() -> dict[str, dict]:
-    """{query: {sec, cal, cal_py, stamped}} from BASELINE.md's tables."""
+    """{query: {sec, cal, cal_py, stamped, round}} from BASELINE.md.
+
+    ``round`` is the pin round from the source column ("bench.py,
+    round N"; None for rows that predate the convention) — historical
+    gates need it, because a baseline re-pinned after a plan change (e.g.
+    the round-10 _codec_ids spread) no longer describes the plan an OLD
+    bench artifact measured."""
     out: dict[str, dict] = {}
     for line in (REPO / "BASELINE.md").read_text().splitlines():
         m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*s\s*\|(.*)", line)
@@ -49,11 +55,13 @@ def parse_baselines() -> dict[str, dict]:
         name, sec, rest = m.group(1), float(m.group(2)), m.group(3)
         calm = re.search(r"spark(?:\s+job)?\s+([0-9.]+)\s*s", rest)
         pym = re.search(r"python(?:\s+loop)?\s+([0-9.]+)\s*s", rest)
+        rndm = re.search(r"bench\.py,\s*round\s+(\d+)", rest)
         out[name] = {
             "sec": sec,
             "cal": float(calm.group(1)) if calm else ROUND1_SPARK_CAL,
             "cal_py": float(pym.group(1)) if pym else ROUND1_PY_CAL,
             "stamped": bool(calm),
+            "round": int(rndm.group(1)) if rndm else None,
         }
     return out
 

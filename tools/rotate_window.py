@@ -125,9 +125,13 @@ def current_order() -> list[str]:
     return list(DRIVER_ORDER)
 
 
-def rotated(order: list[str], churn: list[str]) -> list[str]:
-    latest = latest_green_rounds(order)
-    red = currently_red(order)
+def rotated(order: list[str], churn: list[str],
+            latest: dict[str, int] | None = None,
+            red: set[str] | None = None) -> list[str]:
+    if latest is None or red is None:
+        green, any_row = latest_rounds(order)
+        latest = green
+        red = {n for n in order if any_row[n] > 0 and green[n] < any_row[n]}
     slot = {n: i for i, n in enumerate(order)}
     unknown = [n for n in churn if n not in slot]
     if unknown:
@@ -172,14 +176,18 @@ def main() -> int:
     args = ap.parse_args()
 
     order = current_order()
-    new_order = rotated(order, args.churn)
+    # ONE evidence pass (each latest_rounds call re-reads every
+    # CORRECTNESS_r*.json and re-resolves the pinned git commit)
+    green, any_row = latest_rounds(order)
+    red = {n for n in order if any_row[n] > 0 and green[n] < any_row[n]}
+    new_order = rotated(order, args.churn, latest=green, red=red)
     src = INIT.read_text()
     if BEGIN not in src or END not in src:
         raise SystemExit(f"markers not found in {INIT} — the generated-window "
                          "section was removed; restore the BEGIN/END comments")
     pre, rest = src.split(BEGIN, 1)
     _, post = rest.split(END, 1)
-    block = render(new_order, latest_green_rounds(order), currently_red(order))
+    block = render(new_order, green, red)
     out = pre + block + post
     if out == src:
         print(f"DRIVER_ORDER already rotated (window = {WINDOW} oldest)")
