@@ -66,6 +66,7 @@ DRIVER_ORDER: list[str] = [
     "mjpeg_frame_stats",
     "token_pmi",
     "kmv_set_algebra",
+    "streaming_dedup_screen",
     # ---- latest green row: r5 ----
     "minhash_signatures",
     "dedup_minhash_lsh",
@@ -108,8 +109,8 @@ DRIVER_ORDER: list[str] = [
     "text_stats",
     "revenue_by_nation",
     "price_quantity_corr",
-    "order_priority_checking",
     # ---------------- past the check window ----------------
+    "order_priority_checking",
     "forecast_revenue",
     "returned_item_top_customers",
     "priority_line_counts",

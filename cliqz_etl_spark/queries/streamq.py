@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.functions.hashing import md5_long_sql
 from cliqz_etl_spark.queries.analytics import SEQ_FUNNEL_ORACLE
+from cliqz_etl_spark.queries.dedup import _BUCKETS_CTE
 from cliqz_etl_spark.queries.sessions import _SESSION_CTE
 from cliqz_etl_spark.streaming.jobs import (
     click_purchase_join,
@@ -905,3 +906,62 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(n))
             .where(F.col("cnt") * SHH_K > F.col("n"))
             .select("user_id", "cnt"))
+
+
+def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a file-stream source (explicit schema, the file-stream
+    contract; matches the parquet layout the driver generates)."""
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+@query(
+    "streaming_dedup_screen",
+    # identical SQL to dedup_incremental's oracle: the streaming run must
+    # produce exactly the batch screen's candidate set (the established
+    # streaming-vs-batch equivalence discipline)
+    oracle=_BUCKETS_CTE + """
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    """,
+)
+def streaming_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup screening as a STREAM: arriving documents
+    (the doc_id % 5 == 0 slice, riding a file-stream source) are screened
+    inside foreachBatch against the accumulated corpus's LSH band index
+    (batch-side, precomputed once and reused across micro-batches), and
+    each micro-batch's matches append to a staged parquet sink. The
+    production ingest-dedup layout: the stream pays only its own
+    signatures per batch, corpus index partitions are read in place, and
+    the drained match set must equal the batch screen pair-for-pair
+    (dedup_incremental's oracle, verbatim). foreachBatch is at-least-once
+    per batch; the one-shot availableNow drain into a fresh staging dir
+    keeps this run exactly-once, and a production deployment would key
+    the sink by batchId (the jsonl_sink/run_to_upsert discipline)."""
+    import tempfile
+
+    from cliqz_etl_spark.operators.dedup import incremental_lsh_matches
+    from cliqz_etl_spark.queries.dedup import N_BANDS, N_PERM, SHINGLE_K
+    from cliqz_etl_spark.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 != 0)
+    batch_stream = _doc_stream(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    out = tempfile.mkdtemp(prefix="stream_dedup_screen_")
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_screen_ckpt_")
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        (incremental_lsh_matches(batch, corpus, "doc_id", "text",
+                                 N_PERM, N_BANDS, SHINGLE_K)
+         .write.mode("append").parquet(out))
+
+    (batch_stream.writeStream.foreachBatch(screen)
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True).start().awaitTermination())
+    # distinct batch-side: re-delivered docs across micro-batches (the
+    # at-least-once ingest case) collapse to one candidate row
+    return spark.read.parquet(out).select("new_id", "corpus_id").distinct()
