@@ -1187,7 +1187,8 @@ def product_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             WHERE n.n_name = 'NATION_7')
         GROUP BY l_partkey
     )
-    SELECT l_partkey AS l_partkey, value_cents AS value_cents
+    SELECT l_partkey AS l_partkey,
+           CAST(value_cents AS BIGINT) AS value_cents
     FROM v
     WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM v)
     """,
