@@ -38,9 +38,12 @@ def test_round9_truncated_tail_recovers():
     assert bench["queries"]["cluster_topics"] == 1.795
 
 
-def test_tail_recovery_rejects_mid_queries_clip():
-    """A tail clipped INSIDE the queries map must fail loudly, not return
-    a silently partial comparison."""
+def test_tail_recovery_handles_mid_queries_clip():
+    """Round-10 postmortem: the driver tail can clip INSIDE the queries
+    map (BENCH_r10.json opens at `"map_valued_agg":`), losing the
+    `"queries"` literal itself. Recovery must rebuild the object with a
+    synthetic `{"queries": {` prefix — partial keys beat a dead gate —
+    and still fail loudly on a tail with no parseable close."""
     import pytest
 
     bc = _load_bench_compare()
@@ -49,8 +52,22 @@ def test_tail_recovery_rejects_mid_queries_clip():
     assert bc._recover_from_tail(good, "x")["queries"] == {"a": 0.5, "b": 0.7}
     clipped_prefix = good[18:]  # mid-token, before "queries"
     assert bc._recover_from_tail(clipped_prefix, "x")["queries"]["b"] == 0.7
+    mid_map = good[good.index('"a"'):]  # clipped inside the queries map
+    rec = bc._recover_from_tail(mid_map, "x")
+    assert rec["queries"] == {"a": 0.5, "b": 0.7} and rec["sf"] == 0.1
     with pytest.raises(SystemExit):
-        bc._recover_from_tail(good[good.index('"a"'):], "x")
+        bc._recover_from_tail('gibberish with no brace', "x")
+
+
+def test_round10_mid_map_tail_recovers():
+    """BENCH_r10.json as committed: tail clipped inside the queries map.
+    load_bench must reconstruct the map and calibration — verbatim
+    artifact, no fixture."""
+    bc = _load_bench_compare()
+    bench = bc.load_bench("/root/repo/BENCH_r10.json")
+    assert "queries" in bench and len(bench["queries"]) >= 60
+    assert bench["calibration"]["spark_job_sec"] == 0.535
+    assert bench["queries"]["kmv_set_algebra"] == 1.094
 
 
 def test_rotation_green_requires_all_three_flags(tmp_path):

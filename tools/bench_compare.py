@@ -76,7 +76,27 @@ def load_bench(path: str | None) -> dict:
     # driver-recorded files wrap the JSON line in a {"tail": "..."} capture
     if "queries" not in raw and "tail" in raw:
         raw = _recover_from_tail(raw["tail"], path)
+        raw = _prefer_self_recorded(raw)
     return raw
+
+
+def _prefer_self_recorded(recovered: dict) -> dict:
+    """Swap a tail-recovered (possibly front-clipped) object for bench.py's
+    own complete BENCH_LAST.json, when the two demonstrably describe the
+    same run (every recovered query time appears verbatim in the artifact).
+    The tail capture then serves as the fallback it was meant to be."""
+    p = REPO / "BENCH_LAST.json"
+    if not p.exists():
+        return recovered
+    try:
+        full = json.loads(p.read_text())
+    except ValueError:
+        return recovered
+    fq, rq = full.get("queries"), recovered.get("queries", {})
+    if isinstance(fq, dict) and rq and all(
+            fq.get(k) == v for k, v in rq.items()):
+        return full
+    return recovered
 
 
 def _recover_from_tail(tail: str, path: str) -> dict:
@@ -93,20 +113,33 @@ def _recover_from_tail(tail: str, path: str) -> dict:
     m = re.search(r'\{"metric".*\}', tail)
     if m:
         return json.loads(m.group(0))
-    if '"queries"' not in tail:
-        raise SystemExit(f"{path}: no bench JSON line in tail")
     end = tail.rfind("}") + 1
+    if '"queries"' in tail:
+        for i, ch in enumerate(tail[:end]):
+            if ch != '"':
+                continue
+            try:
+                obj = json.loads("{" + tail[i:end])
+            except ValueError:
+                continue
+            if isinstance(obj, dict) and "queries" in obj:
+                return obj
+    # Deeper clip: the tail starts INSIDE the queries map itself (a
+    # `"name": sec` run — BENCH_r10.json opens at `"map_valued_agg":`).
+    # The map closes with `}, "sf": ..., "calibration": {...}}`, so
+    # re-opening it with a synthetic `{"queries": {` prefix at each
+    # candidate key-quote rebuilds the object; only the keys clipped off
+    # the front are lost, never the calibration probe.
     for i, ch in enumerate(tail[:end]):
         if ch != '"':
             continue
         try:
-            obj = json.loads("{" + tail[i:end])
+            obj = json.loads('{"queries": {' + tail[i:end])
         except ValueError:
             continue
-        if isinstance(obj, dict) and "queries" in obj:
+        if isinstance(obj, dict) and isinstance(obj.get("queries"), dict):
             return obj
-    raise SystemExit(f"{path}: bench JSON line in tail is unrecoverable "
-                     "(clipped inside the queries map)")
+    raise SystemExit(f"{path}: bench JSON line in tail is unrecoverable")
 
 
 def main() -> int:
