@@ -219,3 +219,58 @@ def ranged_ntile(df: DataFrame, order_cols: list[str], k: int,
     return (ranked.crossJoin(F.broadcast(n_total))
             .withColumn(out_col, F.expr(expr))
             .drop("__pid", "__one", "__w", "__o", "__rank", "__n"))
+
+
+def kmin_hashes(df: DataFrame, group_col: str, hash_col: str,
+                k: int) -> DataFrame:
+    """Per-group k smallest DISTINCT values of ``hash_col`` — the KMV
+    sketch build — as a mergeable bounded-state pass.
+
+    The naive build (``row_number() OVER (PARTITION BY group ORDER BY h)``
+    over the distinct hashes) funnels EVERY distinct hash of a group into
+    one task's sort: with a constant-cardinality group key (event types,
+    tenants) that is a data-sized single-task window — the round-10 scale
+    flag. k-smallest-of-distinct is associative, so the sketch merges the
+    way every production theta-sketch library's does instead:
+
+    1. one Arrow-batched pass holds, per task, at most k values per group
+       (numpy merge of per-batch uniques) and emits them — output is
+       bounded by k x groups x partitions rows, never data-sized;
+    2. the final k smallest per group over that bounded union runs in a
+       window whose partitions hold at most k x n_input_partitions rows.
+
+    Output is bit-identical to the naive build for any partitioning: a
+    hash in the true global k-minimum set is in its partition's local
+    k-minimum set (fewer distinct values can precede it locally than
+    globally). NULL hashes are dropped (md5(NULL) is NULL — no key).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = df.select(group_col, hash_col).schema
+
+    def local_kmin(batches):
+        state: dict = {}
+        for pdf in batches:
+            for g, grp in pdf.groupby(group_col, dropna=False, sort=False):
+                # nullable long batches arrive float64 in pandas; 2^60-scale
+                # hashes do not survive float64 — re-anchor to int64 after
+                # the nulls are gone
+                u = grp[hash_col].dropna().astype("int64").unique()
+                if len(u) == 0:
+                    continue
+                prev = state.get(g)
+                merged = np.unique(u) if prev is None else \
+                    np.unique(np.concatenate([prev, u]))
+                state[g] = merged[:k]
+        if state:
+            yield pd.DataFrame({
+                group_col: [g for g, arr in state.items() for _ in arr],
+                hash_col: np.concatenate(list(state.values())),
+            })
+
+    cand = df.select(group_col, hash_col).mapInPandas(local_kmin, out_schema)
+    w = Window.partitionBy(group_col).orderBy(F.asc(hash_col))
+    return (cand.distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))

@@ -315,26 +315,33 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via a K=32 minimum-values sketch,
     beside the exact count. Groups with fewer than K distinct keys fall
     back to the exact small-set count (the sketch stores the keys
-    themselves below K — standard KMV behavior)."""
+    themselves below K — standard KMV behavior).
+
+    Plan shape (round-11 rebuild): the sketch is kmin_hashes' mergeable
+    bounded-state pass — one Arrow stage holding K values per (task,
+    type), then K-of-the-bounded-union — and the exact count is a
+    partially-aggregated count(DISTINCT). NOTHING here sorts a
+    data-sized partition: the old build's row_number window partitioned
+    by the 5-value event_type funneled every distinct hash of a type
+    into one task (the round-10 scale flag)."""
     from cliqz_etl_spark.functions.hashing import md5_long
+    from cliqz_etl_spark.operators.stats import kmin_hashes
 
     ev = load_table(spark, sf_dir, "events")
-    hashed = (ev.select("event_type", md5_long(F.col("user_id")).alias("h"))
-              .distinct())
-    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
-    wc = Window.partitionBy("event_type")
-    ranked = hashed.select(
-        "event_type", "h",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n_distinct"),
-    )
-    kth = F.when(F.col("n_distinct") >= KMV_K, F.lit(KMV_K)).otherwise(F.col("n_distinct"))
+    hashed = ev.select("event_type", md5_long(F.col("user_id")).alias("h"))
+    exact = hashed.groupBy("event_type").agg(
+        F.countDistinct("h").alias("n_distinct"))
+    # kth smallest per type from the bounded sketch (= the largest value
+    # the K-truncated sketch retains; below K distinct the sketch holds
+    # all of them and est falls back to the exact count anyway)
+    sketch = (kmin_hashes(hashed, "event_type", "h", KMV_K)
+              .groupBy("event_type").agg(F.max("h").alias("h")))
     est = (F.when(F.col("n_distinct") >= KMV_K,
                   F.floor(F.lit(float(KMV_K - 1)) * _KMV_DOMAIN
                           / F.col("h").cast("double") + 0.5))
            .otherwise(F.col("n_distinct")))
     return (
-        ranked.where(F.col("rn") == kth)
+        exact.join(F.broadcast(sketch), "event_type")
         .select("event_type", est.cast("long").alias("est_distinct"),
                 F.col("n_distinct").cast("long").alias("exact_distinct"))
     )
@@ -1975,12 +1982,16 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated from two K=32 sketches, beside the exact counts.
 
     Plan shape: ONE distinct over (type, hash) — the only data-sized
-    shuffle; the per-side sketch is a type-partitioned top-K window; all
-    theta/membership/estimate algebra runs on <= 2K rows of broadcast
-    frames. Below K distinct union hashes the estimates fall back to the
-    exact small-set counts (standard KMV behavior)."""
+    shuffle, feeding the exact counts; the per-side sketch is
+    kmin_hashes' mergeable bounded-state pass (round-11 rebuild: the old
+    type-partitioned row_number window sorted every distinct hash of a
+    side in one task); all theta/membership/estimate algebra runs on
+    <= 2K rows of broadcast frames. Below K distinct union hashes the
+    estimates fall back to the exact small-set counts (standard KMV
+    behavior)."""
     from cliqz_etl_spark.functions.hashing import md5_long
     from cliqz_etl_spark.operators.cache import track
+    from cliqz_etl_spark.operators.stats import kmin_hashes
 
     ev = load_table(spark, sf_dir, "events")
     hashed = track(
@@ -1988,10 +1999,7 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & F.col("user_id").isNotNull())
         .select("event_type", md5_long(F.col("user_id")).alias("h"))
         .distinct().persist())
-    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
-    sk = (hashed.select("event_type", "h",
-                        F.row_number().over(w).alias("rn"))
-          .where(F.col("rn") <= KMV_K).select("event_type", "h"))
+    sk = kmin_hashes(hashed, "event_type", "h", KMV_K)
     # everything from here on is sketch-sized (<= 2K rows)
     uni = (sk.select("h").distinct()
            .select("h",

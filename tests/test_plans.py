@@ -70,6 +70,41 @@ def test_semi_join_is_broadcast(spark):
     assert "LeftSemi" in plan and "Broadcast" in plan
 
 
+@pytest.mark.parametrize("name", ["kmv_distinct_users", "kmv_set_algebra"])
+def test_kmv_sketch_build_is_bounded(spark, name):
+    """Round-11 gate: no data-sized row_number window partitioned by a
+    constant-cardinality key. The KMV sketch build must be kmin_hashes'
+    mergeable bounded-state pass — a MapInPandas candidate stage — and
+    every Window sort in the plan may only consume that stage's bounded
+    output: a Window whose subtree reaches a FileScan without passing
+    through MapInPandas is sorting the raw data in one task per
+    event_type (the round-10 scale flag)."""
+    plan = _plan(spark, name)
+    assert "MapInPandas" in plan, name
+    lines = plan.splitlines()
+
+    def _depth(s: str) -> int:
+        i = 0
+        while i < len(s) and s[i] in " :+-*(0123456789)":
+            i += 1
+        return i
+
+    for idx, line in enumerate(lines):
+        if "Window" not in line:
+            continue
+        d = _depth(line)
+        subtree = []
+        for nxt in lines[idx + 1:]:
+            if nxt.strip() and _depth(nxt) <= d and not nxt.startswith("=="):
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        if "FileScan" in sub or "BatchScan" in sub:
+            assert "MapInPandas" in sub, (
+                f"{name}: Window over a raw scan (data-sized single-task "
+                f"sort):\n{line}\n{sub[:500]}")
+
+
 def test_no_accidental_cartesian(spark):
     """Cartesian products only where the algorithm is genuinely all-pairs
     against a broadcast side (ANN brute force, IVF centroid assignment)."""
@@ -307,6 +342,12 @@ _PLAN_BUDGET = {
     # TPC-H Q20 analogue: nested semi-joins — one (supp,part) agg shuffle;
     # part keys and the qualifying-supplier aggregate both broadcast
     "promotable_part_suppliers": (2, 0),
+    # KMV bounded build: exact countDistinct (2 exchanges) + the three
+    # sketch-sized exchanges (candidate distinct, k-of-union window,
+    # per-type max); the single python stage is the kmin_hashes pass
+    "kmv_distinct_users": (4, 1),
+    # set algebra adds theta/membership joins over <=2K-row frames
+    "kmv_set_algebra": (5, 1),
 }
 
 
