@@ -890,8 +890,12 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
               * F.col("n_tok").cast("double"))
              / (F.col("c_a").cast("double") * F.col("c_b").cast("double")
                 * F.col("n_big").cast("double")))
-    return (pairs.join(F.broadcast(ua), "w1")
-            .join(F.broadcast(ub), "w2")
+    # vocab joins un-hinted (round-11): at corpus scale the unigram table
+    # is NOT broadcastable — a forced hint would OOM the driver at 100 TB
+    # while AQE already broadcasts it at runtime whenever it measures
+    # small; only the provably 1-row totals keep explicit hints
+    return (pairs.join(ua, "w1")
+            .join(ub, "w2")
             .crossJoin(F.broadcast(n_tok))
             .crossJoin(F.broadcast(n_big))
             .select("w1", "w2", F.col("c_ab").alias("pair_count"),
