@@ -942,6 +942,9 @@ def streaming_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch; the one-shot availableNow drain into a fresh staging dir
     keeps this run exactly-once, and a production deployment would key
     the sink by batchId (the jsonl_sink/run_to_upsert discipline)."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from cliqz_etl_spark.operators.dedup import incremental_lsh_matches
@@ -951,8 +954,13 @@ def streaming_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 5 != 0)
     batch_stream = _doc_stream(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
-    out = tempfile.mkdtemp(prefix="stream_dedup_screen_")
-    ckpt = tempfile.mkdtemp(prefix="stream_dedup_screen_ckpt_")
+    # stable per-sf_dir staging root, wiped per call — mkdtemp per
+    # invocation leaked a pair of dirs every run (the running_user_totals
+    # drain discipline, applied here after the round-10 review)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"cliqz_dedup_screen_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
 
     def screen(batch: DataFrame, batch_id: int) -> None:
         (incremental_lsh_matches(batch, corpus, "doc_id", "text",
@@ -964,4 +972,6 @@ def streaming_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
      .trigger(availableNow=True).start().awaitTermination())
     # distinct batch-side: re-delivered docs across micro-batches (the
     # at-least-once ingest case) collapse to one candidate row
+    if not os.path.isdir(out):  # no matching source file: no batch wrote
+        return spark.createDataFrame([], "new_id long, corpus_id long")
     return spark.read.parquet(out).select("new_id", "corpus_id").distinct()

@@ -128,7 +128,11 @@ def current_order() -> list[str]:
 def rotated(order: list[str], churn: list[str],
             latest: dict[str, int] | None = None,
             red: set[str] | None = None) -> list[str]:
-    if latest is None or red is None:
+    if (latest is None) != (red is None):
+        raise ValueError(
+            "rotated(): supply BOTH latest and red or NEITHER — a lone "
+            "injection would be silently recomputed and overwritten")
+    if latest is None:
         green, any_row = latest_rounds(order)
         latest = green
         red = {n for n in order if any_row[n] > 0 and green[n] < any_row[n]}
