@@ -56,60 +56,8 @@ DRIVER_ORDER: list[str] = [
     # green evidence; the driver checks slots 1-50. Regenerate after
     # each driver run:  python tools/rotate_window.py
     # ---- RED latest row ----
-    "decimal_money_rollup",
-    # ---- latest green row: rnew/churn ----
-    "min_cost_supplier",
-    "product_profit_rollup",
     "important_part_value",
-    "promotable_part_suppliers",
-    "jpeg_lossy_stats",
-    "mjpeg_frame_stats",
-    "token_pmi",
-    "kmv_set_algebra",
-    "streaming_dedup_screen",
-    # ---- latest green row: r5 ----
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "simhash_values",
-    "dedup_simhash",
-    "stratified_sample",
-    "train_test_split",
-    "normalize_text",
-    "multimodal_meta",
-    "pricing_summary",
-    "earliest_order_per_customer",
-    "semi_join_orders",
-    "anti_join_customers",
-    "map_valued_agg",
-    "regex_validity_filter",
-    "scalar_gauntlet",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
     # ---- latest green row: r6 ----
-    "nations_in_region",
-    "sample_10pct",
-    "ann_topk",
-    "ann_ivf",
-    "ann_ivf_multiprobe",
-    "ivf_clusters",
-    "ivf_clusters_trained",
-    "embedding_near_pairs",
-    "rhp_signatures",
-    "ann_rhp",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_clusters",
-    "curation_pipeline",
-    "pack_sequences",
-    "mask_terms",
-    "contamination_check",
-    "repetition_ratio",
-    "tfidf_search",
-    "text_stats",
-    "revenue_by_nation",
-    "price_quantity_corr",
-    # ---------------- past the check window ----------------
     "order_priority_checking",
     "forecast_revenue",
     "returned_item_top_customers",
@@ -139,6 +87,7 @@ DRIVER_ORDER: list[str] = [
     "streaming_hourly_counts",
     "streaming_dedup",
     # ---- latest green row: r7 ----
+    "kmv_distinct_users",
     "orc_roundtrip_revenue",
     "chunk_documents",
     "schema_evolution_union",
@@ -159,6 +108,7 @@ DRIVER_ORDER: list[str] = [
     "bucketed_join_revenue",
     "salted_event_counts",
     "salted_join_value_by_type",
+    # ---------------- past the check window ----------------
     "sessionize",
     "session_stats",
     "sessionize_native",
@@ -166,7 +116,6 @@ DRIVER_ORDER: list[str] = [
     "longest_streak",
     "range_join_close_events",
     "countmin_user_counts",
-    "kmv_distinct_users",
     "streaming_sessions",
     "streaming_stream_join",
     "daily_activity_filled",
@@ -290,6 +239,56 @@ DRIVER_ORDER: list[str] = [
     "order_rank_family",
     "region_status_grid",
     "dedup_exact",
+    # ---- latest green row: r10 ----
+    "decimal_money_rollup",
+    "min_cost_supplier",
+    "product_profit_rollup",
+    "promotable_part_suppliers",
+    "jpeg_lossy_stats",
+    "mjpeg_frame_stats",
+    "token_pmi",
+    "kmv_set_algebra",
+    "streaming_dedup_screen",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash_values",
+    "dedup_simhash",
+    "stratified_sample",
+    "train_test_split",
+    "normalize_text",
+    "multimodal_meta",
+    "pricing_summary",
+    "earliest_order_per_customer",
+    "semi_join_orders",
+    "anti_join_customers",
+    "map_valued_agg",
+    "regex_validity_filter",
+    "scalar_gauntlet",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "nations_in_region",
+    "sample_10pct",
+    "ann_topk",
+    "ann_ivf",
+    "ann_ivf_multiprobe",
+    "ivf_clusters",
+    "ivf_clusters_trained",
+    "embedding_near_pairs",
+    "rhp_signatures",
+    "ann_rhp",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
+    "dedup_clusters",
+    "curation_pipeline",
+    "pack_sequences",
+    "mask_terms",
+    "contamination_check",
+    "repetition_ratio",
+    "tfidf_search",
+    "text_stats",
+    "revenue_by_nation",
+    "price_quantity_corr",
     # === END GENERATED WINDOW ===
 ]
 
