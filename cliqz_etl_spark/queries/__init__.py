@@ -57,6 +57,10 @@ DRIVER_ORDER: list[str] = [
     # each driver run:  python tools/rotate_window.py
     # ---- RED latest row ----
     "important_part_value",
+    # ---- latest green row: rnew/churn ----
+    "curation_funnel_audit",
+    "boilerplate_ngram_profile",
+    "quality_pr_curve",
     # ---- latest green row: r6 ----
     "order_priority_checking",
     "forecast_revenue",
@@ -105,10 +109,10 @@ DRIVER_ORDER: list[str] = [
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
+    # ---------------- past the check window ----------------
     "bucketed_join_revenue",
     "salted_event_counts",
     "salted_join_value_by_type",
-    # ---------------- past the check window ----------------
     "sessionize",
     "session_stats",
     "sessionize_native",
@@ -461,9 +465,12 @@ def load_all() -> dict[str, Query]:
     )
     missing = [n for n in DRIVER_ORDER if n not in REGISTRY]
     unlisted = [n for n in REGISTRY if n not in DRIVER_ORDER]
-    if missing or unlisted:
+    from collections import Counter
+    dupes = [n for n, c in Counter(DRIVER_ORDER).items() if c > 1]
+    if missing or unlisted or dupes:
         raise ValueError(
             f"query registry / DRIVER_ORDER drift: missing={missing} "
-            f"unlisted={unlisted} — every registered query must occupy "
-            f"exactly one slot in DRIVER_ORDER")
+            f"unlisted={unlisted} dupes={dupes} — every registered query "
+            f"must occupy exactly one slot in DRIVER_ORDER (a duplicate "
+            f"makes later slots shadow the window the gates check)")
     return {n: REGISTRY[n] for n in DRIVER_ORDER}

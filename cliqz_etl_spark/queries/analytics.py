@@ -293,9 +293,14 @@ _KMV_H = _md5_long_sql("user_id")
     "kmv_distinct_users",
     oracle=f"""
     WITH hashed AS (
+        -- NULL users are no user (fuzz-pinned, the kmv_set_algebra
+        -- contract): md5(NULL) is NULL, the engines sort NULL hashes to
+        -- opposite window ends, and a bounded sketch has no slot for a
+        -- keyless row — filtered identically on both sides
         SELECT DISTINCT event_type,
                {_KMV_H} AS h
         FROM events
+        WHERE user_id IS NOT NULL
     ), ranked AS (
         SELECT event_type, h,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn,
@@ -327,7 +332,8 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliqz_etl_spark.functions.hashing import md5_long
     from cliqz_etl_spark.operators.stats import kmin_hashes
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull())
     hashed = ev.select("event_type", md5_long(F.col("user_id")).alias("h"))
     exact = hashed.groupBy("event_type").agg(
         F.countDistinct("h").alias("n_distinct"))
@@ -340,9 +346,13 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.floor(F.lit(float(KMV_K - 1)) * _KMV_DOMAIN
                           / F.col("h").cast("double") + 0.5))
            .otherwise(F.col("n_distinct")))
+    # null-safe join key: a NULL event_type is still a group (fuzz-pinned)
+    # and a plain equi-join would silently drop it
     return (
-        exact.join(F.broadcast(sketch), "event_type")
-        .select("event_type", est.cast("long").alias("est_distinct"),
+        exact.join(F.broadcast(sketch),
+                   exact["event_type"].eqNullSafe(sketch["event_type"]))
+        .select(exact["event_type"],
+                est.cast("long").alias("est_distinct"),
                 F.col("n_distinct").cast("long").alias("exact_distinct"))
     )
 

@@ -371,6 +371,168 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Curation funnel audit: FIRST-failing-rule attribution over the Gopher
+# cascade — the production "where did 40% of the corpus go" report every
+# large-scale curation run ships with. Each document is attributed to the
+# first rule (in the pipeline's documented order) that rejects it, or to
+# 'pass'; output is one row per stage with the doc count and corpus share
+# in ppm (integer division — exact cross-engine). NULL text yields NULL
+# rule predicates; coalesce(rule, FALSE) attributes those to the first
+# stage, matching what a cascade that can't evaluate a rule must do.
+# --------------------------------------------------------------------------
+_FUNNEL_STAGES = ["ok_len", "ok_word_len", "ok_alpha", "ok_symbol",
+                  "ok_stopwords"]
+
+
+def _duck_funnel_stage() -> str:
+    cases = " ".join(
+        f"WHEN NOT COALESCE(({cond}), FALSE) THEN '{name}'"
+        for name, cond in [
+            ("ok_len", f"n_tok BETWEEN {GOPHER_MIN_TOK} AND {GOPHER_MAX_TOK}"),
+            ("ok_word_len", f"total_chars >= {GOPHER_MIN_MWL} * n_tok"
+                            f" AND total_chars <= {GOPHER_MAX_MWL} * n_tok"),
+            ("ok_alpha", "5 * n_alpha >= 4 * n_tok"),
+            ("ok_symbol", "10 * n_sym <= n_tok"),
+            ("ok_stopwords", "n_stop >= 2"),
+        ])
+    return f"CASE {cases} ELSE 'pass' END"
+
+
+@query(
+    "curation_funnel_audit",
+    oracle=f"""
+    {_duck_gopher_base()}
+    , staged AS (
+        SELECT {_duck_funnel_stage()} AS stage FROM m
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM staged)
+    SELECT stage AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((1000000 * COUNT(*)) // n_total AS BIGINT) AS share_ppm
+    FROM staged CROSS JOIN tot
+    GROUP BY stage, n_total
+    """,
+)
+def curation_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-attribution funnel for the Gopher cascade: per stage, how
+    many documents fail FIRST at that rule (plus the 'pass' bucket) and
+    the corpus share in ppm.
+
+    Plan shape: the stage label is a scan-side CASE over gopher_metrics'
+    whole-stage-codegen expressions — zero pre-agg shuffles; the groupBy
+    output is at most 6 rows, and the corpus total rides a broadcast
+    1-row aggregate. At 100 TB this is one pass over documents with a
+    6-row result, the cheapest possible full-corpus audit."""
+    m = gopher_metrics(_spread_docs(spark, sf_dir, "doc_id", "text"))
+    rules = gopher_rule_cols()
+    stage = F.lit("pass")
+    for name in reversed(_FUNNEL_STAGES):
+        stage = F.when(~F.coalesce(rules[name], F.lit(False)),
+                       F.lit(name)).otherwise(stage)
+    staged = m.select(stage.alias("stage"))
+    total = staged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (staged.groupBy("stage")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .crossJoin(F.broadcast(total))
+            .select("stage", "n_docs",
+                    F.expr("CAST((1000000 * n_docs) div n_total AS BIGINT)")
+                    .alias("share_ppm")))
+
+
+# --------------------------------------------------------------------------
+# Per-source boilerplate detection by DOCUMENT frequency (the CCNet /
+# Dolma pass that strips nav bars, footers, cookie banners): an n-gram is
+# boilerplate for a source when it appears in at least a fifth of that
+# source's documents (and at least BOILER_MIN_DF of them — the absolute
+# floor keeps tiny sources from declaring everything boilerplate). Unlike
+# dedup_exact_substrings (occurrence-duplicate: ANY earlier occurrence),
+# this is a df-threshold rule — a phrase repeated 50 times inside one
+# document is repetition, not boilerplate. W=2 keeps the oracle
+# discriminative on the synthetic corpus; production would use 5-13-token
+# grams and hash them (md5_long) instead of carrying strings.
+# --------------------------------------------------------------------------
+BOILER_W = 2
+BOILER_MIN_DF = 3
+BOILER_DF_MULT = 5  # boilerplate iff df >= n_src_docs / BOILER_DF_MULT
+
+
+@query(
+    "boilerplate_ngram_profile",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, {_DUCK_TOKENS} AS tk
+        FROM documents
+        WHERE trim(text) <> '' AND len({_DUCK_TOKENS}) >= {BOILER_W}
+    ), pos AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(len(tk) - {BOILER_W - 1}),
+                   i -> array_to_string(tk[i + 1 : i + {BOILER_W}], ' ')))
+                   AS gram
+        FROM t
+    ), df AS (
+        SELECT source, gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM pos GROUP BY source, gram
+    ), src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_src_docs FROM t
+        GROUP BY source
+    ), boiler AS (
+        SELECT df.source, df.gram
+        FROM df JOIN src USING (source)
+        WHERE {BOILER_DF_MULT} * df.df >= src.n_src_docs AND df.df >= {BOILER_MIN_DF}
+    )
+    SELECT p.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST((sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS boiler_ppm
+    FROM pos p LEFT JOIN boiler b
+      ON b.source = p.source AND b.gram = p.gram
+    GROUP BY p.doc_id
+    """,
+)
+def boilerplate_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a doc's W-gram
+    positions whose gram is source-level boilerplate (df >= a fifth of
+    the source's docs, df >= 3), in integer ppm — the removal mask the
+    boilerplate-strip rewrite applies.
+
+    Plan shape: grams are a scan-side transform+explode (never hit
+    disk); df is ONE groupBy(source, gram) with map-side combine (the
+    hot boilerplate grams collapse per-partition before the shuffle —
+    exactly the keys that would otherwise skew); the per-source doc
+    totals broadcast; the boiler set joins back per (source, gram)
+    un-hinted so AQE broadcasts it when it measures small (it is
+    df-filtered, so at 100 TB it is the rare-tail-free head of the gram
+    distribution, usually broadcastable); one final groupBy(doc_id)."""
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text", "source")
+    tk = T.tokens("text")
+    t = (docs.where((F.trim("text") != "") & (F.size(tk) >= BOILER_W))
+         .select("doc_id", "source", tk.alias("tk")))
+    pos = t.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(tk) - {BOILER_W}), "
+            f"i -> array_join(slice(tk, i + 1, {BOILER_W}), ' '))"
+        )).alias("gram"))
+    df = (pos.groupBy("source", "gram")
+          .agg(F.countDistinct("doc_id").alias("df")))
+    src = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src_docs"))
+    boiler = (df.join(F.broadcast(src), "source")
+              .where((BOILER_DF_MULT * F.col("df") >= F.col("n_src_docs"))
+                     & (F.col("df") >= BOILER_MIN_DF))
+              .select("source", "gram", F.lit(1).alias("is_boiler")))
+    return (pos.join(boiler, ["source", "gram"], "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pos"),
+                 F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+                 .cast("long").alias("n_boiler"))
+            .select("doc_id", "n_pos", "n_boiler",
+                    F.expr("CAST((n_boiler * 1000000) div n_pos AS BIGINT)")
+                    .alias("boiler_ppm")))
+
+
+# --------------------------------------------------------------------------
 # Corpus-trained unigram frequency score: how "typical" is a document's
 # vocabulary relative to the whole corpus. The score is the mean corpus
 # frequency of the document's tokens, in parts-per-million, computed with
@@ -706,9 +868,12 @@ def _nb_term_sql() -> str:
             " AS DOUBLE)) + 0.5) AS BIGINT)")
 
 
-@query(
-    "nb_quality_classifier",
-    oracle=f"""
+def _nb_score_ctes() -> str:
+    """The full NB score pipeline as a CTE chain ending in ``scores``
+    (doc_id, score_milli, predicted, passes) — shared VERBATIM by the
+    classifier query and the PR-curve sweep so the two oracles can never
+    drift from each other."""
+    return f"""
     {_duck_gopher_base()}
     , labeled AS (
         SELECT b.doc_id, b.tk, COALESCE(({DUCK_GOPHER_RULES}), FALSE) AS y
@@ -740,14 +905,23 @@ def _nb_term_sql() -> str:
         SELECT a.doc_id, SUM({_nb_term_sql()}) AS ev_milli
         FROM alltok a LEFT JOIN counts c ON c.w = a.w CROSS JOIN tot
         GROUP BY a.doc_id
+    ), scores AS (
+        SELECT l.doc_id AS doc_id,
+               CAST(pr.prior_milli + COALESCE(e.ev_milli, 0) AS BIGINT)
+                   AS score_milli,
+               (pr.prior_milli + COALESCE(e.ev_milli, 0)) > 0 AS predicted,
+               l.y AS passes
+        FROM labeled l LEFT JOIN evidence e ON e.doc_id = l.doc_id
+        CROSS JOIN pr
     )
-    SELECT l.doc_id AS doc_id,
-           CAST(pr.prior_milli + COALESCE(e.ev_milli, 0) AS BIGINT)
-               AS score_milli,
-           (pr.prior_milli + COALESCE(e.ev_milli, 0)) > 0 AS predicted,
-           l.y AS passes
-    FROM labeled l LEFT JOIN evidence e ON e.doc_id = l.doc_id
-    CROSS JOIN pr
+    """
+
+
+@query(
+    "nb_quality_classifier",
+    oracle=f"""
+    {_nb_score_ctes()}
+    SELECT doc_id, score_milli, predicted, passes FROM scores
     """,
 )
 def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,6 +975,73 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     score.cast("long").alias("score_milli"),
                     (score > 0).alias("predicted"),
                     F.col("y").alias("passes")))
+
+
+# --------------------------------------------------------------------------
+# Classifier operating-point sweep: precision/recall at each candidate
+# decision threshold over the NB scores — how a production quality filter
+# picks its cutoff before committing a trillion-token filtering run. The
+# score pipeline is nb_quality_classifier VERBATIM (shared CTE / shared
+# frame), so the sweep can never drift from the classifier it audits.
+# Metrics in integer ppm (floor division — exact cross-engine); empty
+# denominators yield NULL on both engines.
+# --------------------------------------------------------------------------
+PR_THRESHOLDS_MILLI = [-2000, -1000, 0, 1000, 2000]
+
+
+@query(
+    "quality_pr_curve",
+    oracle=f"""
+    {_nb_score_ctes()}
+    , thr AS (
+        SELECT unnest([{", ".join(str(t) for t in PR_THRESHOLDS_MILLI)}])
+            AS thr_milli
+    ), conf AS (
+        SELECT CAST(thr_milli AS BIGINT) AS thr_milli,
+               CAST(SUM(CASE WHEN score_milli > thr_milli AND passes
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN score_milli > thr_milli AND NOT passes
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN score_milli <= thr_milli AND passes
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN score_milli <= thr_milli AND NOT passes
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM scores CROSS JOIN thr GROUP BY thr_milli
+    )
+    SELECT thr_milli, tp, fp, fn, tn,
+           CAST(CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp)
+                END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn)
+                END AS BIGINT) AS recall_ppm
+    FROM conf
+    """,
+)
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall (ppm) of the NB quality classifier at each
+    candidate threshold, against the Gopher labels.
+
+    Plan shape: one NB scoring pass (nb_quality_classifier's own frame),
+    cross-joined with the 5-row broadcast threshold list, ONE groupBy
+    over 5 keys with map-side combine — the sweep costs one aggregation
+    regardless of corpus size, which is why production filter tuning
+    sweeps thresholds in a single job instead of re-running the filter
+    per cutoff."""
+    scores = nb_quality_classifier(spark, sf_dir)
+    thr = spark.createDataFrame([(t,) for t in PR_THRESHOLDS_MILLI],
+                                "thr_milli long")
+    pred = F.col("score_milli") > F.col("thr_milli")
+    conf = (scores.crossJoin(F.broadcast(thr))
+            .groupBy("thr_milli")
+            .agg(F.sum((pred & F.col("passes")).cast("long")).alias("tp"),
+                 F.sum((pred & ~F.col("passes")).cast("long")).alias("fp"),
+                 F.sum((~pred & F.col("passes")).cast("long")).alias("fn"),
+                 F.sum((~pred & ~F.col("passes")).cast("long")).alias("tn")))
+    return conf.select(
+        "thr_milli", "tp", "fp", "fn", "tn",
+        F.expr("CAST(CASE WHEN tp + fp > 0 THEN (1000000 * tp) div (tp + fp)"
+               " END AS BIGINT)").alias("precision_ppm"),
+        F.expr("CAST(CASE WHEN tp + fn > 0 THEN (1000000 * tp) div (tp + fn)"
+               " END AS BIGINT)").alias("recall_ppm"))
 
 
 # --------------------------------------------------------------------------

@@ -102,6 +102,13 @@ _FUZZED = [
     # corpora -> empty result both sides; NULL/blank text filters
     # identically; the ln() runs on one identical IEEE double)
     "token_pmi",
+    # round-11: first-fail funnel (NULL metrics -> coalesce(rule, FALSE)
+    # attributes to the first stage on BOTH engines), df-threshold
+    # boilerplate (NULL/blank/short docs filter identically; single-source
+    # fuzz corpora maximize df), and the NB threshold sweep (rides the
+    # nb_quality_classifier pipeline already fuzzed above)
+    "curation_funnel_audit", "boilerplate_ngram_profile",
+    "quality_pr_curve",
 ]
 
 _WORD = st.one_of(

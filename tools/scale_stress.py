@@ -420,6 +420,19 @@ def family_sweep(spark, big_dir: str, scale_label: str,
             ["jpeg_lossy_stats"].fn(spark, p)),
         ("mjpeg_frame_stats", lambda p: lambda: _registry()
             ["mjpeg_frame_stats"].fn(spark, p)),
+        # round-11: first-fail funnel attribution — scan-side CASE into a
+        # 6-row agg, the cheapest full-corpus shape; must track bytes
+        ("curation_funnel_audit", lambda p: lambda: _registry()
+            ["curation_funnel_audit"].fn(spark, p)),
+        # round-11: per-source df-threshold boilerplate — one
+        # (source, gram) agg with map-side combine + join-back; the
+        # Zipfian corpus maximizes combine, so sub-linear is expected
+        ("boilerplate_ngram_profile", lambda p: lambda: _registry()
+            ["boilerplate_ngram_profile"].fn(spark, p)),
+        # round-11: NB threshold sweep — one scoring pass + a 5-key agg;
+        # must track nb_quality_classifier, which it rides
+        ("quality_pr_curve", lambda p: lambda: _registry()
+            ["quality_pr_curve"].fn(spark, p)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
@@ -446,7 +459,11 @@ def family_sweep(spark, big_dir: str, scale_label: str,
                   # round-9: portable-register HLL (two bounded-key aggs
                   # — must track event volume linearly) and the strict
                   # state-machine funnel (one exchange + per-user fold)
-                  "hll_distinct_users", "sequence_funnel"]:
+                  "hll_distinct_users", "sequence_funnel",
+                  # round-11: the rebuilt bounded-state KMV builds — the
+                  # whole point is that ratios stay ~linear with NO
+                  # single-task sort per event type at any scale
+                  "kmv_distinct_users", "kmv_set_algebra"]:
         fn = registry[qname].fn
         t_small = run(f"{qname} @small", lambda: fn(spark, SMALL))
         t_big = run(f"{qname} @{scale_label}", lambda: fn(spark, big_dir))
