@@ -26,9 +26,16 @@ def md5_long(col: Column | str) -> Column:
 
 def md5_long_seeded(col: Column | str, seed: int) -> Column:
     """Seeded variant: a family of independent hash functions h_seed(x),
-    used as the MinHash permutation family."""
+    used as the MinHash permutation family.
+
+    NULL-propagating (F.concat, round-11 fuzz fix): the DuckDB twin's
+    ``||`` has always sent NULL input to NULL output, but concat_ws here
+    SKIPPED the NULL and hashed "#seed" — a latent cross-engine
+    divergence invisible to every existing call site (primary keys,
+    filtered users, non-null shingles) until the DP release hashed a
+    NULL group key."""
     c = F.col(col) if isinstance(col, str) else col
-    return md5_long(F.concat_ws("#", c.cast("string"), F.lit(str(seed))))
+    return md5_long(F.concat(c.cast("string"), F.lit(f"#{seed}")))
 
 
 def md5_long_sql(expr: str) -> str:

@@ -61,6 +61,8 @@ DRIVER_ORDER: list[str] = [
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
     "quality_pr_curve",
+    "kn_bigram_model",
+    "dp_noisy_event_counts",
     # ---- latest green row: r6 ----
     "order_priority_checking",
     "forecast_revenue",
@@ -107,9 +109,9 @@ DRIVER_ORDER: list[str] = [
     "gif_decode_stats",
     "streaming_left_outer_join",
     "png_decode_stats",
+    # ---------------- past the check window ----------------
     "audio_decode_stats",
     "image_decode_stats",
-    # ---------------- past the check window ----------------
     "bucketed_join_revenue",
     "salted_event_counts",
     "salted_join_value_by_type",
@@ -438,6 +440,15 @@ BENCH_HEADLINE: list[str] = [
     # shuffle + sketch-sized algebra)
     "token_pmi",
     "kmv_set_algebra",
+    # Round-11: the rebuilt bounded-state KMV build (kmv_set_algebra above
+    # covers the algebra; this tracks the build alone), the Gopher
+    # first-fail funnel (scan + 6-row agg), per-source df-threshold
+    # boilerplate (gram agg + join-back), and the NB threshold sweep
+    # (one scoring pass + 5-key agg)
+    "kmv_distinct_users",
+    "curation_funnel_audit",
+    "boilerplate_ngram_profile",
+    "quality_pr_curve",
 ]
 
 

@@ -30,6 +30,7 @@ from cliqz_etl_spark.functions.privacy import (
     value_band,
     value_band_sql,
 )
+from cliqz_etl_spark.functions.hashing import md5_long_seeded_sql
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
 
@@ -284,3 +285,64 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_mktsegment").alias("segment_q"),
                     "group_size", "n_sensitive",
                     (F.col("n_sensitive") >= L_DIVERSE).alias("l_diverse")))
+
+
+# --------------------------------------------------------------------------
+# Differentially-private histogram release (Laplace mechanism over
+# per-type event counts, sensitivity 1, epsilon = 0.5). The noise draw is
+# SEEDED — inverse-CDF Laplace over an md5-derived uniform — so the
+# release replays bit-identically on both engines and across reruns: the
+# property a privacy pipeline needs under test, and the one thing a real
+# deployment must then change (swap the hash-uniform for a CSPRNG draw;
+# a replayable release is NOT differentially private, because the
+# adversary can replay it). Counts are exact; the noise is one shared
+# IEEE-double expression tree (the token_pmi ln discipline) milli-
+# quantized at the end.
+# --------------------------------------------------------------------------
+DP_EPS_MILLI = 500          # epsilon = 0.5 -> Laplace scale b = 1/eps = 2.0
+_DP_SEED = 11
+
+_DP_U = "((CAST({h} AS DOUBLE) + 0.5) / 1152921504606846976.0)"  # (0,1)
+_DP_NOISE = ("(-2.0 * sign({u} - 0.5) "
+             "* ln(1.0 - 2.0 * abs({u} - 0.5)))")
+
+
+def _dp_noisy_milli(h_expr: str) -> str:
+    u = _DP_U.format(h=h_expr)
+    noise = _DP_NOISE.format(u=u)
+    return (f"CAST(floor(1000 * (CAST(n AS DOUBLE) + {noise}) + 0.5) "
+            f"AS BIGINT)")
+
+
+@query(
+    "dp_noisy_event_counts",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type AS event_type,
+           n AS true_count,
+           {_dp_noisy_milli(md5_long_seeded_sql("event_type", _DP_SEED))}
+               AS noisy_milli,
+           CAST({DP_EPS_MILLI} AS BIGINT) AS epsilon_milli
+    FROM c
+    """,
+    doc="Laplace-mechanism histogram release over event-type counts "
+        "(seeded/replayable noise for pipeline testing).",
+)
+def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: ONE partially-aggregated groupBy over events (5-ish
+    keys), then per-row scalar noise on the tiny grouped frame — the
+    noise never touches the corpus-sized stage. A NULL event_type group
+    propagates NULL noise identically on both engines (md5(NULL) is
+    NULL; fuzz contract)."""
+    from cliqz_etl_spark.functions.hashing import md5_long_seeded
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    h = md5_long_seeded(F.col("event_type"), _DP_SEED)
+    return (c.withColumn("__h", h)
+            .select("event_type", F.col("n").alias("true_count"),
+                    F.expr(_dp_noisy_milli("__h")).alias("noisy_milli"),
+                    F.lit(DP_EPS_MILLI).cast("long").alias("epsilon_milli")))

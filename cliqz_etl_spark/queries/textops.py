@@ -766,6 +766,108 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Kneser-Ney bigram model build — the MODEL-side counterpart of
+# bigram_lm_score's add-one scorer, and the smoothing every production
+# n-gram LM actually ships (KenLM's default). The KN insight is that the
+# backoff weight of a word is its CONTINUATION count (how many distinct
+# left contexts it follows: "francisco" is frequent but only ever follows
+# "san", so its unigram backoff must be tiny), not its raw frequency.
+# Emitted per observed bigram with support >= KN_MIN_C2:
+#   c2                 raw bigram count
+#   n1p_right (of w1)  distinct continuations of the context
+#   n1p_left  (of w2)  distinct left contexts of the word
+#   pkn_ppm            absolute-discount interpolated probability
+#       P_KN(w2|w1) = (c2 - D)/c1 + (D * n1p_right / c1) * (n1p_left / T)
+#   with D = 0.75 (exact in binary) and T = total bigram types. The ppm
+#   quantization floors ONE identical IEEE double assembled
+#   left-associatively from exact BIGINT counts (the token_pmi
+#   discipline), so both engines produce the same integer.
+# --------------------------------------------------------------------------
+KN_MIN_C2 = 3
+KN_D = 0.75  # absolute discount; exact in binary, c2 >= 1 keeps c2-D > 0
+
+# the shared FP grammar: one expression tree, interpolated into BOTH
+# engines verbatim (only the integer-division spelling differs)
+_KN_PPM = ("CAST(floor(1000000 * ((CAST(c2 AS DOUBLE) - {d}) "
+           "/ CAST(c1 AS DOUBLE) "
+           "+ (({d} * CAST(n1p_right AS DOUBLE)) / CAST(c1 AS DOUBLE)) "
+           "* (CAST(n1p_left AS DOUBLE) / CAST(t AS DOUBLE))) + 0.5) "
+           "AS BIGINT)").format(d=KN_D)
+
+
+@query(
+    "kn_bigram_model",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+        WHERE trim(text) <> ''
+    ), big AS (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+              FROM base WHERE len(tk) >= 2)
+    ), c2t AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM big GROUP BY w1, w2
+    ), left_t AS (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1p_right
+        FROM c2t GROUP BY w1
+    ), right_t AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1p_left
+        FROM c2t GROUP BY w2
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS t FROM c2t
+    )
+    SELECT c2t.w1 AS w1, c2t.w2 AS w2, c2 AS c2,
+           n1p_right AS n1p_right, n1p_left AS n1p_left,
+           {_KN_PPM} AS pkn_ppm
+    FROM c2t
+    JOIN left_t USING (w1) JOIN right_t USING (w2) CROSS JOIN tot
+    WHERE c2 >= {KN_MIN_C2}
+    """,
+)
+def kn_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram model table (counts + continuation counts +
+    interpolated probability in ppm) over the whole corpus, support
+    >= 3.
+
+    Plan shape: bigrams are one scan-side arrays_zip explode; c2 is the
+    ONLY corpus-sized shuffle (groupBy(w1, w2), map-side combine), and
+    it is persisted because all three derived tables — the context
+    table (c1, n1p_right), the continuation table (n1p_left), and the
+    1-row type total — are aggregations OVER c2, never a re-scan. The
+    final assembly joins model-sized frames on model-sized keys,
+    un-hinted (Heaps' law: the bigram-type table of a web corpus is not
+    broadcastable; AQE broadcasts it when it measures small). At 100 TB
+    this is the KenLM counts pass as one Spark job."""
+    from cliqz_etl_spark.operators.cache import track
+
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text")
+    base = (docs.where(F.trim(F.col("text")) != "")
+            .select("doc_id", T.tokens("text").alias("tk")))
+    n = F.size("tk")
+    big = (base.where(n >= 2)
+           .select(F.explode(F.arrays_zip(
+               F.slice("tk", F.lit(1), n - 1).alias("w1"),
+               F.slice("tk", F.lit(2), n - 1).alias("w2"))).alias("bg"))
+           .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
+    c2t = track(big.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+                .persist())
+    left_t = c2t.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_right"))
+    right_t = c2t.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_left"))
+    tot = c2t.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    return (c2t.where(F.col("c2") >= KN_MIN_C2)
+            .join(left_t, "w1").join(right_t, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", "c2", "n1p_right", "n1p_left",
+                    F.expr(_KN_PPM).alias("pkn_ppm")))
+
+
+# --------------------------------------------------------------------------
 # Unicode-script profile: the multilingual-curation gate that runs BEFORE
 # language ID (a CJK page should never reach the Latin-ngram scorer, and
 # mixed-script spam — Latin words stuffed with CJK SEO filler — shows up

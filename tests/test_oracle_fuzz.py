@@ -109,6 +109,10 @@ _FUZZED = [
     # nb_quality_classifier pipeline already fuzzed above)
     "curation_funnel_audit", "boilerplate_ngram_profile",
     "quality_pr_curve",
+    # round-11 second wave: KN bigram model build (support >= 3 rarely
+    # met on tiny corpora -> empty both sides; the interpolated
+    # probability is one shared IEEE expression tree)
+    "kn_bigram_model",
 ]
 
 _WORD = st.one_of(
@@ -311,6 +315,12 @@ _EV_FUZZED = [
     # engines sort NULL hashes to opposite ends; empty click/purchase
     # corpora collapse to zero rows through the empty-theta cross join)
     "kmv_set_algebra",
+    # round-11: rebuilt bounded-state KMV build (NULL users filtered both
+    # sides — fuzz-pinned this round; NULL event_type is still a group,
+    # surviving via the null-safe sketch-exact join) and the seeded-
+    # Laplace DP release (NULL event_type group -> NULL noise on both
+    # engines; ln() runs on one identical IEEE double)
+    "kmv_distinct_users", "dp_noisy_event_counts",
 ]
 
 
