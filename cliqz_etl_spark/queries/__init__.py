@@ -449,6 +449,9 @@ BENCH_HEADLINE: list[str] = [
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
     "quality_pr_curve",
+    # Round-11 second wave: the KenLM counts pass (one corpus shuffle +
+    # three model-sized derived aggregations)
+    "kn_bigram_model",
 ]
 
 
