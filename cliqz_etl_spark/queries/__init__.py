@@ -63,6 +63,7 @@ DRIVER_ORDER: list[str] = [
     "quality_pr_curve",
     "kn_bigram_model",
     "dp_noisy_event_counts",
+    "pca_top_component",
     # ---- latest green row: r6 ----
     "order_priority_checking",
     "forecast_revenue",
@@ -108,8 +109,8 @@ DRIVER_ORDER: list[str] = [
     "stream_sink_roundtrip",
     "gif_decode_stats",
     "streaming_left_outer_join",
-    "png_decode_stats",
     # ---------------- past the check window ----------------
+    "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",
     "bucketed_join_revenue",
@@ -452,6 +453,9 @@ BENCH_HEADLINE: list[str] = [
     # Round-11 second wave: the KenLM counts pass (one corpus shuffle +
     # three model-sized derived aggregations)
     "kn_bigram_model",
+    # Round-11 third wave: matrix-free PCA fit (two model-sized collects +
+    # driver-exact quantized power iteration)
+    "pca_top_component",
 ]
 
 

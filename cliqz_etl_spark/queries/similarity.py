@@ -1142,3 +1142,151 @@ def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cluster", F.col("rnk").cast("long").alias("rank"),
                     F.col("w").alias("word"), "lift_x10k",
                     F.col("cf").alias("tf")))
+
+
+# --------------------------------------------------------------------------
+# PCA top component — embedding whitening's first step, matrix-free: the
+# corpus never materializes a matrix, only (a) one pass producing the
+# 64 per-dimension sums (integer-exact), and (b) one pass producing the
+# 64x64 centered second-moment table as an explode->groupBy of per-row
+# outer products (integer-exact: quantized milli components, quantized
+# mean). Power iteration then runs on the model-sized table with
+# INTEGER-QUANTIZED state (v in milli units): the matvec is an exact
+# int64 sum on both engines, and the only floating point per iteration
+# is sqrt + one division on identical operands — correctly-rounded IEEE
+# ops on identical inputs, so the oracle replays the whole fit exactly
+# through generated CTEs (the kmeans_centroids discipline).
+#
+# Overflow envelope (documented, not discovered): |q| <= magnitude_bound
+# = 350k milli-units; centered |c| <= 700k; per-row product <= 4.9e11,
+# so the int64 covariance sum holds to ~1.8e7 rows at the worst-case
+# bound and ~5e11 rows for unit-normalized embeddings (|q| <= ~2000).
+# Beyond that, drop the quantization scale one decade per 100x rows.
+# Iteration state: |cij * v_j| <= |cij| * 1000, summed over 64 terms —
+# bounded by the same envelope.
+# --------------------------------------------------------------------------
+PCA_ITER = 8
+PCA_SCALE = 1000
+
+
+def _pca_iters_sql(n_iter: int) -> str:
+    parts = []
+    prev = "v0"
+    for t in range(1, n_iter + 1):
+        # AS MATERIALIZED everywhere: DuckDB inlines single-referenced
+        # CTEs, and r{t} is referenced twice (s{t} and it{t}) — inlined,
+        # each iteration re-evaluates the entire upstream chain, turning
+        # 8 iterations into 2^8 evaluations of the covariance self-join
+        parts.append(f"""
+    , r{t} AS MATERIALIZED (
+        SELECT cov.i AS i, CAST(sum(cov.cij * {prev}.v) AS BIGINT) AS raw
+        FROM cov JOIN {prev} ON cov.j = {prev}.i GROUP BY cov.i
+    ), s{t} AS MATERIALIZED (
+        SELECT sqrt(CAST(sum(CAST(raw AS HUGEINT) * raw) AS DOUBLE)) AS s
+        FROM r{t}
+    ), it{t} AS MATERIALIZED (
+        SELECT i, CASE WHEN s > 0
+                  THEN CAST(floor((CAST(raw AS DOUBLE) / s) * {PCA_SCALE}.0
+                                  + 0.5) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS v
+        FROM r{t} CROSS JOIN s{t}
+    )""")
+        prev = f"it{t}"
+    return "".join(parts)
+
+
+@query(
+    "pca_top_component",
+    oracle=_QCTE + f"""
+    , el AS MATERIALIZED (
+        SELECT vec_id, CAST(u.i AS BIGINT) AS i, v[u.i] AS x
+        FROM q CROSS JOIN (SELECT unnest(range(1, {VEC_DIM} + 1)) AS i) u
+    ), nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+    , mu AS MATERIALIZED (
+        SELECT i, CAST(floor(CAST(sum(x) AS DOUBLE) / n + 0.5) AS BIGINT)
+                   AS m
+        FROM el CROSS JOIN nrow GROUP BY i, n
+    ), cent AS MATERIALIZED (
+        SELECT vec_id, el.i, x - m AS c FROM el JOIN mu ON mu.i = el.i
+    ), cov AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.c * b.c) AS BIGINT) AS cij
+        FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY a.i, b.i
+    ), v0 AS (
+        SELECT i, CAST(CASE WHEN i = 1 THEN {PCA_SCALE} ELSE 0 END
+                       AS BIGINT) AS v
+        FROM (SELECT DISTINCT i FROM mu)
+    ){_pca_iters_sql(PCA_ITER)}
+    , vv AS (
+        SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS d
+        FROM it{PCA_ITER}
+    ), ev AS (
+        SELECT CASE WHEN d > 0 THEN CAST(floor(
+                   CAST(sum(CAST(cov.cij AS HUGEINT) * a.v * b.v) AS DOUBLE)
+                   / d + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS l
+        FROM cov JOIN it{PCA_ITER} a ON cov.i = a.i
+        JOIN it{PCA_ITER} b ON cov.j = b.i
+        CROSS JOIN vv GROUP BY d
+    )
+    SELECT it{PCA_ITER}.i AS dim_idx, it{PCA_ITER}.v AS component_milli,
+           ev.l AS eigenvalue_q
+    FROM it{PCA_ITER} CROSS JOIN ev
+    """,
+)
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component (milli-quantized) + its Rayleigh-quotient
+    eigenvalue over the valid embeddings, via {PCA_ITER} quantized power
+    iterations from e_1.
+
+    Plan shape: job 1 aggregates per-dimension sums + the row count in
+    ONE posexplode groupBy (64 rows to the driver); job 2 explodes each
+    row's centered outer product scan-side (the 4096-element array never
+    hits disk) into a map-side-combined groupBy((i,j)) — 4096 rows to
+    the driver. The iterations run on the driver over the model-sized
+    table in exact Python ints (the kmeans_fit driver-local discipline);
+    only models cross the wire. Raises ValueError on an empty/degenerate
+    corpus (the training-family contract)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
+    stats = (q.select(F.posexplode("_qv").alias("k", "x"))
+             .groupBy("k")
+             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+             .collect())
+    if not stats:
+        raise ValueError("pca_top_component: no valid embeddings to fit")
+    n = stats[0]["n"]
+    mu = [0] * VEC_DIM
+    for r in stats:
+        mu[r["k"]] = int(math.floor(float(r["s"]) / n + 0.5))
+    mu_arr = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
+    # positional flatten instead of a struct per product: the (i, j) key
+    # is recovered from the flattened index by integer div/mod, saving
+    # 4096 struct allocations per row through the explode
+    pairs = (q.select(F.expr(
+        f"transform(_qv, (x, k) -> x - element_at({mu_arr}, k + 1))")
+        .alias("cv"))
+        .select(F.posexplode(F.expr(
+            "flatten(transform(cv, a -> transform(cv, b -> a * b)))"))
+            .alias("idx", "p"))
+        .groupBy(F.expr(f"idx div {VEC_DIM}").alias("i0"),
+                 (F.col("idx") % VEC_DIM).alias("j0"))
+        .agg(F.sum("p").alias("cij"))
+        .collect())
+    cov: dict[tuple[int, int], int] = {
+        (int(r["i0"]) + 1, int(r["j0"]) + 1): int(r["cij"]) for r in pairs}
+    v = [PCA_SCALE if i == 0 else 0 for i in range(VEC_DIM)]
+    for _ in range(PCA_ITER):
+        raw = [sum(cov.get((i + 1, j + 1), 0) * v[j]
+                   for j in range(VEC_DIM)) for i in range(VEC_DIM)]
+        s = math.sqrt(float(sum(r * r for r in raw)))
+        v = [int(math.floor((float(r) / s) * float(PCA_SCALE) + 0.5))
+             if s > 0 else 0 for r in raw]
+    d = float(sum(x * x for x in v))
+    num = sum(cov.get((i + 1, j + 1), 0) * v[i] * v[j]
+              for i in range(VEC_DIM) for j in range(VEC_DIM))
+    lam = int(math.floor(float(num) / d + 0.5)) if d > 0 else 0
+    return spark.createDataFrame(
+        [(i + 1, v[i], lam) for i in range(VEC_DIM)],
+        "dim_idx: bigint, component_milli: bigint, eigenvalue_q: bigint")

@@ -429,10 +429,12 @@ def curation_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = F.when(~F.coalesce(rules[name], F.lit(False)),
                        F.lit(name)).otherwise(stage)
     staged = m.select(stage.alias("stage"))
-    total = staged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    return (staged.groupBy("stage")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-            .crossJoin(F.broadcast(total))
+    grouped = (staged.groupBy("stage")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    # the corpus total is the SUM of the 6-row grouped frame — deriving it
+    # there instead of re-aggregating the scan keeps this a one-scan plan
+    total = grouped.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    return (grouped.crossJoin(F.broadcast(total))
             .select("stage", "n_docs",
                     F.expr("CAST((1000000 * n_docs) div n_total AS BIGINT)")
                     .alias("share_ppm")))

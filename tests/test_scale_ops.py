@@ -404,6 +404,8 @@ def test_every_query_survives_an_empty_corpus(spark, tmp_path):
         "ann_pq", "ann_ivfpq",
         # topic labeling trains the same coarse quantizer (round-9)
         "cluster_topics",
+        # PCA cannot fit a component to an empty corpus (round-11)
+        "pca_top_component",
     }
     ugly = []
     for name, q in load_all().items():
