@@ -64,6 +64,8 @@ DRIVER_ORDER: list[str] = [
     "kn_bigram_model",
     "dp_noisy_event_counts",
     "pca_top_component",
+    "target_encode_oof",
+    "benford_first_digit",
     # ---- latest green row: r6 ----
     "order_priority_checking",
     "forecast_revenue",
@@ -107,9 +109,9 @@ DRIVER_ORDER: list[str] = [
     "observed_write_metrics",
     "jsonl_sink_roundtrip",
     "stream_sink_roundtrip",
+    # ---------------- past the check window ----------------
     "gif_decode_stats",
     "streaming_left_outer_join",
-    # ---------------- past the check window ----------------
     "png_decode_stats",
     "audio_decode_stats",
     "image_decode_stats",

@@ -1519,3 +1519,174 @@ def udtf_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND event_type IS NOT NULL)
             PARTITION BY user_id ORDER BY (ts, event_id))
     """)
+
+
+# --------------------------------------------------------------------------
+# Out-of-fold target encoding — the categorical-feature transform every
+# tabular-ML pipeline ships, with the leakage protection that makes it
+# usable: a row's own fold is EXCLUDED from the mean it receives
+# (otherwise the encoding memorizes the row's own target and the model
+# overfits the encoder). Folds are deterministic (md5(o_orderkey) % 5),
+# the target is integer cents, and the out-of-fold mean is integer floor
+# division — exact on both engines, no global state beyond a
+# (category x fold) table of ~25 rows.
+# --------------------------------------------------------------------------
+TE_FOLDS = 5
+
+
+@query(
+    "target_encode_oof",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT o.o_orderkey,
+               c.c_mktsegment AS segment,
+               CAST({{h}} % {TE_FOLDS} AS BIGINT) AS fold,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cell AS (
+        SELECT segment, fold,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM rows_t GROUP BY segment, fold
+    ), cat AS (
+        SELECT segment,
+               CAST(sum(s) AS BIGINT) AS s_all,
+               CAST(sum(n) AS BIGINT) AS n_all
+        FROM cell GROUP BY segment
+    )
+    SELECT r.o_orderkey AS o_orderkey,
+           r.segment AS segment,
+           r.fold AS fold,
+           CAST(CASE WHEN cat.n_all > cell.n
+                THEN (cat.s_all - cell.s) // (cat.n_all - cell.n)
+                END AS BIGINT) AS encoded_cents
+    FROM rows_t r
+    JOIN cell ON cell.segment = r.segment AND cell.fold = r.fold
+    JOIN cat ON cat.segment = r.segment
+    """.format(h=__import__("cliqz_etl_spark.functions.hashing",
+                            fromlist=["md5_long_sql"])
+               .md5_long_sql("o.o_orderkey")),
+)
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding of c_mktsegment against order value.
+
+    Plan shape: one fact-dim broadcast join, ONE (segment, fold) groupBy
+    (25-row result, map-side combine), the category rollup derived from
+    that table (never a re-scan), and two broadcast joins back onto the
+    fact rows — the encoding costs one aggregation regardless of corpus
+    size. A category seen only inside a row's own fold has no out-of-
+    fold evidence and encodes NULL on both engines (the CASE guard)."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rows = (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey",
+                    F.col("c_mktsegment").alias("segment"),
+                    (md5_long(F.col("o_orderkey")) % TE_FOLDS)
+                    .cast("long").alias("fold"),
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long").alias("cents")))
+    cell = (rows.groupBy("segment", "fold")
+            .agg(F.sum("cents").cast("long").alias("s"),
+                 F.count(F.lit(1)).cast("long").alias("n")))
+    cat = (cell.groupBy("segment")
+           .agg(F.sum("s").cast("long").alias("s_all"),
+                F.sum("n").cast("long").alias("n_all")))
+    return (rows.join(F.broadcast(cell), ["segment", "fold"])
+            .join(F.broadcast(cat), ["segment"])
+            .select("o_orderkey", "segment", "fold",
+                    F.when(F.col("n_all") > F.col("n"),
+                           F.expr("(s_all - s) div (n_all - n)"))
+                    .cast("long").alias("encoded_cents")))
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — the classic anomaly screen over transaction
+# amounts (fabricated values flunk the log-uniform first-digit law).
+# Amounts go through the cents discipline (floor(value*100+0.5), keep
+# > 0), and the first digit comes from the INTEGER's decimal string —
+# never from log10-of-double, whose floor flips at representation
+# boundaries, and never from printing a double, which the two engines
+# format differently. The expected count and the chi-square term are one
+# shared IEEE expression tree over (n, digit), milli-quantized per digit
+# BEFORE any summation (the tfidf discipline), so the audit replays
+# exactly. NULL event types are excluded (an unlabeled stream has no
+# per-type law to test) — mirrored on both sides.
+# --------------------------------------------------------------------------
+def _benford_e(n: str, digit: str) -> str:
+    return (f"(CAST({n} AS DOUBLE) "
+            f"* log10(1.0 + 1.0 / CAST({digit} AS DOUBLE)))")
+
+
+def _benford_term(n_obs: str, n: str, digit: str) -> str:
+    e = _benford_e(n, digit)
+    return (f"CAST(floor((((CAST({n_obs} AS DOUBLE) - {e}) "
+            f"* (CAST({n_obs} AS DOUBLE) - {e})) / {e})"
+            f" * 1000 + 0.5) AS BIGINT)")
+
+
+@query(
+    "benford_first_digit",
+    oracle=f"""
+    WITH amt AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IS NOT NULL
+          AND value IS NOT NULL AND floor(value * 100 + 0.5) > 0
+    ), obs AS (
+        SELECT event_type,
+               CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM amt GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM amt GROUP BY 1
+    ), spine AS (
+        SELECT t.event_type, t.n, CAST(d.digit AS BIGINT) AS digit
+        FROM tot t CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+    )
+    SELECT s.event_type AS event_type,
+           s.digit AS digit,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(floor({_benford_e("s.n", "s.digit")} * 1000 + 0.5) AS BIGINT)
+               AS expected_milli,
+           {_benford_term("COALESCE(o.n_obs, 0)", "s.n", "s.digit")}
+               AS chi2_term_milli
+    FROM spine s LEFT JOIN obs o
+      ON o.event_type = s.event_type AND o.digit = s.digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution vs Benford's law per event type: observed
+    count, expected count (milli), and the per-digit chi-square term
+    (milli) over a complete 1-9 digit spine.
+
+    Plan shape: ONE groupBy over the filtered scan for the per-(type,
+    digit) counts plus a per-type rollup derived from it; the 9-digit
+    spine is a broadcast cross join of the tiny type table. Everything
+    after the one aggregation is model-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    amt = (ev.where(F.col("event_type").isNotNull()
+                    & F.col("value").isNotNull())
+           .select("event_type", cents.alias("cents"))
+           .where(F.col("cents") > 0))
+    obs = (amt.select("event_type",
+                      F.substring(F.col("cents").cast("string"), 1, 1)
+                      .cast("long").alias("digit"))
+           .groupBy("event_type", "digit")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    tot = obs.groupBy("event_type").agg(
+        F.sum("n_obs").cast("long").alias("n"))
+    digits = spark.range(1, 10).select(F.col("id").alias("digit"))
+    spine = tot.crossJoin(F.broadcast(digits))
+    return (spine.join(obs, ["event_type", "digit"], "left")
+            .select("event_type", "digit",
+                    F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+                    .alias("n_obs"),
+                    F.expr(f"CAST(floor({_benford_e('n', 'digit')} * 1000 "
+                           "+ 0.5) AS BIGINT)").alias("expected_milli"),
+                    F.expr(_benford_term("COALESCE(n_obs, 0)", "n", "digit"))
+                    .alias("chi2_term_milli")))

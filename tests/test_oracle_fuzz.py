@@ -321,6 +321,10 @@ _EV_FUZZED = [
     # Laplace DP release (NULL event_type group -> NULL noise on both
     # engines; ln() runs on one identical IEEE double)
     "kmv_distinct_users", "dp_noisy_event_counts",
+    # round-11: Benford audit (NULL types/values excluded both sides;
+    # negative/zero cents filtered; digits with zero observations ride
+    # the spine; the chi-square term is one shared IEEE tree)
+    "benford_first_digit",
 ]
 
 
@@ -439,6 +443,11 @@ _WH_FUZZED = [
     # round-9: cohort LTV (NULL dates/customers filtered; single-cohort
     # and single-month corpora; per-customer division quantization)
     "cohort_ltv",
+    # round-11: out-of-fold target encoding (NULL segments drop through
+    # the inner joins identically; NULL prices skip the sum but count in
+    # n on both engines; single-fold categories encode NULL via the
+    # CASE guard)
+    "target_encode_oof",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))

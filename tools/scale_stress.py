@@ -43,6 +43,15 @@ semantic_verdicts 4.8x wall-clock at 16x vectors with K scaled to a
 fixed K would measure the law's violation, not the operator), and the
 PII regex-bank scan 0.9x at 10x docs (scan-shaped, overhead-bound).
 
+Round-11 default 10x sweep (50k docs / 32k vecs / 1M events): the
+REBUILT bounded-state KMV builds measure kmv_distinct_users 2.3x and
+kmv_set_algebra 1.1x wall at 10x events — the one-task-per-type sort
+they replaced is gone from the plan, and the ratios now track volume.
+New ops: curation_funnel_audit 1.4x (scan-shaped), quality_pr_curve
+0.7x (overhead-bound — one extra 5-key agg over the NB pass),
+boilerplate_ngram_profile 2.2x (the (source,gram) agg combines hard on
+the Zipf corpus).
+
 Round-7 stream sweep (--stream; 100k/1M/10M events, users scaled with
 volume, state parts=8 at every decade — the size//64MiB rule floors
 there for a ~250 MB source): windowed_counts 3.8/1.5/1.7 s with state
