@@ -75,6 +75,27 @@ def write_orc(df: DataFrame, path: str, *,
     writer.orc(path)
 
 
+CSV_NULL = "\\N"  # explicit NULL sentinel: the writer's default empty
+# string is ambiguous against a real empty VARCHAR on read-back
+
+
+def write_csv(df: DataFrame, path: str, *,
+              header: bool = True,
+              partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    """CSV sink (the interchange twin of read_csv). Callers should write
+    exactly-representable types only — longs and strings; a double loses
+    its bit pattern through decimal printing, so money goes through the
+    cents discipline BEFORE this sink. NULLs use the explicit CSV_NULL
+    sentinel so they survive the round trip."""
+    writer = (df.write.mode(mode)
+              .option("header", str(header).lower())
+              .option("nullValue", CSV_NULL))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
+
+
 def read_csv(spark: SparkSession, path: str, *,
              schema: StructType | None = None, header: bool = True) -> DataFrame:
     """CSV scan with header (S2). Stays a DataFrame end-to-end — the
@@ -85,6 +106,16 @@ def read_csv(spark: SparkSession, path: str, *,
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)
+
+
+def read_csv_sink(spark: SparkSession, path: str, *,
+                  schema: StructType, header: bool = True) -> DataFrame:
+    """Read-back twin of write_csv: explicit schema (inference is a full
+    extra pass at scale and misreads an empty dataset) + the CSV_NULL
+    sentinel so written NULLs return as NULL, not as the sentinel text."""
+    return (spark.read.options(header=str(header).lower(),
+                               nullValue=CSV_NULL)
+            .schema(schema).csv(path))
 
 
 def read_json(spark: SparkSession, path: str, *,

@@ -66,6 +66,7 @@ DRIVER_ORDER: list[str] = [
     "pca_top_component",
     "target_encode_oof",
     "benford_first_digit",
+    "csv_sink_roundtrip",
     # ---- latest green row: r6 ----
     "order_priority_checking",
     "forecast_revenue",
@@ -108,8 +109,8 @@ DRIVER_ORDER: list[str] = [
     "state_store_probe",
     "observed_write_metrics",
     "jsonl_sink_roundtrip",
-    "stream_sink_roundtrip",
     # ---------------- past the check window ----------------
+    "stream_sink_roundtrip",
     "gif_decode_stats",
     "streaming_left_outer_join",
     "png_decode_stats",

@@ -2049,3 +2049,53 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("exact_union"),
                     ei.alias("est_intersection"),
                     F.col("exact_inter").alias("exact_intersection")))
+
+
+# --------------------------------------------------------------------------
+# CSV sink round trip — the interchange format every downstream
+# spreadsheet/legacy consumer still demands, round-tripped under the
+# engine's exactness rules: only longs and strings cross the boundary
+# (money through the cents discipline BEFORE the sink — a double's
+# decimal printing is not its bit pattern), NULLs ride an explicit
+# sentinel, and the read-back uses an explicit schema (inference is an
+# extra full pass at 100 TB and throws on an empty dataset). Completes
+# the sink family beside parquet/ORC/JSONL.
+# --------------------------------------------------------------------------
+@query(
+    "csv_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
+    FROM orders GROUP BY 1
+    """,
+)
+def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> exact-typed CSV (header, NULL sentinel) -> schema'd
+    read-back -> per-status rollup; the rollup must equal the oracle's
+    direct aggregation, proving nothing was lost or retyped in the hop."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from cliqz_etl_spark.io import read_csv_sink, write_csv
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"cliqz_csv_rt_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    projected = orders.select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_orderstatus").cast("string"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("datestr"))
+    write_csv(projected, out)
+    back = read_csv_sink(spark, out, schema=projected.schema)
+    return (back.groupBy(F.col("o_orderstatus"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum("cents").cast("long").alias("total_cents"),
+                 F.min("datestr").alias("first_date")))

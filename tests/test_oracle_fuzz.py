@@ -448,6 +448,9 @@ _WH_FUZZED = [
     # n on both engines; single-fold categories encode NULL via the
     # CASE guard)
     "target_encode_oof",
+    # round-11: CSV sink round trip (NULL statuses/prices/dates must
+    # survive the sentinel hop; the rollup equals direct aggregation)
+    "csv_sink_roundtrip",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))
