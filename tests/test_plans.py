@@ -348,6 +348,23 @@ _PLAN_BUDGET = {
     "kmv_distinct_users": (4, 1),
     # set algebra adds theta/membership joins over <=2K-row frames
     "kmv_set_algebra": (5, 1),
+    # first-fail funnel: stage groupBy + the 6-row-derived total's
+    # SinglePartition + its broadcast — ONE scan (a second scan for the
+    # total was the round-11 review finding)
+    "curation_funnel_audit": (3, 0),
+    # df boilerplate: (source,gram) agg + src rollup + join-back + doc agg
+    "boilerplate_ngram_profile": (4, 0),
+    # PR sweep rides the NB pass; the sweep itself adds ONE 5-key agg
+    "quality_pr_curve": (3, 0),
+    # KN model: the (w1,w2) count is the ONLY corpus-sized shuffle;
+    # derived tables reuse its persisted frame
+    "kn_bigram_model": (2, 0),
+    # OOF encoding: the (segment,fold) agg + the 25-row-derived category
+    # rollup's exchange + one model-sized re-distribution; all joins back
+    # onto the facts broadcast
+    "target_encode_oof": (3, 0),
+    # Benford: one (type,digit) agg + derived type rollup + spine joins
+    "benford_first_digit": (3, 0),
 }
 
 
