@@ -58,6 +58,12 @@ DRIVER_ORDER: list[str] = [
     # ---- RED latest row ----
     "important_part_value",
     # ---- latest green row: rnew/churn ----
+    "roc_auc_per_class",
+    "decile_lift_table",
+    "chi2_independence",
+    "ols_by_segment",
+    "bfs_levels",
+    "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
     "quality_pr_curve",
@@ -473,6 +479,7 @@ def load_all() -> dict[str, Query]:
         curation,
         dedup,
         llmdata,
+        mleval,
         multimodal,
         privacy,
         relational,

@@ -1690,3 +1690,88 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "+ 0.5) AS BIGINT)").alias("expected_milli"),
                     F.expr(_benford_term("COALESCE(n_obs, 0)", "n", "digit"))
                     .alias("chi2_term_milli")))
+
+
+# --------------------------------------------------------------------------
+# BFS reachability levels from the smallest part in the co-purchase
+# graph — the frontier-expansion primitive (impact radius, blast-zone
+# audits, k-hop neighborhoods). Three fixed rounds, each one
+# edges-join-frontier + distinct + anti-join-visited: the standard
+# Pregel-style data-parallel BFS where every stage is keyed on node, no
+# stage is data-sized on a single task, and the frontier/visited frames
+# persist between rounds (same lineage discipline as PageRank/LPA).
+# Levels are exact min-distance classes because a node enters the
+# frontier the first round it is reachable and is anti-joined away
+# afterwards. The oracle unrolls the same three rounds as CTEs.
+# --------------------------------------------------------------------------
+_BFS_DEPTH = 3
+
+
+def _bfs_oracle() -> str:
+    head = """
+    WITH e0 AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+        WHERE x.l_orderkey IS NOT NULL
+    ), e AS (
+        SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+    ), l0 AS (SELECT CAST(min(src) AS BIGINT) AS node FROM e)"""
+    parts = [head]
+    prev_vis = "SELECT node FROM l0"
+    for k in range(1, _BFS_DEPTH + 1):
+        parts.append(f"""
+    , l{k} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM e JOIN l{k - 1} ON e.src = l{k - 1}.node
+        WHERE e.dst NOT IN ({prev_vis})
+    )""")
+        prev_vis += f" UNION ALL SELECT node FROM l{k}"
+    sel = [(f"SELECT CAST({k} AS BIGINT) AS level, "
+            f"CAST(count(*) AS BIGINT) AS n_nodes, "
+            f"CAST(SUM(node) AS BIGINT) AS node_sum FROM l{k}")
+           for k in range(_BFS_DEPTH + 1)]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+@query("bfs_levels", oracle=_bfs_oracle())
+def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node count and id-checksum per BFS level (0-3) from the smallest
+    part in the co-purchase graph.
+
+    Plan shape per round: one edge-frontier equi-join on src (the
+    persisted symmetric edge list re-probes each round, frontier side
+    small early and AQE-sized later), one distinct on the candidate
+    frontier, one anti-join against the persisted visited set — all
+    keyed on node. Level summaries are 1-row aggregates unioned at the
+    end. At 100 TB this is the standard iterative frontier BFS: work per
+    round is bounded by the frontier's out-degree sum, and deep runs
+    would add the same periodic localCheckpoint as PageRank."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = _materialize(
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(e0.select(F.col("b").alias("src"),
+                               F.col("a").alias("dst"))))
+    frontier = _materialize(e.agg(F.min("src").alias("node")))
+    visited = frontier
+    levels = []
+    for k in range(_BFS_DEPTH + 1):
+        levels.append(
+            frontier.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                         F.sum("node").cast("long").alias("node_sum"))
+            .select(F.lit(k).cast("long").alias("level"),
+                    "n_nodes", "node_sum"))
+        if k == _BFS_DEPTH:
+            break
+        nxt = _materialize(
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node")).distinct()
+            .join(visited, "node", "left_anti"))
+        visited = _materialize(visited.unionByName(nxt))
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

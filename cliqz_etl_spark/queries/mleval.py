@@ -1,0 +1,421 @@
+"""Model-evaluation operators over the synthetic tables: rank-based ROC
+AUC (one-vs-rest per class), a decile lift/gains table, a chi-square
+independence audit, and closed-form per-segment OLS. These are the
+offline-eval primitives a training-data pipeline runs after every
+labeling or scoring pass — all exact integer/shared-IEEE arithmetic so
+the DuckDB oracles replay bit-identically (the benford/tfidf
+discipline), and all built from score-level or group-level aggregates so
+no stage is data-sized on a single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cliqz_etl_spark.queries import query
+from cliqz_etl_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# ROC AUC via the Mann-Whitney U statistic, one-vs-rest per label class.
+# AUC = U / (n_pos * n_neg) where U counts (pos, neg) score pairs with
+# pos above neg, ties at half weight. Computed WITHOUT a global rank
+# sort: scores quantize to micro integers, the frame collapses to
+# score-level counts (bounded by the quantization domain, not the data),
+# and U2 = 2*U per class is an exact integer aggregate over that frame:
+#   U2_c = sum_s n_c(s) * (2 * neg_below_c(s) + neg_at_c(s)).
+# The below-counts come from ranged_cumsum (no single-task sort) for the
+# global running total, and a per-class window over the score-level
+# frame (partition size bounded by distinct scores, never by rows) for
+# the same-class running total. Final division is integer round-half-up,
+# so the oracle replays exactly.
+# --------------------------------------------------------------------------
+@query(
+    "roc_auc_per_class",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS score,
+               CAST(label AS BIGINT) AS label
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+          AND len(embedding) >= 1
+    ), st AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS tot FROM base GROUP BY 1
+    ), sc AS (
+        SELECT score, label, CAST(count(*) AS BIGINT) AS n_cl
+        FROM base GROUP BY 1, 2
+    ), stc AS (
+        SELECT score, tot,
+               CAST(COALESCE(SUM(tot) OVER (
+                   ORDER BY score ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cumtot_below
+        FROM st
+    ), scc AS (
+        SELECT score, label, n_cl,
+               CAST(COALESCE(SUM(n_cl) OVER (
+                   PARTITION BY label ORDER BY score ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cump_below
+        FROM sc
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
+    u AS (
+        SELECT s.label AS label,
+               CAST(SUM(s.n_cl) AS BIGINT) AS n_pos,
+               CAST(SUM(s.n_cl * (2 * (t.cumtot_below - s.cump_below)
+                                  + (t.tot - s.n_cl))) AS BIGINT) AS u2
+        FROM scc s JOIN stc t ON t.score = s.score GROUP BY 1
+    )
+    SELECT u.label AS label,
+           u.n_pos AS n_pos,
+           CAST(n.n_all - u.n_pos AS BIGINT) AS n_neg,
+           u.u2 AS u2,
+           CAST((u.u2 * 1000000 + u.n_pos * (n.n_all - u.n_pos))
+                // (2 * u.n_pos * (n.n_all - u.n_pos)) AS BIGINT)
+               AS auc_micro
+    FROM u CROSS JOIN n
+    """,
+)
+def roc_auc_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC per label class, scored by the first embedding
+    component, as an exact rank-free U statistic (ties at half weight).
+
+    Plan shape: one scan collapses to the (score) and (score, label)
+    aggregate frames; the global below-count rides ranged_cumsum (no
+    single-task global sort) and the per-class below-count is a window
+    over the score-level frame, whose partition size is bounded by the
+    micro-quantization domain — never by the row count. Everything
+    after the two aggregations is score-level (~|distinct scores| rows).
+    U2*1e6 stays in BIGINT up to ~10^6 pos x neg pairs per class; past
+    that, shift the final division to a shared double tree."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (emb.where(F.col("embedding").isNotNull()
+                      & F.col("label").isNotNull()
+                      & (F.size("embedding") >= 1))
+            .select(F.floor(F.element_at("embedding", 1).cast("double")
+                            * 1_000_000 + F.lit(0.5)).cast("long")
+                    .alias("score"),
+                    F.col("label").cast("long").alias("label")))
+    # (score, label) counts are the ONLY data-sized pass; both the
+    # score-level rollup and the per-class window read this frame, so
+    # persist it (bounded by the quantization domain x classes) rather
+    # than paying the scan twice.
+    sc = _materialize(base.groupBy("score", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cl")))
+    st = sc.groupBy("score").agg(F.sum("n_cl").cast("long").alias("tot"))
+    stc = (ranged_cumsum(st, "score", ["tot"])
+           .select("score", "tot",
+                   (F.col("cum_tot") - F.col("tot")).alias("cumtot_below")))
+    wl = (Window.partitionBy("label").orderBy(F.asc("score"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    scc = sc.select(
+        "score", "label", "n_cl",
+        F.coalesce(F.sum("n_cl").over(wl), F.lit(0)).alias("cump_below"))
+    n = st.agg(F.sum("tot").cast("long").alias("n_all"))
+    u = (scc.join(stc, "score")
+         .groupBy("label")
+         .agg(F.sum("n_cl").cast("long").alias("n_pos"),
+              F.sum(F.col("n_cl")
+                    * (2 * (F.col("cumtot_below") - F.col("cump_below"))
+                       + (F.col("tot") - F.col("n_cl"))))
+              .cast("long").alias("u2")))
+    return (u.crossJoin(F.broadcast(n))
+            .select("label", "n_pos",
+                    (F.col("n_all") - F.col("n_pos")).cast("long")
+                    .alias("n_neg"),
+                    "u2",
+                    F.expr("(u2 * 1000000 + n_pos * (n_all - n_pos)) div "
+                           "(2 * n_pos * (n_all - n_pos))")
+                    .cast("long").alias("auc_micro")))
+
+
+# --------------------------------------------------------------------------
+# Decile lift / gains table — the campaign-targeting eval: users ranked
+# by a behavioral score (click+view spend), split into ten exact NTILE
+# deciles, each scored by responder (purchaser) rate and cumulative lift
+# over the base rate. The decile assignment is ranged_ntile (exact ANSI
+# NTILE without the global single-task window sort), keyed uniquely on
+# (-score, user_id) so ties replay deterministically. Rates and lift are
+# shared double trees over exact integer counts, micro-quantized at the
+# end — scale-safe where pure-integer cross products would overflow.
+# --------------------------------------------------------------------------
+_LIFT_SCORE = ("CASE WHEN event_type IN ('click', 'view') "
+               "AND value IS NOT NULL "
+               "THEN CAST(floor(value * 100 + 0.5) AS BIGINT) "
+               "ELSE CAST(0 AS BIGINT) END")
+_LIFT_RATE = ("CAST(floor(CAST(n_resp AS DOUBLE) / CAST(n_users AS DOUBLE)"
+              " * 1000000 + 0.5) AS BIGINT)")
+_LIFT_CUM = ("CAST(floor((CAST(cum_resp AS DOUBLE) * CAST(tot_users AS "
+             "DOUBLE)) / (CAST(cum_users AS DOUBLE) * CAST(tot_resp AS "
+             "DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+
+
+@query(
+    "decile_lift_table",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(SUM({_LIFT_SCORE}) AS BIGINT) AS score_cents,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS resp
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), tiled AS (
+        SELECT score_cents, resp,
+               CAST(NTILE(10) OVER (ORDER BY (0 - score_cents) ASC,
+                                    user_id ASC) AS BIGINT) AS decile
+        FROM pu
+    ), d AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(SUM(resp) AS BIGINT) AS n_resp
+        FROM tiled GROUP BY 1
+    ), c AS (
+        SELECT decile, n_users, n_resp,
+               CAST(SUM(n_users) OVER (ORDER BY decile ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_users,
+               CAST(SUM(n_resp) OVER (ORDER BY decile ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_resp
+        FROM d
+    ), t AS (
+        SELECT CAST(SUM(n_users) AS BIGINT) AS tot_users,
+               CAST(SUM(n_resp) AS BIGINT) AS tot_resp
+        FROM d
+    )
+    SELECT c.decile AS decile, c.n_users AS n_users,
+           c.n_resp AS n_responders,
+           {_LIFT_RATE} AS resp_rate_micro,
+           {_LIFT_CUM} AS cum_lift_micro
+    FROM c CROSS JOIN t
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten-decile lift table: users ranked by click/view spend, scored by
+    purchase-response rate and cumulative lift over the base rate.
+
+    Plan shape: one per-user aggregate (the only data-sized shuffle),
+    ranged_ntile for the exact decile split (two-pass range scheme, no
+    global single-task sort), then a 10-row decile frame whose running
+    sums and totals are constant-size windows/broadcasts. The lift and
+    rate expressions are shared IEEE trees over exact integer counts, so
+    the table replays exactly at any scale."""
+    from cliqz_etl_spark.operators.stats import ranged_ntile
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    pu = (ev.groupBy("user_id")
+          .agg(F.sum(F.expr(_LIFT_SCORE)).cast("long").alias("score_cents"),
+               F.max(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).cast("long").alias("resp")))
+    tiled = ranged_ntile(
+        pu.withColumn("neg_score", F.lit(0) - F.col("score_cents")),
+        ["neg_score", "user_id"], 10, "decile",
+    ).withColumn("decile", F.col("decile").cast("long"))
+    d = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("resp").cast("long").alias("n_resp"))
+    # the decile frame is 10 rows — the running sums and the totals are
+    # constant-size, so the single-partition window is model-sized.
+    wc = (Window.orderBy(F.asc("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    c = d.select(
+        "decile", "n_users", "n_resp",
+        F.sum("n_users").over(wc).cast("long").alias("cum_users"),
+        F.sum("n_resp").over(wc).cast("long").alias("cum_resp"))
+    t = d.agg(F.sum("n_users").cast("long").alias("tot_users"),
+              F.sum("n_resp").cast("long").alias("tot_resp"))
+    return (c.crossJoin(F.broadcast(t))
+            .select("decile", "n_users",
+                    F.col("n_resp").alias("n_responders"),
+                    F.expr(_LIFT_RATE).alias("resp_rate_micro"),
+                    F.expr(_LIFT_CUM).alias("cum_lift_micro")))
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence: event type x day-of-week contingency
+# table with expected counts and per-cell chi-square terms. Day-of-week
+# is computed as days-since-a-known-Monday mod 7 — NOT each engine's
+# dayofweek()/isodow(), whose numbering conventions differ (Spark
+# 1=Sunday, DuckDB isodow 1=Monday). Expected counts and chi2 terms are
+# one shared IEEE tree over the exact integer (row, column, grand)
+# totals, micro-quantized per cell BEFORE any downstream use (the
+# benford discipline). The spine is the cross join of OBSERVED types and
+# weekdays, so absent cells still appear with their expected mass.
+# --------------------------------------------------------------------------
+_CHI2_E = ("(CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) "
+           "/ CAST(n_all AS DOUBLE))")
+_CHI2_TERM = (f"CAST(floor(((CAST(n_obs AS DOUBLE) - {_CHI2_E}) "
+              f"* (CAST(n_obs AS DOUBLE) - {_CHI2_E}) / {_CHI2_E})"
+              f" * 1000000 + 0.5) AS BIGINT)")
+
+
+@query(
+    "chi2_independence",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS BIGINT)
+                   AS dow
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), obs AS (
+        SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_obs
+        FROM base GROUP BY 1, 2
+    ), rt AS (
+        SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS nr
+        FROM obs GROUP BY 1
+    ), ct AS (
+        SELECT dow, CAST(SUM(n_obs) AS BIGINT) AS nc FROM obs GROUP BY 1
+    ), n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_all FROM obs),
+    spine AS (
+        SELECT rt.event_type, rt.nr, ct.dow, ct.nc FROM rt CROSS JOIN ct
+    ), cells AS (
+        SELECT sp.event_type AS event_type, sp.dow AS dow,
+               sp.nr AS nr, sp.nc AS nc,
+               CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+        FROM spine sp LEFT JOIN obs o
+          ON o.event_type = sp.event_type AND o.dow = sp.dow
+    )
+    SELECT c.event_type AS event_type, c.dow AS dow, c.n_obs AS n_obs,
+           CAST(floor({_CHI2_E} * 1000000 + 0.5) AS BIGINT)
+               AS expected_micro,
+           {_CHI2_TERM} AS chi2_term_micro
+    FROM cells c CROSS JOIN n
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type x weekday contingency table with expected counts and
+    chi-square contributions (micro), over a complete observed spine.
+
+    Plan shape: ONE groupBy over the filtered scan for the cell counts;
+    row totals, column totals, and the grand total all derive from that
+    aggregate (never a re-scan), and the spine is a broadcast cross join
+    of the two tiny marginal frames. Every post-aggregation frame is
+    contingency-sized (types x 7)."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    base = (ev.where(F.col("event_type").isNotNull()
+                     & F.col("ts").isNotNull())
+            .select("event_type",
+                    F.expr("CAST(pmod(datediff(to_date(ts), "
+                           "DATE '1970-01-05'), 7) AS BIGINT)").alias("dow")))
+    # the contingency aggregate is the only data-sized pass; marginals,
+    # the grand total, and the spine join all derive from it — persist
+    # the (types x 7)-row frame so none of them re-scan the source.
+    obs = _materialize(base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")))
+    rt = obs.groupBy("event_type").agg(F.sum("n_obs").cast("long").alias("nr"))
+    ct = obs.groupBy("dow").agg(F.sum("n_obs").cast("long").alias("nc"))
+    n = obs.agg(F.sum("n_obs").cast("long").alias("n_all"))
+    spine = rt.crossJoin(F.broadcast(ct))
+    return (spine.join(obs, ["event_type", "dow"], "left")
+            .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0))
+                        .cast("long"))
+            .crossJoin(F.broadcast(n))
+            .select("event_type", "dow", "n_obs",
+                    F.expr(f"CAST(floor({_CHI2_E} * 1000000 + 0.5) AS "
+                           "BIGINT)").alias("expected_micro"),
+                    F.expr(_CHI2_TERM).alias("chi2_term_micro")))
+
+
+# --------------------------------------------------------------------------
+# Closed-form OLS per market segment: average order price (dollars)
+# regressed on account balance (cents), via the textbook normal-equation
+# sums. The six sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy) are
+# EXACT integer sums — order-independent under any partitioning — and
+# slope/intercept/R^2 come out of one shared double tree over them, so
+# both engines compute bit-identical coefficients. The per-customer y is
+# integer round-half-up of mean order cents to dollars, keeping Syy in
+# BIGINT range decades past bench scale.
+# --------------------------------------------------------------------------
+_OLS_DET = ("(CAST(n_customers AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+_OLS_COV = ("(CAST(n_customers AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+_OLS_SLOPE = f"({_OLS_COV} / {_OLS_DET})"
+_OLS_INTERCEPT = (f"((CAST(sy AS DOUBLE) - {_OLS_SLOPE} "
+                  f"* CAST(sx AS DOUBLE)) / CAST(n_customers AS DOUBLE))")
+_OLS_R2 = (f"({_OLS_COV} * {_OLS_COV} / ({_OLS_DET} "
+           "* (CAST(n_customers AS DOUBLE) * CAST(syy AS DOUBLE) "
+           "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))")
+
+
+@query(
+    "ols_by_segment",
+    oracle=f"""
+    WITH po AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s_cents,
+               CAST(count(*) AS BIGINT) AS n_o
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    ), xy AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+               CAST((po.s_cents + 50 * po.n_o) // (100 * po.n_o)
+                    AS BIGINT) AS y
+        FROM customer c JOIN po ON po.o_custkey = c.c_custkey
+        WHERE c.c_acctbal IS NOT NULL
+    ), s AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM xy GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT seg AS c_mktsegment, n_customers,
+           CAST(floor({_OLS_SLOPE} * 1000000 + 0.5) AS BIGINT)
+               AS slope_micro,
+           CAST(floor({_OLS_INTERCEPT} * 1000 + 0.5) AS BIGINT)
+               AS intercept_milli,
+           CAST(floor({_OLS_R2} * 1000000 + 0.5) AS BIGINT) AS r2_micro
+    FROM s WHERE {_OLS_DET} <> 0.0
+    """,
+)
+def ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS of mean order price (dollars) on account balance
+    (cents): slope (micro), intercept (milli dollars), R^2 (micro).
+
+    Plan shape: one per-customer order aggregate, one join to the
+    customer dimension (AQE broadcasts the smaller side), one per-segment
+    aggregate of the six exact integer sufficient statistics — partial
+    aggregation applies to all of them, and the closed-form solve is a
+    segment-count-sized projection. x*y products stay in BIGINT for any
+    realistic balance/price domain; the coefficient arithmetic is a
+    shared double tree, identical text on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    po = (orders.where(F.col("o_custkey").isNotNull())
+          .groupBy("o_custkey")
+          .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                     .cast("long")).cast("long").alias("s_cents"),
+               F.count(F.lit(1)).cast("long").alias("n_o")))
+    xy = (cust.where(F.col("c_acctbal").isNotNull())
+          .join(po, po.o_custkey == cust.c_custkey)
+          .select(F.col("c_mktsegment").alias("seg"),
+                  F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+                  .alias("x"),
+                  F.expr("CAST((s_cents + 50 * n_o) div (100 * n_o) "
+                         "AS BIGINT)").alias("y")))
+    s = (xy.groupBy("seg")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"))
+         .where(F.col("n_customers") >= 2))
+    return (s.where(F.expr(f"{_OLS_DET} <> 0.0"))
+            .select(F.col("seg").alias("c_mktsegment"), "n_customers",
+                    F.expr(f"CAST(floor({_OLS_SLOPE} * 1000000 + 0.5) "
+                           "AS BIGINT)").alias("slope_micro"),
+                    F.expr(f"CAST(floor({_OLS_INTERCEPT} * 1000 + 0.5) "
+                           "AS BIGINT)").alias("intercept_milli"),
+                    F.expr(f"CAST(floor({_OLS_R2} * 1000000 + 0.5) "
+                           "AS BIGINT)").alias("r2_micro")))

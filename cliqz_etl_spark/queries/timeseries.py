@@ -565,3 +565,59 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(mid).cast("long").alias("slope_micro_x2"))
     return (nm.crossJoin(F.broadcast(pair_agg))
             .select("n_months", "n_pairs", "slope_micro_x2"))
+
+
+# --------------------------------------------------------------------------
+# 7-day sliding distinct users per day — the rolling-reach metric a
+# count-over-window cannot express (COUNT(DISTINCT) is not frame-able in
+# either engine). The scalable shape: collapse to distinct (user, day)
+# first (the only data-sized aggregate), explode each into the <=7
+# window-end days it serves, and count distinct per window day. The
+# day spine is calendar-sized, so its join side broadcasts at any data
+# scale; the final distinct-count shuffles on (day, user) — bounded by
+# 7x the distinct (user, day) frame, never by raw event volume.
+# --------------------------------------------------------------------------
+@query(
+    "sliding_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), days AS (SELECT DISTINCT d FROM ud),
+    x AS (
+        SELECT days.d AS day, ud.user_id AS user_id
+        FROM ud JOIN days ON ud.d BETWEEN days.d - 6 AND days.d
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+    FROM x GROUP BY 1
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users active in the trailing 7 days, per observed day.
+
+    Plan shape: one distinct over (user, day), a 7-way arithmetic
+    explode (no range join — each activity day knows exactly which
+    window days it serves), a broadcast semi-join against the observed
+    day spine, and one distinct-count shuffle keyed (day, user). The
+    oracle expresses the same expansion as a BETWEEN join, which DuckDB
+    executes fine at oracle scale but Spark would plan as a range join —
+    the explode is the 100 TB form."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    # the (user, day) distinct is the only data-sized pass; both the day
+    # spine and the expansion read it, so persist it rather than paying
+    # the event scan twice.
+    ud = _materialize(
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d")).distinct())
+    days = ud.select(F.col("d").alias("day")).distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"))
+    return (expanded.join(F.broadcast(days), "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "n_users_7d"))

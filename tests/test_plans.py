@@ -365,6 +365,20 @@ _PLAN_BUDGET = {
     "target_encode_oof": (3, 0),
     # Benford: one (type,digit) agg + derived type rollup + spine joins
     "benford_first_digit": (3, 0),
+    # AUC: persisted (score,label) agg feeds ranged_cumsum + class window;
+    # final job is the score-level join + per-class agg
+    "roc_auc_per_class": (2, 0),
+    # lift: per-user agg + ranged_ntile's two-pass scheme + 10-row rollup
+    "decile_lift_table": (5, 0),
+    # chi2: persisted contingency agg; marginals/spine are derived tiny
+    "chi2_independence": (2, 0),
+    # OLS: per-customer agg + per-segment sufficient-statistics agg
+    "ols_by_segment": (2, 0),
+    # BFS: persisted edges/frontier/visited; final job unions 1-row aggs
+    "bfs_levels": (4, 0),
+    # 7-day reach: persisted (user,day) distinct + broadcast day spine +
+    # the (day,user) distinct-count expand
+    "sliding_distinct_users": (3, 0),
 }
 
 
