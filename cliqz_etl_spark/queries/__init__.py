@@ -59,6 +59,8 @@ DRIVER_ORDER: list[str] = [
     "important_part_value",
     # ---- latest green row: rnew/churn ----
     "roc_auc_per_class",
+    "label_centroid_cosine",
+    "als_half_step",
     "decile_lift_table",
     "chi2_independence",
     "ols_by_segment",
@@ -107,6 +109,7 @@ DRIVER_ORDER: list[str] = [
     "orc_roundtrip_revenue",
     "chunk_documents",
     "schema_evolution_union",
+    # ---------------- past the check window ----------------
     "supplier_part_pagerank",
     "streaming_upsert_totals",
     "synthetic_source_rollup",
@@ -115,7 +118,6 @@ DRIVER_ORDER: list[str] = [
     "state_store_probe",
     "observed_write_metrics",
     "jsonl_sink_roundtrip",
-    # ---------------- past the check window ----------------
     "stream_sink_roundtrip",
     "gif_decode_stats",
     "streaming_left_outer_join",

@@ -419,3 +419,193 @@ def ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "AS BIGINT)").alias("intercept_milli"),
                     F.expr(f"CAST(floor({_OLS_R2} * 1000000 + 0.5) "
                            "AS BIGINT)").alias("r2_micro")))
+
+
+# --------------------------------------------------------------------------
+# Label-centroid cosine matrix — the embedding-quality screen (are class
+# centroids separable?) run after every labeling pass. Per-element
+# micro-quantization happens BEFORE any summation, so the per-(label,
+# dim) sums are exact integers under any partitioning (float sums
+# reorder; integer sums don't — the similarity-family discipline), and
+# centroid means re-quantize to micro integers so the 64-dim dot
+# products stay in BIGINT at any corpus size. Cosines come from one
+# shared double tree over those exact integers.
+# --------------------------------------------------------------------------
+_CENT_COS = ("(CAST(dot AS DOUBLE) / sqrt(CAST(nna AS DOUBLE) "
+             "* CAST(nnb AS DOUBLE)))")
+
+
+@query(
+    "label_centroid_cosine",
+    oracle=f"""
+    WITH ex AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                          + 0.5) AS BIGINT) AS q
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+          AND len(embedding) = 64
+    ), cs AS (
+        SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2
+    ), m AS (
+        SELECT label, dim,
+               CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+                    AS BIGINT) AS m
+        FROM cs
+    ), norms AS (
+        SELECT label, CAST(SUM(m * m) AS BIGINT) AS nn FROM m GROUP BY 1
+    ), dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.m * b.m) AS BIGINT) AS dot
+        FROM m a JOIN m b ON b.dim = a.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT d.label_a AS label_a, d.label_b AS label_b, d.dot AS dot,
+           CAST(floor({_CENT_COS} * 1000000 + 0.5) AS BIGINT) AS cos_micro
+    FROM (SELECT dots.label_a, dots.label_b, dots.dot,
+                 na.nn AS nna, nb.nn AS nnb
+          FROM dots JOIN norms na ON na.label = dots.label_a
+                    JOIN norms nb ON nb.label = dots.label_b)
+         d(label_a, label_b, dot, nna, nnb)
+    """,
+)
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    (micro), over exact integer element sums.
+
+    Plan shape: one posexplode scan collapses to the (label, dim)
+    integer-sum frame — the only data-sized pass — and everything after
+    is centroid-sized (labels x 64 rows): the mean re-quantization, the
+    dim-keyed self-join for pairwise dots, and the label-keyed norm
+    join. At 100 TB the explode multiplies the scan by the (fixed)
+    dimension count and the aggregate combines map-side; no stage holds
+    more than labels x dims rows afterwards."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (emb.where(F.col("embedding").isNotNull()
+                    & F.col("label").isNotNull()
+                    & (F.size("embedding") == 64))
+          .select(F.col("label").cast("long").alias("label"),
+                  F.posexplode("embedding").alias("pos", "x"))
+          .select("label", (F.col("pos") + 1).cast("long").alias("dim"),
+                  F.floor(F.col("x").cast("double") * 1_000_000
+                          + F.lit(0.5)).cast("long").alias("q")))
+    cs = ex.groupBy("label", "dim").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    m = _materialize(cs.select(
+        "label", "dim",
+        F.expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) "
+               "AS BIGINT)").alias("m")))
+    norms = m.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("nn"))
+    a = m.select(F.col("label").alias("label_a"), "dim",
+                 F.col("m").alias("ma"))
+    b = m.select(F.col("label").alias("label_b"), "dim",
+                 F.col("m").alias("mb"))
+    dots = (a.join(b, "dim")
+            .where(F.col("label_a") < F.col("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(F.sum(F.col("ma") * F.col("mb")).cast("long").alias("dot")))
+    return (dots
+            .join(F.broadcast(norms.select(F.col("label").alias("label_a"),
+                                           F.col("nn").alias("nna"))),
+                  "label_a")
+            .join(F.broadcast(norms.select(F.col("label").alias("label_b"),
+                                           F.col("nn").alias("nnb"))),
+                  "label_b")
+            .select("label_a", "label_b", "dot",
+                    F.expr(f"CAST(floor({_CENT_COS} * 1000000 + 0.5) "
+                           "AS BIGINT)").alias("cos_micro")))
+
+
+# --------------------------------------------------------------------------
+# ALS user-side half-step: solve each user's 2-factor ridge system
+# against FIXED item factors — one full alternating-least-squares
+# update, the recommender-training primitive. Item factors are
+# hash-derived milli integers (deterministic, engine-portable), the
+# per-user normal-equation sufficient statistics are exact integer sums,
+# and the closed-form 2x2 solve is one shared double tree — so the
+# "training step" replays bit-identically, like the PCA and
+# target-encoding fits. Ratings are order quantities via the
+# order->user join.
+# --------------------------------------------------------------------------
+_ALS_LAMBDA = 1_000_000  # ridge, in milli^2 factor units (= 1.0)
+_ALS_F1 = "(((l_partkey * 2654435761) % 1997) - 998)"
+_ALS_F2 = "(((l_partkey * 40503) % 1997) - 998)"
+_ALS_DET = (f"((CAST(a11 AS DOUBLE) + {_ALS_LAMBDA}) "
+            f"* (CAST(a22 AS DOUBLE) + {_ALS_LAMBDA}) "
+            "- CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))")
+_ALS_W1 = (f"(((CAST(a22 AS DOUBLE) + {_ALS_LAMBDA}) * CAST(b1 AS DOUBLE) "
+           f"- CAST(a12 AS DOUBLE) * CAST(b2 AS DOUBLE)) / {_ALS_DET})")
+_ALS_W2 = (f"(((CAST(a11 AS DOUBLE) + {_ALS_LAMBDA}) * CAST(b2 AS DOUBLE) "
+           f"- CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE)) / {_ALS_DET})")
+
+
+@query(
+    "als_half_step",
+    oracle=f"""
+    WITH r AS (
+        SELECT o.o_custkey AS user_id,
+               {_ALS_F1} AS f1, {_ALS_F2} AS f2,
+               CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS rating
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_partkey IS NOT NULL AND l.l_quantity IS NOT NULL
+          AND o.o_custkey IS NOT NULL
+    ), s AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(SUM(f1 * f1) AS BIGINT) AS a11,
+               CAST(SUM(f1 * f2) AS BIGINT) AS a12,
+               CAST(SUM(f2 * f2) AS BIGINT) AS a22,
+               CAST(SUM(f1 * rating) AS BIGINT) AS b1,
+               CAST(SUM(f2 * rating) AS BIGINT) AS b2
+        FROM r GROUP BY 1
+    )
+    SELECT user_id, n_items,
+           CAST(floor({_ALS_W1} * 1000000 + 0.5) AS BIGINT) AS w1_micro,
+           CAST(floor({_ALS_W2} * 1000000 + 0.5) AS BIGINT) AS w2_micro
+    FROM s
+    """,
+)
+def als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS user-factor update (2 latent factors, ridge 1.0) against
+    hash-derived fixed item factors, rated by order quantity.
+
+    Plan shape: one lineitem-orders equi-join (the fact join — AQE
+    broadcasts nothing here, both sides are data-sized, which is the
+    correct shuffle), then ONE per-user aggregate of the five
+    normal-equation sums with map-side combine, then a row-local 2x2
+    solve. This is exactly how production ALS distributes: sufficient
+    statistics shuffle once on the user key, the dense solve never
+    leaves the row. The ridge term keeps every system invertible, so no
+    det=0 guard is needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    r = (li.where(F.col("l_partkey").isNotNull()
+                  & F.col("l_quantity").isNotNull())
+         .join(orders.where(F.col("o_custkey").isNotNull())
+               .select("o_orderkey", "o_custkey"),
+               li.l_orderkey == F.col("o_orderkey"))
+         .select(F.col("o_custkey").alias("user_id"),
+                 F.expr(f"CAST({_ALS_F1} AS BIGINT)").alias("f1"),
+                 F.expr(f"CAST({_ALS_F2} AS BIGINT)").alias("f2"),
+                 F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+                 .alias("rating")))
+    s = (r.groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+              F.sum(F.col("f1") * F.col("f1")).cast("long").alias("a11"),
+              F.sum(F.col("f1") * F.col("f2")).cast("long").alias("a12"),
+              F.sum(F.col("f2") * F.col("f2")).cast("long").alias("a22"),
+              F.sum(F.col("f1") * F.col("rating")).cast("long").alias("b1"),
+              F.sum(F.col("f2") * F.col("rating")).cast("long").alias("b2")))
+    return s.select(
+        "user_id", "n_items",
+        F.expr(f"CAST(floor({_ALS_W1} * 1000000 + 0.5) AS BIGINT)")
+        .alias("w1_micro"),
+        F.expr(f"CAST(floor({_ALS_W2} * 1000000 + 0.5) AS BIGINT)")
+        .alias("w2_micro"))

@@ -379,6 +379,12 @@ _PLAN_BUDGET = {
     # 7-day reach: persisted (user,day) distinct + broadcast day spine +
     # the (day,user) distinct-count expand
     "sliding_distinct_users": (3, 0),
+    # centroid cosine: persisted (label,dim) integer-sum frame; pair and
+    # norm joins are centroid-sized
+    "label_centroid_cosine": (2, 0),
+    # ALS half-step: the fact join (orders side broadcasts at smoke
+    # scale) + ONE per-user sufficient-statistics aggregate
+    "als_half_step": (1, 0),
 }
 
 
