@@ -65,6 +65,9 @@ DRIVER_ORDER: list[str] = [
     "chi2_independence",
     "ols_by_segment",
     "bfs_levels",
+    "kcore_peel",
+    "streaming_drift_monitor",
+    "bpe_merge_step",
     "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
@@ -106,10 +109,10 @@ DRIVER_ORDER: list[str] = [
     "streaming_dedup",
     # ---- latest green row: r7 ----
     "kmv_distinct_users",
+    # ---------------- past the check window ----------------
     "orc_roundtrip_revenue",
     "chunk_documents",
     "schema_evolution_union",
-    # ---------------- past the check window ----------------
     "supplier_part_pagerank",
     "streaming_upsert_totals",
     "synthetic_source_rollup",

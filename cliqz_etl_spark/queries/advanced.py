@@ -1775,3 +1775,89 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+# --------------------------------------------------------------------------
+# k-core peeling over the co-purchase graph — the degeneracy screen
+# (dense-substructure extraction: spam rings, power-user cliques,
+# heavily-bundled part families). Three synchronous peel rounds toward
+# the 100-core: each round recounts degrees over edges whose BOTH
+# endpoints survive, then drops nodes below k. Fixed round count (not
+# run-to-fixpoint) keeps the plan static and the oracle an unrolled CTE
+# chain — the LPA/PageRank discipline for iterative graph ops. A node
+# with no surviving edges disappears from the degree frame and is
+# peeled implicitly, identically on both engines.
+# --------------------------------------------------------------------------
+_KCORE_K = 100
+_KCORE_ITER = 3
+
+
+def _kcore_oracle() -> str:
+    head = """
+    WITH e0 AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+        WHERE x.l_orderkey IS NOT NULL
+    ), e AS (
+        SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+    ), a0 AS (SELECT DISTINCT src AS node FROM e)"""
+    parts = [head]
+    for r in range(1, _KCORE_ITER + 1):
+        parts.append(f"""
+    , d{r} AS (
+        SELECT e.src AS node, count(*) AS deg
+        FROM e JOIN a{r - 1} s ON s.node = e.src
+               JOIN a{r - 1} t ON t.node = e.dst
+        GROUP BY 1
+    ), a{r} AS (SELECT node FROM d{r} WHERE deg >= {_KCORE_K})""")
+    sel = [(f"SELECT CAST({r} AS BIGINT) AS round, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM a{r}) AS n_active, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM a{r - 1}) "
+            f"- (SELECT CAST(count(*) AS BIGINT) FROM a{r}) AS n_peeled")
+           for r in range(1, _KCORE_ITER + 1)]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+@query("kcore_peel", oracle=_kcore_oracle())
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active and peeled node counts for three synchronous peel rounds
+    toward the 100-core of the co-purchase graph.
+
+    Plan shape per round: two active-set semi-style joins gate the
+    persisted symmetric edge list to surviving endpoints, one
+    groupBy(node) recounts degrees with map-side combine, and the new
+    active set persists for the next round — every stage keyed on node,
+    never a single-task structure. Round summaries are 1-row aggregates
+    unioned at the end. At 100 TB each peel round costs two node-keyed
+    joins over the surviving edge set (monotonically shrinking), the
+    same shape distributed k-core implementations use; deep peels would
+    add periodic localCheckpoint like the other iterative-graph ops."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = _materialize(
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(e0.select(F.col("b").alias("src"),
+                               F.col("a").alias("dst"))))
+    active = _materialize(e.select(F.col("src").alias("node")).distinct())
+    rows = []
+    for r in range(1, _KCORE_ITER + 1):
+        deg = (e.join(active.select(F.col("node").alias("src")), "src")
+               .join(active.select(F.col("node").alias("dst")), "dst")
+               .groupBy("src")
+               .agg(F.count(F.lit(1)).alias("deg")))
+        nxt = _materialize(deg.where(F.col("deg") >= _KCORE_K)
+                           .select(F.col("src").alias("node")))
+        n_prev = active.agg(F.count(F.lit(1)).cast("long").alias("n_prev"))
+        n_act = nxt.agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        rows.append(
+            n_act.crossJoin(F.broadcast(n_prev))
+            .select(F.lit(r).cast("long").alias("round"), "n_active",
+                    (F.col("n_prev") - F.col("n_active")).cast("long")
+                    .alias("n_peeled")))
+        active = nxt
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -975,3 +975,115 @@ def streaming_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(out):  # no matching source file: no batch wrote
         return spark.createDataFrame([], "new_id long, corpus_id long")
     return spark.read.parquet(out).select("new_id", "corpus_id").distinct()
+
+
+# --------------------------------------------------------------------------
+# Streaming drift monitor — PSI between a batch reference slice and the
+# LIVE event stream, via mergeable fixed-bound histograms. Unlike
+# psi_drift's data-derived bounds (a batch luxury: a stream cannot know
+# the global min/max), buckets here are fixed-edge, which is what makes
+# per-micro-batch partial counts SUMMABLE: each foreachBatch stages its
+# own bucket histogram, and the monitor's final state is just the
+# per-bucket sum — the production drift-monitor shape (bounded state:
+# B counters, regardless of stream volume). The oracle computes the
+# same fixed-bucket PSI in one batch pass, so the hash match proves the
+# micro-batch merge lost nothing.
+# --------------------------------------------------------------------------
+_DRIFT_CUTOFF = "2024-01-16 00:00:00"
+_DRIFT_BUCKET = "CAST(greatest(0, least(9, floor(value / 50))) AS BIGINT)"
+
+
+def _drift_oracle() -> str:
+    from cliqz_etl_spark.queries.advanced import _psi_term_sql
+
+    return f"""
+    WITH base AS (
+        SELECT {_DRIFT_BUCKET} AS bucket,
+               CAST(ts >= TIMESTAMP '{_DRIFT_CUTOFF}' AS BIGINT) AS cur
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), spine AS (SELECT unnest(range(10)) AS bucket),
+    cnt AS (
+        SELECT spine.bucket AS bucket,
+               CAST(COALESCE(sum(1 - cur), 0) AS BIGINT) AS n_ref,
+               CAST(COALESCE(sum(cur), 0) AS BIGINT) AS n_cur
+        FROM spine LEFT JOIN base ON base.bucket = spine.bucket
+        GROUP BY spine.bucket
+    ), tot AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS a_tot,
+               CAST(sum(n_cur) AS BIGINT) AS b_tot
+        FROM cnt
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
+           {_psi_term_sql('n_ref', 'n_cur', 'a_tot', 'b_tot')}
+               AS psi_contrib_micro
+    FROM cnt CROSS JOIN tot
+    """
+
+
+@query("streaming_drift_monitor", oracle=_drift_oracle())
+@_scoped_legacy_nanos
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the post-cutoff event-value stream against the
+    pre-cutoff batch reference, over fixed 10-bucket value histograms.
+
+    Plan shape: the stream pays one B-row histogram per micro-batch
+    (map-side combine inside the batch, appended to the staging sink);
+    the monitor state is the per-bucket SUM of those partials — fixed
+    bounds make the histogram a commutative monoid, which is the whole
+    trick. The reference histogram is one batch aggregate; the spine
+    join, totals, and quantized-ln PSI terms are all 10-row frames. At
+    100 TB/day the stream side still stages B rows per batch."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from cliqz_etl_spark.queries.advanced import _psi_term_sql
+    from cliqz_etl_spark.tables import load_table as _lt
+
+    bucket = F.expr(_DRIFT_BUCKET)
+    cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"cliqz_drift_mon_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    stream = (_event_stream(spark, sf_dir)
+              .where(F.col("value").isNotNull() & F.col("ts").isNotNull()
+                     & (F.col("ts") >= cutoff))
+              .select(bucket.alias("bucket")))
+
+    def stage_histogram(batch: DataFrame, batch_id: int) -> None:
+        (batch.groupBy("bucket")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+         .write.mode("append").parquet(out))
+
+    (stream.writeStream.foreachBatch(stage_histogram)
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True).start().awaitTermination())
+
+    if os.path.isdir(out):
+        cur = (spark.read.parquet(out).groupBy("bucket")
+               .agg(F.sum("n").cast("long").alias("c")))
+    else:  # no micro-batch fired (no post-cutoff rows in the source)
+        cur = spark.createDataFrame([], "bucket long, c long")
+
+    ref = (_lt(spark, sf_dir, "events")
+           .where(F.col("value").isNotNull() & F.col("ts").isNotNull()
+                  & (F.col("ts") < cutoff))
+           .select(bucket.alias("bucket"))
+           .groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("r")))
+
+    spine = spark.range(10).select(F.col("id").cast("long").alias("bucket"))
+    cnt = (spine.join(ref, "bucket", "left").join(cur, "bucket", "left")
+           .select("bucket",
+                   F.coalesce(F.col("r"), F.lit(0)).cast("long")
+                   .alias("n_ref"),
+                   F.coalesce(F.col("c"), F.lit(0)).cast("long")
+                   .alias("n_cur")))
+    tot = cnt.agg(F.sum("n_ref").cast("long").alias("a_tot"),
+                  F.sum("n_cur").cast("long").alias("b_tot"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_ref", "n_cur",
+                    F.expr(_psi_term_sql("n_ref", "n_cur", "a_tot", "b_tot"))
+                    .alias("psi_contrib_micro")))

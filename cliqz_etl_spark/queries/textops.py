@@ -1246,3 +1246,113 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("w1", "w2", F.col("c_ab").alias("pair_count"),
                     F.floor(F.lit(1000) * F.log(ratio) + F.lit(0.5))
                     .cast("long").alias("pmi_milli")))
+
+
+# --------------------------------------------------------------------------
+# One BPE merge round — the tokenizer-training primitive: count adjacent
+# symbol pairs across the (weighted) vocabulary, pick the most frequent
+# pair (ties to the lexicographically LARGEST pair, a total order both
+# engines share), merge it everywhere, and emit the post-merge pair
+# counts. The whole round is vocabulary-sized after one corpus
+# tokenization pass: pair counting, the 1-row argmax, and the re-merge
+# all run over the distinct-word frame weighted by word frequency —
+# exactly how production BPE trainers scale (corpus touched once per
+# vocab rebuild, never once per merge). Words are restricted to ascii
+# [a-z]+ so the char-split regex behaves identically across engines'
+# unicode models; the merge uses the doubled-space trick so CONSECUTIVE
+# occurrences of the chosen pair ("a b a b") merge in one pass with
+# plain left-to-right non-overlapping replace on both engines.
+# --------------------------------------------------------------------------
+_BPE_MIN_CNT = 5
+# adjacent (pa, pb) pairs from a symbol array `{e}` — 0-based on Spark;
+# a fully-merged single-symbol word yields a NULL pb, filtered out (the
+# DuckDB twin's range(1, 1) is simply empty)
+_BPE_PAIRS_SPARK = (
+    "filter(transform(sequence(1, greatest(size({e}) - 1, 1)), "
+    "i -> struct({e}[i-1] AS pa, {e}[i] AS pb)), p -> p.pb IS NOT NULL)"
+)
+
+
+@query(
+    "bpe_merge_step",
+    oracle=f"""
+    WITH w AS (
+        SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+              FROM documents WHERE text IS NOT NULL)
+        WHERE regexp_matches(t, '^[a-z]+$') AND len(t) >= 2
+        GROUP BY 1
+    ), sym AS (
+        SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, cnt
+        FROM w
+    ), p1 AS (
+        SELECT string_split(pr, ' ')[1] AS pa, string_split(pr, ' ')[2] AS pb,
+               CAST(SUM(cnt) AS BIGINT) AS c
+        FROM (SELECT unnest(list_transform(
+                  range(1, len(string_split(s, ' '))),
+                  i -> string_split(s, ' ')[i] || ' '
+                       || string_split(s, ' ')[i + 1])) AS pr, cnt
+              FROM sym)
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT pa AS tpa, pb AS tpb FROM p1
+        ORDER BY c DESC, pa DESC, pb DESC LIMIT 1
+    ), merged AS (
+        SELECT trim(replace(' ' || replace(s, ' ', '  ') || ' ',
+                            ' ' || tpa || '  ' || tpb || ' ',
+                            ' ' || tpa || tpb || ' ')) AS s2, cnt
+        FROM sym CROSS JOIN top
+    ), p2 AS (
+        SELECT string_split(pr, ' ')[1] AS sym_a,
+               string_split(pr, ' ')[2] AS sym_b,
+               CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_transform(
+                  range(1, len(string_split_regex(s2, ' +'))),
+                  i -> string_split_regex(s2, ' +')[i] || ' '
+                       || string_split_regex(s2, ' +')[i + 1])) AS pr, cnt
+              FROM merged)
+        GROUP BY 1, 2
+    )
+    SELECT sym_a, sym_b, cnt FROM p2 WHERE cnt >= {_BPE_MIN_CNT}
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge adjacent-pair counts after one BPE merge over the
+    ascii-word vocabulary (pairs with weight >= {5} survive).
+
+    Plan shape: ONE corpus tokenization pass collapses to the weighted
+    word-frequency frame (the only data-sized aggregate); the symbol
+    split, both pair counts, and the merge are vocabulary-sized, and the
+    chosen pair is a 1-row broadcast. A full trainer loops this round
+    with the vocab frame persisted — each extra merge costs vocab-sized
+    work only, the property that makes BPE trainable on a 100 TB corpus
+    (the corpus is re-read never, the vocab re-walked per merge)."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (docs.where(F.col("text").isNotNull())
+         .select(F.explode(T.tokens("text")).alias("word"))
+         .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+         .groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    sym = _materialize(
+        w.select(F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("s"),
+                 "cnt"))
+    p1 = (sym.withColumn("e", F.split("s", " "))
+          .select(F.explode(F.expr(_BPE_PAIRS_SPARK.format(e="e")))
+                  .alias("pr"), "cnt")
+          .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+          .agg(F.sum("cnt").cast("long").alias("c")))
+    top = (p1.agg(F.max(F.struct("c", "pa", "pb")).alias("t"))
+           .select(F.col("t.pa").alias("tpa"), F.col("t.pb").alias("tpb")))
+    merged = (sym.crossJoin(F.broadcast(top))
+              .select(F.trim(F.expr(
+                  "replace(' ' || replace(s, ' ', '  ') || ' ', "
+                  "' ' || tpa || '  ' || tpb || ' ', "
+                  "' ' || tpa || tpb || ' ')")).alias("s2"), "cnt"))
+    return (merged.withColumn("e", F.split("s2", " +"))
+            .select(F.explode(F.expr(_BPE_PAIRS_SPARK.format(e="e")))
+                    .alias("pr"), "cnt")
+            .groupBy(F.col("pr.pa").alias("sym_a"),
+                     F.col("pr.pb").alias("sym_b"))
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .where(F.col("cnt") >= _BPE_MIN_CNT))

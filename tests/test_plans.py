@@ -385,6 +385,15 @@ _PLAN_BUDGET = {
     # ALS half-step: the fact join (orders side broadcasts at smoke
     # scale) + ONE per-user sufficient-statistics aggregate
     "als_half_step": (1, 0),
+    # k-core: persisted edges/active sets; final job = per-round degree
+    # joins + 1-row count aggregates
+    "kcore_peel": (5, 0),
+    # BPE round: persisted vocab-symbol frame + two pair aggregates and
+    # the 1-row argmax broadcast
+    "bpe_merge_step": (2, 0),
+    # drift monitor: staged stream histogram sum + reference histogram +
+    # 10-row spine/total broadcasts
+    "streaming_drift_monitor": (3, 0),
 }
 
 
