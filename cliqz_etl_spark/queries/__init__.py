@@ -470,6 +470,20 @@ BENCH_HEADLINE: list[str] = [
     # Round-11 third wave: matrix-free PCA fit (two model-sized collects +
     # driver-exact quantized power iteration)
     "pca_top_component",
+    # Round-11 fourth wave — the model-eval and iterative-graph family:
+    # rank-free AUC (score-level U statistic on ranged_cumsum), the
+    # 64-way posexplode centroid matrix, the ALS normal-equation shuffle,
+    # three k-core peel rounds (per-round double semi-gate + degree agg),
+    # one BPE merge round (corpus pass -> vocab-sized pair mining), the
+    # 7x-explode rolling-reach distinct count, and the foreachBatch
+    # mergeable-histogram drift monitor (streaming family's 5th shape)
+    "roc_auc_per_class",
+    "label_centroid_cosine",
+    "als_half_step",
+    "kcore_peel",
+    "bpe_merge_step",
+    "sliding_distinct_users",
+    "streaming_drift_monitor",
 ]
 
 

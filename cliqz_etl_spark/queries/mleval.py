@@ -41,6 +41,12 @@ from cliqz_etl_spark.tables import load_table
         FROM embeddings
         WHERE embedding IS NOT NULL AND label IS NOT NULL
           AND len(embedding) >= 1
+          -- unscorable first components (NULL element, NaN, out of the
+          -- quantization envelope) drop on BOTH engines: floor(NaN) and
+          -- a NULL score would otherwise diverge in cast/NULL-ordering
+          AND embedding[1] IS NOT NULL
+          AND NOT isnan(CAST(embedding[1] AS DOUBLE))
+          AND abs(CAST(embedding[1] AS DOUBLE)) <= 1000000.0
     ), st AS (
         SELECT score, CAST(count(*) AS BIGINT) AS tot FROM base GROUP BY 1
     ), sc AS (
@@ -94,11 +100,13 @@ def roc_auc_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliqz_etl_spark.operators.stats import ranged_cumsum
 
     emb = load_table(spark, sf_dir, "embeddings")
+    e1 = F.element_at("embedding", 1).cast("double")
     base = (emb.where(F.col("embedding").isNotNull()
                       & F.col("label").isNotNull()
-                      & (F.size("embedding") >= 1))
-            .select(F.floor(F.element_at("embedding", 1).cast("double")
-                            * 1_000_000 + F.lit(0.5)).cast("long")
+                      & (F.size("embedding") >= 1)
+                      & e1.isNotNull() & ~F.isnan(e1)
+                      & (F.abs(e1) <= 1_000_000.0))
+            .select(F.floor(e1 * 1_000_000 + F.lit(0.5)).cast("long")
                     .alias("score"),
                     F.col("label").cast("long").alias("label")))
     # (score, label) counts are the ONLY data-sized pass; both the
@@ -150,9 +158,10 @@ _LIFT_SCORE = ("CASE WHEN event_type IN ('click', 'view') "
                "ELSE CAST(0 AS BIGINT) END")
 _LIFT_RATE = ("CAST(floor(CAST(n_resp AS DOUBLE) / CAST(n_users AS DOUBLE)"
               " * 1000000 + 0.5) AS BIGINT)")
-_LIFT_CUM = ("CAST(floor((CAST(cum_resp AS DOUBLE) * CAST(tot_users AS "
+_LIFT_CUM = ("CASE WHEN tot_resp = 0 THEN NULL ELSE "
+             "CAST(floor((CAST(cum_resp AS DOUBLE) * CAST(tot_users AS "
              "DOUBLE)) / (CAST(cum_users AS DOUBLE) * CAST(tot_resp AS "
-             "DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+             "DOUBLE)) * 1000000 + 0.5) AS BIGINT) END")
 
 
 @query(
@@ -446,6 +455,12 @@ _CENT_COS = ("(CAST(dot AS DOUBLE) / sqrt(CAST(nna AS DOUBLE) "
         FROM embeddings
         WHERE embedding IS NOT NULL AND label IS NOT NULL
           AND len(embedding) = 64
+          -- vector-level validity (the similarity-family discipline):
+          -- any NULL/NaN/out-of-envelope element makes the whole vector
+          -- unusable for an exact integer centroid sum
+          AND len(list_filter(embedding, x -> x IS NULL
+                  OR isnan(CAST(x AS DOUBLE))
+                  OR abs(CAST(x AS DOUBLE)) > 1000000.0)) = 0
     ), cs AS (
         SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s,
                CAST(count(*) AS BIGINT) AS n
@@ -470,6 +485,7 @@ _CENT_COS = ("(CAST(dot AS DOUBLE) / sqrt(CAST(nna AS DOUBLE) "
           FROM dots JOIN norms na ON na.label = dots.label_a
                     JOIN norms nb ON nb.label = dots.label_b)
          d(label_a, label_b, dot, nna, nnb)
+    WHERE d.nna > 0 AND d.nnb > 0
     """,
 )
 def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,9 +502,12 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliqz_etl_spark.operators.dedup import _materialize
 
     emb = load_table(spark, sf_dir, "embeddings")
+    valid = F.expr(
+        "size(filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) "
+        "OR abs(CAST(x AS DOUBLE)) > 1000000.0D)) = 0")
     ex = (emb.where(F.col("embedding").isNotNull()
                     & F.col("label").isNotNull()
-                    & (F.size("embedding") == 64))
+                    & (F.size("embedding") == 64) & valid)
           .select(F.col("label").cast("long").alias("label"),
                   F.posexplode("embedding").alias("pos", "x"))
           .select("label", (F.col("pos") + 1).cast("long").alias("dim"),
@@ -518,6 +537,7 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(norms.select(F.col("label").alias("label_b"),
                                            F.col("nn").alias("nnb"))),
                   "label_b")
+            .where((F.col("nna") > 0) & (F.col("nnb") > 0))
             .select("label_a", "label_b", "dot",
                     F.expr(f"CAST(floor({_CENT_COS} * 1000000 + 0.5) "
                            "AS BIGINT)").alias("cos_micro")))

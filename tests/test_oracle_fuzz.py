@@ -113,6 +113,12 @@ _FUZZED = [
     # met on tiny corpora -> empty both sides; the interpolated
     # probability is one shared IEEE expression tree)
     "kn_bigram_model",
+    # round-11 fourth wave: one BPE merge round (empty ascii vocab ->
+    # NULL argmax row on the Spark side and zero top rows on DuckDB's,
+    # both collapsing to an empty pair table; unicode words filtered by
+    # the ^[a-z]+$ gate identically; consecutive-pair merge via the
+    # doubled-space replace must agree left-to-right)
+    "bpe_merge_step",
 ]
 
 _WORD = st.one_of(
@@ -200,6 +206,11 @@ _EMB_FUZZED = [
     # round-9: triplet mining (corpora with < 2 valid vectors must yield
     # no triple; hash-picked negative under adversarial ids)
     "contrastive_triplets",
+    # round-11: rank-free AUC (NULL/NaN/out-of-envelope first components
+    # drop identically; single-label corpora divide by zero -> NULL
+    # auc_micro on both engines) and the centroid cosine matrix
+    # (vector-level validity gate; zero-norm centroids filtered)
+    "roc_auc_per_class", "label_centroid_cosine",
 ]
 
 # Row i gets _EMB_IDS[i], not i: sequential ids give a <=18-row corpus
@@ -325,6 +336,13 @@ _EV_FUZZED = [
     # negative/zero cents filtered; digits with zero observations ride
     # the spine; the chi-square term is one shared IEEE tree)
     "benford_first_digit",
+    # round-11 fourth wave: decile lift (zero-responder corpora -> NULL
+    # lift on both engines; NULL-value events contribute score 0; exact
+    # NTILE under n < 10), the chi-square contingency audit (weekday =
+    # days-since-Monday mod 7, never engine dow(); NULL types/ts drop),
+    # and the 7-day rolling reach (NULL user/ts drop; explode-vs-BETWEEN
+    # expansion must agree day-for-day)
+    "decile_lift_table", "chi2_independence", "sliding_distinct_users",
 ]
 
 
@@ -719,6 +737,11 @@ _STREAM_FUZZED = [
     # ts/key included — no watermark op in this drain) and state rows
     # must count the NULL key group
     "streaming_progress_audit",
+    # round-11: the mergeable-histogram drift monitor (NULL value/ts rows
+    # drop before the stream; all-reference or all-current corpora leave
+    # one side's histogram empty — the +B smoothing keeps every PSI term
+    # finite on both engines)
+    "streaming_drift_monitor",
 ]
 
 
