@@ -68,6 +68,9 @@ DRIVER_ORDER: list[str] = [
     "kcore_peel",
     "streaming_drift_monitor",
     "bpe_merge_step",
+    "trailing_hour_value",
+    "seasonal_decompose",
+    "hierarchy_rollup",
     "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
@@ -105,11 +108,11 @@ DRIVER_ORDER: list[str] = [
     "curation_pipeline_v2",
     "ann_sq8",
     "dedup_incremental",
+    # ---------------- past the check window ----------------
     "streaming_hourly_counts",
     "streaming_dedup",
     # ---- latest green row: r7 ----
     "kmv_distinct_users",
-    # ---------------- past the check window ----------------
     "orc_roundtrip_revenue",
     "chunk_documents",
     "schema_evolution_union",

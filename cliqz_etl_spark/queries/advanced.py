@@ -1861,3 +1861,64 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in rows[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# --------------------------------------------------------------------------
+# Hierarchy (path) rollup — BOM / org-chart aggregation without
+# iteration: every part contributes its retail value to each of its 3
+# synthetic ancestors (partkey div 10^level — the arithmetic tree every
+# decimal id space carries), via a map-side 3-way explode and ONE
+# aggregate keyed (level, ancestor). This is the scalable form of
+# "recursive" subtree rollups when depth is bounded and ancestry is
+# computable: no self-join per level, no driver loop, the corpus is
+# touched once. (True data-dependent hierarchies join an edge table per
+# level — the bfs_levels shape; this operator is the closed-form fast
+# path that covers id-structured hierarchies.)
+# --------------------------------------------------------------------------
+@query(
+    "hierarchy_rollup",
+    oracle="""
+    WITH base AS (
+        SELECT p_partkey AS p,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM part WHERE p_retailprice IS NOT NULL
+    ), anc AS (
+        SELECT CAST(1 AS BIGINT) AS level, p // 10 AS ancestor, cents
+        FROM base
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), p // 100, cents FROM base
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), p // 1000, cents FROM base
+    )
+    SELECT level, CAST(ancestor AS BIGINT) AS ancestor,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS subtree_cents
+    FROM anc GROUP BY 1, 2
+    """,
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree part counts and value (cents) at three ancestor levels of
+    the decimal-id hierarchy.
+
+    Plan shape: scan-side explode of a 3-element literal array (no
+    shuffle added by the expansion), then ONE groupBy(level, ancestor)
+    with map-side combine — ancestor cardinality shrinks 10x per level,
+    so the aggregate output is a fraction of the input at every level.
+    At 100 TB this is exactly how path-enumerated hierarchies roll up:
+    one pass, one shuffle, depth bounded by the id width."""
+    part = load_table(spark, sf_dir, "part")
+    base = (part.where(F.col("p_retailprice").isNotNull())
+            .select(F.col("p_partkey").alias("p"),
+                    F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+                    .cast("long").alias("cents")))
+    anc = base.select(
+        F.explode(F.expr(
+            "array(struct(CAST(1 AS BIGINT) AS level, p div 10 AS ancestor),"
+            " struct(CAST(2 AS BIGINT) AS level, p div 100 AS ancestor),"
+            " struct(CAST(3 AS BIGINT) AS level, p div 1000 AS ancestor))"
+        )).alias("a"),
+        "cents")
+    return (anc.groupBy(F.col("a.level").alias("level"),
+                        F.col("a.ancestor").cast("long").alias("ancestor"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                 F.sum("cents").cast("long").alias("subtree_cents")))

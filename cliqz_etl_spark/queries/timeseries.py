@@ -621,3 +621,124 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
             .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                     "n_users_7d"))
+
+
+# --------------------------------------------------------------------------
+# Trailing-hour RANGE-frame sum — the time-window running aggregate a
+# ROWS frame cannot express (the frame must hold "every event within
+# 3600 s", not "the last N events"). Values go through the cents
+# discipline BEFORE the frame sum: a RANGE frame is a SET of rows, and
+# tied timestamps make the double-accumulation order engine-arbitrary —
+# integer sums are order-free. NULL ts excluded (no position on the
+# time axis), NULL value sums as 0 via the cents CASE on both sides.
+# --------------------------------------------------------------------------
+@query(
+    "trailing_hour_value",
+    oracle="""
+    SELECT event_id AS event_id, user_id AS user_id,
+           CAST(SUM(CASE WHEN value IS NULL THEN 0
+                         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+                OVER (PARTITION BY user_id ORDER BY epoch(ts) ASC
+                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trail1h_cents
+    FROM events WHERE ts IS NOT NULL
+    """,
+)
+def trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour spend (cents) per user — a true RANGE
+    frame over epoch seconds.
+
+    Plan shape: one shuffle on user_id, one running-frame pass per
+    partition; the frame bound is value-based so Spark keeps a sliding
+    aggregate buffer over at most one hour of rows per user. At 100 TB
+    the per-user partition is the unit of work exactly as in the as-of
+    join; a pathological single-user firehose would call for the same
+    key-salting the sessionize family documents."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cents = (F.when(F.col("value").isNull(), F.lit(0))
+             .otherwise(F.floor(F.col("value") * 100 + F.lit(0.5)))
+             .cast("long"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts").asc())
+         .rangeBetween(-3599, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(cents).over(w).cast("long").alias("trail1h_cents"))
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonal decomposition (STL-lite): daily revenue splits
+# into trend (centered 7-day moving average), weekday seasonality (the
+# mean detrended value per day-of-week), and residual. Everything after
+# the one daily aggregate is CALENDAR-sized, so the unpartitioned
+# centered window is a model-sized single task by construction — the
+# same justification as the 10-row decile frame. The decomposition is
+# exact integer arithmetic after one milli-quantization of the trend:
+# detrended and residual are integer differences, and the seasonal mean
+# quantizes the only other double. Day-of-week is days-since-a-known-
+# Monday mod 7 (the chi2_independence discipline — never engine dow()).
+# --------------------------------------------------------------------------
+@query(
+    "seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), tr AS (
+        SELECT day, cents,
+               CAST(floor(AVG(CAST(cents AS DOUBLE)) OVER (
+                   ORDER BY day ASC
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000 + 0.5)
+                   AS BIGINT) AS trend_milli
+        FROM daily
+    ), det AS (
+        SELECT day, cents, trend_milli,
+               cents * 1000 - trend_milli AS detrended_milli,
+               CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow
+        FROM tr
+    ), seas AS (
+        SELECT dow,
+               CAST(floor(AVG(CAST(detrended_milli AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS seasonal_milli
+        FROM det GROUP BY 1
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.cents AS cents,
+           d.trend_milli AS trend_milli, s.seasonal_milli AS seasonal_milli,
+           CAST(d.detrended_milli - s.seasonal_milli AS BIGINT)
+               AS residual_milli
+    FROM det d JOIN seas s ON s.dow = d.dow
+    """,
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue decomposed into centered-MA trend, weekday
+    seasonality, and residual (all milli-cents, exact integers).
+
+    Plan shape: ONE data-sized aggregate (daily cents with map-side
+    combine); the centered window, the dow means, and the join-back all
+    run on the calendar-sized day frame. Edge days keep their partial
+    centered window (3-4 neighbors) — deterministic and mirrored, the
+    standard moving-average boundary convention."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.where(F.col("o_orderdate").isNotNull())
+             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                        .cast("long")).cast("long").alias("cents")))
+    wtr = Window.orderBy(F.asc("day")).rowsBetween(-3, 3)
+    det = (daily
+           .withColumn("trend_milli",
+                       F.floor(F.avg(F.col("cents").cast("double")).over(wtr)
+                               * 1000 + F.lit(0.5)).cast("long"))
+           .withColumn("detrended_milli",
+                       F.col("cents") * 1000 - F.col("trend_milli"))
+           .withColumn("dow", F.expr(
+               "CAST(pmod(datediff(day, DATE '1970-01-05'), 7) AS BIGINT)")))
+    seas = det.groupBy("dow").agg(
+        F.floor(F.avg(F.col("detrended_milli").cast("double")) + F.lit(0.5))
+        .cast("long").alias("seasonal_milli"))
+    return (det.join(F.broadcast(seas), "dow")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "cents", "trend_milli", "seasonal_milli",
+                    (F.col("detrended_milli") - F.col("seasonal_milli"))
+                    .cast("long").alias("residual_milli")))

@@ -394,6 +394,12 @@ _PLAN_BUDGET = {
     # drift monitor: staged stream histogram sum + reference histogram +
     # 10-row spine/total broadcasts
     "streaming_drift_monitor": (3, 0),
+    # RANGE frame: one user-keyed exchange, one running-frame pass
+    "trailing_hour_value": (1, 0),
+    # STL-lite: daily agg + calendar-sized window/dow/join stages
+    "seasonal_decompose": (3, 0),
+    # path rollup: scan-side 3-way explode + ONE (level, ancestor) agg
+    "hierarchy_rollup": (1, 0),
 }
 
 

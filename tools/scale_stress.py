@@ -442,6 +442,20 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         # must track nb_quality_classifier, which it rides
         ("quality_pr_curve", lambda p: lambda: _registry()
             ["quality_pr_curve"].fn(spark, p)),
+        # round-11 fourth wave: one BPE merge round — the corpus pass
+        # should track volume, everything after is vocab-sized (the
+        # fixed 10k Zipf vocabulary pins the post-agg work CONSTANT
+        # across scales, so the ratio isolates the tokenization pass)
+        ("bpe_merge_step", lambda p: lambda: _registry()
+            ["bpe_merge_step"].fn(spark, p)),
+        # round-11: rank-free AUC (score-level frame is bounded by the
+        # quantization domain — the ratio must track the one corpus agg)
+        # and the centroid cosine matrix (64-way explode + integer sums;
+        # post-agg frames are labels x dims at every scale)
+        ("roc_auc_per_class", lambda p: lambda: _registry()
+            ["roc_auc_per_class"].fn(spark, p)),
+        ("label_centroid_cosine", lambda p: lambda: _registry()
+            ["label_centroid_cosine"].fn(spark, p)),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
@@ -472,7 +486,17 @@ def family_sweep(spark, big_dir: str, scale_label: str,
                   # round-11: the rebuilt bounded-state KMV builds — the
                   # whole point is that ratios stay ~linear with NO
                   # single-task sort per event type at any scale
-                  "kmv_distinct_users", "kmv_set_algebra"]:
+                  "kmv_distinct_users", "kmv_set_algebra",
+                  # round-11 fourth wave: decile lift (per-user agg +
+                  # ranged_ntile two-pass — no global window sort to
+                  # funnel the 10x corpus into one task), the chi-square
+                  # contingency audit (one cell agg, contingency-sized
+                  # after), 7-day rolling reach (7x explode of the
+                  # distinct (user,day) frame), and the foreachBatch
+                  # drift monitor (10-row histogram per micro-batch —
+                  # stream volume should move the scan, never the state)
+                  "decile_lift_table", "chi2_independence",
+                  "sliding_distinct_users", "streaming_drift_monitor"]:
         fn = registry[qname].fn
         t_small = run(f"{qname} @small", lambda: fn(spark, SMALL))
         t_big = run(f"{qname} @{scale_label}", lambda: fn(spark, big_dir))
