@@ -71,6 +71,8 @@ DRIVER_ORDER: list[str] = [
     "trailing_hour_value",
     "seasonal_decompose",
     "hierarchy_rollup",
+    "apriori_triples",
+    "calibration_curve",
     "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
@@ -106,9 +108,9 @@ DRIVER_ORDER: list[str] = [
     "image_resize_stats",
     "media_embed_fingerprint",
     "curation_pipeline_v2",
+    # ---------------- past the check window ----------------
     "ann_sq8",
     "dedup_incremental",
-    # ---------------- past the check window ----------------
     "streaming_hourly_counts",
     "streaming_dedup",
     # ---- latest green row: r7 ----

