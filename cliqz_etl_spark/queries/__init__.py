@@ -73,6 +73,7 @@ DRIVER_ORDER: list[str] = [
     "hierarchy_rollup",
     "apriori_triples",
     "calibration_curve",
+    "markov_attribution",
     "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "fuzzy_match_parts",
     "image_resize_stats",
     "media_embed_fingerprint",
-    "curation_pipeline_v2",
     # ---------------- past the check window ----------------
+    "curation_pipeline_v2",
     "ann_sq8",
     "dedup_incremental",
     "streaming_hourly_counts",

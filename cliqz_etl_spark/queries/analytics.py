@@ -2203,3 +2203,193 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pruned.groupBy("item_a", "item_b", "item_c")
             .agg(F.count(F.lit(1)).cast("long").alias("support"))
             .where(F.col("support") >= _AP_S3))
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution — the data-driven sibling of
+# linear_attribution: user journeys (touches ending in the FIRST
+# purchase, or in a null absorber) fit a first-order absorbing chain,
+# and each channel's credit is how much the chain's conversion
+# probability drops when that channel is removed (its inbound edges
+# redirect to NULL). The corpus pays ONE user-keyed sort shuffle to
+# build the transition counts; the chain itself is model-sized (<= 6x6)
+# and iterates on the driver in EXACT integers (v in ppm; each step's
+# per-edge term is (v * p) // 1e6 — floor division on non-negative
+# ints), so the DuckDB oracle replays the base chain and all three
+# removal chains bit-identically through generated CTEs (the
+# pca_top_component discipline). K = 6 steps bounds journey credit at
+# 6 hops — the standard truncation for first-order attribution.
+# --------------------------------------------------------------------------
+_MKV_STEPS = 6
+_MKV_CHANNELS = ["click", "view", "signup"]
+
+_MKV_JOURNEY_CTES = """
+    WITH ev0 AS (
+        SELECT user_id, ts, event_id, event_type AS et
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IN ('click', 'view', 'signup', 'purchase')
+    ), seqq AS (
+        SELECT user_id, et,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS idx
+        FROM ev0
+    ), fp AS (
+        SELECT user_id, CAST(min(idx) AS BIGINT) AS pidx
+        FROM seqq WHERE et = 'purchase' GROUP BY 1
+    ), j AS (
+        SELECT s.user_id,
+               CASE WHEN s.et = 'purchase' THEN 'C' ELSE s.et END AS st,
+               s.idx
+        FROM seqq s LEFT JOIN fp ON fp.user_id = s.user_id
+        WHERE fp.pidx IS NULL OR s.idx <= fp.pidx
+    ), edges AS (
+        SELECT 'S' AS src, st AS dst FROM j WHERE idx = 1
+        UNION ALL
+        SELECT src, dst FROM (
+            SELECT st AS src,
+                   lead(st) OVER (PARTITION BY user_id
+                                  ORDER BY idx ASC) AS dst
+            FROM j) WHERE dst IS NOT NULL
+        UNION ALL
+        SELECT st AS src, 'N' AS dst FROM (
+            SELECT st, idx,
+                   max(idx) OVER (PARTITION BY user_id) AS last_idx
+            FROM j) WHERE idx = last_idx AND st <> 'C'
+    ), cnt AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        FROM edges GROUP BY 1, 2
+    )"""
+
+
+def _mkv_chain_ctes(tag: str, removed: str | None) -> str:
+    """p table + K quantized iteration CTEs for one chain variant."""
+    if removed is None:
+        base = f"""
+    , cnt_{tag} AS (SELECT src, dst, n FROM cnt)"""
+    else:
+        base = f"""
+    , cnt_{tag} AS (
+        SELECT src, CASE WHEN dst = '{removed}' THEN 'N' ELSE dst END AS dst,
+               CAST(SUM(n) AS BIGINT) AS n
+        FROM cnt WHERE src <> '{removed}' GROUP BY 1, 2)"""
+    parts = [base, f"""
+    , tot_{tag} AS (
+        SELECT src, CAST(SUM(n) AS BIGINT) AS tot
+        FROM cnt_{tag} GROUP BY 1
+    ), p_{tag} AS MATERIALIZED (
+        SELECT c.src AS src, c.dst AS dst,
+               CAST((1000000 * c.n) // t.tot AS BIGINT) AS p
+        FROM cnt_{tag} c JOIN tot_{tag} t ON t.src = c.src
+        UNION ALL SELECT 'C', 'C', CAST(1000000 AS BIGINT)
+        UNION ALL SELECT 'N', 'N', CAST(1000000 AS BIGINT)
+    ), v_{tag}_0 AS (
+        SELECT 'S' AS state, CAST(1000000 AS BIGINT) AS v)"""]
+    for t in range(1, _MKV_STEPS + 1):
+        parts.append(f"""
+    , v_{tag}_{t} AS MATERIALIZED (
+        SELECT p.dst AS state,
+               CAST(SUM((prev.v * p.p) // 1000000) AS BIGINT) AS v
+        FROM p_{tag} p JOIN v_{tag}_{t - 1} prev ON prev.state = p.src
+        GROUP BY 1)""")
+    return "".join(parts)
+
+
+def _mkv_oracle() -> str:
+    ctes = [_MKV_JOURNEY_CTES, _mkv_chain_ctes("base", None)]
+    for ch in _MKV_CHANNELS:
+        ctes.append(_mkv_chain_ctes(f"r_{ch}", ch))
+    effect = ("CASE WHEN base_v > 0 THEN CAST(floor("
+              "(CAST(base_v AS DOUBLE) - rem_v) / base_v * 1000000 + 0.5)"
+              " AS BIGINT) END")
+    sels = []
+    for ch in _MKV_CHANNELS:
+        sels.append(f"""
+    SELECT '{ch}' AS channel, base_v AS p_conv_base_ppm,
+           rem_v AS p_conv_removed_ppm, {effect} AS removal_effect_ppm
+    FROM (SELECT
+        COALESCE((SELECT v FROM v_base_{_MKV_STEPS} WHERE state = 'C'), 0)
+            AS base_v,
+        COALESCE((SELECT v FROM v_r_{ch}_{_MKV_STEPS} WHERE state = 'C'), 0)
+            AS rem_v)""")
+    return "".join(ctes) + "\n    UNION ALL ".join(sels)
+
+
+@query("markov_attribution", oracle=_mkv_oracle())
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel Markov removal effect: the chain's 6-step conversion
+    probability (ppm) with and without each touch channel, and the
+    relative drop — the data-driven attribution standard.
+
+    Plan shape: ONE (user, ts) sort shuffle builds journeys (row_number
+    + lead + last-row windows share the partition key); transition
+    counts collapse to a <= 6x6 matrix collected to the driver, where
+    all four chains (base + three removals) iterate in exact Python
+    ints — only the model crosses the wire (the pca/kmeans driver-local
+    fit discipline). The oracle replays every chain through generated
+    MATERIALIZED CTEs, so a hash match proves the whole fit."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("event_type").isin(_MKV_CHANNELS + ["purchase"]))
+    wseq = Window.partitionBy("user_id").orderBy(F.asc("ts"),
+                                                 F.asc("event_id"))
+    seqq = ev.select("user_id", F.col("event_type").alias("et"),
+                     F.row_number().over(wseq).alias("idx"))
+    fp = (seqq.where(F.col("et") == "purchase")
+          .groupBy("user_id").agg(F.min("idx").alias("pidx")))
+    j = (seqq.join(fp, "user_id", "left")
+         .where(F.col("pidx").isNull() | (F.col("idx") <= F.col("pidx")))
+         .select("user_id",
+                 F.when(F.col("et") == "purchase", F.lit("C"))
+                 .otherwise(F.col("et")).alias("st"), "idx"))
+    wj = Window.partitionBy("user_id").orderBy(F.asc("idx"))
+    wall = Window.partitionBy("user_id")
+    start = j.where(F.col("idx") == 1).select(
+        F.lit("S").alias("src"), F.col("st").alias("dst"))
+    mids = (j.select(F.col("st").alias("src"),
+                     F.lead("st").over(wj).alias("dst"))
+            .where(F.col("dst").isNotNull()))
+    ends = (j.select("st", "idx", F.max("idx").over(wall).alias("last_idx"))
+            .where((F.col("idx") == F.col("last_idx"))
+                   & (F.col("st") != "C"))
+            .select(F.col("st").alias("src"), F.lit("N").alias("dst")))
+    cnt = (start.unionByName(mids).unionByName(ends)
+           .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+           .collect())
+    counts: dict[tuple[str, str], int] = {
+        (r["src"], r["dst"]): int(r["n"]) for r in cnt}
+
+    def conv_ppm(removed: str | None) -> int:
+        c: dict[tuple[str, str], int] = {}
+        for (s, d), n in counts.items():
+            if s == removed:
+                continue
+            key = (s, "N") if d == removed else (s, d)
+            c[key] = c.get(key, 0) + n
+        tot: dict[str, int] = {}
+        for (s, _), n in c.items():
+            tot[s] = tot.get(s, 0) + n
+        p = {(s, d): (1_000_000 * n) // tot[s] for (s, d), n in c.items()}
+        p[("C", "C")] = 1_000_000
+        p[("N", "N")] = 1_000_000
+        v = {"S": 1_000_000}
+        for _ in range(_MKV_STEPS):
+            nxt: dict[str, int] = {}
+            for (s, d), pp in p.items():
+                if s in v:
+                    nxt[d] = nxt.get(d, 0) + (v[s] * pp) // 1_000_000
+            v = nxt
+        return v.get("C", 0)
+
+    import math
+
+    base = conv_ppm(None)
+    rows = []
+    for ch in _MKV_CHANNELS:
+        rem = conv_ppm(ch)
+        eff = (int(math.floor((float(base) - rem) / base * 1_000_000 + 0.5))
+               if base > 0 else None)
+        rows.append((ch, base, rem, eff))
+    return spark.createDataFrame(
+        rows, "channel: string, p_conv_base_ppm: bigint, "
+              "p_conv_removed_ppm: bigint, removal_effect_ppm: bigint")

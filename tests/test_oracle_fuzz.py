@@ -343,6 +343,11 @@ _EV_FUZZED = [
     # and the 7-day rolling reach (NULL user/ts drop; explode-vs-BETWEEN
     # expansion must agree day-for-day)
     "decile_lift_table", "chi2_independence", "sliding_distinct_users",
+    # round-11: Markov removal-effect attribution (journeys truncate at
+    # the FIRST purchase on both engines; no-purchase corpora give
+    # base=0 -> NULL effect; the four quantized chains replay exactly
+    # through the generated CTEs on any event soup)
+    "markov_attribution",
 ]
 
 
