@@ -74,6 +74,8 @@ DRIVER_ORDER: list[str] = [
     "apriori_triples",
     "calibration_curve",
     "markov_attribution",
+    "logistic_gd_steps",
+    "kaplan_meier_retention",
     "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
@@ -106,9 +108,9 @@ DRIVER_ORDER: list[str] = [
     "gopher_quality_filter",
     "unigram_freq_score",
     "fuzzy_match_parts",
+    # ---------------- past the check window ----------------
     "image_resize_stats",
     "media_embed_fingerprint",
-    # ---------------- past the check window ----------------
     "curation_pipeline_v2",
     "ann_sq8",
     "dedup_incremental",

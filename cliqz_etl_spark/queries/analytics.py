@@ -2393,3 +2393,123 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "channel: string, p_conv_base_ppm: bigint, "
               "p_conv_removed_ppm: bigint, removal_effect_ppm: bigint")
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier retention curve — survival analysis over user lifespans
+# (first event day -> last event day; users still active on the
+# corpus's final day are CENSORED, not churned — the standard KM
+# treatment of an open observation window). The risk set and death
+# counts come from day-level cumulative aggregates (calendar-sized);
+# the survival product is a sequential recurrence, so it folds on the
+# driver over the collected day frame in exact integers
+# (S_k = (S_{k-1} * (n_k - d_k)) // n_k, micro units) and the oracle
+# replays the identical fold through a WITH RECURSIVE CTE — the
+# recursive twin of the pca/markov generated-CTE discipline.
+# --------------------------------------------------------------------------
+@query(
+    "kaplan_meier_retention",
+    oracle="""
+    WITH RECURSIVE ud AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE))
+                   AS ld
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1
+    ), gmax AS (SELECT max(ld) AS g FROM ud),
+    days AS (
+        SELECT DISTINCT d FROM (
+            SELECT fd AS d FROM ud UNION ALL SELECT ld FROM ud)
+    ), idx AS (
+        SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d ASC) AS BIGINT) AS k
+        FROM days
+    ), starts AS (SELECT fd AS d, count(*) AS s FROM ud GROUP BY 1),
+    ends AS (SELECT ld AS d, count(*) AS e FROM ud GROUP BY 1),
+    deaths AS (
+        SELECT ld AS d, count(*) AS dd FROM ud CROSS JOIN gmax
+        WHERE ld < g GROUP BY ld
+    ), cal AS (
+        SELECT idx.d, idx.k,
+               CAST(COALESCE(starts.s, 0) AS BIGINT) AS s,
+               CAST(COALESCE(ends.e, 0) AS BIGINT) AS e,
+               CAST(COALESCE(deaths.dd, 0) AS BIGINT) AS dd
+        FROM idx LEFT JOIN starts ON starts.d = idx.d
+                 LEFT JOIN ends ON ends.d = idx.d
+                 LEFT JOIN deaths ON deaths.d = idx.d
+    ), cum AS (
+        SELECT d, k, dd,
+               CAST(SUM(s) OVER (ORDER BY k ASC) AS BIGINT)
+               - CAST(COALESCE(SUM(e) OVER (ORDER BY k ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_risk
+        FROM cal
+    ), rec AS (
+        SELECT CAST(0 AS BIGINT) AS k, CAST(1000000 AS BIGINT) AS surv
+        UNION ALL
+        SELECT cum.k,
+               CASE WHEN cum.n_risk > 0
+                    THEN (rec.surv * (cum.n_risk - cum.dd)) // cum.n_risk
+                    ELSE rec.surv END
+        FROM rec JOIN cum ON cum.k = rec.k + 1
+    )
+    SELECT strftime(cum.d, '%Y-%m-%d') AS day, cum.n_risk AS n_risk,
+           cum.dd AS n_deaths, CAST(rec.surv AS BIGINT) AS surv_micro
+    FROM cum JOIN rec ON rec.k = cum.k
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM survival curve over user activity spans: per lifespan-boundary
+    day, the at-risk count, churn count (final-day survivors censored),
+    and the running survival probability (micro).
+
+    Plan shape: one per-user span aggregate (the only data-sized
+    shuffle), day-level start/end/death rollups derived from it, the
+    cumulative risk set as a calendar-sized window, then the collected
+    day frame folds on the driver in exact integers (sequential
+    recurrence — the one shape windows cannot express; at any corpus
+    scale the fold input is bounded by the calendar)."""
+    import math as _math  # noqa: F401  (parity with sibling driver fits)
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    ud = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld"))
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    ud = _materialize(ud)
+    gmax = ud.agg(F.max("ld").alias("g"))
+    days = (ud.select(F.col("fd").alias("d"))
+            .unionByName(ud.select(F.col("ld").alias("d"))).distinct())
+    starts = ud.groupBy(F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).alias("s"))
+    ends = ud.groupBy(F.col("ld").alias("d")).agg(
+        F.count(F.lit(1)).alias("e"))
+    deaths = (ud.crossJoin(F.broadcast(gmax))
+              .where(F.col("ld") < F.col("g"))
+              .groupBy(F.col("ld").alias("d"))
+              .agg(F.count(F.lit(1)).alias("dd")))
+    wk = Window.orderBy(F.asc("d"))
+    cal = (days.join(starts, "d", "left").join(ends, "d", "left")
+           .join(deaths, "d", "left")
+           .select("d",
+                   F.coalesce("s", F.lit(0)).cast("long").alias("s"),
+                   F.coalesce("e", F.lit(0)).cast("long").alias("e"),
+                   F.coalesce("dd", F.lit(0)).cast("long").alias("dd"))
+           .withColumn("cum_s", F.sum("s").over(
+               wk.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("cum_e_prev", F.coalesce(F.sum("e").over(
+               wk.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+           .select("d", "dd",
+                   (F.col("cum_s") - F.col("cum_e_prev")).cast("long")
+                   .alias("n_risk"))
+           .orderBy("d"))
+    rows = cal.collect()
+    surv = 1_000_000
+    out = []
+    for r in rows:
+        n_risk, dd = int(r["n_risk"]), int(r["dd"])
+        if n_risk > 0:
+            surv = (surv * (n_risk - dd)) // n_risk
+        out.append((r["d"].strftime("%Y-%m-%d"), n_risk, dd, surv))
+    return spark.createDataFrame(
+        out, "day: string, n_risk: bigint, n_deaths: bigint, "
+             "surv_micro: bigint")

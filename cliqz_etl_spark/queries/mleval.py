@@ -629,3 +629,123 @@ def als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w1_micro"),
         F.expr(f"CAST(floor({_ALS_W2} * 1000000 + 0.5) AS BIGINT)")
         .alias("w2_micro"))
+
+
+# --------------------------------------------------------------------------
+# Logistic regression by quantized gradient descent — the classification
+# member of the trainable family (OLS regresses, ALS factorizes, kmeans
+# clusters, PCA whitens; this one classifies). The determinism problem
+# with distributed GD is the gradient SUM: sigmoid terms are doubles,
+# and a double sum's value depends on partition order. The fix is the
+# tfidf discipline applied to training: each row's gradient term
+# quantizes to micro INTEGERS first, so the per-iteration aggregate is
+# an exact integer sum under any partitioning, and the weight update is
+# one shared double tree over (sum, n). Three unrolled iterations from
+# w = 0; the oracle replays the whole descent through chained CTEs
+# (weights as 1-row tables where Spark embeds the identical integers as
+# literals — same values, same IEEE ops, same result).
+# --------------------------------------------------------------------------
+_LGD_ITER = 3
+
+
+def _lgd_sig(w0: str, w1: str) -> str:
+    z = (f"((CAST({w0} AS DOUBLE) + CAST({w1} AS DOUBLE) "
+         "* (CAST(x_milli AS DOUBLE) / 1000.0)) / 1000000.0)")
+    return f"(1.0 / (1.0 + exp(0.0 - {z})))"
+
+
+def _lgd_g0(w0: str, w1: str) -> str:
+    return (f"CAST(floor(1000000.0 * ({_lgd_sig(w0, w1)} "
+            "- CAST(y AS DOUBLE)) + 0.5) AS BIGINT)")
+
+
+def _lgd_g1(w0: str, w1: str) -> str:
+    return (f"CAST(floor(1000000.0 * ({_lgd_sig(w0, w1)} "
+            "- CAST(y AS DOUBLE)) * (CAST(x_milli AS DOUBLE) / 1000.0)"
+            " + 0.5) AS BIGINT)")
+
+
+_LGD_UPD = ("CAST(floor(CAST({s} AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) "
+            "AS BIGINT)")
+
+
+def _lgd_oracle() -> str:
+    head = """
+    WITH feat AS (
+        SELECT CAST(floor(c.c_acctbal + 0.5) AS BIGINT) AS x_milli,
+               CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+        FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                                   WHERE o_custkey IS NOT NULL) o
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal IS NOT NULL
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b)"""
+    parts = [head]
+    for t in range(1, _LGD_ITER + 1):
+        g0 = _lgd_g0(f"w{t - 1}.a", f"w{t - 1}.b")
+        g1 = _lgd_g1(f"w{t - 1}.a", f"w{t - 1}.b")
+        parts.append(f"""
+    , g{t} AS MATERIALIZED (
+        SELECT CAST(SUM({g0}) AS BIGINT) AS s0,
+               CAST(SUM({g1}) AS BIGINT) AS s1
+        FROM feat CROSS JOIN w{t - 1}
+    ), w{t} AS MATERIALIZED (
+        SELECT CAST(w{t - 1}.a - {_LGD_UPD.format(s='g{t}.s0'.format(t=t))}
+                    AS BIGINT) AS a,
+               CAST(w{t - 1}.b - {_LGD_UPD.format(s='g{t}.s1'.format(t=t))}
+                    AS BIGINT) AS b
+        FROM w{t - 1} CROSS JOIN g{t} CROSS JOIN nn
+    )""")
+    sels = [(f"SELECT CAST({t} AS BIGINT) AS iter, w{t}.a AS w0_micro, "
+             f"w{t}.b AS w1_micro, g{t}.s0 AS sum_g0_micro, "
+             f"g{t}.s1 AS sum_g1_micro FROM w{t} CROSS JOIN g{t}")
+            for t in range(1, _LGD_ITER + 1)]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(sels)
+
+
+@query("logistic_gd_steps", oracle=_lgd_oracle())
+def logistic_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three quantized gradient-descent steps of a 2-weight logistic
+    model (has-order ~ account balance), reporting per-iteration weights
+    and exact integer gradient sums.
+
+    Plan shape: the feature frame (one customer-orders existence join)
+    persists once; each iteration is ONE aggregate over it with the
+    current weights embedded as literals — map-side combine, integer
+    sums, nothing data-sized on the driver but the two gradient scalars
+    per step. This is exactly how distributed SGD epochs structure their
+    communication (one reduce per step); the quantization is what makes
+    the run replayable enough to oracle-check bit-for-bit."""
+    import math
+
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = (orders.where(F.col("o_custkey").isNotNull())
+              .select("o_custkey").distinct())
+    feat = _materialize(
+        cust.where(F.col("c_acctbal").isNotNull())
+        .join(buyers, buyers.o_custkey == cust.c_custkey, "left")
+        .select(F.floor(F.col("c_acctbal") + F.lit(0.5)).cast("long")
+                .alias("x_milli"),
+                F.when(F.col("o_custkey").isNull(), 0).otherwise(1)
+                .alias("y")))
+    n = feat.count()
+    if n == 0:
+        raise ValueError("logistic_gd_steps: no labeled rows to fit")
+    w0, w1 = 0, 0
+    rows = []
+    for t in range(1, _LGD_ITER + 1):
+        agg = feat.agg(
+            F.expr(f"CAST(SUM({_lgd_g0(str(w0), str(w1))}) AS BIGINT)")
+            .alias("s0"),
+            F.expr(f"CAST(SUM({_lgd_g1(str(w0), str(w1))}) AS BIGINT)")
+            .alias("s1")).collect()[0]
+        s0, s1 = int(agg["s0"]), int(agg["s1"])
+        w0 -= int(math.floor(float(s0) / float(n) + 0.5))
+        w1 -= int(math.floor(float(s1) / float(n) + 0.5))
+        rows.append((t, w0, w1, s0, s1))
+    return spark.createDataFrame(
+        rows, "iter: bigint, w0_micro: bigint, w1_micro: bigint, "
+              "sum_g0_micro: bigint, sum_g1_micro: bigint")

@@ -348,6 +348,12 @@ _EV_FUZZED = [
     # base=0 -> NULL effect; the four quantized chains replay exactly
     # through the generated CTEs on any event soup)
     "markov_attribution",
+    # round-11: the RANGE-frame trailing sum (NULL values sum as 0 via
+    # the shared CASE; tied timestamps are a SET under a RANGE frame —
+    # integer cents keep the accumulation order-free) and the KM curve
+    # (single-day corpora; all-censored corpora hold surv at 1e6; the
+    # recursive fold must equal the driver fold row-for-row)
+    "trailing_hour_value", "kaplan_meier_retention",
 ]
 
 
@@ -630,6 +636,18 @@ _TPCH_FUZZED = [
     # double divisions must agree on NULL-thinned corpora, including
     # resamples that draw zero rows (excluded on both sides)
     "bootstrap_ci_revenue",
+    # round-11: per-segment OLS (NULL balances/custkeys drop at scan;
+    # det=0 degenerate segments filter identically), the ALS half-step
+    # (NULL part/quantity/custkey rows drop before the factor hash), the
+    # quantized logistic descent (NULL balances drop; the label join must
+    # treat NULL custkeys as non-buyers on both engines), A-priori
+    # triples (NULL order/part keys drop at the distinct), and the
+    # decimal-id hierarchy rollup (NULL prices drop at scan)
+    "ols_by_segment", "als_half_step", "logistic_gd_steps",
+    "apriori_triples", "hierarchy_rollup",
+    # round-11: STL-lite decomposition — all-NULL-price days carry NULL
+    # cents through trend/detrended/residual identically on both engines
+    "seasonal_decompose",
 ]
 
 _PERTURB_COLS = {
