@@ -76,6 +76,10 @@ DRIVER_ORDER: list[str] = [
     "markov_attribution",
     "logistic_gd_steps",
     "kaplan_meier_retention",
+    "stump_split_search",
+    "anova_f_segments",
+    "top_event_paths",
+    "woe_iv_encoding",
     "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
@@ -104,11 +108,11 @@ DRIVER_ORDER: list[str] = [
     "pseudonymize_customers",
     "k_anonymize_customers",
     "dedup_semantic",
+    # ---------------- past the check window ----------------
     "dedup_spans",
     "gopher_quality_filter",
     "unigram_freq_score",
     "fuzzy_match_parts",
-    # ---------------- past the check window ----------------
     "image_resize_stats",
     "media_embed_fingerprint",
     "curation_pipeline_v2",

@@ -2513,3 +2513,66 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "day: string, n_risk: bigint, n_deaths: bigint, "
              "surv_micro: bigint")
+
+
+# --------------------------------------------------------------------------
+# Top 3-step event paths — clickstream path mining: the most frequent
+# consecutive (e1 -> e2 -> e3) sequences across user journeys, ranked
+# deterministically (count desc, path asc). Path extraction is two
+# lead() windows sharing the one user-keyed sort shuffle; the path-level
+# aggregate is bounded by |alphabet|^3, so the ranking frame is
+# model-sized at any corpus scale.
+# --------------------------------------------------------------------------
+_PATHS_TOP = 10
+
+
+@query(
+    "top_event_paths",
+    oracle=f"""
+    WITH seqd AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), pc AS (
+        SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+        FROM seqd WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT e1, e2, e3, n_paths,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, e1 ASC,
+                                       e2 ASC, e3 ASC) AS BIGINT) AS rnk
+        FROM pc
+    )
+    SELECT rnk, e1, e2, e3, n_paths FROM ranked
+    WHERE rnk <= {_PATHS_TOP}
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {10} most frequent consecutive 3-event paths across user
+    journeys, with deterministic tie-breaks.
+
+    Plan shape: ONE user-keyed sort shuffle serves both lead() windows;
+    the (e1, e2, e3) aggregate map-side combines to an alphabet-bounded
+    frame, on which the ranking window is a model-sized single task —
+    never a global sort of the corpus. NULL user/ts/type rows are
+    excluded on both sides (the transition-matrix contract), and a
+    journey shorter than 3 events contributes nothing."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pc = (ev.select(F.col("event_type").alias("e1"),
+                    F.lead("event_type", 1).over(w).alias("e2"),
+                    F.lead("event_type", 2).over(w).alias("e3"))
+          .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+          .groupBy("e1", "e2", "e3")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_paths")))
+    wr = Window.orderBy(F.desc("n_paths"), F.asc("e1"), F.asc("e2"),
+                        F.asc("e3"))
+    return (pc.withColumn("rnk", F.row_number().over(wr).cast("long"))
+            .where(F.col("rnk") <= _PATHS_TOP)
+            .select("rnk", "e1", "e2", "e3", "n_paths"))

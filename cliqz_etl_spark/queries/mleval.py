@@ -749,3 +749,322 @@ def logistic_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "iter: bigint, w0_micro: bigint, w1_micro: bigint, "
               "sum_g0_micro: bigint, sum_g1_micro: bigint")
+
+
+# --------------------------------------------------------------------------
+# Decision-stump split search — tree learning's inner loop, fully
+# distributed (no driver fit): candidate thresholds are the hundred-
+# dollar grid of the balance domain (bounded by the DOMAIN, not the
+# data — the histogram trick every distributed GBDT uses), per-cut
+# left/right class counts come from one cumulative pass over the
+# grid-level aggregate, and the weighted Gini is a shared double tree
+# over exact integer counts. The argmax is deterministic (min gini,
+# ties to the smallest cut) and rides the same bounded frame.
+# --------------------------------------------------------------------------
+_STUMP_GINI = ("(((CAST(n_l AS DOUBLE) * (2.0 * (CAST(pos_l AS DOUBLE) "
+               "/ CAST(n_l AS DOUBLE)) * (1.0 - CAST(pos_l AS DOUBLE) "
+               "/ CAST(n_l AS DOUBLE)))) + (CAST(n_r AS DOUBLE) "
+               "* (2.0 * (CAST(pos_r AS DOUBLE) / CAST(n_r AS DOUBLE)) "
+               "* (1.0 - CAST(pos_r AS DOUBLE) / CAST(n_r AS DOUBLE))))) "
+               "/ (CAST(n_l AS DOUBLE) + CAST(n_r AS DOUBLE)))")
+
+
+@query(
+    "stump_split_search",
+    oracle=f"""
+    WITH feat AS (
+        SELECT CAST(floor(c.c_acctbal + 0.5) AS BIGINT) AS x,
+               CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+        FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                                   WHERE o_custkey IS NOT NULL) o
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal IS NOT NULL
+    ), grid AS (
+        SELECT CAST((CASE WHEN x >= 0 THEN x // 100
+                          ELSE -((-x + 99) // 100) END) * 100 + 99
+                    AS BIGINT) AS cut,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM feat GROUP BY 1
+    ), cum AS (
+        SELECT cut,
+               CAST(SUM(n) OVER (ORDER BY cut ASC) AS BIGINT) AS n_l,
+               CAST(SUM(pos) OVER (ORDER BY cut ASC) AS BIGINT) AS pos_l
+        FROM grid
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+               CAST(SUM(pos) AS BIGINT) AS pos_all
+        FROM grid
+    ), scored AS (
+        SELECT cut, n_l, pos_l,
+               CAST(n_all - n_l AS BIGINT) AS n_r,
+               CAST(pos_all - pos_l AS BIGINT) AS pos_r,
+               CAST(floor({_STUMP_GINI} * 1000000 + 0.5) AS BIGINT)
+                   AS gini_micro
+        FROM cum CROSS JOIN tot
+        WHERE n_l > 0 AND n_all - n_l > 0
+    ), best AS (
+        SELECT cut AS bcut, gini_micro AS bg FROM scored
+        ORDER BY gini_micro ASC, cut ASC LIMIT 1
+    )
+    SELECT s.cut AS cut_dollars, s.n_l AS n_left, s.pos_l AS pos_left,
+           s.n_r AS n_right, s.pos_r AS pos_right,
+           s.gini_micro AS gini_micro,
+           CAST(s.cut = best.bcut AND s.gini_micro = best.bg AS BOOLEAN)
+               AS is_best
+    FROM scored s CROSS JOIN best
+    """,
+)
+def stump_split_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Gini split search for a depth-1 tree on (balance ->
+    has-order), over the hundred-dollar threshold grid, with the best
+    cut flagged.
+
+    Plan shape: one feature join + ONE grid-level aggregate (the only
+    data-sized stages); the cumulative class counts, Gini scoring, and
+    the 1-row argmin all run on the domain-bounded grid (a few hundred
+    rows at any corpus size — the histogram-split trick that lets
+    distributed GBDTs scan once per tree level). The grid window is a
+    single task by construction, like the decile frame."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = (orders.where(F.col("o_custkey").isNotNull())
+              .select("o_custkey").distinct())
+    feat = (cust.where(F.col("c_acctbal").isNotNull())
+            .join(buyers, buyers.o_custkey == cust.c_custkey, "left")
+            .select(F.floor(F.col("c_acctbal") + F.lit(0.5)).cast("long")
+                    .alias("x"),
+                    F.when(F.col("o_custkey").isNull(), 0).otherwise(1)
+                    .alias("y")))
+    # ceil-to-bucket-top for negatives mirrors the oracle's CASE: the
+    # grid cell for x is [k*100, k*100+99] with cut = its top edge
+    grid = _materialize(
+        feat.select(F.expr(
+            "CAST((CASE WHEN x >= 0 THEN x div 100 "
+            "ELSE -((-x + 99) div 100) END) * 100 + 99 AS BIGINT)")
+            .alias("cut"), "y")
+        .groupBy("cut")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("y").cast("long").alias("pos")))
+    wc = Window.orderBy(F.asc("cut")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "cut", F.sum("n").over(wc).cast("long").alias("n_l"),
+        F.sum("pos").over(wc).cast("long").alias("pos_l"))
+    tot = grid.agg(F.sum("n").cast("long").alias("n_all"),
+                   F.sum("pos").cast("long").alias("pos_all"))
+    scored = (cum.crossJoin(F.broadcast(tot))
+              .select("cut", "n_l", "pos_l",
+                      (F.col("n_all") - F.col("n_l")).cast("long")
+                      .alias("n_r"),
+                      (F.col("pos_all") - F.col("pos_l")).cast("long")
+                      .alias("pos_r"))
+              .where((F.col("n_l") > 0) & (F.col("n_r") > 0))
+              .withColumn("gini_micro",
+                          F.expr(f"CAST(floor({_STUMP_GINI} * 1000000 "
+                                 "+ 0.5) AS BIGINT)")))
+    best = (scored.agg(F.min(F.struct("gini_micro", "cut")).alias("b"))
+            .select(F.col("b.cut").alias("bcut"),
+                    F.col("b.gini_micro").alias("bg")))
+    return (scored.crossJoin(F.broadcast(best))
+            .select(F.col("cut").alias("cut_dollars"),
+                    F.col("n_l").alias("n_left"),
+                    F.col("pos_l").alias("pos_left"),
+                    F.col("n_r").alias("n_right"),
+                    F.col("pos_r").alias("pos_right"),
+                    "gini_micro",
+                    ((F.col("cut") == F.col("bcut"))
+                     & (F.col("gini_micro") == F.col("bg")))
+                    .alias("is_best")))
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F statistic across market segments — the k-group
+# generalization of the A/B z-test (already in the family) for
+# continuous outcomes. Sufficient statistics per group are exact
+# integer sums (n, S, SS in cents); SSB/SSW and F assemble in one
+# shared double tree, micro-quantized. Degenerate designs (k < 2 or
+# n <= k) yield NULL F on both engines.
+# --------------------------------------------------------------------------
+_ANOVA_F = ("(((CAST(ssb AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) "
+            "/ ((CAST(ssw AS DOUBLE)) / (CAST(n AS DOUBLE) "
+            "- CAST(k AS DOUBLE))))")
+# per-GROUP terms quantize to integer cents^2 BEFORE the cross-group sum
+# (a double sum over even 5 groups is partition-order-dependent; integer
+# sums are not — the tfidf discipline applied to test statistics)
+_ANOVA_SSB_TERM = ("CAST(floor((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) "
+                   "- CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)) "
+                   "* (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) "
+                   "- CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)) "
+                   "* CAST(n_g AS DOUBLE) + 0.5) AS BIGINT)")
+_ANOVA_SSW_TERM = ("CAST(floor(CAST(ss_g AS DOUBLE) - CAST(s_g AS DOUBLE) "
+                   "* CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) + 0.5) "
+                   "AS BIGINT)")
+
+
+@query(
+    "anova_f_segments",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_mktsegment AS seg,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+    ), g AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(SUM(v) AS BIGINT) AS s_g,
+               CAST(SUM(v * v) AS BIGINT) AS ss_g
+        FROM base GROUP BY 1
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS BIGINT) AS s_all
+        FROM g
+    ), terms AS (
+        SELECT t.k AS k, t.n AS n,
+               {_ANOVA_SSB_TERM.replace("n_all", "t.n")} AS ssb_t,
+               {_ANOVA_SSW_TERM} AS ssw_t
+        FROM g CROSS JOIN t
+    ), parts AS (
+        SELECT k, n, CAST(SUM(ssb_t) AS BIGINT) AS ssb,
+               CAST(SUM(ssw_t) AS BIGINT) AS ssw
+        FROM terms GROUP BY k, n
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           CAST(floor(CAST(ssb AS DOUBLE) / 10000.0 + 0.5) AS BIGINT)
+               AS ssb_dollars2,
+           CAST(floor(CAST(ssw AS DOUBLE) / 10000.0 + 0.5) AS BIGINT)
+               AS ssw_dollars2,
+           CASE WHEN k >= 2 AND n > k AND ssw > 0
+                THEN CAST(floor({_ANOVA_F} * 1000000 + 0.5) AS BIGINT)
+           END AS f_micro
+    FROM parts
+    """,
+)
+def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of account balance across market segments: group
+    count, row count, between/within sums of squares (dollar^2), and
+    the F statistic (micro).
+
+    Plan shape: ONE per-segment aggregate of exact integer sufficient
+    statistics (map-side combine), then segment-count-sized arithmetic.
+    The SSB/SSW/F doubles are one shared IEEE tree over those integers,
+    so the statistic replays exactly — same discipline as the z-test
+    and chi-square siblings."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = (cust.where(F.col("c_mktsegment").isNotNull()
+                       & F.col("c_acctbal").isNotNull())
+            .select(F.col("c_mktsegment").alias("seg"),
+                    F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                    .cast("long").alias("v")))
+    # the per-segment aggregate is the only data-sized pass; the totals
+    # row and the term projection both read it — persist the k-row frame
+    # so the scan isn't paid twice
+    g = _materialize(base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss_g")))
+    t = g.agg(F.count(F.lit(1)).cast("long").alias("k"),
+              F.sum("n_g").cast("long").alias("n"),
+              F.sum("s_g").cast("long").alias("s_all"))
+    terms = (g.crossJoin(F.broadcast(t))
+             .select("k", "n",
+                     F.expr(_ANOVA_SSB_TERM.replace("n_all", "n"))
+                     .alias("ssb_t"),
+                     F.expr(_ANOVA_SSW_TERM).alias("ssw_t")))
+    parts = terms.groupBy("k", "n").agg(
+        F.sum("ssb_t").cast("long").alias("ssb"),
+        F.sum("ssw_t").cast("long").alias("ssw"))
+    return parts.select(
+        F.col("k").alias("n_groups"), F.col("n").alias("n_rows"),
+        F.expr("CAST(floor(CAST(ssb AS DOUBLE) / 10000.0 + 0.5) AS BIGINT)")
+        .alias("ssb_dollars2"),
+        F.expr("CAST(floor(CAST(ssw AS DOUBLE) / 10000.0 + 0.5) AS BIGINT)")
+        .alias("ssw_dollars2"),
+        F.expr(f"CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN "
+               f"CAST(floor({_ANOVA_F} * 1000000 + 0.5) AS BIGINT) END")
+        .alias("f_micro"))
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence / information-value encoding — the credit-scoring
+# feature transform: balance bins scored by ln(pos share / neg share),
+# with the bin's IV contribution. Add-one smoothing keeps every term
+# finite on degenerate bins (the psi_term discipline: the ratio
+# assembles from exact integer counts into ONE shared double before the
+# single ln), and fixed bin edges keep the histogram mergeable.
+# --------------------------------------------------------------------------
+_WOE_BIN = ("CAST(least(9, greatest(0, (x + 1000) // 1100)) AS BIGINT)")
+_WOE_BIN_SPARK = ("CAST(least(9, greatest(0, (x + 1000) div 1100)) "
+                  "AS BIGINT)")
+_WOE_NUM = "((CAST(pos AS DOUBLE) + 1.0) * (CAST(neg_all AS DOUBLE) + 10.0))"
+_WOE_DEN = "((CAST(neg AS DOUBLE) + 1.0) * (CAST(pos_all AS DOUBLE) + 10.0))"
+_WOE = f"ln({_WOE_NUM} / {_WOE_DEN})"
+_WOE_IV = (f"CAST(floor(((CAST(pos AS DOUBLE) + 1.0) "
+           f"/ (CAST(pos_all AS DOUBLE) + 10.0) "
+           f"- (CAST(neg AS DOUBLE) + 1.0) "
+           f"/ (CAST(neg_all AS DOUBLE) + 10.0)) * {_WOE} "
+           "* 1000000 + 0.5) AS BIGINT)")
+
+
+@query(
+    "woe_iv_encoding",
+    oracle=f"""
+    WITH feat AS (
+        SELECT CAST(floor(c.c_acctbal + 0.5) AS BIGINT) AS x,
+               CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+        FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                                   WHERE o_custkey IS NOT NULL) o
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal IS NOT NULL
+    ), b AS (
+        SELECT {_WOE_BIN} AS bin,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM feat GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS pos_all,
+               CAST(SUM(neg) AS BIGINT) AS neg_all
+        FROM b
+    )
+    SELECT bin, pos AS n_pos, neg AS n_neg,
+           CAST(floor({_WOE} * 1000 + 0.5) AS BIGINT) AS woe_milli,
+           {_WOE_IV} AS iv_contrib_micro
+    FROM b CROSS JOIN t
+    """,
+)
+def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence (milli) and information-value contribution
+    (micro) per fixed balance bin against the has-order label.
+
+    Plan shape: the feature join + ONE bin-level aggregate with map-side
+    combine; totals derive from the 10-row bin frame and broadcast back.
+    Smoothed ratios assemble from exact integer counts into one shared
+    IEEE tree per bin before the single ln — the psi_drift discipline
+    carried to feature engineering."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = (orders.where(F.col("o_custkey").isNotNull())
+              .select("o_custkey").distinct())
+    feat = (cust.where(F.col("c_acctbal").isNotNull())
+            .join(buyers, buyers.o_custkey == cust.c_custkey, "left")
+            .select(F.floor(F.col("c_acctbal") + F.lit(0.5)).cast("long")
+                    .alias("x"),
+                    F.when(F.col("o_custkey").isNull(), 0).otherwise(1)
+                    .alias("y")))
+    b = (feat.select(F.expr(_WOE_BIN_SPARK).alias("bin"), "y")
+         .groupBy("bin")
+         .agg(F.sum("y").cast("long").alias("pos"),
+              F.sum(1 - F.col("y")).cast("long").alias("neg")))
+    t = b.agg(F.sum("pos").cast("long").alias("pos_all"),
+              F.sum("neg").cast("long").alias("neg_all"))
+    return (b.crossJoin(F.broadcast(t))
+            .select("bin", F.col("pos").alias("n_pos"),
+                    F.col("neg").alias("n_neg"),
+                    F.expr(f"CAST(floor({_WOE} * 1000 + 0.5) AS BIGINT)")
+                    .alias("woe_milli"),
+                    F.expr(_WOE_IV).alias("iv_contrib_micro")))

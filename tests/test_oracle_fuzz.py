@@ -354,6 +354,9 @@ _EV_FUZZED = [
     # (single-day corpora; all-censored corpora hold surv at 1e6; the
     # recursive fold must equal the driver fold row-for-row)
     "trailing_hour_value", "kaplan_meier_retention",
+    # round-11: 3-step path mining (journeys under 3 events contribute
+    # nothing on both engines; rank ties break on the path triple)
+    "top_event_paths",
 ]
 
 
@@ -648,6 +651,12 @@ _TPCH_FUZZED = [
     # round-11: STL-lite decomposition — all-NULL-price days carry NULL
     # cents through trend/detrended/residual identically on both engines
     "seasonal_decompose",
+    # round-11: the stump split search and WOE/IV encoding (NULL
+    # balances drop at scan; NULL-injected o_custkey labels everyone a
+    # non-buyer identically; the add-one smoothing keeps degenerate bins
+    # finite) and the quantized one-way ANOVA (NULL segments/balances
+    # drop; a single surviving segment yields NULL F on both engines)
+    "stump_split_search", "woe_iv_encoding", "anova_f_segments",
 ]
 
 _PERTURB_COLS = {

@@ -406,6 +406,15 @@ _PLAN_BUDGET = {
     # reliability diagram: rides the persisted NB scoring frame + ONE
     # <=10-bin aggregate
     "calibration_curve": (1, 0),
+    # stump search: feature join + persisted grid agg; scoring/argmin on
+    # the domain-bounded grid
+    "stump_split_search": (3, 0),
+    # ANOVA: persisted per-segment sufficient stats; totals/terms derive
+    "anova_f_segments": (2, 0),
+    # path mining: one user-keyed sort + the alphabet-bounded path agg
+    "top_event_paths": (2, 0),
+    # WOE/IV: feature join + ONE bin agg; totals from the 10-row frame
+    "woe_iv_encoding": (4, 0),
 }
 
 
