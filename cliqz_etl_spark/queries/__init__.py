@@ -80,6 +80,9 @@ DRIVER_ORDER: list[str] = [
     "anova_f_segments",
     "top_event_paths",
     "woe_iv_encoding",
+    "textrank_keywords",
+    "negative_sampling_table",
+    "ann_recall_eval",
     "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
@@ -105,10 +108,10 @@ DRIVER_ORDER: list[str] = [
     "national_market_share",
     "streaming_running_totals",
     "pii_scan_docs",
+    # ---------------- past the check window ----------------
     "pseudonymize_customers",
     "k_anonymize_customers",
     "dedup_semantic",
-    # ---------------- past the check window ----------------
     "dedup_spans",
     "gopher_quality_filter",
     "unigram_freq_score",

@@ -1290,3 +1290,89 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, v[i], lam) for i in range(VEC_DIM)],
         "dim_idx: bigint, component_milli: bigint, eigenvalue_q: bigint")
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation — the index-quality gate every vector-store
+# deployment runs: IVF (n_probe=1) top-k against the brute-force ground
+# truth on the SAME query set, scored as exact per-query recall. The
+# denominator is each query's ACTUAL truth-set size (min(k, valid-1)),
+# so degenerate corpora score cleanly. Composes the two existing
+# retrieval paths; nothing here adds a data-sized stage beyond them —
+# the hit join runs on two <= Q x k row frames.
+# --------------------------------------------------------------------------
+@query(
+    "ann_recall_eval",
+    oracle=_ASSIGN_CTE + f"""
+    , truth AS (
+        SELECT vec_id AS query_id, neighbor_id FROM (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_cos('a.v', 'b.v')} DESC, b.vec_id ASC)
+                       AS rank
+            FROM q a JOIN q b ON a.vec_id != b.vec_id
+            WHERE a.vec_id % {QUERY_MOD} = 0)
+        WHERE rank <= {IVF_K}
+    ), approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+                       ORDER BY {_cos('qv.v', 'cv.v')} DESC, ca.vec_id ASC)
+                       AS rank
+            FROM assigned qa
+            JOIN assigned ca ON ca.cluster = qa.cluster
+                            AND ca.vec_id != qa.vec_id
+            JOIN q qv ON qv.vec_id = qa.vec_id
+            JOIN q cv ON cv.vec_id = ca.vec_id
+            WHERE qa.vec_id % {QUERY_MOD} = 0)
+        WHERE rank <= {IVF_K}
+    ), hits AS (
+        SELECT t.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+        FROM truth t LEFT JOIN approx a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY 1
+    ), tsize AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS k FROM truth GROUP BY 1
+    )
+    SELECT h.query_id AS query_id, h.n_hits AS n_hits, ts.k AS k_truth,
+           CAST((1000000 * h.n_hits) // ts.k AS BIGINT) AS recall_micro
+    FROM hits h JOIN tsize ts ON ts.query_id = h.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall (micro) of IVF n_probe=1 top-{3} against the
+    exact brute-force truth on the shared query stride.
+
+    Plan shape: the brute-force side is ann_topk's broadcast-query scan,
+    the approximate side is ann_ivf's bucket-pruned join; both collapse
+    to Q x k frames before the left hit-join and the per-query count.
+    At index scale the truth side is the expensive half — production
+    recall evals run it once per index build on a sampled query set,
+    exactly the shape here (the stride IS the sample)."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+    from cliqz_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    truth = _materialize(
+        brute_force_topk(emb, queries, "vec_id", "embedding", IVF_K)
+        .select("query_id", "neighbor_id"))
+    approx = (ivf_topk(emb, centroids, queries, "vec_id", "embedding",
+                       IVF_K, dim=VEC_DIM)
+              .select("query_id", "neighbor_id"))
+    tsize = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k"))
+    hitc = (truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    return (tsize.join(hitc, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.col("k").alias("k_truth"),
+                    F.expr("CAST((1000000 * COALESCE(n_hits, 0)) div k "
+                           "AS BIGINT)").alias("recall_micro")))

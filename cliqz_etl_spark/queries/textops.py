@@ -1421,3 +1421,174 @@ def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_score_milli"),
                     F.expr("CAST((1000000 * n_pass) div n_docs AS BIGINT)")
                     .alias("pass_rate_ppm")))
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction — PageRank over the word co-occurrence
+# graph (Mihalcea & Tarau 2004), composed from the engine's own
+# integer-exact pagerank operator: ascii words (len >= 4, the stopword
+# heuristic) link when adjacent, edges keep corpus support >= 3 (the
+# token_pmi floor — bounds the graph by the collocation vocabulary),
+# and three floor-division PageRank iterations run bit-identically on
+# both engines. Words ride as 60-bit md5 ids through the rank
+# recurrence (8-byte shuffle keys, engine-portable) and join back to
+# strings only for the top-20 report — which is a distributed
+# TakeOrdered, never a global sort.
+# --------------------------------------------------------------------------
+_TR_ITER = 3
+_TR_SCALE = 1_000_000
+_TR_BASE = (_TR_SCALE * 15) // 100
+_TR_TOP = 20
+_TR_MIN_SUPPORT = 3
+
+
+def _textrank_oracle() -> str:
+    word = "w"
+    head = f"""
+    WITH tk AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+    ), adj AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk
+              WHERE len(t) >= 2)
+        WHERE regexp_matches(t[i], '^[a-z]{{4,}}$')
+          AND regexp_matches(t[i + 1], '^[a-z]{{4,}}$')
+          AND t[i] <> t[i + 1]
+    ), sup AS (
+        SELECT w1, w2 FROM adj GROUP BY 1, 2
+        HAVING count(*) >= {_TR_MIN_SUPPORT}
+    ), e AS (
+        SELECT {md5_long_sql('w1')} AS src, {md5_long_sql('w2')} AS dst
+        FROM sup
+        UNION
+        SELECT {md5_long_sql('w2')}, {md5_long_sql('w1')} FROM sup
+    ), deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    words AS (
+        SELECT DISTINCT {word} AS word, {md5_long_sql(word)} AS node
+        FROM (SELECT w1 AS {word} FROM sup UNION SELECT w2 FROM sup)
+    ), r0 AS (
+        SELECT node, CAST({_TR_SCALE} AS BIGINT) AS rank FROM nodes
+    )"""
+    parts = [head]
+    for i in range(1, _TR_ITER + 1):
+        parts.append(f"""
+    , c{i} AS (
+        SELECT e.dst AS node, SUM(r{i - 1}.rank // deg.d) AS s
+        FROM e JOIN r{i - 1} ON r{i - 1}.node = e.src
+        JOIN deg ON deg.src = e.src GROUP BY 1
+    ), r{i} AS (
+        SELECT n.node,
+               CAST({_TR_BASE} + (85 * COALESCE(c{i}.s, 0)) // 100
+                    AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
+    )""")
+    return "".join(parts) + f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY r.rank DESC, w.word ASC)
+                AS BIGINT) AS rnk,
+           w.word AS word, r.rank AS rank_micro
+    FROM r{_TR_ITER} r JOIN words w ON w.node = r.node
+    ORDER BY r.rank DESC, w.word ASC LIMIT {_TR_TOP}
+    """
+
+
+@query("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 TextRank keywords: three integer-exact PageRank iterations
+    over the support-filtered adjacency graph of long ascii words.
+
+    Plan shape: one tokenization pass collapses to the supported pair
+    set (vocabulary-bounded); the symmetric md5-keyed edge list drives
+    operators/graph.py::pagerank (per iteration: one persisted-edge
+    join, one partial-agg groupBy, one re-seed left join); the report is
+    a TakeOrderedAndProject over the vocabulary-sized rank frame plus a
+    20-row window for the rank numbers. Word strings never enter the
+    iteration — only 8-byte hash keys shuffle."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+    from cliqz_etl_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (docs.where(F.col("text").isNotNull()
+                     & (F.trim(F.col("text")) != ""))
+          .select(T.tokens("text").alias("t")))
+    adj = (tk.where(F.size("t") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(1, size(t) - 1), "
+               "i -> struct(t[i-1] AS w1, t[i] AS w2))")).alias("p"))
+           .select("p.w1", "p.w2")
+           .where(F.col("w1").rlike("^[a-z]{4,}$")
+                  & F.col("w2").rlike("^[a-z]{4,}$")
+                  & (F.col("w1") != F.col("w2"))))
+    sup = _materialize(
+        adj.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _TR_MIN_SUPPORT).select("w1", "w2"))
+    e = (sup.select(md5_long("w1").alias("src"), md5_long("w2").alias("dst"))
+         .union(sup.select(md5_long("w2").alias("src"),
+                           md5_long("w1").alias("dst"))).distinct())
+    ranks = pagerank(e, _TR_ITER, scale=_TR_SCALE)
+    words = (sup.select(F.col("w1").alias("word"))
+             .union(sup.select(F.col("w2").alias("word"))).distinct()
+             .select("word", md5_long("word").alias("node")))
+    top = (ranks.join(words, "node")
+           .orderBy(F.desc("rank"), F.asc("word")).limit(_TR_TOP))
+    wr = Window.orderBy(F.desc("rank"), F.asc("word"))
+    return (top.withColumn("rnk", F.row_number().over(wr).cast("long"))
+            .select("rnk", "word", F.col("rank").alias("rank_micro")))
+
+
+# --------------------------------------------------------------------------
+# Negative-sampling distribution — word2vec's unigram^0.75 table: the
+# probability each word is drawn as a negative, over the frequent
+# vocabulary. The 0.75 power is a double, so each word's weight
+# quantizes to an exact milli integer BEFORE the normalizing sum (a
+# double total over the vocabulary would be partition-order-dependent);
+# shares are then exact integer ppb of the integer total.
+# --------------------------------------------------------------------------
+_NEG_MIN_COUNT = 50
+
+
+@query(
+    "negative_sampling_table",
+    oracle=f"""
+    WITH uni AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY 1 HAVING count(*) >= {_NEG_MIN_COUNT}
+    ), q AS (
+        SELECT word, c,
+               CAST(floor(pow(CAST(c AS DOUBLE), 0.75) * 1000 + 0.5)
+                    AS BIGINT) AS q_milli
+        FROM uni
+    ), t AS (SELECT CAST(SUM(q_milli) AS BIGINT) AS tot FROM q)
+    SELECT word, c AS n_occurrences, q_milli,
+           CAST((q_milli * 1000000000) // t.tot AS BIGINT) AS share_ppb
+    FROM q CROSS JOIN t
+    """,
+)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram^0.75 negative-sampling shares (ppb) over words with
+    >= 50 occurrences.
+
+    Plan shape: one tokenization aggregate (map-side combine) to the
+    frequent vocabulary, per-word weight quantization scan-side, the
+    1-row integer total broadcast back — nothing after the unigram
+    count is data-sized. pow() runs once per vocabulary word on
+    identical integer inputs, so the doubles agree cross-engine."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (docs.where(F.col("text").isNotNull())
+           .select(F.explode(T.tokens("text")).alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c"))
+           .where(F.col("c") >= _NEG_MIN_COUNT))
+    q = _materialize(uni.select(
+        "word", "c",
+        F.expr("CAST(floor(pow(CAST(c AS DOUBLE), 0.75) * 1000 + 0.5) "
+               "AS BIGINT)").alias("q_milli")))
+    t = q.agg(F.sum("q_milli").cast("long").alias("tot"))
+    return (q.crossJoin(F.broadcast(t))
+            .select("word", F.col("c").alias("n_occurrences"), "q_milli",
+                    F.expr("CAST((q_milli * 1000000000) div tot AS BIGINT)")
+                    .alias("share_ppb")))

@@ -119,6 +119,11 @@ _FUZZED = [
     # the ^[a-z]+$ gate identically; consecutive-pair merge via the
     # doubled-space replace must agree left-to-right)
     "bpe_merge_step",
+    # round-11: TextRank (empty supported-pair graphs yield empty top-k
+    # on both engines; the md5 word ids and the floor-division PageRank
+    # recurrence replay exactly) and the unigram^0.75 negatives table
+    # (min-count rarely met on tiny corpora -> empty both sides)
+    "textrank_keywords", "negative_sampling_table",
 ]
 
 _WORD = st.one_of(

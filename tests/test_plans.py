@@ -415,6 +415,13 @@ _PLAN_BUDGET = {
     "top_event_paths": (2, 0),
     # WOE/IV: feature join + ONE bin agg; totals from the 10-row frame
     "woe_iv_encoding": (4, 0),
+    # TextRank: persisted pair/edge frames + per-iteration join/agg; the
+    # report is TakeOrdered + a 20-row window
+    "textrank_keywords": (3, 0),
+    # word2vec negatives: ONE unigram agg; weights/shares vocab-sized
+    "negative_sampling_table": (1, 0),
+    # recall eval: persisted truth frame + the IVF bucket join + hit join
+    "ann_recall_eval": (1, 0),
 }
 
 
