@@ -499,6 +499,14 @@ BENCH_HEADLINE: list[str] = [
     "bpe_merge_step",
     "sliding_distinct_users",
     "streaming_drift_monitor",
+    # Round-11 fifth wave: the pruned A-priori triple mine (basket
+    # explode + three L2 semi-gates before the heaviest agg), TextRank
+    # (iterative PageRank over the word graph — the 6th iterative-graph
+    # drain), and the Markov attribution fit (one journey sort shuffle +
+    # four driver-exact chains)
+    "apriori_triples",
+    "textrank_keywords",
+    "markov_attribution",
 ]
 
 
