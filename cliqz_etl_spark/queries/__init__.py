@@ -83,6 +83,7 @@ DRIVER_ORDER: list[str] = [
     "textrank_keywords",
     "negative_sampling_table",
     "ann_recall_eval",
+    "map_ops_gauntlet",
     "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
@@ -107,8 +108,8 @@ DRIVER_ORDER: list[str] = [
     "idle_balance_customers",
     "national_market_share",
     "streaming_running_totals",
-    "pii_scan_docs",
     # ---------------- past the check window ----------------
+    "pii_scan_docs",
     "pseudonymize_customers",
     "k_anonymize_customers",
     "dedup_semantic",

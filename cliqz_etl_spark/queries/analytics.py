@@ -2576,3 +2576,69 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pc.withColumn("rnk", F.row_number().over(wr).cast("long"))
             .where(F.col("rnk") <= _PATHS_TOP)
             .select("rnk", "e1", "e2", "e3", "n_paths"))
+
+
+# --------------------------------------------------------------------------
+# Map-functions gauntlet — MapType's whole API surface exercised once
+# per user (map_from_entries / map_contains_key / element_at /
+# transform_values / map_filter / map_keys / map_values + aggregate),
+# checked against a map-free relational oracle: the map is an
+# IMPLEMENTATION detail, the values it must reproduce are plain SQL.
+# Entry arrays sort before map construction — map iteration order is
+# insertion order, and collect_list order is partition-arbitrary (the
+# gauntlet would flake without the sort). Empty filtered key lists
+# yield NULL (not ''), mirrored explicitly.
+# --------------------------------------------------------------------------
+@query(
+    "map_ops_gauntlet",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           bool_or(event_type = 'purchase') AS has_purchase,
+           CAST(MAX(CASE WHEN event_type = 'click' THEN n END) AS BIGINT)
+               AS n_clicks,
+           CAST(MAX(CASE WHEN event_type = 'click' THEN n END) * 2
+                AS BIGINT) AS n_clicks_x2,
+           CASE WHEN count(*) FILTER (n >= 3) > 0
+                THEN string_agg(event_type, ',' ORDER BY event_type ASC)
+                     FILTER (n >= 3)
+           END AS busy_keys
+    FROM c GROUP BY user_id
+    """,
+)
+def map_ops_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type map assembled, transformed, filtered, and read
+    back — every MapType primitive against a relational oracle.
+
+    Plan shape: one (user, type) aggregate plus one per-user entry
+    collect; everything map-related is a row-local projection inside
+    whole-stage codegen. The alphabet bounds entry arrays, so collected
+    lists are tiny at any corpus size."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    m = (c.groupBy("user_id")
+         .agg(F.map_from_entries(
+             F.array_sort(F.collect_list(F.struct("event_type", "n"))))
+             .alias("m")))
+    busy = F.map_keys(F.map_filter("m", lambda k, v: v >= 3))
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_keys"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).cast("long")
+        .alias("total_events"),
+        F.map_contains_key("m", "purchase").alias("has_purchase"),
+        F.element_at("m", "click").cast("long").alias("n_clicks"),
+        F.element_at(F.transform_values("m", lambda k, v: v * 2), "click")
+        .cast("long").alias("n_clicks_x2"),
+        F.when(F.size(busy) == 0, F.lit(None))
+        .otherwise(F.array_join(busy, ",")).alias("busy_keys"))

@@ -362,6 +362,11 @@ _EV_FUZZED = [
     # round-11: 3-step path mining (journeys under 3 events contribute
     # nothing on both engines; rank ties break on the path triple)
     "top_event_paths",
+    # round-11: the MapType gauntlet vs its map-free relational oracle
+    # (entry arrays SORT before map_from_entries — collect_list order is
+    # partition-arbitrary; absent 'click' keys read NULL; empty filtered
+    # key lists are NULL, not '')
+    "map_ops_gauntlet",
 ]
 
 

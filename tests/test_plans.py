@@ -422,6 +422,9 @@ _PLAN_BUDGET = {
     "negative_sampling_table": (1, 0),
     # recall eval: persisted truth frame + the IVF bucket join + hit join
     "ann_recall_eval": (1, 0),
+    # map gauntlet: (user,type) agg + per-user entry collect; all map
+    # ops row-local
+    "map_ops_gauntlet": (2, 0),
 }
 
 
