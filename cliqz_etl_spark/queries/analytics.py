@@ -2467,8 +2467,6 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     day frame folds on the driver in exact integers (sequential
     recurrence — the one shape windows cannot express; at any corpus
     scale the fold input is bounded by the calendar)."""
-    import math as _math  # noqa: F401  (parity with sibling driver fits)
-
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     ud = ev.groupBy("user_id").agg(

@@ -629,7 +629,11 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3600 s", not "the last N events"). Values go through the cents
 # discipline BEFORE the frame sum: a RANGE frame is a SET of rows, and
 # tied timestamps make the double-accumulation order engine-arbitrary —
-# integer sums are order-free. NULL ts excluded (no position on the
+# integer sums are order-free. The frame axis is WHOLE SECONDS on both
+# engines: Spark's unix_timestamp truncates, and the oracle floors
+# epoch()'s fractional DOUBLE explicitly — left un-floored, a .9-vs-.1
+# microsecond pair straddling the 3600 s boundary lands in different
+# frames per engine. NULL ts excluded (no position on the
 # time axis), NULL value sums as 0 via the cents CASE on both sides.
 # --------------------------------------------------------------------------
 @query(
@@ -638,7 +642,8 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id AS event_id, user_id AS user_id,
            CAST(SUM(CASE WHEN value IS NULL THEN 0
                          ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)
-                OVER (PARTITION BY user_id ORDER BY epoch(ts) ASC
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC
                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS trail1h_cents
     FROM events WHERE ts IS NOT NULL
