@@ -52,6 +52,19 @@ New ops: curation_funnel_audit 1.4x (scan-shaped), quality_pr_curve
 boilerplate_ngram_profile 2.2x (the (source,gram) agg combines hard on
 the Zipf corpus).
 
+Round-11 --100x refresh (500k docs / 200k vectors): LSH 2.5x, simhash
+5.3x, ngram-jaccard 29.1x, incremental LSH 24.6x, SQ8 1.3x, IVF
+(fixed K=32) 18.3x, span dedup 15.5x, unigram 20.8x,
+curation_pipeline_v2 24.5x, chunk 30.1x, exact-substrings 14.2x,
+kNN graph 8.2x, WAND 10.6x, PQ 6.4x, NB 4.5x, JPEG decode 11.4x /
+lossy 17.8x, MJPEG demux 43.5x wall-clock at 100x the data — the
+established families hold their sub-quadratic decades. New this round
+at 100x: bpe_merge_step 10.9x (the corpus pass tracks volume; the
+fixed vocab pins the merge constant), roc_auc_per_class 1.5x and
+label_centroid_cosine 1.8x (bounded post-aggregate frames — near-flat
+across two decades), curation_funnel_audit 5.9x, quality_pr_curve
+2.1x, boilerplate_ngram_profile 19.6x.
+
 Round-11 fourth-wave sweep (same 10x corpora): bpe_merge_step 2.0x
 (the corpus tokenization pass tracks volume; the fixed 10k vocab pins
 everything after constant), roc_auc_per_class 0.9x and
