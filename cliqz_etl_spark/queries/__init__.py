@@ -58,6 +58,13 @@ DRIVER_ORDER: list[str] = [
     # ---- RED latest row ----
     "important_part_value",
     # ---- latest green row: rnew/churn ----
+    "session_bounce_stats",
+    "acf_daily_revenue",
+    "t_closeness_audit",
+    "gini_spend",
+    "zipf_fit",
+    "rater_agreement_kappa",
+    "ranking_eval_bm25",
     "roc_auc_per_class",
     "label_centroid_cosine",
     "als_half_step",
@@ -101,6 +108,7 @@ DRIVER_ORDER: list[str] = [
     "priority_line_counts",
     "promo_revenue_pct",
     "top_revenue_suppliers",
+    # ---------------- past the check window ----------------
     "large_volume_customers",
     "brand_filtered_revenue",
     "customer_order_distribution",
@@ -108,7 +116,6 @@ DRIVER_ORDER: list[str] = [
     "idle_balance_customers",
     "national_market_share",
     "streaming_running_totals",
-    # ---------------- past the check window ----------------
     "pii_scan_docs",
     "pseudonymize_customers",
     "k_anonymize_customers",
@@ -508,6 +515,15 @@ BENCH_HEADLINE: list[str] = [
     "apriori_triples",
     "textrank_keywords",
     "markov_attribution",
+    # Round-11 seventh wave: the two ranged-rank shapes (Zipf fit =
+    # vocab agg + distributed per-lang rank; Gini = per-customer agg +
+    # distributed global rank) and the retrieval eval (BM25 postings
+    # pipeline + TakeOrdered cut + metric arithmetic). The scan-shaped
+    # newcomers (kappa, t-closeness, bounce, ACF) ride the correctness
+    # gate only, per the gopher/fuzzy-match precedent.
+    "zipf_fit",
+    "gini_spend",
+    "ranking_eval_bm25",
 ]
 
 

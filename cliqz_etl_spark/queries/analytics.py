@@ -2640,3 +2640,71 @@ def map_ops_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_clicks_x2"),
         F.when(F.size(busy) == 0, F.lit(None))
         .otherwise(F.array_join(busy, ",")).alias("busy_keys"))
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer spend — the inequality audit a sampling /
+# curation pipeline runs on any weight distribution (spend here; token
+# counts per source, sampling weights per shard in the curation uses).
+# Rank formulation over the ASCENDING sort:
+#   G = (2 * sum_i i*x_i - (n+1) * sum_i x_i) / (n * sum_i x_i)
+# The global rank i is the classic single-task-sort trap, so it rides
+# ranged_cumsum (range-repartition + per-range window + tiny offset
+# join — operators/stats.py) over the per-customer aggregate, ordered
+# by (spend, custkey) so ties rank deterministically. Spend is held in
+# KILOcents (the acf_daily_revenue envelope move): every term of the
+# scaled numerator and the permille scaling then stays in BIGINT
+# through bench scale with ~3 decades of headroom.
+# --------------------------------------------------------------------------
+@query(
+    "gini_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    // 1000 AS BIGINT) AS kc
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1
+    ), ranked AS (
+        SELECT kc,
+               ROW_NUMBER() OVER (ORDER BY kc ASC, o_custkey ASC) AS i
+        FROM spend
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(kc) AS BIGINT) AS total_kilocents,
+           CAST((1000 * (2 * SUM(i * kc) - (count(*) + 1) * SUM(kc)))
+                // (count(*) * SUM(kc)) AS BIGINT) AS gini_milli
+    FROM ranked
+    """,
+    doc="Gini coefficient (permille) of per-customer order spend.",
+)
+def gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders are absent from the distribution (they
+    have no spend row to rank); NULL-priced orders contribute nothing on
+    either engine. The numerator is non-negative by construction (the
+    ascending-rank identity), so DuckDB's flooring // and Spark's
+    truncating div agree.
+
+    Plan shape: one map-side-combined groupBy to the per-customer frame,
+    then ranged_cumsum's three bounded stages for the global rank — no
+    data-sized single-task sort — and a 1-row final aggregate."""
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = (o.where(F.col("o_totalprice").isNotNull())
+             .groupBy("o_custkey")
+             .agg(F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) as long))"
+                         " div 1000").cast("long").alias("kc")))
+    ranked = (ranged_cumsum(spend.withColumn("one", F.lit(1)),
+                            ["kc", "o_custkey"], ["one"])
+              .select("kc", F.col("cum_one").alias("i")))
+    n = F.count(F.lit(1))
+    s = F.sum("kc")
+    return (ranked.agg(
+        n.cast("long").alias("n_customers"),
+        s.cast("long").alias("total_kilocents"),
+        (F.lit(1000) * (F.lit(2) * F.sum(F.col("i") * F.col("kc"))
+                        - (n + 1) * s)).alias("__num"),
+        (n * s).alias("__den"))
+        .select("n_customers", "total_kilocents",
+                F.expr("__num div __den").cast("long").alias("gini_milli")))

@@ -346,3 +346,113 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", F.col("n").alias("true_count"),
                     F.expr(_dp_noisy_milli("__h")).alias("noisy_milli"),
                     F.lit(DP_EPS_MILLI).cast("long").alias("epsilon_milli")))
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit — the third rung of the k/l/t ladder: a cell can be
+# k-large AND l-diverse yet still leak by SKEW (90% of one band where
+# the population holds 10%). Per quasi-cell, the total variation
+# distance between the cell's banded-balance distribution and the
+# global one, in exact integer cross-multiplied arithmetic:
+#   TVD = 1/2 * sum_b |n_cb/n_c - n_b/N|
+#       = (sum_{b in cell} (|n_cb*N - n_b*n_c| - n_b*n_c) + n_c*N)
+#         / (2*n_c*N)
+# — the second form needs only the (cell, band) rows that EXIST (absent
+# bands contribute n_b*n_c each, and sum_b n_b = N collapses their sum
+# to n_c*N), so no cell x band dense grid ever materializes. One
+# (cell, band) groupBy over rows carrying the sensitive attribute; the
+# band totals and cell totals are tiny rollups OF that frame that
+# broadcast back; permille quantization is exact integer floor division
+# (positive operands, Spark div = DuckDB //).
+# --------------------------------------------------------------------------
+T_CLOSE_MILLI = 200     # release threshold: TVD <= 0.2
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_nationkey, c_mktsegment,
+               {value_band_sql('c_acctbal', BAL_BAND_WIDTH)} AS bal_band
+        FROM customer WHERE c_acctbal IS NOT NULL
+    ), cb AS (
+        SELECT c_nationkey, c_mktsegment, bal_band,
+               CAST(count(*) AS BIGINT) AS n_cb
+        FROM base GROUP BY 1, 2, 3
+    ), cells AS (
+        SELECT c_nationkey, c_mktsegment, CAST(SUM(n_cb) AS BIGINT) AS n_c
+        FROM cb GROUP BY 1, 2
+    ), bandtot AS (
+        SELECT bal_band, CAST(SUM(n_cb) AS BIGINT) AS n_b FROM cb GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_cb) AS BIGINT) AS n FROM cb
+    ), terms AS (
+        SELECT cb.c_nationkey, cb.c_mktsegment,
+               g.n_c,
+               t.n,
+               abs(cb.n_cb * t.n - b.n_b * g.n_c) - b.n_b * g.n_c AS term
+        FROM cb
+        JOIN bandtot b ON b.bal_band = cb.bal_band
+        JOIN cells g ON g.c_nationkey = cb.c_nationkey
+                    AND g.c_mktsegment = cb.c_mktsegment
+        CROSS JOIN tot t
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nation_q,
+           c_mktsegment AS segment_q,
+           CAST(MAX(n_c) AS BIGINT) AS group_size,
+           CAST((1000 * (SUM(term) + MAX(n_c) * MAX(n)))
+                // (2 * MAX(n_c) * MAX(n)) AS BIGINT) AS tvd_milli,
+           (1000 * (SUM(term) + MAX(n_c) * MAX(n)))
+               // (2 * MAX(n_c) * MAX(n)) <= {T_CLOSE_MILLI} AS t_close
+    FROM terms GROUP BY 1, 2
+    """,
+    doc=f"t-closeness (TVD permille, threshold {T_CLOSE_MILLI}) of banded "
+        "balances per (nation, segment) cell vs the global distribution.",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows lacking the sensitive attribute (NULL c_acctbal) are excluded
+    from the distribution on both engines — a NULL band is not a value
+    the adversary learns. Integer envelope: n_cb*N stays in BIGINT up to
+    ~3e9 attributed rows; past that pre-scale the band counts (the
+    acf_daily_revenue move).
+
+    Plan shape: ONE data-sized groupBy to the (cell, band) frame; cells
+    and band totals are rollups of that frame (dimension-sized), joined
+    back broadcast; the audit aggregate is cell-count-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    from cliqz_etl_spark.functions.privacy import value_band
+
+    base = (cust.where(F.col("c_acctbal").isNotNull())
+            .select("c_nationkey", "c_mktsegment",
+                    value_band("c_acctbal", BAL_BAND_WIDTH).alias("bal_band")))
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    # The (cell, band) frame feeds FOUR consumers (terms, cells, band
+    # totals, grand total) — without pinning it, each branch re-scans
+    # the fact table (measured: 4 FileScans / 8 exchanges at sf0.001).
+    cb = _materialize(
+        base.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cb")))
+    cells = (cb.groupBy("c_nationkey", "c_mktsegment")
+             .agg(F.sum("n_cb").cast("long").alias("n_c")))
+    bandtot = cb.groupBy("bal_band").agg(F.sum("n_cb").cast("long").alias("n_b"))
+    tot = cb.agg(F.sum("n_cb").cast("long").alias("n"))
+    terms = (cb.join(F.broadcast(bandtot), "bal_band")
+             .join(F.broadcast(cells), ["c_nationkey", "c_mktsegment"])
+             .crossJoin(F.broadcast(tot))
+             .select("c_nationkey", "c_mktsegment", "n_c", "n",
+                     (F.abs(F.col("n_cb") * F.col("n")
+                            - F.col("n_b") * F.col("n_c"))
+                      - F.col("n_b") * F.col("n_c")).alias("term")))
+    tvd_scaled = F.sum("term") + F.max("n_c") * F.max("n")
+    denom = F.lit(2) * F.max("n_c") * F.max("n")
+    return (terms.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.max("n_c").cast("long").alias("group_size"),
+                 (F.lit(1000) * tvd_scaled).alias("__num"),
+                 denom.alias("__den"))
+            .select(F.col("c_nationkey").cast("long").alias("nation_q"),
+                    F.col("c_mktsegment").alias("segment_q"),
+                    "group_size",
+                    F.expr("__num div __den").cast("long").alias("tvd_milli"),
+                    (F.expr("__num div __den") <= T_CLOSE_MILLI)
+                    .alias("t_close")))

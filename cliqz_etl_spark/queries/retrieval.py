@@ -569,3 +569,150 @@ def postings_ef_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posts.mapInPandas(
         process, schema=("term string, n_docs long, ef_bytes long, "
                          "decoded_wsum long"))
+
+
+# --------------------------------------------------------------------------
+# Ranking-quality eval (P@10 / MRR / NDCG@10) of the BM25 ranking against
+# containment relevance — the offline eval a retrieval stack runs per
+# index build. Relevance is deterministic: a document is relevant iff it
+# contains ALL query terms (the postings_intersect predicate), so the
+# labels need no human file and replay identically on both engines.
+# The discounted gain 1/log2(pos+1) micro-quantizes PER POSITION before
+# the integer sums; MRR (1e6 // first_rel_pos), P@10, and NDCG
+# (1e6*dcg // idcg) are exact integer divisions of non-negative BIGINTs
+# (Spark div = DuckDB //). The cut itself is rank-safe at scale: Spark
+# plans the top-10 as TakeOrderedAndProject (per-partition heads + a
+# 10-row driver merge), never a global sort, and the positions window
+# runs on the 10-row frame.
+# --------------------------------------------------------------------------
+NDCG_K = 10
+
+def _dcg_gain_sql(pos_expr: str) -> str:
+    return (f"CAST(floor(1000000 * ln(2.0) / ln(CAST({pos_expr} + 1 AS DOUBLE))"
+            " + 0.5) AS BIGINT)")
+
+
+@query(
+    "ranking_eval_bm25",
+    oracle=f"""
+    WITH tok AS ({_tok_cte()}),
+    dlen AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), corp AS (
+        SELECT CAST(COALESCE(sum(dl), 0) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM dlen
+    ), tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+        WHERE w IN ({_terms_sql()}) GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        WHERE w IN ({_terms_sql()}) GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum({_bm25_term_sql()}) AS BIGINT) AS bm25_micro
+        FROM tf JOIN dfreq USING (w) JOIN dlen USING (doc_id) CROSS JOIN corp
+        GROUP BY tf.doc_id
+    ), rel AS (
+        SELECT doc_id FROM scored WHERE n_terms = {len(_QUERY_TERMS)}
+    ), nrel AS (
+        SELECT CAST(count(*) AS BIGINT) AS r FROM rel
+    ), top10 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS pos
+        FROM scored ORDER BY bm25_micro DESC, doc_id ASC LIMIT {NDCG_K}
+    ), hits AS (
+        SELECT pos FROM top10 JOIN rel USING (doc_id)
+    ), d AS (
+        SELECT CAST(COALESCE(SUM({_dcg_gain_sql('pos')}), 0) AS BIGINT)
+                   AS dcg_micro,
+               CAST(count(*) AS BIGINT) AS rel_in_top10,
+               CAST(MIN(pos) AS BIGINT) AS first_rel_pos
+        FROM hits
+    ), ideal AS (
+        SELECT CAST(COALESCE(SUM({_dcg_gain_sql('i')}), 0) AS BIGINT)
+                   AS idcg_micro
+        FROM (SELECT unnest(range(1, CAST(least(r, {NDCG_K}) AS BIGINT) + 1))
+                  AS i FROM nrel)
+    )
+    SELECT nrel.r AS n_relevant,
+           d.rel_in_top10 AS rel_in_top10,
+           CAST((1000 * d.rel_in_top10) // {NDCG_K} AS BIGINT) AS p_at10_milli,
+           d.first_rel_pos AS first_rel_pos,
+           CAST(COALESCE(1000000 // d.first_rel_pos, 0) AS BIGINT) AS mrr_micro,
+           d.dcg_micro AS dcg_micro,
+           ideal.idcg_micro AS idcg_micro,
+           CASE WHEN ideal.idcg_micro = 0 THEN NULL
+                ELSE CAST((1000000 * d.dcg_micro) // ideal.idcg_micro
+                          AS BIGINT) END AS ndcg_micro
+    FROM d CROSS JOIN ideal CROSS JOIN nrel
+    """,
+    doc="P@10, MRR and NDCG@10 of the BM25 ranking against all-terms "
+        "containment relevance.",
+)
+def ranking_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No relevant documents in the corpus -> idcg 0 -> NDCG NULL (not a
+    fake 0: an undefined metric must not average into dashboards); no
+    relevant doc in the top 10 -> MRR/DCG 0 with NDCG 0.
+
+    Plan shape: the scored frame is postings-bounded (bm25_search's
+    shape); the top-10 cut is TakeOrderedAndProject; relevance joins
+    broadcast the 10-row cut into the relevant-doc frame; everything
+    after is 1-row arithmetic."""
+    from pyspark.sql import Window
+    from cliqz_etl_spark.functions.text import tokens
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _materialize(
+        docs.where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(tokens("text")).alias("w")))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    corp = dlen.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    qt = tok.where(F.col("w").isin(list(_QUERY_TERMS)))
+    tf = qt.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = qt.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    scored = _materialize(
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
+             F.sum(F.expr(_bm25_term_sql())).cast("long").alias("bm25_micro")))
+    rel = scored.where(F.col("n_terms") == len(_QUERY_TERMS)).select("doc_id")
+    nrel = rel.agg(F.count(F.lit(1)).cast("long").alias("r"))
+    top10 = (scored.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+             .limit(NDCG_K)
+             .withColumn("pos", F.row_number().over(
+                 Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id")))))
+    hits = rel.join(F.broadcast(top10.select("doc_id", "pos")), "doc_id")
+    d = hits.agg(
+        F.coalesce(F.sum(F.expr(_dcg_gain_sql("pos"))), F.lit(0)).cast("long")
+        .alias("dcg_micro"),
+        F.count(F.lit(1)).cast("long").alias("rel_in_top10"),
+        F.min("pos").cast("long").alias("first_rel_pos"))
+    ideal = (nrel.select(
+        F.explode(F.expr(
+            f"CASE WHEN r >= 1 THEN sequence(1, CAST(least(r, {NDCG_K}) AS INT))"
+            " ELSE array() END")).alias("i"))
+        .agg(F.coalesce(F.sum(F.expr(_dcg_gain_sql("i"))), F.lit(0))
+             .cast("long").alias("idcg_micro")))
+    # DuckDB's SUM-over-empty yields one NULL row; Spark's agg over an
+    # empty frame yields one row too (global agg) — both 1-row, COALESCEd.
+    return (d.crossJoin(F.broadcast(ideal)).crossJoin(F.broadcast(nrel))
+            .select(
+                F.col("r").alias("n_relevant"),
+                "rel_in_top10",
+                F.expr(f"CAST((1000 * rel_in_top10) div {NDCG_K} AS BIGINT)")
+                .alias("p_at10_milli"),
+                "first_rel_pos",
+                F.coalesce(F.expr("1000000 div first_rel_pos"), F.lit(0))
+                .cast("long").alias("mrr_micro"),
+                "dcg_micro",
+                "idcg_micro",
+                F.expr("CASE WHEN idcg_micro = 0 THEN NULL "
+                       "ELSE CAST((1000000 * dcg_micro) div idcg_micro "
+                       "AS BIGINT) END").alias("ndcg_micro")))

@@ -39,12 +39,17 @@ def with_session_seq(ev: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame
     is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return ev.withColumn("session_seq", F.sum(is_new).over(cum))
+    # ``is_new`` is kept: a session's entry row is exactly its is_new=1
+    # row, so consumers get "first event of session" for free instead of
+    # re-deriving it with a second (user, session)-keyed window (which
+    # would cost another shuffle on a different key).
+    return (ev.withColumn("is_new", is_new)
+            .withColumn("session_seq", F.sum("is_new").over(cum)))
 
 
 _SESSION_CTE = f"""
     WITH ordered AS (
-        SELECT user_id, event_id, ts, value,
+        SELECT user_id, event_id, ts, value, event_type,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
         FROM events WHERE ts IS NOT NULL
     ), flagged AS (
@@ -53,7 +58,7 @@ _SESSION_CTE = f"""
                        THEN 1 ELSE 0 END AS is_new
         FROM ordered
     ), sessioned AS (
-        SELECT user_id, event_id, ts, value,
+        SELECT user_id, event_id, ts, value, event_type, is_new,
                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         FROM flagged
@@ -223,3 +228,61 @@ def longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "max_streak": list(best.values())})
 
     return ev.mapInPandas(streaks, "user_id long, max_streak long")
+
+
+# --------------------------------------------------------------------------
+# Bounce-rate report by session entry type — the landing-page analysis
+# every engagement pipeline runs: group sessions by the event type that
+# OPENED them and report how many ended after a single event. The entry
+# type rides the is_new flag with_session_seq already computes (a
+# session's first event is exactly its is_new=1 row), so no second
+# window on a different key: the whole query is the one user_id shuffle
+# the sessionizer pays anyway, then an entry-type-sized aggregate.
+# Bounce rate is exact integer permille (positive, so DuckDB's // and
+# Spark's div agree).
+# --------------------------------------------------------------------------
+@query(
+    "session_bounce_stats",
+    oracle=_SESSION_CTE + """
+    , per_session AS (
+        SELECT user_id, session_seq,
+               COUNT(*) AS n_events,
+               MAX(CASE WHEN is_new = 1 THEN event_type END) AS entry_type
+        FROM sessioned GROUP BY 1, 2
+    )
+    SELECT entry_type AS entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+           CAST((1000 * COUNT(*) FILTER (WHERE n_events = 1)) // COUNT(*)
+                AS BIGINT) AS bounce_milli,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_len
+    FROM per_session GROUP BY entry_type
+    """,
+)
+def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions, bounces (single-event sessions), and exact permille
+    bounce rate per session entry event type.
+
+    A NULL-typed entry event groups under the NULL entry_type on both
+    engines (MAX ignores NULLs identically; GROUP BY keeps the NULL
+    key identically). Plan shape: one user_id shuffle (the sessionizer
+    windows), one (user, session)-level partial aggregate riding the
+    same partitioning, then an |event types|-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        with_session_seq(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max(F.when(F.col("is_new") == 1, F.col("event_type")))
+             .alias("entry_type"))
+    )
+    bounces = F.count(F.when(F.col("n_events") == 1, True))
+    return (per_session.groupBy("entry_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                 bounces.cast("long").alias("n_bounces"),
+                 (F.lit(1000) * bounces).alias("__b1000"),
+                 F.max("n_events").cast("long").alias("max_session_len"))
+            .select("entry_type", "n_sessions", "n_bounces",
+                    F.expr("__b1000 div n_sessions").cast("long")
+                    .alias("bounce_milli"),
+                    "max_session_len"))

@@ -1592,3 +1592,209 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("word", F.col("c").alias("n_occurrences"), "q_milli",
                     F.expr("CAST((q_milli * 1000000000) div tot AS BIGINT)")
                     .alias("share_ppb")))
+
+
+# --------------------------------------------------------------------------
+# Per-language Zipf-law fit — the corpus-health diagnostic a pretraining
+# pipeline runs per crawl slice: natural text follows freq ~ rank^(-s)
+# with s near 1; machine-generated or boilerplate-heavy slices bend the
+# line. OLS of ln(freq) on ln(rank) over the TOP-ZIPF_RANK_CAP head per
+# language (the standard fit window — the tail is dominated by
+# hapax-count noise). Determinism discipline: rank ties break on the
+# word; ln() values milli-quantize PER WORD before any cross-row sum
+# (the bigram-LM rule: a double sum's value depends on partition order,
+# an integer sum's doesn't); the cap bounds every per-lang moment so
+# the n-scaled OLS numerators stay in BIGINT with orders of magnitude
+# to spare; the two final divisions are single shared double trees.
+# The per-lang rank does NOT use a data-sized window: it rides one
+# ranged_cumsum over (lang, -freq, word) — vocabulary-sized, already
+# sublinear in the corpus by Heaps' law — plus a |langs|-row offset
+# join, so no single task ever holds a language's whole vocabulary.
+# --------------------------------------------------------------------------
+ZIPF_RANK_CAP = 300
+
+_ZIPF_XM = "CAST(floor(1000 * ln(CAST(rank AS DOUBLE)) + 0.5) AS BIGINT)"
+_ZIPF_YM = "CAST(floor(1000 * ln(CAST(n AS DOUBLE)) + 0.5) AS BIGINT)"
+_ZIPF_SLOPE = ("CAST(floor(1000.0 * (n_w * sxy - sx * sy)"
+               " / (n_w * sxx - sx * sx) + 0.5) AS BIGINT)")
+_ZIPF_R2 = ("CAST(floor(1000.0"
+            " * (CAST(n_w * sxy - sx * sy AS DOUBLE)"
+            "    * CAST(n_w * sxy - sx * sy AS DOUBLE))"
+            " / (CAST(n_w * sxx - sx * sx AS DOUBLE)"
+            "    * CAST(n_w * syy - sy * sy AS DOUBLE)) + 0.5) AS BIGINT)")
+
+
+@query(
+    "zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE lang IS NOT NULL AND trim(text) <> ''
+    ), vocab AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+        FROM tok WHERE w <> '' GROUP BY 1, 2
+    ), ranked AS (
+        SELECT lang, n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, w ASC) AS rank
+        FROM vocab
+    ), head AS (
+        SELECT lang, {_ZIPF_XM} AS xm, {_ZIPF_YM} AS ym
+        FROM ranked WHERE rank <= {ZIPF_RANK_CAP}
+    ), moments AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_w,
+               CAST(SUM(xm) AS BIGINT) AS sx,
+               CAST(SUM(ym) AS BIGINT) AS sy,
+               CAST(SUM(xm * ym) AS BIGINT) AS sxy,
+               CAST(SUM(xm * xm) AS BIGINT) AS sxx,
+               CAST(SUM(ym * ym) AS BIGINT) AS syy
+        FROM head GROUP BY 1
+    )
+    SELECT lang AS lang, n_w AS n_head_words,
+           {_ZIPF_SLOPE} AS slope_milli,
+           {_ZIPF_R2} AS r2_milli
+    FROM moments
+    WHERE n_w >= 3 AND n_w * sxx - sx * sx > 0 AND n_w * syy - sy * sy > 0
+    """,
+    doc=f"Zipf exponent (OLS slope of ln freq on ln rank, top "
+        f"{ZIPF_RANK_CAP} words) and fit r^2 per language.",
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Languages with a degenerate head (under 3 distinct words, or zero
+    variance in either coordinate — every head word tied at one
+    frequency) are excluded on both engines rather than emitting a
+    0/0. NULL-lang documents are out of scope: a fit for 'language
+    unknown' mixes incomparable vocabularies (and the offset join would
+    drop the NULL key asymmetrically)."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (docs.where(F.col("lang").isNotNull()
+                        & (F.trim(F.col("text")) != ""))
+             .select("lang", F.explode(T.tokens("text")).alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("lang", "w")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    ranked = ranged_cumsum(
+        vocab.withColumn("negf", -F.col("n")).withColumn("one", F.lit(1)),
+        ["lang", "negf", "w"], ["one"])
+    ranked = _materialize(ranked.select("lang", "n", "w",
+                                        F.col("cum_one").alias("cum")))
+    offsets = ranked.groupBy("lang").agg(F.min("cum").alias("mincum"))
+    head = (ranked.join(F.broadcast(offsets), "lang")
+            .withColumn("rank", F.col("cum") - F.col("mincum") + 1)
+            .where(F.col("rank") <= ZIPF_RANK_CAP)
+            .select("lang", F.expr(_ZIPF_XM).alias("xm"),
+                    F.expr(_ZIPF_YM).alias("ym")))
+    moments = head.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w"),
+        F.sum("xm").cast("long").alias("sx"),
+        F.sum("ym").cast("long").alias("sy"),
+        F.sum(F.col("xm") * F.col("ym")).cast("long").alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).cast("long").alias("sxx"),
+        F.sum(F.col("ym") * F.col("ym")).cast("long").alias("syy"))
+    return (moments
+            .where((F.col("n_w") >= 3)
+                   & (F.col("n_w") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+                   & (F.col("n_w") * F.col("syy") - F.col("sy") * F.col("sy") > 0))
+            .select("lang", F.col("n_w").alias("n_head_words"),
+                    F.expr(_ZIPF_SLOPE).alias("slope_milli"),
+                    F.expr(_ZIPF_R2).alias("r2_milli")))
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa between two deterministic quality raters — the
+# inter-annotator-agreement audit a labeling pipeline runs before
+# trusting a cheap filter as a proxy for an expensive one. Rater A is
+# the Gopher composite filter; rater B is the text_quality heuristic at
+# a fixed threshold. Kappa corrects raw agreement for chance:
+#   kappa = (N*(a+d) - pe_scaled) / (N^2 - pe_scaled),
+#   pe_scaled = (a+b)(a+c) + (c+d)(b+d)
+# over the exact 2x2 contingency counts (a=both pass, d=both reject) —
+# all integer until ONE shared double division, milli-quantized
+# round-half-up (kappa can be negative; floor(x+0.5) is the same
+# round-half-up on both engines). Unscorable documents (NULL text ->
+# NULL verdicts) count as rejections on both sides — the
+# curation_funnel coalesce(rule, FALSE) discipline — so the raters are
+# total functions and N is the corpus size.
+# --------------------------------------------------------------------------
+KAPPA_Q_THRESH = 5000    # rater B: quality_x10k >= 0.5
+
+
+@query(
+    "rater_agreement_kappa",
+    oracle=f"""
+    {_duck_gopher_base()}
+    , q AS (
+        SELECT doc_id,
+               CAST(floor((0.4 * least(1.0, CAST({_DUCK_NTOK} AS DOUBLE) / 64.0)
+                   + 0.4 * least(1.0, (CASE WHEN CAST({_DUCK_NTOK} AS DOUBLE) > 0
+                                            THEN CAST({_duck_stop_hits('en')} AS DOUBLE)
+                                                 / CAST({_DUCK_NTOK} AS DOUBLE)
+                                            ELSE 0.0 END) * 5.0)
+                   + 0.2 * (1.0 - {_DUCK_PUNCT})) * 10000 + 0.5) AS BIGINT)
+                   AS quality_x10k
+        FROM documents
+    ), verdicts AS (
+        SELECT m.doc_id,
+               COALESCE(({DUCK_GOPHER_RULES}), FALSE) AS pa,
+               COALESCE(q.quality_x10k >= {KAPPA_Q_THRESH}, FALSE) AS pb
+        FROM m JOIN q USING (doc_id)
+    ), cell AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE pa AND pb) AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (WHERE pa AND NOT pb) AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (WHERE NOT pa AND pb) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (WHERE NOT pa AND NOT pb) AS BIGINT) AS d
+        FROM verdicts
+    )
+    SELECT a + b + c + d AS n_docs,
+           a + d AS n_agree,
+           a + b AS n_pass_gopher,
+           a + c AS n_pass_quality,
+           CASE WHEN (a + b) * (a + c) + (c + d) * (b + d)
+                     = (a + b + c + d) * (a + b + c + d) THEN NULL
+                ELSE CAST(floor(1000.0
+                    * ((a + b + c + d) * (a + d)
+                       - ((a + b) * (a + c) + (c + d) * (b + d)))
+                    / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)
+                       - ((a + b) * (a + c) + (c + d) * (b + d))) + 0.5)
+                    AS BIGINT) END AS kappa_milli
+    FROM cell
+    """,
+    doc="Cohen's kappa (milli) between the Gopher filter and the "
+        "text_quality threshold rater over the document corpus.",
+)
+def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: ONE documents scan computes both raters inside
+    whole-stage codegen (gopher_metrics keeps text, so the quality
+    heuristic rides the same projection); the contingency table is a
+    1-row aggregate. N^2 enters double space before the kappa division,
+    so the envelope is the double mantissa (~9e15 docs), not BIGINT."""
+    m = gopher_metrics(_spread_docs(spark, sf_dir, "doc_id", "text"))
+    rules = gopher_rule_cols()
+    pa = F.coalesce(functools.reduce(operator.and_, rules.values()),
+                    F.lit(False))
+    pb = F.coalesce(
+        F.floor(T.quality_score("text") * 10000 + 0.5).cast("long")
+        >= KAPPA_Q_THRESH, F.lit(False))
+    cell = m.select(pa.alias("pa"), pb.alias("pb")).agg(
+        F.count(F.when(F.col("pa") & F.col("pb"), True)).cast("long").alias("a"),
+        F.count(F.when(F.col("pa") & ~F.col("pb"), True)).cast("long").alias("b"),
+        F.count(F.when(~F.col("pa") & F.col("pb"), True)).cast("long").alias("c"),
+        F.count(F.when(~F.col("pa") & ~F.col("pb"), True)).cast("long").alias("d"))
+    return cell.select(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n_docs"),
+        (F.col("a") + F.col("d")).alias("n_agree"),
+        (F.col("a") + F.col("b")).alias("n_pass_gopher"),
+        (F.col("a") + F.col("c")).alias("n_pass_quality"),
+        F.expr(
+            "CASE WHEN (a + b) * (a + c) + (c + d) * (b + d)"
+            "          = (a + b + c + d) * (a + b + c + d) THEN NULL"
+            " ELSE CAST(floor(1000.0"
+            " * ((a + b + c + d) * (a + d)"
+            "    - ((a + b) * (a + c) + (c + d) * (b + d)))"
+            " / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)"
+            "    - ((a + b) * (a + c) + (c + d) * (b + d))) + 0.5)"
+            " AS BIGINT) END").alias("kappa_milli"))

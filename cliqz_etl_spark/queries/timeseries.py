@@ -747,3 +747,104 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cents", "trend_milli", "seasonal_milli",
                     (F.col("detrended_milli") - F.col("seasonal_milli"))
                     .cast("long").alias("residual_milli")))
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function of daily revenue, lags 1-7 — the seasonality
+# screen a forecasting pipeline runs before choosing model structure
+# (a weekly cycle shows as a lag-7 spike). The series is the CALENDAR-
+# bounded daily rollup (one map-side-combined groupBy over orders, the
+# theil_sen discipline), so every downstream step — the 1-row mean, the
+# 7-way lag pairing, the per-lag aggregate — runs on a ~2.4k-row frame
+# regardless of corpus size. Lag pairs join on day arithmetic (d + k),
+# not row adjacency, so calendar gaps pair nothing instead of silently
+# pairing non-adjacent days. Centering uses the floor-integer mean
+# (exact on both engines); each acf value is ONE double division of two
+# exact BIGINTs, milli-quantized round-half-up. The daily series is
+# held in KILOcents: at sf0.01 the cents-level sum-of-squares already
+# exceeds BIGINT (measured 1.2e19 — DuckDB raises, Spark silently
+# wraps), and the /1000 truncation (positive operands, so Spark div and
+# DuckDB // agree) costs ~nothing against day-level totals while buying
+# six orders of magnitude of envelope.
+# --------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+
+
+@query(
+    "acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS d,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    // 1000 AS BIGINT) AS kcents
+        FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(SUM(kcents) // count(*) AS BIGINT) AS xbar
+        FROM daily
+    ), centered AS (
+        SELECT d, kcents - xbar AS cx FROM daily CROSS JOIN stats
+    ), s0 AS (
+        SELECT CAST(SUM(cx * cx) AS BIGINT) AS sxx FROM centered
+    ), lags AS (
+        SELECT a.d AS d, k.lag AS lag, a.cx AS cxa, b.cx AS cxb
+        FROM centered a
+        CROSS JOIN (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag) k
+        JOIN centered b ON b.d = a.d + k.lag
+    )
+    SELECT lag AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (SELECT n_days FROM stats) AS n_days,
+           CAST(floor(1000.0 * SUM(cxa * cxb) / (SELECT sxx FROM s0) + 0.5)
+                AS BIGINT) AS acf_milli
+    FROM lags GROUP BY lag
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue autocorrelation at lags 1-7 (milli-quantized), with
+    the pair count actually observed per lag.
+
+    Plan shape: orders collapse to the calendar-bounded daily frame in
+    one partial-aggregated shuffle; the day frame self-joins via a
+    broadcast (it is tiny by construction) after a 7x lag explode; the
+    final aggregate is 7 rows. Integer envelope: cx^2 stays in BIGINT up
+    to ~6e7 daily kilocents (~$600M/day); past that widen the /1000
+    quantizer or shift sxx/sk to a shared double tree (the roc_auc
+    note)."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.where(F.col("o_orderdate").isNotNull()
+                     & F.col("o_totalprice").isNotNull())
+             .groupBy(F.datediff("o_orderdate", F.lit("1970-01-01"))
+                      .cast("long").alias("d"))
+             .agg(F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) as long)) "
+                         "div 1000").cast("long").alias("kcents")))
+    daily = _materialize(daily)
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("sum(kcents) div count(*)").cast("long").alias("xbar"))
+    centered = (daily.crossJoin(F.broadcast(stats))
+                .select("d", (F.col("kcents") - F.col("xbar")).alias("cx"),
+                        "n_days"))
+    centered = _materialize(centered)
+    s0 = centered.agg(F.sum(F.col("cx") * F.col("cx")).cast("long")
+                      .alias("sxx"))
+    lagged = (centered
+              .select("d", "cx", "n_days",
+                      F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG)))
+                      .alias("lag"))
+              .alias("a")
+              .join(F.broadcast(centered.select(F.col("d").alias("bd"),
+                                                F.col("cx").alias("cxb"))),
+                    F.col("a.d") + F.col("lag") == F.col("bd")))
+    return (lagged.crossJoin(F.broadcast(s0))
+            .groupBy("lag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.max("n_days").cast("long").alias("n_days"),
+                 F.floor(F.lit(1000.0) * F.sum(F.col("cx") * F.col("cxb"))
+                         / F.max("sxx") + 0.5).cast("long")
+                 .alias("acf_milli"))
+            .select("lag", "n_pairs", "n_days", "acf_milli"))

@@ -124,6 +124,14 @@ _FUZZED = [
     # recurrence replay exactly) and the unigram^0.75 negatives table
     # (min-count rarely met on tiny corpora -> empty both sides)
     "textrank_keywords", "negative_sampling_table",
+    # round-11 seventh wave: the Zipf fit (degenerate heads — under 3
+    # words or zero variance — excluded on both engines; ranked via the
+    # ranged rank, exact on any partitioning), the rater-agreement kappa
+    # (NULL-text verdicts coalesce to reject; constant raters hit the
+    # pe = N^2 guard and yield NULL kappa identically), and the BM25
+    # ranking eval (no relevant docs -> NULL NDCG; empty top-10 overlap
+    # -> zero MRR/DCG on both engines)
+    "zipf_fit", "rater_agreement_kappa", "ranking_eval_bm25",
 ]
 
 _WORD = st.one_of(
@@ -367,6 +375,11 @@ _EV_FUZZED = [
     # partition-arbitrary; absent 'click' keys read NULL; empty filtered
     # key lists are NULL, not '')
     "map_ops_gauntlet",
+    # round-11 seventh wave: bounce-rate by session entry type (a NULL-
+    # typed entry event groups under the NULL key; single-event sessions
+    # bounce at exactly 1000 permille; NULL-ts events never open a
+    # session on either engine)
+    "session_bounce_stats",
 ]
 
 
@@ -493,6 +506,13 @@ _WH_FUZZED = [
     # round-11: CSV sink round trip (NULL statuses/prices/dates must
     # survive the sentinel hop; the rollup equals direct aggregation)
     "csv_sink_roundtrip",
+    # round-11 seventh wave: daily-revenue ACF (NULL dates/prices drop at
+    # scan; sub-8-day spans leave lags unpaired -> absent rows on both
+    # engines), the Gini rank statistic (ties rank by custkey; the
+    # all-equal-spend corpus yields exactly 0), and the t-closeness TVD
+    # (NULL balances excluded from the distribution; NULL quasi keys drop
+    # through the equi-joins identically)
+    "acf_daily_revenue", "gini_spend", "t_closeness_audit",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))

@@ -425,6 +425,25 @@ _PLAN_BUDGET = {
     # map gauntlet: (user,type) agg + per-user entry collect; all map
     # ops row-local
     "map_ops_gauntlet": (2, 0),
+    # round-11 seventh wave
+    # one user_id window shuffle + the entry-type rollup
+    "session_bounce_stats": (2, 0),
+    # daily rollup + 7-row lag aggregate; day-frame joins broadcast
+    "acf_daily_revenue": (2, 0),
+    # ONE (cell,band) groupBy (pinned frame feeds all four rollups);
+    # a second data-sized exchange appearing means the pin was lost
+    "t_closeness_audit": (2, 0),
+    # per-customer agg + ranged_cumsum's range repartition/pid window;
+    # the ceiling catches a corpus-sized single-task rank sort
+    "gini_spend": (4, 0),
+    # vocab agg + ranged rank (range repartition + pid window) + the
+    # |langs|-row offset rollup; same single-task-sort guard
+    "zipf_fit": (4, 0),
+    # both raters ride one scan; the only exchange is the 1-row agg
+    "rater_agreement_kappa": (1, 0),
+    # bm25's postings-bounded shape + TakeOrdered cut + 1-row metric
+    # frames; a corpus-sized sort replacing the cut would breach
+    "ranking_eval_bm25": (7, 0),
 }
 
 
