@@ -65,6 +65,9 @@ DRIVER_ORDER: list[str] = [
     "zipf_fit",
     "rater_agreement_kappa",
     "ranking_eval_bm25",
+    "lorenz_curve_deciles",
+    "prf_expansion_terms",
+    "token_chi2_keywords",
     "roc_auc_per_class",
     "label_centroid_cosine",
     "als_half_step",
@@ -105,10 +108,10 @@ DRIVER_ORDER: list[str] = [
     "order_priority_checking",
     "forecast_revenue",
     "returned_item_top_customers",
+    # ---------------- past the check window ----------------
     "priority_line_counts",
     "promo_revenue_pct",
     "top_revenue_suppliers",
-    # ---------------- past the check window ----------------
     "large_volume_customers",
     "brand_filtered_revenue",
     "customer_order_distribution",
@@ -524,6 +527,13 @@ BENCH_HEADLINE: list[str] = [
     "zipf_fit",
     "gini_spend",
     "ranking_eval_bm25",
+    # Round-11 eighth wave: PRF expansion (two-pass retrieval — BM25 cut
+    # then candidate-vocab df mining), the chi-square keyword screen
+    # (presence distinct + doc-keyed label join), and the Lorenz deciles
+    # (ranged_ntile + 10-row windows).
+    "prf_expansion_terms",
+    "token_chi2_keywords",
+    "lorenz_curve_deciles",
 ]
 
 

@@ -716,3 +716,127 @@ def ranking_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("CASE WHEN idcg_micro = 0 THEN NULL "
                        "ELSE CAST((1000000 * dcg_micro) div idcg_micro "
                        "AS BIGINT) END").alias("ndcg_micro")))
+
+
+# --------------------------------------------------------------------------
+# Pseudo-relevance-feedback expansion — the query-rewrite step a
+# production search stack runs between retrieval passes: take the
+# top-PRF_R docs by BM25, mine their vocabulary, and rank candidate
+# expansion terms by the Robertson/Sparck-Jones offer weight
+#   ow(t) = r * ln( (r+1/2)(N-n-R+r+1/2) / ((n-r+1/2)(R-r+1/2)) ),
+# r = pseudo-relevant docs containing t, n = corpus df, R = PRF_R,
+# N = corpus size. Doubling every half-term makes all four ln()
+# arguments exact BIGINT products (the bm25 idf move); the ln
+# milli-quantizes BEFORE the integer r multiply. Terms whose smoothed
+# numerator would go non-positive (stopword-grade df, n > N-R+r) are
+# excluded on both engines — the standard PRF stopword guard.
+# Work is bounded: the candidate vocabulary comes from PRF_R docs, and
+# the corpus-df pass is the tok frame filtered by a broadcast of that
+# bounded candidate set.
+# --------------------------------------------------------------------------
+PRF_R = 10          # pseudo-relevant depth
+PRF_TOP_E = 15      # expansion terms reported
+
+
+@query(
+    "prf_expansion_terms",
+    oracle=f"""
+    WITH tok AS ({_tok_cte()}),
+    dlen AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), corp AS (
+        SELECT CAST(COALESCE(sum(dl), 0) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM dlen
+    ), tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+        WHERE w IN ({_terms_sql()}) GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        WHERE w IN ({_terms_sql()}) GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(sum({_bm25_term_sql()}) AS BIGINT) AS bm25_micro
+        FROM tf JOIN dfreq USING (w) JOIN dlen USING (doc_id) CROSS JOIN corp
+        GROUP BY tf.doc_id
+    ), pseudo AS (
+        SELECT doc_id FROM scored
+        ORDER BY bm25_micro DESC, doc_id ASC LIMIT {PRF_R}
+    ), cand AS (
+        SELECT t.w, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS r
+        FROM tok t JOIN pseudo p ON p.doc_id = t.doc_id
+        WHERE t.w NOT IN ({_terms_sql()})
+        GROUP BY t.w
+    ), cdf AS (
+        SELECT t.w, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_df
+        FROM tok t WHERE t.w IN (SELECT w FROM cand) GROUP BY t.w
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dlen),
+    weighted AS (
+        SELECT c.w AS term, c.r AS r, d.n_df AS n_df,
+               c.r * CAST(floor(1000 * ln(
+                   CAST((2 * c.r + 1)
+                        * (2 * (nn.n_docs - d.n_df - {PRF_R} + c.r) + 1)
+                        AS DOUBLE)
+                   / CAST((2 * (d.n_df - c.r) + 1)
+                          * (2 * ({PRF_R} - c.r) + 1) AS DOUBLE)) + 0.5)
+                   AS BIGINT) AS ow_milli
+        FROM cand c JOIN cdf d USING (w) CROSS JOIN nn
+        WHERE nn.n_docs - d.n_df - {PRF_R} + c.r >= 0
+    )
+    SELECT term, r, n_df, ow_milli
+    FROM weighted
+    ORDER BY ow_milli DESC, term ASC LIMIT {PRF_TOP_E}
+    """,
+    doc=f"Top-{PRF_TOP_E} RSJ offer-weight expansion terms from the "
+        f"top-{PRF_R} BM25 pseudo-relevant documents.",
+)
+def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: the BM25 scoring reuses the postings-bounded pipeline;
+    the PRF cut is TakeOrderedAndProject; the candidate vocabulary (the
+    R docs' tokens) broadcasts into the corpus-df pass so the only
+    data-sized work after scoring is one semi-filtered distinct; the
+    weighting and the final top-E cut run on the candidate-vocab frame.
+    Tie discipline: both cuts break on (score DESC, id/term ASC)."""
+    from cliqz_etl_spark.functions.text import tokens
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _materialize(
+        docs.where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(tokens("text")).alias("w")))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    corp = dlen.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    qt = tok.where(F.col("w").isin(list(_QUERY_TERMS)))
+    tf = qt.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = qt.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "w")
+              .join(dlen, "doc_id")
+              .crossJoin(F.broadcast(corp))
+              .groupBy("doc_id")
+              .agg(F.sum(F.expr(_bm25_term_sql())).cast("long")
+                   .alias("bm25_micro")))
+    pseudo = (scored.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+              .limit(PRF_R).select("doc_id"))
+    cand = (tok.join(F.broadcast(pseudo), "doc_id")
+            .where(~F.col("w").isin(list(_QUERY_TERMS)))
+            .groupBy("w")
+            .agg(F.countDistinct("doc_id").cast("long").alias("r")))
+    cand = _materialize(cand)
+    cdf = (tok.join(F.broadcast(cand.select("w")), "w")
+           .groupBy("w")
+           .agg(F.countDistinct("doc_id").cast("long").alias("n_df")))
+    nn = dlen.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ow = (f"r * CAST(floor(1000 * ln("
+          f"CAST((2 * r + 1) * (2 * (n_docs - n_df - {PRF_R} + r) + 1)"
+          f" AS DOUBLE)"
+          f" / CAST((2 * (n_df - r) + 1) * (2 * ({PRF_R} - r) + 1)"
+          f" AS DOUBLE)) + 0.5) AS BIGINT)")
+    weighted = (cand.join(cdf, "w")
+                .crossJoin(F.broadcast(nn))
+                .where(F.col("n_docs") - F.col("n_df") - PRF_R + F.col("r") >= 0)
+                .select(F.col("w").alias("term"), "r", "n_df",
+                        F.expr(ow).alias("ow_milli")))
+    return (weighted.orderBy(F.desc("ow_milli"), F.asc("term"))
+            .limit(PRF_TOP_E))

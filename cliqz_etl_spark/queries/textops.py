@@ -1798,3 +1798,96 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)"
             "    - ((a + b) * (a + c) + (c + d) * (b + d))) + 0.5)"
             " AS BIGINT) END").alias("kappa_milli"))
+
+
+# --------------------------------------------------------------------------
+# Chi-square keyword selection against the Gopher label — the supervised
+# feature screen a filter-training pipeline runs to see WHICH tokens
+# separate passing from failing documents (the fasttext-filter
+# bootstrap: mine the discriminative vocabulary, then train on it).
+# Per token, the 2x2 presence-vs-label table collapses to (a = passing
+# docs containing t, b = failing docs containing t) plus the global
+# (P, F) totals, and
+#   chi2 = N * (aF - bP)^2 / ((a+b)(N-a-b) P F)
+# — the cross term aF - bP is an exact BIGINT; it enters double space
+# squared inside ONE shared expression tree (the kappa envelope note:
+# the guard is the double mantissa, not BIGINT). Support floor
+# CHI2_MIN_DF bounds the emitted vocabulary; all-token docs (a+b = N)
+# and single-class corpora (P = 0 or F = 0) are excluded on both
+# engines — their chi2 is undefined.
+# --------------------------------------------------------------------------
+CHI2_MIN_DF = 5
+
+
+@query(
+    "token_chi2_keywords",
+    oracle=f"""
+    {_duck_gopher_base()}
+    , lab AS (
+        SELECT m.doc_id, COALESCE(({DUCK_GOPHER_RULES}), FALSE) AS pa FROM m
+    ), tot AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE pa) AS BIGINT) AS p,
+               CAST(COUNT(*) FILTER (WHERE NOT pa) AS BIGINT) AS f
+        FROM lab
+    ), pres AS (
+        SELECT DISTINCT doc_id, w
+        FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS w
+              FROM documents WHERE trim(text) <> '')
+        WHERE w <> ''
+    ), cnt AS (
+        SELECT pr.w,
+               CAST(COUNT(*) FILTER (WHERE l.pa) AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (WHERE NOT l.pa) AS BIGINT) AS b
+        FROM pres pr JOIN lab l USING (doc_id) GROUP BY pr.w
+    )
+    SELECT w AS term, a AS df_pass, b AS df_fail,
+           CAST(floor(1000.0 * (p + f)
+               * (CAST(a * f - b * p AS DOUBLE)
+                  * CAST(a * f - b * p AS DOUBLE))
+               / (CAST(a + b AS DOUBLE) * (p + f - a - b) * p * f) + 0.5)
+               AS BIGINT) AS chi2_milli
+    FROM cnt CROSS JOIN tot
+    WHERE a + b >= {CHI2_MIN_DF} AND a + b < p + f AND p > 0 AND f > 0
+    """,
+    doc="Per-token chi-square association with the Gopher pass/fail "
+        f"label (presence counts, support >= {CHI2_MIN_DF}).",
+)
+def token_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: the label frame is scan-side (gopher's projection);
+    presence is ONE distinct over the exploded tokens; the label join is
+    doc-keyed and the chi2 arithmetic runs on the vocabulary-sized count
+    frame against a broadcast 1-row total."""
+    m = gopher_metrics(_spread_docs(spark, sf_dir, "doc_id", "text"))
+    rules = gopher_rule_cols()
+    lab = m.select(
+        "doc_id",
+        F.coalesce(functools.reduce(operator.and_, rules.values()),
+                   F.lit(False)).alias("pa"))
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    lab = _materialize(lab)
+    tot = lab.agg(
+        F.count(F.when(F.col("pa"), True)).cast("long").alias("p"),
+        F.count(F.when(~F.col("pa"), True)).cast("long").alias("f"))
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (docs.where(F.trim(F.col("text")) != "")
+            .select("doc_id", F.explode(T.tokens("text")).alias("w"))
+            .where(F.col("w") != "")
+            .distinct())
+    cnt = (pres.join(lab, "doc_id")
+           .groupBy("w")
+           .agg(F.count(F.when(F.col("pa"), True)).cast("long").alias("a"),
+                F.count(F.when(~F.col("pa"), True)).cast("long").alias("b")))
+    chi2 = ("CAST(floor(1000.0 * (p + f)"
+            " * (CAST(a * f - b * p AS DOUBLE)"
+            "    * CAST(a * f - b * p AS DOUBLE))"
+            " / (CAST(a + b AS DOUBLE) * (p + f - a - b) * p * f) + 0.5)"
+            " AS BIGINT)")
+    return (cnt.crossJoin(F.broadcast(tot))
+            .where((F.col("a") + F.col("b") >= CHI2_MIN_DF)
+                   & (F.col("a") + F.col("b") < F.col("p") + F.col("f"))
+                   & (F.col("p") > 0) & (F.col("f") > 0))
+            .select(F.col("w").alias("term"),
+                    F.col("a").alias("df_pass"),
+                    F.col("b").alias("df_fail"),
+                    F.expr(chi2).alias("chi2_milli")))

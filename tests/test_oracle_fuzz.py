@@ -132,6 +132,12 @@ _FUZZED = [
     # ranking eval (no relevant docs -> NULL NDCG; empty top-10 overlap
     # -> zero MRR/DCG on both engines)
     "zipf_fit", "rater_agreement_kappa", "ranking_eval_bm25",
+    # round-11 eighth wave: PRF expansion (empty/degenerate corpora give
+    # an empty pseudo-relevant set -> empty candidates; the RSJ guard
+    # drops non-positive smoothed numerators identically) and the token
+    # chi-square screen (single-class corpora -> empty by the P/F guard;
+    # support floor rarely met on tiny corpora -> empty both sides)
+    "prf_expansion_terms", "token_chi2_keywords",
 ]
 
 _WORD = st.one_of(
@@ -513,6 +519,10 @@ _WH_FUZZED = [
     # (NULL balances excluded from the distribution; NULL quasi keys drop
     # through the equi-joins identically)
     "acf_daily_revenue", "gini_spend", "t_closeness_audit",
+    # round-11 eighth wave: the Lorenz deciles (exact NTILE remainder
+    # rule under n < 10; ties rank by custkey; all-NULL-price corpora
+    # leave an empty spend frame on both engines)
+    "lorenz_curve_deciles",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))

@@ -444,6 +444,15 @@ _PLAN_BUDGET = {
     # bm25's postings-bounded shape + TakeOrdered cut + 1-row metric
     # frames; a corpus-sized sort replacing the cut would breach
     "ranking_eval_bm25": (7, 0),
+    # per-customer agg + ranged_ntile's bounded stages + the 10-row
+    # decile windows (constant-size single-partition frames)
+    "lorenz_curve_deciles": (5, 0),
+    # bm25 scoring + PRF TakeOrdered cut + candidate-vocab df pass; the
+    # pinned tok/cand frames make every reread an InMemoryTableScan
+    "prf_expansion_terms": (8, 0),
+    # one presence distinct + the doc-keyed label join; chi2 runs on
+    # the vocab frame against a broadcast 1-row total
+    "token_chi2_keywords": (2, 0),
 }
 
 
