@@ -68,6 +68,9 @@ DRIVER_ORDER: list[str] = [
     "lorenz_curve_deciles",
     "prf_expansion_terms",
     "token_chi2_keywords",
+    "holt_linear_forecast",
+    "dup_cluster_size_stats",
+    "source_mix_entropy",
     "roc_auc_per_class",
     "label_centroid_cosine",
     "als_half_step",
@@ -104,11 +107,11 @@ DRIVER_ORDER: list[str] = [
     "target_encode_oof",
     "benford_first_digit",
     "csv_sink_roundtrip",
+    # ---------------- past the check window ----------------
     # ---- latest green row: r6 ----
     "order_priority_checking",
     "forecast_revenue",
     "returned_item_top_customers",
-    # ---------------- past the check window ----------------
     "priority_line_counts",
     "promo_revenue_pct",
     "top_revenue_suppliers",

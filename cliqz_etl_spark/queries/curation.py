@@ -309,3 +309,58 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (w.join(mix, "doc_id")
             .join(dup_heavy, "doc_id", "left_anti")
             .select("doc_id", "n_tok", "dsir_weight_milli"))
+
+
+# --------------------------------------------------------------------------
+# Corpus composition entropy — the mix report a data-curation review
+# reads first: per (source, lang) cell share of the corpus plus the
+# Shannon entropy of the whole mix (low entropy = one crawl slice
+# dominates; the diversity alarm). The per-cell surprisal term
+# p*ln(1/p) quantizes to micro units inside ONE shared double tree of
+# exact integers (n, N), so the corpus-level entropy is an exact
+# integer SUM of those terms — order-free under any partitioning (the
+# bigram-LM rule) — broadcast back onto the cell frame.
+# --------------------------------------------------------------------------
+_MIX_TERM = ("CAST(floor(1000000 * (CAST(n AS DOUBLE) / nn)"
+             " * ln(CAST(nn AS DOUBLE) / n) + 0.5) AS BIGINT)")
+
+
+@query(
+    "source_mix_entropy",
+    oracle=f"""
+    WITH cells AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+    terms AS (
+        SELECT source, lang, n, {_MIX_TERM} AS term_micro
+        FROM cells CROSS JOIN tot
+    )
+    SELECT source AS source, lang AS lang, n AS n_docs,
+           CAST((1000000 * n) // (SELECT nn FROM tot) AS BIGINT) AS share_ppm,
+           term_micro AS term_micro,
+           CAST(SUM(term_micro) OVER () AS BIGINT) AS entropy_micro
+    FROM terms
+    """,
+    doc="Per-(source, lang) corpus shares plus the global Shannon "
+        "entropy of the mix (micro-nats, exact integer sum of "
+        "per-cell quantized terms).",
+)
+def source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL source/lang cells are real groups on both engines. The
+    entropy window runs over the cell frame (|sources x langs|, never
+    data-sized); a single-cell corpus reports entropy 0 identically
+    (ln(1) = 0 exactly in IEEE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+    terms = (cells.crossJoin(F.broadcast(tot))
+             .select("source", "lang", "n", "nn",
+                     F.expr(_MIX_TERM).alias("term_micro")))
+    w = Window.partitionBy()
+    return terms.select(
+        "source", "lang", F.col("n").alias("n_docs"),
+        F.expr("(1000000 * n) div nn").cast("long").alias("share_ppm"),
+        "term_micro",
+        F.sum("term_micro").over(w).cast("long").alias("entropy_micro"))

@@ -689,3 +689,43 @@ def temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "n_docs", "w_milli",
                     F.expr("(1000000 * w_milli) div w_tot").cast("long")
                     .alias("rate_ppm")))
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster size report — the dedup IMPACT summary a curation run
+# ships with its decision table: how many clusters exist at each size,
+# how many documents they cover, and how many a keep-one-per-cluster
+# policy would remove. Rides the same jaccard-edge connected components
+# as dedup_clusters (the recursive-closure oracle); everything past the
+# member frame is cluster-count-sized, then size-histogram-sized.
+# --------------------------------------------------------------------------
+@query(
+    "dup_cluster_size_stats",
+    oracle=_CLUSTERS_SQL + """
+    , csizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM members GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM csizes GROUP BY cluster_size
+    """,
+    doc="Histogram of near-dup cluster sizes with per-size removable-doc "
+        "counts (keep-one policy).",
+)
+def dup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpora with no qualifying near-dup pair yield an empty histogram
+    on both engines (members only holds CLUSTERED docs — singletons never
+    enter the edge graph)."""
+    members = _cluster_members(spark, sf_dir)
+    csizes = (members.groupBy("cluster_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
+    return (csizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+                    .alias("n_docs"),
+                    ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+                    .cast("long").alias("n_removable")))

@@ -848,3 +848,119 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.max("sxx") + 0.5).cast("long")
                  .alias("acf_milli"))
             .select("lag", "n_pairs", "n_days", "acf_milli"))
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing over monthly revenue — the classic
+# level+trend forecaster (the one forecast_revenue's OLS line can't
+# follow when the trend drifts). The recurrence
+#   l_t = (A*x_t + (1000-A)*(l_{t-1} + b_{t-1})) // 1000
+#   b_t = (B*(l_t - l_{t-1}) + (1000-B)*b_{t-1}) // 1000
+# is sequential by nature — the one shape windows cannot express — so
+# it folds on the DRIVER over the collected month frame (calendar-
+# bounded at any corpus scale) in exact integer cents, and the oracle
+# replays the identical fold through a WITH RECURSIVE CTE (the
+# kaplan_meier discipline). Division discipline (measured, round 11):
+# DuckDB's INTEGER // TRUNCATES toward zero ((-7)//2 = -3) even though
+# its DOUBLE // floors — so the driver fold must truncate too, not use
+# Python's flooring // ; with the trend term negative on declining
+# months the off-by-one otherwise compounds through every later step
+# (first attempt drifted 8 cents by month 80). The h=1..3 forecasts
+# ride the final row as extra columns.
+# --------------------------------------------------------------------------
+HOLT_ALPHA_MILLI = 300
+HOLT_BETA_MILLI = 100
+
+
+@query(
+    "holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+        SELECT CAST((year(o_orderdate) - 1970) * 12
+                    + month(o_orderdate) - 1 AS BIGINT) AS m,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2
+    ), idx AS (
+        SELECT m, month, cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY m ASC) AS BIGINT) AS k,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM monthly
+    ), seed AS (
+        SELECT a.cents AS x1, b.cents AS x2 FROM idx a JOIN idx b
+        ON a.k = 1 AND b.k = 2
+    ), rec AS (
+        SELECT CAST(1 AS BIGINT) AS k, x1 AS l, x2 - x1 AS b FROM seed
+        UNION ALL
+        SELECT i.k,
+               ({HOLT_ALPHA_MILLI} * i.cents
+                + (1000 - {HOLT_ALPHA_MILLI}) * (rec.l + rec.b)) // 1000,
+               ({HOLT_BETA_MILLI} * ((({HOLT_ALPHA_MILLI} * i.cents
+                    + (1000 - {HOLT_ALPHA_MILLI}) * (rec.l + rec.b)) // 1000)
+                    - rec.l)
+                + (1000 - {HOLT_BETA_MILLI}) * rec.b) // 1000
+        FROM rec JOIN idx i ON i.k = rec.k + 1
+    )
+    SELECT i.month AS month, i.cents AS cents,
+           CAST(rec.l AS BIGINT) AS level_cents,
+           CAST(rec.b AS BIGINT) AS trend_cents,
+           CASE WHEN i.k = i.n THEN CAST(rec.l + rec.b AS BIGINT) END
+               AS fc1_cents,
+           CASE WHEN i.k = i.n THEN CAST(rec.l + 2 * rec.b AS BIGINT) END
+               AS fc2_cents,
+           CASE WHEN i.k = i.n THEN CAST(rec.l + 3 * rec.b AS BIGINT) END
+               AS fc3_cents
+    FROM idx i JOIN rec ON rec.k = i.k
+    """,
+    doc="Holt level+trend smoothing of monthly revenue (alpha 0.3, "
+        "beta 0.1, exact integer fold) with 1-3 month forecasts on the "
+        "final row.",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpora with fewer than two observed months yield an empty result
+    on both engines (the seed join needs x1 and x2; a one-point series
+    has no trend to initialize). Gap months are simply absent — the
+    recurrence runs over the OBSERVED month sequence, the standard
+    treatment when closure is not known.
+
+    Plan shape: one map-side-combined monthly aggregate (the only
+    data-sized stage); the collected frame is calendar-bounded, the
+    fold is driver-side exact integer arithmetic with TRUNCATING
+    division (DuckDB's integer // truncates; Python's floors)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (o.where(F.col("o_orderdate").isNotNull()
+                       & F.col("o_totalprice").isNotNull())
+               .groupBy(
+                   ((F.year("o_orderdate") - 1970) * 12
+                    + F.month("o_orderdate") - 1).cast("long").alias("m"),
+                   F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+               .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                          .cast("long")).cast("long").alias("cents")))
+    rows = sorted((r["m"], r["month"], r["cents"])
+                  for r in monthly.collect())
+    schema = ("month string, cents long, level_cents long, "
+              "trend_cents long, fc1_cents long, fc2_cents long, "
+              "fc3_cents long")
+    if len(rows) < 2:
+        return spark.createDataFrame([], schema)
+    A, B = HOLT_ALPHA_MILLI, HOLT_BETA_MILLI
+
+    def tdiv(a: int, b_: int) -> int:
+        q = abs(a) // b_
+        return q if a >= 0 else -q
+
+    l, b = rows[0][2], rows[1][2] - rows[0][2]
+    out = [(rows[0][1], rows[0][2], l, b)]
+    for _, month, x in rows[1:]:
+        l_new = tdiv(A * x + (1000 - A) * (l + b), 1000)
+        b = tdiv(B * (l_new - l) + (1000 - B) * b, 1000)
+        l = l_new
+        out.append((month, x, l, b))
+    final = [(m, x, lv, tr,
+              lv + tr if i == len(out) - 1 else None,
+              lv + 2 * tr if i == len(out) - 1 else None,
+              lv + 3 * tr if i == len(out) - 1 else None)
+             for i, (m, x, lv, tr) in enumerate(out)]
+    return spark.createDataFrame(final, schema)

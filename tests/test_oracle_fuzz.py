@@ -138,6 +138,11 @@ _FUZZED = [
     # chi-square screen (single-class corpora -> empty by the P/F guard;
     # support floor rarely met on tiny corpora -> empty both sides)
     "prf_expansion_terms", "token_chi2_keywords",
+    # round-11 ninth wave: the cluster-size histogram (no qualifying
+    # near-dup pair -> empty histogram on both engines; the planted
+    # clone pair always clusters) and the mix-entropy report (NULL
+    # source/lang are real cells; single-cell corpora report exactly 0)
+    "dup_cluster_size_stats", "source_mix_entropy",
 ]
 
 _WORD = st.one_of(
@@ -523,6 +528,11 @@ _WH_FUZZED = [
     # rule under n < 10; ties rank by custkey; all-NULL-price corpora
     # leave an empty spend frame on both engines)
     "lorenz_curve_deciles",
+    # round-11 ninth wave: the Holt fold (under-2-month corpora ->
+    # empty result via the seed join on both engines; the driver fold
+    # TRUNCATES like DuckDB's integer //, pinned by the negative-trend
+    # fuzz cases)
+    "holt_linear_forecast",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))

@@ -453,6 +453,16 @@ _PLAN_BUDGET = {
     # one presence distinct + the doc-keyed label join; chi2 runs on
     # the vocab frame against a broadcast 1-row total
     "token_chi2_keywords": (2, 0),
+    # the monthly agg collects to a calendar-bounded driver fold; the
+    # returned frame is a LocalTableScan — any exchange beyond the agg
+    # means the fold stopped being driver-side
+    "holt_linear_forecast": (1, 0),
+    # cluster members come from the pinned CC label frame; the size
+    # histogram is two cluster-count-sized aggregates
+    "dup_cluster_size_stats": (2, 0),
+    # one (source,lang) agg + 1-row total + the cell-sized entropy
+    # window (Exchange SinglePartition over |cells| rows, constant)
+    "source_mix_entropy": (4, 0),
 }
 
 

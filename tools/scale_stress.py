@@ -52,6 +52,17 @@ New ops: curation_funnel_audit 1.4x (scan-shaped), quality_pr_curve
 boilerplate_ngram_profile 2.2x (the (source,gram) agg combines hard on
 the Zipf corpus).
 
+Round-11 late 10x sweep (same corpus; post seventh/eighth wave): the
+ranged-rank Zipf fit 1.8x wall at 10x docs (the rank path holds — no
+vocabulary ever funnels into one task), token chi-square screen 3.6x
+(the presence distinct tracks token volume), rater kappa 1.1x
+(scan-shaped), BM25 ranking eval 3.9x and PRF expansion 9.3x (both
+postings-bounded: ratios track postings volume ~linearly on the Zipf
+vocabulary), session bounce 1.7x at 10x events (rides the one
+sessionizer shuffle). Full-family refresh in the same run stayed in
+band (LSH 1.3x, simhash 3.7x, spans 2.5x, kNN graph 4.4x, WAND 3.4x,
+MJPEG 4.8x).
+
 Round-11 --100x refresh (500k docs / 200k vectors): LSH 2.5x, simhash
 5.3x, ngram-jaccard 29.1x, incremental LSH 24.6x, SQ8 1.3x, IVF
 (fixed K=32) 18.3x, span dedup 15.5x, unigram 20.8x,
@@ -276,19 +287,22 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         sq8_topk,
     )
 
-    def _wand_on_vocab(spark, p):
-        """Run wand_bm25_topk with mid-frequency vocabulary terms (Zipf
-        ranks 50/200/1000) so the postings side has real work on the
-        synthetic corpus; the module constant is rebound around the call
-        (single-threaded sweep) and restored."""
+    def _retrieval_on_vocab(spark, p, qname):
+        """Run a retrieval-family query with mid-frequency vocabulary
+        terms (Zipf ranks 50/200/1000) so the postings side has real
+        work on the synthetic corpus; the module constant is rebound
+        around the call (single-threaded sweep) and restored."""
         from cliqz_etl_spark.queries import retrieval as _ret
 
         saved = _ret._QUERY_TERMS
         _ret._QUERY_TERMS = [VOCAB[50], VOCAB[200], VOCAB[1000]]
         try:
-            return _registry()["wand_bm25_topk"].fn(spark, p)
+            return _registry()[qname].fn(spark, p)
         finally:
             _ret._QUERY_TERMS = saved
+
+    def _wand_on_vocab(spark, p):
+        return _retrieval_on_vocab(spark, p, "wand_bm25_topk")
 
     _reg: dict = {}
 
@@ -480,6 +494,29 @@ def family_sweep(spark, big_dir: str, scale_label: str,
             ["roc_auc_per_class"].fn(spark, p)),
         ("label_centroid_cosine", lambda p: lambda: _registry()
             ["label_centroid_cosine"].fn(spark, p)),
+        # round-11 seventh wave: the Zipf fit — vocab agg + ranged rank;
+        # the fixed 10k Zipf vocabulary pins the post-agg frames constant
+        # across scales, so the ratio isolates the tokenize+agg pass
+        # (and proves the rank path never funnels a language's vocabulary
+        # into one task)
+        ("zipf_fit", lambda p: lambda: _registry()
+            ["zipf_fit"].fn(spark, p)),
+        # round-11 eighth wave: chi-square keyword screen — presence
+        # distinct + doc-keyed label join; vocab-bounded after
+        ("token_chi2_keywords", lambda p: lambda: _registry()
+            ["token_chi2_keywords"].fn(spark, p)),
+        # round-11 seventh wave: rater kappa — pure scan + 1-row agg,
+        # must track bytes like curation_funnel_audit
+        ("rater_agreement_kappa", lambda p: lambda: _registry()
+            ["rater_agreement_kappa"].fn(spark, p)),
+        # round-11 retrieval evals against mid-frequency vocabulary terms
+        # (the fixed gate terms don't occur in the synthetic vocab; the
+        # _QUERY_TERMS rebind is the _wand_on_vocab move) — postings-
+        # bounded scoring + TakeOrdered cuts must track postings volume
+        ("ranking_eval_bm25", lambda p: lambda: _retrieval_on_vocab(
+            spark, p, "ranking_eval_bm25")),
+        ("prf_expansion_terms", lambda p: lambda: _retrieval_on_vocab(
+            spark, p, "prf_expansion_terms")),
     ]:
         t_small = run(f"{name} @small", make(SMALL))
         t_big = run(f"{name} @{scale_label}", make(big_dir))
@@ -520,7 +557,11 @@ def family_sweep(spark, big_dir: str, scale_label: str,
                   # drift monitor (10-row histogram per micro-batch —
                   # stream volume should move the scan, never the state)
                   "decile_lift_table", "chi2_independence",
-                  "sliding_distinct_users", "streaming_drift_monitor"]:
+                  "sliding_distinct_users", "streaming_drift_monitor",
+                  # round-11 seventh wave: bounce rate by entry type —
+                  # rides the sessionizer's one user_id shuffle; the
+                  # rollup is entry-type-sized at any scale
+                  "session_bounce_stats"]:
         fn = registry[qname].fn
         t_small = run(f"{qname} @small", lambda: fn(spark, SMALL))
         t_big = run(f"{qname} @{scale_label}", lambda: fn(spark, big_dir))
