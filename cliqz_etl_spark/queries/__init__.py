@@ -71,6 +71,9 @@ DRIVER_ORDER: list[str] = [
     "holt_linear_forecast",
     "dup_cluster_size_stats",
     "source_mix_entropy",
+    "tokenizer_fertility_report",
+    "embedding_label_outliers",
+    "hot_key_skew_report",
     "roc_auc_per_class",
     "label_centroid_cosine",
     "als_half_step",
@@ -104,10 +107,10 @@ DRIVER_ORDER: list[str] = [
     "kn_bigram_model",
     "dp_noisy_event_counts",
     "pca_top_component",
+    # ---------------- past the check window ----------------
     "target_encode_oof",
     "benford_first_digit",
     "csv_sink_roundtrip",
-    # ---------------- past the check window ----------------
     # ---- latest green row: r6 ----
     "order_priority_checking",
     "forecast_revenue",

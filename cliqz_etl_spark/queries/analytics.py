@@ -2782,3 +2782,56 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cum_kilocents",
                     F.expr("__num div t").cast("long")
                     .alias("cum_share_ppm")))
+
+
+# --------------------------------------------------------------------------
+# Hot-key skew report — the join-planning diagnostic run before keying
+# a 100 TB shuffle: the top-N hottest join keys with their corpus share
+# and skew factor (key count over the mean key count, permille). One
+# map-side-combined key count, a 1-row stats frame, and a TakeOrdered
+# top-20 cut — the report that tells you whether this key needs salting
+# (operators' salted_join family) or AQE skew splitting before you pay
+# for it. join_size_estimate prices the join; this names the keys that
+# would break it.
+# --------------------------------------------------------------------------
+SKEW_TOP_N = 20
+
+
+@query(
+    "hot_key_skew_report",
+    oracle=f"""
+    WITH counts AS (
+        SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS total
+        FROM counts
+    )
+    SELECT key, cnt,
+           CAST((1000000 * cnt) // total AS BIGINT) AS share_ppm,
+           CAST((1000 * cnt * n_keys) // total AS BIGINT) AS skew_milli
+    FROM counts CROSS JOIN stats
+    ORDER BY cnt DESC, key ASC LIMIT {SKEW_TOP_N}
+    """,
+    doc=f"Top-{SKEW_TOP_N} hottest lineitem join keys with corpus share "
+        "and skew-vs-mean factor (exact integer permille).",
+)
+def hot_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL keys are excluded (they never match an equi-join anyway).
+    Integer envelope: cnt * n_keys stays in BIGINT to ~3e9 rows per key
+    at 3e9 keys; past that pre-divide the mean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (li.where(F.col("l_partkey").isNotNull())
+              .groupBy(F.col("l_partkey").alias("key"))
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    stats = counts.agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                       F.sum("cnt").cast("long").alias("total"))
+    return (counts.crossJoin(F.broadcast(stats))
+            .select("key", "cnt",
+                    F.expr("CAST((1000000 * cnt) div total AS BIGINT)")
+                    .alias("share_ppm"),
+                    F.expr("CAST((1000 * cnt * n_keys) div total AS BIGINT)")
+                    .alias("skew_milli"))
+            .orderBy(F.desc("cnt"), F.asc("key"))
+            .limit(SKEW_TOP_N))

@@ -1068,3 +1068,106 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(f"CAST(floor({_WOE} * 1000 + 0.5) AS BIGINT)")
                     .alias("woe_milli"),
                     F.expr(_WOE_IV).alias("iv_contrib_micro")))
+
+
+# --------------------------------------------------------------------------
+# Label-noise screen: cosine of every embedding to its OWN label
+# centroid — the mislabel detector run before training on a labeled
+# embedding set (a vector pointing AWAY from its class centroid is a
+# labeling-error candidate; SemDeDup's centroid trick turned inward).
+# Reuses label_centroid_cosine's exact-integer discipline end to end:
+# per-element micro quantization before any sum, centroid means
+# re-quantized to micro integers, ONE shared double tree for the
+# cosine. The per-vector dot rides the same posexplode scan joined to
+# the broadcast (labels x dims) centroid frame; the explode preserves
+# row locality, so the vec-keyed aggregate combines fully map-side and
+# the shuffle carries one row per vector.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_label_outliers",
+    oracle="""
+    WITH ex AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(label AS BIGINT) AS label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                          + 0.5) AS BIGINT) AS q
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+          AND len(embedding) = 64
+          AND len(list_filter(embedding, x -> x IS NULL
+                  OR isnan(CAST(x AS DOUBLE))
+                  OR abs(CAST(x AS DOUBLE)) > 1000000.0)) = 0
+    ), cs AS (
+        SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2
+    ), m AS (
+        SELECT label, dim,
+               CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+                    AS BIGINT) AS m
+        FROM cs
+    ), cnorm AS (
+        SELECT label, CAST(SUM(m * m) AS BIGINT) AS nn FROM m GROUP BY 1
+    ), vec AS (
+        SELECT ex.vec_id, ex.label,
+               CAST(SUM(ex.q * m.m) AS BIGINT) AS dot,
+               CAST(SUM(ex.q * ex.q) AS BIGINT) AS vn
+        FROM ex JOIN m ON m.label = ex.label AND m.dim = ex.dim
+        GROUP BY 1, 2
+    )
+    SELECT v.vec_id AS vec_id, v.label AS label,
+           CAST(floor((CAST(v.dot AS DOUBLE)
+               / sqrt(CAST(v.vn AS DOUBLE) * CAST(c.nn AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS cos_micro,
+           (CAST(v.dot AS DOUBLE)
+               / sqrt(CAST(v.vn AS DOUBLE) * CAST(c.nn AS DOUBLE))) < 0.0
+               AS is_outlier
+    FROM vec v JOIN cnorm c ON c.label = v.label
+    WHERE v.vn > 0 AND c.nn > 0
+    """,
+    doc="Cosine of each embedding to its own label centroid (micro) "
+        "with a negative-cosine mislabel flag.",
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-norm vectors and zero-norm centroids are excluded (their
+    cosine is undefined, not 0) — identically on both engines via the
+    integer norm guards."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    valid = F.expr(
+        "size(filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) "
+        "OR abs(CAST(x AS DOUBLE)) > 1000000.0D)) = 0")
+    ex = _materialize(
+        emb.where(F.col("embedding").isNotNull()
+                  & F.col("label").isNotNull()
+                  & (F.size("embedding") == 64) & valid)
+        .select(F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("label").cast("long").alias("label"),
+                F.posexplode("embedding").alias("pos", "x"))
+        .select("vec_id", "label",
+                (F.col("pos") + 1).cast("long").alias("dim"),
+                F.floor(F.col("x").cast("double") * 1_000_000
+                        + F.lit(0.5)).cast("long").alias("q")))
+    cs = ex.groupBy("label", "dim").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    m = cs.select(
+        "label", "dim",
+        F.expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) "
+               "AS BIGINT)").alias("m"))
+    cnorm = m.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("nn"))
+    vec = (ex.join(F.broadcast(m), ["label", "dim"])
+           .groupBy("vec_id", "label")
+           .agg(F.sum(F.col("q") * F.col("m")).cast("long").alias("dot"),
+                F.sum(F.col("q") * F.col("q")).cast("long").alias("vn")))
+    cos = ("(CAST(dot AS DOUBLE) / sqrt(CAST(vn AS DOUBLE) "
+           "* CAST(nn AS DOUBLE)))")
+    return (vec.join(F.broadcast(cnorm), "label")
+            .where((F.col("vn") > 0) & (F.col("nn") > 0))
+            .select("vec_id", "label",
+                    F.expr(f"CAST(floor({cos} * 1000000 + 0.5) AS BIGINT)")
+                    .alias("cos_micro"),
+                    F.expr(f"{cos} < 0.0").alias("is_outlier")))

@@ -1891,3 +1891,56 @@ def token_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("a").alias("df_pass"),
                     F.col("b").alias("df_fail"),
                     F.expr(chi2).alias("chi2_milli")))
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility report — the tokenizer-efficiency metric a
+# multilingual pretraining team tracks per language: subword tokens
+# emitted per whitespace word (fertility near 1 = the tokenizer fits
+# the language; 2-3 = the language pays double the sequence length for
+# the same text). Whitespace counts ride token_count, subword counts
+# the BPE-ish regex bank (both JVM-side, one scan, zero data-sized
+# shuffle); fertility is exact integer permille of the per-language
+# sums. NULL-text docs contribute NULL counts that SUM ignores
+# identically on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "tokenizer_fertility_report",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang,
+               CAST({_DUCK_NTOK} AS BIGINT) AS ws,
+               CAST({_DUCK_BPE} AS BIGINT) AS bpe
+        FROM documents
+    )
+    SELECT lang AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(ws), 0) AS BIGINT) AS ws_tokens,
+           CAST(COALESCE(SUM(bpe), 0) AS BIGINT) AS bpe_tokens,
+           CASE WHEN COALESCE(SUM(ws), 0) > 0
+                THEN CAST((1000 * SUM(bpe)) // SUM(ws) AS BIGINT) END
+               AS fertility_milli
+    FROM per GROUP BY lang
+    """,
+    doc="Subword-per-word tokenizer fertility (permille) per language, "
+        "one scan.",
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A NULL lang is a real reporting group; a language whose corpus is
+    all blank/NULL text reports NULL fertility (0 words — the ratio is
+    undefined, not 0)."""
+    docs = _spread_docs(spark, sf_dir, "doc_id", "text", "lang")
+    per = docs.select(
+        "lang",
+        T.token_count("text").alias("ws"),
+        T.bpe_token_count("text").alias("bpe"))
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.coalesce(F.sum("ws"), F.lit(0)).cast("long")
+                 .alias("ws_tokens"),
+                 F.coalesce(F.sum("bpe"), F.lit(0)).cast("long")
+                 .alias("bpe_tokens"))
+            .select("lang", "n_docs", "ws_tokens", "bpe_tokens",
+                    F.expr("CASE WHEN ws_tokens > 0 THEN "
+                           "CAST((1000 * bpe_tokens) div ws_tokens AS BIGINT)"
+                           " END").alias("fertility_milli")))

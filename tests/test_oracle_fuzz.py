@@ -143,6 +143,10 @@ _FUZZED = [
     # clone pair always clusters) and the mix-entropy report (NULL
     # source/lang are real cells; single-cell corpora report exactly 0)
     "dup_cluster_size_stats", "source_mix_entropy",
+    # round-11 tenth wave: tokenizer fertility (NULL-text counts are
+    # NULL and SUM-ignored identically; an all-blank language reports
+    # NULL fertility, not 0; NULL lang is a real group)
+    "tokenizer_fertility_report",
 ]
 
 _WORD = st.one_of(
@@ -235,6 +239,10 @@ _EMB_FUZZED = [
     # auc_micro on both engines) and the centroid cosine matrix
     # (vector-level validity gate; zero-norm centroids filtered)
     "roc_auc_per_class", "label_centroid_cosine",
+    # round-11 tenth wave: the own-centroid label-noise screen (same
+    # vector-level validity gate; zero-norm vectors AND zero-norm
+    # centroids excluded identically via the integer norm guards)
+    "embedding_label_outliers",
 ]
 
 # Row i gets _EMB_IDS[i], not i: sequential ids give a <=18-row corpus

@@ -463,6 +463,14 @@ _PLAN_BUDGET = {
     # one (source,lang) agg + 1-row total + the cell-sized entropy
     # window (Exchange SinglePartition over |cells| rows, constant)
     "source_mix_entropy": (4, 0),
+    # one scan-side count projection + the |langs|-row rollup
+    "tokenizer_fertility_report": (1, 0),
+    # posexplode agg to (label,dim) + broadcast centroid join + the
+    # vec-keyed map-side-combined aggregate; a data-sized SORT or a
+    # non-broadcast centroid join appearing would breach
+    "embedding_label_outliers": (4, 0),
+    # key counts + 1-row stats + TakeOrdered cut (no global sort)
+    "hot_key_skew_report": (3, 0),
 }
 
 
