@@ -52,6 +52,18 @@ New ops: curation_funnel_audit 1.4x (scan-shaped), quality_pr_curve
 boilerplate_ngram_profile 2.2x (the (source,gram) agg combines hard on
 the Zipf corpus).
 
+Round-11 late --100x sweep (500k docs / 200k vectors; post
+seventh-tenth wave): the new doc-family queries hold the curve across
+two decades — Zipf fit 7.4x wall at 100x docs (ranged rank, no
+vocabulary sort on one task), token chi-square 28.0x, BM25 ranking
+eval 31.3x, PRF expansion 56.4x (postings-bounded, ~linear in
+postings), rater kappa 1.3x (overhead-bound). Context rows from the
+same run sit in their historical bands (LSH 3.9x, simhash 8.2x,
+ngram-jaccard 34.2x, span dedup 22.7x, chunk 32.6x, kNN graph 11.9x,
+WAND 17.1x, NB 6.0x; semantic_verdicts 103x = its documented linear
+law, the sampled variant's 198x the usual host-noise artifact — its
+fit is strictly cheaper, compare @small).
+
 Round-11 late 10x sweep (same corpus; post seventh/eighth wave): the
 ranged-rank Zipf fit 1.8x wall at 10x docs (the rank path holds — no
 vocabulary ever funnels into one task), token chi-square screen 3.6x
