@@ -74,6 +74,8 @@ DRIVER_ORDER: list[str] = [
     "tokenizer_fertility_report",
     "embedding_label_outliers",
     "hot_key_skew_report",
+    "lang_id_confusion",
+    "abc_analysis_parts",
     "roc_auc_per_class",
     "label_centroid_cosine",
     "als_half_step",
@@ -105,9 +107,9 @@ DRIVER_ORDER: list[str] = [
     "boilerplate_ngram_profile",
     "quality_pr_curve",
     "kn_bigram_model",
+    # ---------------- past the check window ----------------
     "dp_noisy_event_counts",
     "pca_top_component",
-    # ---------------- past the check window ----------------
     "target_encode_oof",
     "benford_first_digit",
     "csv_sink_roundtrip",

@@ -2835,3 +2835,68 @@ def hot_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("skew_milli"))
             .orderBy(F.desc("cnt"), F.asc("key"))
             .limit(SKEW_TOP_N))
+
+
+# --------------------------------------------------------------------------
+# ABC analysis — the classic inventory/attention split (A = parts
+# carrying the first 80% of revenue, B = the next 15%, C = the tail)
+# over the descending-revenue cumulative share. The global rank rides
+# ranged_cumsum over (-revenue, partkey) — same two-pass scheme as
+# gini_spend, no single-task sort — and the share thresholds are exact
+# integer permille of kilocent sums (positive, so div = //). A
+# revenue-less corpus yields an empty frame on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "abc_analysis_parts",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey AS part,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    // 1000 AS BIGINT) AS kc
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(kc) AS BIGINT) AS t FROM rev),
+    ranked AS (
+        SELECT part, kc,
+               CAST(SUM(kc) OVER (ORDER BY kc DESC, part ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_kc
+        FROM rev
+    )
+    SELECT part, kc,
+           CAST((1000 * cum_kc) // t AS BIGINT) AS cum_share_milli,
+           CASE WHEN (1000 * cum_kc) // t <= 800 THEN 'A'
+                WHEN (1000 * cum_kc) // t <= 950 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked CROSS JOIN tot
+    WHERE t > 0
+    """,
+    doc="ABC revenue classification per part (A first 80%, B next 15%) "
+        "over the descending cumulative share, ranked distributed.",
+)
+def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: one map-side-combined part-revenue aggregate, then
+    ranged_cumsum's bounded stages for the descending cumulative sum
+    (order key (-kc, part)), and a broadcast 1-row total. Zero-revenue
+    corpora (t = 0) return empty rather than dividing by zero."""
+    from cliqz_etl_spark.operators.stats import ranged_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (li.where(F.col("l_partkey").isNotNull()
+                    & F.col("l_extendedprice").isNotNull())
+           .groupBy(F.col("l_partkey").alias("part"))
+           .agg(F.expr("sum(cast(floor(l_extendedprice * 100 + 0.5) "
+                       "as long)) div 1000").cast("long").alias("kc")))
+    tot = rev.agg(F.sum("kc").cast("long").alias("t"))
+    ranked = (ranged_cumsum(rev.withColumn("negkc", -F.col("kc")),
+                            ["negkc", "part"], ["kc"])
+              .select("part", "kc", F.col("cum_kc").alias("cum_kc")))
+    share = "CAST((1000 * cum_kc) div t AS BIGINT)"
+    return (ranked.crossJoin(F.broadcast(tot))
+            .where(F.col("t") > 0)
+            .select("part", "kc",
+                    F.expr(share).alias("cum_share_milli"),
+                    F.expr(f"CASE WHEN {share} <= 800 THEN 'A' "
+                           f"WHEN {share} <= 950 THEN 'B' "
+                           "ELSE 'C' END").alias("abc_class")))

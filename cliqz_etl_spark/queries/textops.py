@@ -1944,3 +1944,79 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CASE WHEN ws_tokens > 0 THEN "
                            "CAST((1000 * bpe_tokens) div ws_tokens AS BIGINT)"
                            " END").alias("fertility_milli")))
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix — lang_id's eval twin: the per-(labeled,
+# predicted) cell counts plus per-cell recall share of the labeled
+# class, the report that says WHERE the stopword heuristic fails (not
+# just how often). Built by wrapping lang_id's own oracle verbatim as a
+# CTE (the streaming_dedup_screen reuse discipline: one definition of
+# the classifier, two queries), so the two can never drift. The matrix
+# is |langs|^2-sized after one scan.
+# --------------------------------------------------------------------------
+def _lang_id_oracle() -> str:
+    from cliqz_etl_spark.queries import REGISTRY as _R
+
+    return _R["lang_id"].oracle
+
+
+@query(
+    "lang_id_confusion",
+    oracle=None,  # bound below once lang_id is registered
+    doc="Confusion matrix of the lang_id heuristic vs document labels, "
+        "with per-cell recall permille of the labeled class.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL predicted (NULL text) and NULL labels are real matrix cells
+    on both engines; recall_milli is NULL for cells whose labeled class
+    has zero rows only vacuously (the class total is always >= the
+    cell count)."""
+    from cliqz_etl_spark.queries import REGISTRY as _R
+
+    pred = _R["lang_id"].fn(spark, sf_dir)
+    cells = (pred.groupBy("labeled_lang", "predicted_lang")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    totals = (cells.groupBy(F.col("labeled_lang").alias("_lab"))
+              .agg(F.sum("n").cast("long").alias("class_total")))
+    # null-SAFE class join (the oracle's IS NOT DISTINCT FROM): the
+    # NULL-labeled cell must find its own class total, not a NULL one
+    return (cells.join(F.broadcast(totals),
+                       F.col("labeled_lang").eqNullSafe(F.col("_lab")),
+                       "left")
+            .select("labeled_lang", "predicted_lang", "n", "class_total",
+                    F.expr("CAST((1000 * n) div class_total AS BIGINT)")
+                    .alias("recall_milli")))
+
+
+# lang_id_confusion's oracle wraps lang_id's verbatim — bind it after
+# both registrations so the registry holds ONE definition of the
+# classifier (a frozen dataclass, so rebuild the entry).
+def _bind_confusion_oracle() -> None:
+    import dataclasses
+
+    from cliqz_etl_spark.queries import REGISTRY as _R
+
+    q = _R["lang_id_confusion"]
+    if q.oracle is None:
+        wrapped = f"""
+        WITH pred AS ({_lang_id_oracle()}),
+        cells AS (
+            SELECT labeled_lang, predicted_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pred GROUP BY 1, 2
+        ), totals AS (
+            SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS class_total
+            FROM cells GROUP BY 1
+        )
+        SELECT c.labeled_lang AS labeled_lang,
+               c.predicted_lang AS predicted_lang,
+               c.n AS n, t.class_total AS class_total,
+               CAST((1000 * c.n) // t.class_total AS BIGINT) AS recall_milli
+        FROM cells c LEFT JOIN totals t
+            ON t.labeled_lang IS NOT DISTINCT FROM c.labeled_lang
+        """
+        _R["lang_id_confusion"] = dataclasses.replace(q, oracle=wrapped)
+
+
+_bind_confusion_oracle()

@@ -147,6 +147,10 @@ _FUZZED = [
     # NULL and SUM-ignored identically; an all-blank language reports
     # NULL fertility, not 0; NULL lang is a real group)
     "tokenizer_fertility_report",
+    # round-11 eleventh wave: the lang_id confusion matrix (wraps
+    # lang_id's oracle verbatim; NULL predicted/labeled langs are real
+    # cells, class totals join null-SAFELY on both engines)
+    "lang_id_confusion",
 ]
 
 _WORD = st.one_of(
@@ -541,6 +545,11 @@ _WH_FUZZED = [
     # TRUNCATES like DuckDB's integer //, pinned by the negative-trend
     # fuzz cases)
     "holt_linear_forecast",
+    # round-11 eleventh wave: ABC classification (all-NULL-price corpora
+    # -> empty via the t > 0 guard; descending ties rank by part key;
+    # the fuzz lineitem's fixed prices exercise the all-equal case where
+    # every row lands in one cumulative class boundary order)
+    "abc_analysis_parts",
 ]
 
 _MAYBE_STATUS = st.one_of(st.none(), st.sampled_from(["O", "F", "P"]))

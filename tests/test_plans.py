@@ -471,6 +471,11 @@ _PLAN_BUDGET = {
     "embedding_label_outliers": (4, 0),
     # key counts + 1-row stats + TakeOrdered cut (no global sort)
     "hot_key_skew_report": (3, 0),
+    # one lang_id scan + the |langs|^2 matrix agg + class-total rollup
+    "lang_id_confusion": (3, 0),
+    # part-revenue agg + ranged_cumsum's bounded stages (descending
+    # order key); a data-sized single-task sort appearing would breach
+    "abc_analysis_parts": (3, 0),
 }
 
 
