@@ -431,6 +431,48 @@ def wav_roundtrip_stats(df: DataFrame, id_col: str,
                          "out_wsum long"))
 
 
+def wav_feature_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """DSP frame features over the decoded WAV path — the feature-extract
+    stage of an audio curation pipeline (VAD energy gates, pitch-period
+    screens). Per id: synthesize the family's deterministic mono PCM
+    (same derivation as wav_roundtrip_stats), run encode_wav ->
+    decode_wav, then compute the classic exact-integer features on the
+    DECODED samples: energy (sum of squares), peak (max |s|),
+    zero-crossing count (sign(s_i) vs sign(s_{i-1}), >= 0 convention),
+    and autocorrelation at lags 1 and 4 (the pitch-detection kernel).
+    Everything is integer arithmetic, so the SQL oracle replays it
+    exactly with a lag window over the arithmetic sample stream — a
+    codec bug anywhere in the chain diverges the values."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "energy": [], "peak": [],
+                   "zero_crossings": [], "ac_lag1": [], "ac_lag4": []}
+            for rid in pdf["id"]:
+                rid = int(rid)
+                rate = 8000 + (rid % 5) * 2000
+                n = rid % 50 + 20
+                synth = [((rid * 37 + i * 13) % 2001) - 1000
+                         for i in range(n)]
+                s = decode_wav(encode_wav(rate, synth))["samples"]
+                out["doc_id"].append(rid)
+                out["n_samples"].append(len(s))
+                out["energy"].append(sum(v * v for v in s))
+                out["peak"].append(max(abs(v) for v in s))
+                out["zero_crossings"].append(
+                    sum((s[i] >= 0) != (s[i - 1] >= 0)
+                        for i in range(1, len(s))))
+                out["ac_lag1"].append(
+                    sum(s[i] * s[i + 1] for i in range(len(s) - 1)))
+                out["ac_lag4"].append(
+                    sum(s[i] * s[i + 4] for i in range(len(s) - 4)))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        process, schema=("doc_id long, n_samples long, energy long, "
+                         "peak long, zero_crossings long, ac_lag1 long, "
+                         "ac_lag4 long"))
+
+
 def bmp_roundtrip_stats(df: DataFrame, id_col: str,
                         target_w: int = 4, target_h: int = 3) -> DataFrame:
     """The REAL-codec gate kernel: per id, synthesize a deterministic

@@ -58,6 +58,11 @@ DRIVER_ORDER: list[str] = [
     # ---- RED latest row ----
     "important_part_value",
     # ---- latest green row: rnew/churn ----
+    "hilbert_layout",
+    "column_profile_report",
+    "schema_drift_union",
+    "audio_feature_stats",
+    "forget_cascade_audit",
     "session_bounce_stats",
     "acf_daily_revenue",
     "t_closeness_audit",
@@ -102,12 +107,12 @@ DRIVER_ORDER: list[str] = [
     "negative_sampling_table",
     "ann_recall_eval",
     "map_ops_gauntlet",
+    # ---------------- past the check window ----------------
     "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",
     "quality_pr_curve",
     "kn_bigram_model",
-    # ---------------- past the check window ----------------
     "dp_noisy_event_counts",
     "pca_top_component",
     "target_encode_oof",

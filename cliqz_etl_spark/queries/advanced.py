@@ -485,6 +485,78 @@ def nations_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# One-pass column profiling (the Deequ/dbt-docs table-profile shape): every
+# column's null count, distinct count, and min/max from ONE scan. Values
+# are canonicalized to strings first — integers verbatim, timestamps via
+# the engine-portable second-grain format, money as integer cents — so a
+# single (col_name, val) spine covers heterogeneous types and min/max
+# compare under binary collation identically on both engines (documented:
+# lexicographic, not numeric, for the numeric columns). stack() multiplies
+# the scan 6x, but the groupBy partial-aggregates per (col_name, val)
+# map-side, so the shuffle carries distinct values per column — the same
+# cost as the COUNT(DISTINCT) expansion every profiler pays.
+# --------------------------------------------------------------------------
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_orderkey", "CAST(o_orderkey AS STRING)"),
+    ("o_custkey", "CAST(o_custkey AS STRING)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_orderdate", "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')"),
+    ("o_totalprice_cents",
+     "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"),
+]
+
+_PROFILE_ORACLE_EXPRS: dict[str, str] = {
+    "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
+    "o_custkey": "CAST(o_custkey AS VARCHAR)",
+    "o_orderstatus": "o_orderstatus",
+    "o_orderpriority": "o_orderpriority",
+    "o_orderdate": "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+    "o_totalprice_cents":
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+}
+
+
+@query(
+    "column_profile_report",
+    oracle="""
+    WITH vals AS (
+        """ + "\n        UNION ALL\n        ".join(
+        f"SELECT '{name}' AS col_name, {expr} AS val FROM orders"
+        for name, expr in _PROFILE_ORACLE_EXPRS.items()) + """
+    )
+    SELECT col_name AS col_name,
+           CAST(COUNT(*) AS BIGINT)              AS n_rows,
+           CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT val) AS BIGINT)   AS n_distinct,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM vals GROUP BY col_name
+    """,
+)
+def column_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders — n_rows, n_null, n_distinct, min/max
+    — in one scan via stack(); the ingestion-time data-profiling pass.
+
+    Plan: scan -> Generate(stack) -> two-phase hash aggregate. The
+    distinct count rides a partial aggregate keyed (col_name, val), so
+    every executor pre-collapses its repeats before the one shuffle; at
+    100 TB the shuffle is bounded by per-column cardinality, not row
+    count. No UDFs, no collects."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = len(_PROFILE_COLS)
+    stack_args = ", ".join(f"'{name}', {expr}" for name, expr in _PROFILE_COLS)
+    stacked = orders.selectExpr(f"stack({n}, {stack_args}) AS (col_name, val)")
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_null"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
 @query(
     "data_quality_checks",
     oracle="""

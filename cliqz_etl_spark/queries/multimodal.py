@@ -294,6 +294,50 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_roundtrip_stats(docs, "doc_id", _WAV_DST)
 
 
+@query(
+    "audio_feature_stats",
+    # Oracle replays the decoded sample stream arithmetically (sample i =
+    # ((id*37 + i*13) % 2001) - 1000, n = id%50+20) and computes the same
+    # exact-integer DSP features with one lag window — SUM outputs cast
+    # to BIGINT per the registry's HUGEINT discipline.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 50 + 20 AS n FROM documents
+    ), samp AS (
+        SELECT doc_id, i,
+               ((doc_id * 37 + i * 13) % 2001) - 1000 AS s
+        FROM (SELECT doc_id, unnest(range(n)) AS i FROM d)
+    ), lagd AS (
+        SELECT doc_id, s,
+               lag(s, 1) OVER (PARTITION BY doc_id ORDER BY i) AS s1,
+               lag(s, 4) OVER (PARTITION BY doc_id ORDER BY i) AS s4
+        FROM samp
+    )
+    SELECT doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(abs(s)) AS BIGINT) AS peak,
+           CAST(COUNT(*) FILTER (s1 IS NOT NULL
+                AND ((s >= 0) <> (s1 >= 0))) AS BIGINT) AS zero_crossings,
+           CAST(SUM(s * s1) AS BIGINT) AS ac_lag1,
+           CAST(SUM(s * s4) AS BIGINT) AS ac_lag4
+    FROM lagd GROUP BY doc_id
+    """,
+)
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSP features (energy, peak, zero-crossings, lag-1/4
+    autocorrelation) over the REAL decode path: synth -> encode_wav ->
+    decode_wav -> numpy-side integer features, Arrow-batched. The audio
+    sibling of image feature extraction in a curation pipeline: energy
+    and ZCR are the standard voice-activity gates, the autocorrelation
+    lags the pitch-period kernel. Embarrassingly parallel — one
+    mapInPandas stage, no shuffle, no collects."""
+    from cliqz_etl_spark.multimodal.binary_ops import wav_feature_stats
+
+    docs = _codec_ids(spark, sf_dir)
+    return wav_feature_stats(docs, "doc_id")
+
+
 def _duck_embed_component(j: int) -> str:
     # md5-60bit of (utf8 bytes + '|' + j), mod EMBED_MOD — the SQL twin of
     # binary_ops.embed_media's fake_embed (md5 over bytes == md5 over the

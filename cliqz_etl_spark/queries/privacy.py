@@ -456,3 +456,78 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("__num div __den").cast("long").alias("tvd_milli"),
                     (F.expr("__num div __den") <= T_CLOSE_MILLI)
                     .alias("t_close")))
+
+
+# --------------------------------------------------------------------------
+# Erasure-impact audit (GDPR art.17 "right to be forgotten"): given a
+# forget-list of subjects, report every row the cascade would purge —
+# direct customer rows, their orders, the orders' lineitems (two hops),
+# and the subjects' event streams — BEFORE running the destructive
+# rewrite. The forget-list here is the deterministic 1-in-97 key sample;
+# production passes an explicit list. Each hop is a semi-join: the one-hop
+# sets ride AQE-sized joins (a forget-list can be millions of subjects —
+# never force-broadcast it), the two-hop lineitem purge joins on the
+# ALREADY-FILTERED order keys so the big fact only shuffles against the
+# affected slice.
+# --------------------------------------------------------------------------
+@query(
+    "forget_cascade_audit",
+    oracle="""
+    WITH forget AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), o_hit AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+    FROM forget
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM o_hit
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+    FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o_hit)
+    UNION ALL
+    SELECT 'events', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events WHERE user_id IN (SELECT c_custkey FROM forget)
+    """,
+)
+def forget_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table purge counts for an erasure cascade over a forget-list
+    of customers: direct rows, one-hop orders/events, two-hop lineitems.
+    All semi-joins, no forced broadcasts (forget-lists scale), and the
+    two-hop purge filters orders FIRST so lineitem only shuffles against
+    the affected keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    forget = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o_hit = orders.join(forget, orders.o_custkey == forget.c_custkey,
+                        "left_semi").select("o_orderkey", "o_custkey")
+    li_hit = li.join(o_hit.select("o_orderkey"),
+                     li.l_orderkey == F.col("o_orderkey"), "left_semi")
+    ev_hit = ev.join(forget, ev.user_id == forget.c_custkey, "left_semi")
+
+    def audit(name: str, df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(key).cast("long").alias("n_keys"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "n_keys")
+
+    parts = [
+        audit("customer", forget, "c_custkey"),
+        audit("orders", o_hit, "o_custkey"),
+        audit("lineitem", li_hit, "l_orderkey"),
+        audit("events", ev_hit, "user_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

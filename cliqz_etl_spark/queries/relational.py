@@ -863,3 +863,68 @@ def nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a["k"].eqNullSafe(b["k"]))
         .select(a["k"].alias("k"), "n_all", "n_purchase")
     )
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution union (unionByName + allowMissingColumns): the ingest
+# shape where two vintages of a feed share a table but not a schema — the
+# old extract lacks columns the new one added, and vice versa. Spark
+# aligns by NAME and fills the holes with NULL; DuckDB's UNION ALL BY NAME
+# is the same operator, so the oracle exercises the identical semantics
+# natively rather than simulating them. The two vintages are carved from
+# orders by date (pre/post 1997-07-01): v1 carries the money column but
+# not the priority, v2 the reverse. A per-vintage audit aggregate keeps
+# the output compact and pins exactly which holes the alignment created.
+# --------------------------------------------------------------------------
+@query(
+    "schema_drift_union",
+    oracle="""
+    WITH unioned AS (
+        SELECT 'v1' AS vintage, o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+        UNION ALL BY NAME
+        SELECT 'v2' AS vintage, o_orderkey, o_custkey,
+               o_orderpriority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+    )
+    SELECT vintage AS vintage,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(price_cents) AS BIGINT) AS n_null_price,
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS n_null_priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM unioned GROUP BY vintage
+    """,
+)
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two schema vintages of orders by column NAME with
+    missing-column NULL fill, then audit the holes per vintage.
+
+    Plan: two partition-prunable scans of the same table (disjoint date
+    predicates, both pushed), a zero-shuffle unionByName(
+    allowMissingColumns=True) — alignment is a projection, not an
+    exchange — and one 2-group aggregate. The NULL counts are the
+    contract: every v1 row must hole the column v1 never had, and
+    never the one it did."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1997-07-01"
+    v1 = (
+        orders.where(F.col("o_orderdate") < cut)
+        .select(F.lit("v1").alias("vintage"), "o_orderkey", "o_custkey",
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                .alias("price_cents"))
+    )
+    v2 = (
+        orders.where(F.col("o_orderdate") >= cut)
+        .select(F.lit("v2").alias("vintage"), "o_orderkey", "o_custkey",
+                "o_orderpriority")
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy("vintage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("price_cents")).cast("long")
+        .alias("n_null_price"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).cast("long")
+        .alias("n_null_priority"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )

@@ -742,6 +742,127 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hilbert-curve layout — zorder_layout's stronger sibling. The Hilbert
+# curve guarantees consecutive codes are ADJACENT cells (Manhattan
+# distance 1), so per-bucket min/max rectangles are tighter than Morton's
+# (whose bit-interleave jumps across the plane at power-of-two seams) —
+# the reason Delta Lake added Liquid/Hilbert clustering after ZORDER.
+# The xy->d walk is the classic 4-iteration rotate-and-reflect (one per
+# quantized bit, n=16): each level is a pure CASE/div/mod projection, so
+# the whole transform is ONE codegen'd map stage on both engines — the
+# same text renders to Spark (div) and DuckDB (//), and the arithmetic
+# XOR identity 3*rx + ry - 2*rx*ry keeps it operator-portable. The n-1
+# reflection variant is used (not s-1) because it keeps intermediates
+# non-negative — truncated div/% diverge from two's-complement bit masks
+# below zero (pinned by tests/test_warehouse_layout.py's exhaustive
+# bijection + adjacency sweep of the 16x16 grid).
+# --------------------------------------------------------------------------
+_HN = 16  # Hilbert grid order per dimension (reuses _ZB quantization)
+
+
+def _hilbert_level(s: int) -> tuple[str, str, str]:
+    """(d-increment, next-hx, next-hy) expression text for one rotate-
+    reflect level at scale ``s`` — identical for both SQL dialects."""
+    rx = f"((hx div {s}) % 2)"
+    ry = f"((hy div {s}) % 2)"
+    d_inc = f"{s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    nhx = (f"CASE WHEN {ry} = 1 THEN hx "
+           f"WHEN {rx} = 1 THEN {_HN - 1} - hy ELSE hy END")
+    nhy = (f"CASE WHEN {ry} = 1 THEN hy "
+           f"WHEN {rx} = 1 THEN {_HN - 1} - hx ELSE hx END")
+    return d_inc, nhx, nhy
+
+
+def _hilbert_oracle() -> str:
+    levels = []
+    prev = "h0"
+    for i, s in enumerate((8, 4, 2, 1)):
+        d_inc, nhx, nhy = _hilbert_level(s)
+        nxt = f"h{i + 1}"
+        levels.append(
+            f"{nxt}p AS (SELECT x, y, ({nhx}) AS nhx, ({nhy}) AS nhy, "
+            f"d + ({d_inc}) AS d FROM {prev}), "
+            f"{nxt} AS (SELECT x, y, nhx AS hx, nhy AS hy, d FROM {nxt}p)")
+        prev = nxt
+    sql = f"""
+    WITH base AS (
+        SELECT o_custkey AS x,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), b AS (
+        SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx
+        FROM base
+    ), coded AS (
+        SELECT x, y,
+               ((x - xmn) * {_ZB}) div (xmx - xmn + 1) AS cx,
+               ((y - ymn) * {_ZB}) div (ymx - ymn + 1) AS cy
+        FROM base CROSS JOIN b
+    ), h0 AS (
+        SELECT x, y, cx AS hx, cy AS hy, 0 AS d FROM coded
+    ), {', '.join(levels)}
+    SELECT 'hilbert' AS layout, CAST(d div {_ZB} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(x) - min(x) AS BIGINT) AS cust_span,
+           CAST(max(y) - min(y) AS BIGINT) AS day_span
+    FROM {prev} GROUP BY 1, 2
+    """
+    return sql.replace(" div ", " // ")
+
+
+@query("hilbert_layout", oracle=_hilbert_oracle())
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout planner over orders(custkey, orderdate) —
+    zorder_layout's comparison row set (same quantization, same bucket
+    count, same span metrics; a layout optimizer reads both and picks
+    the tighter spans).
+
+    Plan shape: identical to zorder_layout except the interleave is the
+    4-level rotate-reflect chain — still a single codegen'd projection
+    (Catalyst collapses the per-level selects), one tiny bounds
+    broadcast, ONE 16-group aggregate. Nothing data-sized beyond the
+    scan at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders
+        .where(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_custkey").alias("x"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("y"),
+        )
+    )
+    bounds = base.agg(
+        F.min("x").alias("xmn"), F.max("x").alias("xmx"),
+        F.min("y").alias("ymn"), F.max("y").alias("ymx"),
+    )
+    h = (
+        base.crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "x", "y",
+            f"((x - xmn) * {_ZB}) div (xmx - xmn + 1) AS hx",
+            f"((y - ymn) * {_ZB}) div (ymx - ymn + 1) AS hy",
+            "CAST(0 AS BIGINT) AS d",
+        )
+    )
+    for s in (8, 4, 2, 1):
+        d_inc, nhx, nhy = _hilbert_level(s)
+        h = h.selectExpr(
+            "x", "y",
+            f"({nhx}) AS nhx", f"({nhy}) AS nhy", f"d + ({d_inc}) AS d",
+        ).selectExpr("x", "y", "nhx AS hx", "nhy AS hy", "d")
+    return (
+        h.select(
+            F.lit("hilbert").alias("layout"),
+            F.expr(f"d div {_ZB}").cast("long").alias("bucket"),
+            "x", "y")
+        .groupBy("layout", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             (F.max("x") - F.min("x")).cast("long").alias("cust_span"),
+             (F.max("y") - F.min("y")).cast("long").alias("day_span"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Compaction planning — the small-files maintenance pass every lakehouse
 # table service runs (Iceberg/Delta OPTIMIZE): given a file inventory
 # (here: per (ship-month, returnflag) fragment sizes, the partition

@@ -41,6 +41,9 @@ _FUZZED = [
     "multimodal_meta", "frame_sample_stats", "image_resize_stats",
     "media_embed_fingerprint", "image_decode_stats", "audio_decode_stats",
     "png_decode_stats", "gif_decode_stats",
+    # round-11: WAV DSP features (doc_id-derived synth stream; the ZCR
+    # >=0 sign convention and lag-window NULL exclusion must agree)
+    "audio_feature_stats",
     # fifth wave: the dedup composites (cascade = LSH->exact-Jaccard
     # verify; incremental = batch-vs-corpus band join; guarded = the
     # doc-frequency skew cutoff) — documents-only, previously unfuzzed
@@ -493,6 +496,12 @@ _WH_FUZZED = [
     # round-8: z-order layout planner (all-NULL date corpus -> empty
     # bounds row; single-date corpus -> zero-width quantization)
     "zorder_layout",
+    # round-11: Hilbert planner (same degenerate-bounds exposure as
+    # zorder; the rotate-reflect chain must stay non-negative), the
+    # stack() column profile (NULL-heavy columns shift n_null/n_distinct
+    # and the lexicographic min/max), and the vintage union (NULL dates
+    # drop from BOTH vintages; NULL prices land in n_null_price)
+    "hilbert_layout", "column_profile_report", "schema_drift_union",
     # round-8: FS record linkage (NULL balances/names, constant fields ->
     # u=1 smoothing arm, empty blocks), PSI drift (empty slices, all-one-
     # bucket corpora), and incremental join maintenance (NULL dates land
@@ -686,6 +695,9 @@ _TPCH_FUZZED = [
     # round-8: deterministic LPA — vote ties (c equal) must break to the
     # smallest label on both engines; NULL keys drop at edge build
     "label_propagation",
+    # round-11: erasure-impact audit — NULL custkeys/orderkeys/user_ids
+    # must fall out of every semi-join hop identically on both engines
+    "forget_cascade_audit",
     # round-8: CountMin join-size estimate — NULL-injected keys drop on
     # both sides; the min-over-depths and the over-estimation invariant
     # must survive perturbed key distributions

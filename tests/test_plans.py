@@ -476,6 +476,23 @@ _PLAN_BUDGET = {
     # part-revenue agg + ranged_cumsum's bounded stages (descending
     # order key); a data-sized single-task sort appearing would breach
     "abc_analysis_parts": (3, 0),
+    # round-11 late wave
+    # Hilbert planner: bounds SinglePartition + the 16-group agg; the
+    # 4-level rotate-reflect chain must stay a collapsed projection
+    "hilbert_layout": (2, 0),
+    # stack profile: the two-phase COUNT(DISTINCT) expansion keyed
+    # (col_name, val) then col_name — a third exchange means the
+    # partial-distinct collapse was lost
+    "column_profile_report": (2, 0),
+    # vintage union: alignment is a projection (zero exchanges of its
+    # own); the 2-group distinct-count agg pays the same two phases
+    "schema_drift_union": (2, 0),
+    # WAV DSP features: ONE Arrow stage, zero shuffles
+    "audio_feature_stats": (0, 1),
+    # erasure cascade: 4 distinct-count aggregates at two phases each;
+    # the semi-join chain must broadcast/AQE, never add fact shuffles
+    # beyond the pinned distinct exchanges
+    "forget_cascade_audit": (8, 0),
 }
 
 
