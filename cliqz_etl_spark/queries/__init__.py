@@ -63,6 +63,7 @@ DRIVER_ORDER: list[str] = [
     "schema_drift_union",
     "audio_feature_stats",
     "forget_cascade_audit",
+    "link_prediction_aa",
     "session_bounce_stats",
     "acf_daily_revenue",
     "t_closeness_audit",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "textrank_keywords",
     "negative_sampling_table",
     "ann_recall_eval",
-    "map_ops_gauntlet",
     # ---------------- past the check window ----------------
+    "map_ops_gauntlet",
     "sliding_distinct_users",
     "curation_funnel_audit",
     "boilerplate_ngram_profile",

@@ -1366,6 +1366,116 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Link prediction over the co-purchase graph: common-neighbor count and
+# the Adamic-Adar index for non-adjacent part pairs — the classic
+# "customers also bought" candidate generator. Candidate pairs come from
+# exploding each center node's sorted neighbor list (wedge-by-center: one
+# groupBy, no edge self-join); centers above the degree cap are DROPPED,
+# the same frequency cut every production link predictor applies (a
+# 10^5-degree hub pairs 10^10 candidates and predicts nothing — its
+# neighbors co-occur by popularity, not affinity). The cap is part of the
+# query's contract and the oracle replicates it. Each center's AA term
+# 1/ln(deg) is quantized to micro-units at the CENTER (one ln() of an
+# exact integer per center — the bigram_lm discipline), so the per-pair
+# integer sum is partition-order-free on both engines.
+# --------------------------------------------------------------------------
+_LP_DEG_CAP = 128   # centers above this degree are popularity, not signal
+_LP_MIN_CN = 2      # score pairs with at least two common neighbors
+_LP_TOP_K = 3       # report the K best candidates per source part
+
+
+@query(
+    "link_prediction_aa",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+        WHERE x.l_orderkey IS NOT NULL
+    ), sym AS (
+        SELECT a AS w, b AS n FROM e UNION ALL SELECT b AS w, a AS n FROM e
+    ), deg AS (
+        SELECT w, count(*) AS d FROM sym GROUP BY w
+    ), centers AS (
+        SELECT s.w, s.n, d.d,
+               CAST(floor(1000000.0 / ln(CAST(d.d AS DOUBLE))) AS BIGINT)
+                   AS term
+        FROM sym s JOIN deg d USING (w)
+        WHERE d.d <= {_LP_DEG_CAP} AND d.d >= 2  -- deg-1: no pairs, ln(1)=0
+    ), pairs AS (
+        SELECT c1.n AS a, c2.n AS b, c1.term AS term
+        FROM centers c1 JOIN centers c2
+          ON c2.w = c1.w AND c1.n < c2.n
+    ), nonedge AS (
+        SELECT p.a, p.b, p.term FROM pairs p
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.b)
+    ), scored AS (
+        SELECT a, b,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(term) AS BIGINT) AS aa_micro
+        FROM nonedge GROUP BY a, b HAVING count(*) >= {_LP_MIN_CN}
+    ), ranked AS (
+        SELECT a, b, common_neighbors, aa_micro,
+               row_number() OVER (PARTITION BY a
+                                  ORDER BY aa_micro DESC, b ASC) AS rn
+        FROM scored
+    )
+    SELECT a AS a, b AS b, common_neighbors, aa_micro
+    FROM ranked WHERE rn <= {_LP_TOP_K}
+    """,
+)
+def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-adjacent part pairs ranked by common-neighbor count and
+    micro-quantized Adamic-Adar score.
+
+    Plan shape: the shared scan-side edge build (one groupBy(order)), a
+    symmetric-adjacency groupBy(center) whose collect_set is bounded by
+    the degree cap after the size filter, a scan-side ordered-pair
+    explode (<= cap^2 per surviving center, no self-join), one left-anti
+    join against the edge list, and one (a, b) aggregate. Every shuffle
+    is keyed; a hub never materializes its quadratic candidate set
+    because the cap drops it BEFORE the explode."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = (e.select(F.col("a").alias("w"), F.col("b").alias("n"))
+           .unionByName(e.select(F.col("b").alias("w"), F.col("a").alias("n"))))
+    # edges are distinct, so collect_set size IS the degree; the cap
+    # filter runs on the aggregated frame (<= one row per center)
+    adj = (sym.groupBy("w")
+           .agg(F.sort_array(F.collect_set("n")).alias("ns")))
+    adj = (adj.where((F.size("ns") <= _LP_DEG_CAP) & (F.size("ns") >= 2))
+           .select(
+               "ns",
+               F.floor(F.lit(1000000.0)
+                       / F.log(F.size("ns").cast("double")))
+               .cast("long").alias("term")))
+    k = F.size("ns")
+    pairs = (adj.select(
+        "term",
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda j: F.when(i < j, F.struct(
+                    F.element_at("ns", i + 1).alias("a"),
+                    F.element_at("ns", j + 1).alias("b"))),
+            )))).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.a", "p.b", "term"))
+    nonedge = pairs.join(e, ["a", "b"], "left_anti")
+    scored = (nonedge.groupBy("a", "b")
+              .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+                   F.sum("term").cast("long").alias("aa_micro"))
+              .where(F.col("common_neighbors") >= _LP_MIN_CN))
+    # per-source top-K: the recommendation cut — partitioned by the
+    # high-cardinality source key, never a global sort; ties cannot
+    # occur inside a partition (b is unique per a) so the cut is
+    # deterministic on both engines
+    w = Window.partitionBy("a").orderBy(F.desc("aa_micro"), F.asc("b"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= _LP_TOP_K).drop("__rn"))
+
+
+# --------------------------------------------------------------------------
 # Equi-depth histogram — the data-profiling artifact optimizers and
 # drift monitors both want (equal-POPULATION buckets adapt to skew where
 # psi_drift's equal-width buckets cannot). Bucket = (rank-1)*B div n

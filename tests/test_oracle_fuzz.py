@@ -698,6 +698,10 @@ _TPCH_FUZZED = [
     # round-11: erasure-impact audit — NULL custkeys/orderkeys/user_ids
     # must fall out of every semi-join hop identically on both engines
     "forget_cascade_audit",
+    # round-11: Adamic-Adar link prediction — NULL part/order keys drop
+    # at edge build; the degree cap, ln quantization, and top-K cut must
+    # agree cross-engine on degenerate graphs (all-dup parts, tiny orders)
+    "link_prediction_aa",
     # round-8: CountMin join-size estimate — NULL-injected keys drop on
     # both sides; the min-over-depths and the over-estimation invariant
     # must survive perturbed key distributions

@@ -493,6 +493,10 @@ _PLAN_BUDGET = {
     # the semi-join chain must broadcast/AQE, never add fact shuffles
     # beyond the pinned distinct exchanges
     "forget_cascade_audit": (8, 0),
+    # link prediction: edge build + distinct, center adjacency agg,
+    # anti-join, pair agg, per-source top-K window — all keyed; a pair
+    # SELF-JOIN creeping in would add exchanges past this ceiling
+    "link_prediction_aa": (8, 0),
 }
 
 
