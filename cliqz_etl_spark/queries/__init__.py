@@ -64,6 +64,7 @@ DRIVER_ORDER: list[str] = [
     "audio_feature_stats",
     "forget_cascade_audit",
     "link_prediction_aa",
+    "shapley_attribution",
     "session_bounce_stats",
     "acf_daily_revenue",
     "t_closeness_audit",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "woe_iv_encoding",
     "textrank_keywords",
     "negative_sampling_table",
-    "ann_recall_eval",
     # ---------------- past the check window ----------------
+    "ann_recall_eval",
     "map_ops_gauntlet",
     "sliding_distinct_users",
     "curation_funnel_audit",

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cliqz_etl_spark.functions.hashing import md5_long_sql
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
 
@@ -1369,19 +1370,29 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Link prediction over the co-purchase graph: common-neighbor count and
 # the Adamic-Adar index for non-adjacent part pairs — the classic
 # "customers also bought" candidate generator. Candidate pairs come from
-# exploding each center node's sorted neighbor list (wedge-by-center: one
-# groupBy, no edge self-join); centers above the degree cap are DROPPED,
-# the same frequency cut every production link predictor applies (a
-# 10^5-degree hub pairs 10^10 candidates and predicts nothing — its
-# neighbors co-occur by popularity, not affinity). The cap is part of the
-# query's contract and the oracle replicates it. Each center's AA term
-# 1/ln(deg) is quantized to micro-units at the CENTER (one ln() of an
-# exact integer per center — the bigram_lm discipline), so the per-pair
-# integer sum is partition-order-free on both engines.
+# exploding each center node's neighbor list (wedge-by-center: one
+# groupBy, no edge self-join) under TWO production cuts, both part of
+# the query's contract and replicated in the oracle:
+#   * centers above the degree cap are DROPPED — a 10^5-degree hub pairs
+#     10^10 candidates and predicts nothing (its neighbors co-occur by
+#     popularity, not affinity);
+#   * surviving centers contribute at most S neighbors, chosen by md5
+#     rank (deterministic sampling — the neighbor-sampling cut every
+#     web-scale candidate generator applies), which bounds the explode
+#     at S^2/2 rows per center: total wedge work is O(S^2 * |centers|),
+#     independent of the degree distribution below the cap. Counts are
+#     therefore SAMPLED common neighbors — a ranking signal, not an
+#     exact census (the md5 rank is corpus-independent per neighbor id,
+#     so scores compare across runs).
+# Each center's AA term 1/ln(deg) uses the TRUE degree and is quantized
+# to micro-units at the CENTER (one ln() of an exact integer — the
+# bigram_lm discipline), so the per-pair integer sum is
+# partition-order-free on both engines.
 # --------------------------------------------------------------------------
-_LP_DEG_CAP = 128   # centers above this degree are popularity, not signal
-_LP_MIN_CN = 2      # score pairs with at least two common neighbors
-_LP_TOP_K = 3       # report the K best candidates per source part
+_LP_DEG_CAP = 128    # centers above this degree are popularity, not signal
+_LP_NBR_SAMPLE = 32  # md5-ranked neighbor sample per surviving center
+_LP_MIN_CN = 2       # score pairs with at least two (sampled) common nbrs
+_LP_TOP_K = 3        # report the K best candidates per source part
 
 
 @query(
@@ -1396,12 +1407,18 @@ _LP_TOP_K = 3       # report the K best candidates per source part
         SELECT a AS w, b AS n FROM e UNION ALL SELECT b AS w, a AS n FROM e
     ), deg AS (
         SELECT w, count(*) AS d FROM sym GROUP BY w
-    ), centers AS (
+    ), samp AS (
         SELECT s.w, s.n, d.d,
-               CAST(floor(1000000.0 / ln(CAST(d.d AS DOUBLE))) AS BIGINT)
-                   AS term
+               row_number() OVER (PARTITION BY s.w
+                                  ORDER BY {md5_long_sql('s.n')} ASC,
+                                           s.n ASC) AS rn
         FROM sym s JOIN deg d USING (w)
         WHERE d.d <= {_LP_DEG_CAP} AND d.d >= 2  -- deg-1: no pairs, ln(1)=0
+    ), centers AS (
+        SELECT w, n, d,
+               CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+                   AS term
+        FROM samp WHERE rn <= {_LP_NBR_SAMPLE}
     ), pairs AS (
         SELECT c1.n AS a, c2.n AS b, c1.term AS term
         FROM centers c1 JOIN centers c2
@@ -1425,29 +1442,37 @@ _LP_TOP_K = 3       # report the K best candidates per source part
     """,
 )
 def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-adjacent part pairs ranked by common-neighbor count and
-    micro-quantized Adamic-Adar score.
+    """Non-adjacent part pairs ranked by sampled common-neighbor count
+    and micro-quantized Adamic-Adar score.
 
     Plan shape: the shared scan-side edge build (one groupBy(order)), a
-    symmetric-adjacency groupBy(center) whose collect_set is bounded by
-    the degree cap after the size filter, a scan-side ordered-pair
-    explode (<= cap^2 per surviving center, no self-join), one left-anti
-    join against the edge list, and one (a, b) aggregate. Every shuffle
-    is keyed; a hub never materializes its quadratic candidate set
-    because the cap drops it BEFORE the explode."""
+    degree aggregate joined back onto the adjacency (both keyed on the
+    high-cardinality center id), the md5-rank neighbor sample (window
+    partitioned by center — per-partition rows bounded by the degree
+    cap), a scan-side ordered-pair explode (<= S^2/2 per center, no
+    self-join), one left-anti join against the edge list, and one
+    (a, b) aggregate. A hub never materializes its quadratic candidate
+    set: the degree cut drops it before the window and the sample bounds
+    everything below the cut."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+
     e = _copurchase_edges(spark, sf_dir)
     sym = (e.select(F.col("a").alias("w"), F.col("b").alias("n"))
            .unionByName(e.select(F.col("b").alias("w"), F.col("a").alias("n"))))
-    # edges are distinct, so collect_set size IS the degree; the cap
-    # filter runs on the aggregated frame (<= one row per center)
-    adj = (sym.groupBy("w")
-           .agg(F.sort_array(F.collect_set("n")).alias("ns")))
-    adj = (adj.where((F.size("ns") <= _LP_DEG_CAP) & (F.size("ns") >= 2))
-           .select(
-               "ns",
-               F.floor(F.lit(1000000.0)
-                       / F.log(F.size("ns").cast("double")))
-               .cast("long").alias("term")))
+    # edges are distinct, so count(*) per center IS the degree
+    deg = (sym.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+           .where((F.col("d") <= _LP_DEG_CAP) & (F.col("d") >= 2)))
+    wnd = Window.partitionBy("w").orderBy(F.asc(md5_long(F.col("n"))),
+                                          F.asc("n"))
+    centers = (sym.join(deg, "w")
+               .withColumn("__rn", F.row_number().over(wnd))
+               .where(F.col("__rn") <= _LP_NBR_SAMPLE)
+               .select("w", "n",
+                       F.floor(F.lit(1000000.0)
+                               / F.log(F.col("d").cast("double")))
+                       .cast("long").alias("term")))
+    adj = centers.groupBy("w", "term").agg(
+        F.sort_array(F.collect_set("n")).alias("ns"))
     k = F.size("ns")
     pairs = (adj.select(
         "term",

@@ -2900,3 +2900,119 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(f"CASE WHEN {share} <= 800 THEN 'A' "
                            f"WHEN {share} <= 950 THEN 'B' "
                            "ELSE 'C' END").alias("abc_class")))
+
+
+# --------------------------------------------------------------------------
+# Exact Shapley-value attribution over the three pre-purchase channels
+# (click / view / signup) — the game-theoretic sibling of
+# markov_attribution's removal effect. With n=3 channels the coalition
+# space is the 8 exact touched-sets, so Shapley is EXACT, not sampled:
+# phi_i = sum over S not containing i of w(|S|) * (v(S+i) - v(S)), with
+# 3! -scaled integer weights w in {2,1,2} so the whole computation stays
+# in integers. v(S) = conversion rate (micro-units, floor-quantized from
+# one shared IEEE division) of users whose exact touched-set is S;
+# unobserved coalitions contribute v = 0, the standard convention.
+# Touches are lifetime presence flags (a post-purchase click still
+# counts as exposure — consistent on both engines, documented). The
+# whole query is ONE per-user aggregate; everything after it is 8-row
+# algebra.
+# --------------------------------------------------------------------------
+_SHAP_CHANNELS = ["click", "view", "signup"]
+
+
+def _shap_phi_sql(ch: str, others: list[str]) -> str:
+    """Shapley sum text for one channel over the spine-completed 8-row
+    coalition table f1 (channel present) x f0 (channel absent)."""
+    o1, o2 = others
+    return (f"SELECT '{ch}' AS channel, "
+            f"CAST(SUM((CASE f0.{o1} + f0.{o2} WHEN 0 THEN 2 WHEN 1 THEN 1 "
+            f"ELSE 2 END) * (f1.vp - f0.vp)) AS BIGINT) AS shapley_micro6 "
+            f"FROM full8 f1 JOIN full8 f0 "
+            f"ON f1.{ch} = 1 AND f0.{ch} = 0 "
+            f"AND f1.{o1} = f0.{o1} AND f1.{o2} = f0.{o2}")
+
+
+@query(
+    "shapley_attribution",
+    oracle=f"""
+    WITH touch AS (
+        SELECT user_id,
+            MAX(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END) AS click,
+            MAX(CASE WHEN event_type = 'view'   THEN 1 ELSE 0 END) AS view,
+            MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), cells AS (
+        SELECT click, view, signup,
+               COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS k
+        FROM touch GROUP BY click, view, signup
+    ), spine AS (
+        SELECT a.x AS click, b.x AS view, c.x AS signup
+        FROM (SELECT unnest([0, 1]) AS x) a,
+             (SELECT unnest([0, 1]) AS x) b,
+             (SELECT unnest([0, 1]) AS x) c
+    ), full8 AS (
+        SELECT spine.click, spine.view, spine.signup,
+               COALESCE(CAST(floor(1000000.0 * k / n) AS BIGINT), 0) AS vp
+        FROM spine LEFT JOIN cells
+          ON cells.click = spine.click AND cells.view = spine.view
+         AND cells.signup = spine.signup
+    )
+    {_shap_phi_sql('click', ['view', 'signup'])}
+    UNION ALL
+    {_shap_phi_sql('view', ['click', 'signup'])}
+    UNION ALL
+    {_shap_phi_sql('signup', ['click', 'view'])}
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel exact Shapley conversion credit, in 6x-micro units.
+
+    Plan shape: one events scan -> per-user presence aggregate -> 8-cell
+    coalition aggregate; the spine completion, the marginal-contribution
+    joins, and the three channel sums all run on <= 8-row frames
+    (broadcast, constant size at any corpus scale)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull())
+    t = F.col("event_type")
+    touch = ev.groupBy("user_id").agg(
+        F.max(F.when(t == "click", 1).otherwise(0)).alias("click"),
+        F.max(F.when(t == "view", 1).otherwise(0)).alias("view"),
+        F.max(F.when(t == "signup", 1).otherwise(0)).alias("signup"),
+        F.max(F.when(t == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    cells = touch.groupBy("click", "view", "signup").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    bit = spark.range(2).select(F.col("id").cast("int").alias("x"))
+    spine = (bit.select(F.col("x").alias("click"))
+             .crossJoin(bit.select(F.col("x").alias("view")))
+             .crossJoin(bit.select(F.col("x").alias("signup"))))
+    full8 = (spine.join(F.broadcast(cells), ["click", "view", "signup"],
+                        "left")
+             .select("click", "view", "signup",
+                     F.coalesce(
+                         F.floor(F.lit(1000000.0) * F.col("k") / F.col("n"))
+                         .cast("long"), F.lit(0)).alias("vp")))
+    parts = []
+    for ch in _SHAP_CHANNELS:
+        others = [c for c in _SHAP_CHANNELS if c != ch]
+        f1 = full8.where(F.col(ch) == 1).select(
+            *[F.col(c).alias(f"p_{c}") for c in others],
+            F.col("vp").alias("vp1"))
+        f0 = full8.where(F.col(ch) == 0).select(
+            *[F.col(c).alias(f"q_{c}") for c in others],
+            F.col("vp").alias("vp0"))
+        joined = f1.join(
+            F.broadcast(f0),
+            [F.col(f"p_{others[0]}") == F.col(f"q_{others[0]}"),
+             F.col(f"p_{others[1]}") == F.col(f"q_{others[1]}")])
+        sz = F.col(f"q_{others[0]}") + F.col(f"q_{others[1]}")
+        w = F.when(sz == 0, 2).when(sz == 1, 1).otherwise(2)
+        parts.append(joined.agg(
+            F.sum(w * (F.col("vp1") - F.col("vp0"))).cast("long")
+            .alias("shapley_micro6"))
+            .select(F.lit(ch).alias("channel"), "shapley_micro6"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

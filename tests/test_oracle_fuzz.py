@@ -406,6 +406,10 @@ _EV_FUZZED = [
     # bounce at exactly 1000 permille; NULL-ts events never open a
     # session on either engine)
     "session_bounce_stats",
+    # round-11: exact 3-channel Shapley attribution (empty coalition
+    # cells default v=0 on both engines; NULL users dropped; the one
+    # micro-quantized division is a shared IEEE expression)
+    "shapley_attribution",
 ]
 
 

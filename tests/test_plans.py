@@ -493,10 +493,14 @@ _PLAN_BUDGET = {
     # the semi-join chain must broadcast/AQE, never add fact shuffles
     # beyond the pinned distinct exchanges
     "forget_cascade_audit": (8, 0),
-    # link prediction: edge build + distinct, center adjacency agg,
-    # anti-join, pair agg, per-source top-K window — all keyed; a pair
-    # SELF-JOIN creeping in would add exchanges past this ceiling
-    "link_prediction_aa": (8, 0),
+    # link prediction: edge build + distinct, degree agg + join-back,
+    # md5 neighbor-sample window, sampled adjacency agg, anti-join,
+    # pair agg, per-source top-K window — all keyed on high-cardinality
+    # ids; a pair SELF-JOIN creeping in would breach this ceiling
+    "link_prediction_aa": (11, 0),
+    # Shapley: per-user agg + 8-cell agg; everything after is 8-row
+    # frames (the 1-row channel sums each pay a SinglePartition)
+    "shapley_attribution": (9, 0),
 }
 
 

@@ -11,6 +11,7 @@ Modes (combinable):
     python tools/scale_stress.py --100x     # 100x dedup/ANN run
     python tools/scale_stress.py --skew     # salted-vs-plain skew bench
     python tools/scale_stress.py --stream   # streaming drain 1x/10x/100x
+    python tools/scale_stress.py --warehouse # 10x orders/lineitem wave
 
 Round-5 run (local[32], 16g heap; 10x docs, 16x vectors, 10x events
 vs sf0.1): LSH 0.8x, simhash 2.4x, ngram-jaccard 2.9x, incremental
@@ -98,6 +99,18 @@ aggregate — overhead-bound at these sizes), decile_lift_table 0.9x
 1.2x (7x explode of the distinct (user,day) frame),
 streaming_drift_monitor 0.6x (10-row histogram per micro-batch — the
 drain cost is batch bookkeeping, not volume).
+
+Round-11 --warehouse sweep (1.5M orders / 6M lineitem / 150k customers
+/ 1M events = 10x sf0.1, same schema): hilbert_layout 0.4x wall at 10x
+(bounded 16-group agg — overhead-bound), zorder_layout 1.1x,
+column_profile_report 2.3x (the (col,val) distinct expansion tracks
+distinct-value volume), schema_drift_union 1.0x, forget_cascade_audit
+0.9x (semi-join chain + 4 distinct counts), data_quality_checks 2.2x,
+important_part_value 0.9x, min_cost_supplier 1.8x, pricing_summary
+1.2x. link_prediction_aa 10.0 s -> 118.9 s = 11.9x at 10x — the
+O(S^2 x centers) wedge law exactly (centers grew 10x; before the md5
+neighbor-sampling cut the same leg measured 95 s at 1x and the sweep
+was unusable). All ratios from a dedicated run, no co-tenants.
 
 Round-7 stream sweep (--stream; 100k/1M/10M events, users scaled with
 volume, state parts=8 at every decade — the size//64MiB rule floors
@@ -766,6 +779,151 @@ def stream_sweep(spark) -> None:
     shutil.rmtree(ckpt_base, ignore_errors=True)
 
 
+WAREHOUSE10 = "/tmp/sfstress_wh10"
+
+
+def gen_warehouse(path: str, n_orders: int, n_cust: int, n_parts: int,
+                  n_supp: int, n_ev: int) -> None:
+    """Synthesize a 10x-sf0.1-shaped orders/lineitem/customer/part/
+    supplier corpus (plus events whose user ids share the custkey
+    domain, so the erasure cascade's identity join has real matches) —
+    the warehouse twin of gen_corpus. nation/region copy verbatim from
+    sf0.1 (constant-size dimensions). Idempotent per file."""
+    import shutil as _sh
+
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(7)
+    base_us = np.int64(788_918_400_000_000)           # 1995-01-01 micros
+    span_us = np.int64(6 * 365 * 86_400_000_000)       # ~6y like sf0.1
+    if not os.path.exists(f"{path}/orders.parquet"):
+        ts = base_us + rng.integers(0, span_us, size=n_orders)
+        t = pa.table({
+            "o_orderkey": pa.array(range(n_orders), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n_cust, size=n_orders),
+                                  pa.int64()),
+            "o_orderstatus": pa.array(
+                np.array(["F", "O", "P"])[rng.integers(0, 3, size=n_orders)]),
+            "o_totalprice": pa.array(rng.random(n_orders) * 5000 + 10,
+                                     pa.float64()),
+            "o_orderdate": pa.array(ts, pa.timestamp("us")),
+            "o_orderpriority": pa.array(
+                np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW"])[
+                    rng.integers(0, 4, size=n_orders)]),
+        })
+        pq.write_table(t, f"{path}/orders.parquet")
+    if not os.path.exists(f"{path}/lineitem.parquet"):
+        n_li = n_orders * 4
+        ok = np.repeat(np.arange(n_orders, dtype=np.int64), 4)
+        ship = base_us + rng.integers(0, span_us, size=n_li)
+        t = pa.table({
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, n_parts, size=n_li),
+                                  pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, size=n_li),
+                                  pa.int64()),
+            "l_linenumber": pa.array(np.tile(np.arange(1, 5), n_orders),
+                                     pa.int32()),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, size=n_li).astype(np.float64)),
+            "l_extendedprice": pa.array(rng.random(n_li) * 2000 + 1,
+                                        pa.float64()),
+            "l_discount": pa.array(
+                rng.integers(0, 11, size=n_li) / 100.0, pa.float64()),
+            "l_tax": pa.array(
+                rng.integers(0, 9, size=n_li) / 100.0, pa.float64()),
+            "l_returnflag": pa.array(
+                np.array(["A", "N", "R"])[rng.integers(0, 3, size=n_li)]),
+            "l_linestatus": pa.array(
+                np.array(["F", "O"])[rng.integers(0, 2, size=n_li)]),
+            "l_shipdate": pa.array(ship, pa.timestamp("us")),
+        })
+        pq.write_table(t, f"{path}/lineitem.parquet")
+    if not os.path.exists(f"{path}/customer.parquet"):
+        t = pa.table({
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, size=n_cust).astype(np.int32),
+                pa.int32()),
+            "c_acctbal": pa.array(rng.random(n_cust) * 10_000 - 1000,
+                                  pa.float64()),
+            "c_mktsegment": pa.array(
+                np.array(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                          "HOUSEHOLD", "MACHINERY"])[
+                    rng.integers(0, 5, size=n_cust)]),
+        })
+        pq.write_table(t, f"{path}/customer.parquet")
+    if not os.path.exists(f"{path}/part.parquet"):
+        t = pa.table({
+            "p_partkey": pa.array(range(n_parts), pa.int64()),
+            "p_name": pa.array([f"part {i % 977} v{i % 31}"
+                                for i in range(n_parts)]),
+            "p_brand": pa.array([f"Brand#{i % 25}" for i in range(n_parts)]),
+            "p_type": pa.array(
+                np.array(["LARGE", "ECONOMY", "STANDARD", "SMALL",
+                          "PROMO"])[rng.integers(0, 5, size=n_parts)]),
+            "p_size": pa.array(
+                rng.integers(1, 51, size=n_parts).astype(np.int32),
+                pa.int32()),
+            "p_retailprice": pa.array(
+                900 + rng.integers(0, 1000, size=n_parts) / 10.0,
+                pa.float64()),
+        })
+        pq.write_table(t, f"{path}/part.parquet")
+    if not os.path.exists(f"{path}/supplier.parquet"):
+        t = pa.table({
+            "s_suppkey": pa.array(range(n_supp), pa.int64()),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, size=n_supp).astype(np.int32),
+                pa.int32()),
+            "s_acctbal": pa.array(rng.random(n_supp) * 10_000,
+                                  pa.float64()),
+        })
+        pq.write_table(t, f"{path}/supplier.parquet")
+    for dim in ("nation", "region"):
+        if not os.path.exists(f"{path}/{dim}.parquet"):
+            _sh.copyfile(f"{SMALL}/{dim}.parquet", f"{path}/{dim}.parquet")
+    if n_ev and not os.path.exists(f"{path}/events.parquet"):
+        user = rng.zipf(1.5, size=n_ev) % n_cust
+        ts = base_us + rng.integers(0, span_us, size=n_ev)
+        types = np.array(["click", "view", "purchase", "signup"])
+        t = pa.table({
+            "event_id": pa.array(range(n_ev), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(types[rng.integers(0, 4, size=n_ev)]),
+            "value": pa.array(rng.random(n_ev) * 100, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n_ev),
+        })
+        pq.write_table(t, f"{path}/events.parquet")
+
+
+def warehouse_sweep(spark, big_dir: str, scale_label: str) -> None:
+    """Time the layout/profile/audit/link-prediction wave (plus two
+    pinned warehouse heavies as controls) at sf0.1 and at ``big_dir``;
+    print per-query wall-clock ratios. Every query runs through the
+    registry exactly as the driver does."""
+    from cliqz_etl_spark.queries import load_all
+
+    reg = load_all()
+    so, bo = _rows(SMALL, "orders"), _rows(big_dir, "orders")
+    sl, bl = _rows(SMALL, "lineitem"), _rows(big_dir, "lineitem")
+    print(f"small: {so} orders / {sl} lineitem   "
+          f"big({scale_label}): {bo} orders ({bo/so:.0f}x) / "
+          f"{bl} lineitem ({bl/sl:.0f}x)")
+    names = ["hilbert_layout", "zorder_layout", "column_profile_report",
+             "schema_drift_union", "forget_cascade_audit",
+             "link_prediction_aa", "data_quality_checks",
+             "important_part_value", "min_cost_supplier",
+             "pricing_summary"]
+    for name in names:
+        ds = run(f"{name} @1x", lambda n=name: reg[n].fn(spark, SMALL))
+        db = run(f"{name} @{scale_label}",
+                 lambda n=name: reg[n].fn(spark, big_dir))
+        print(f"{name:38s} ratio {db / max(ds, 1e-9):5.1f}x")
+
+
 if __name__ == "__main__":
     args = set(sys.argv[1:])
     spark = _get_spark()
@@ -786,6 +944,10 @@ if __name__ == "__main__":
         gen_corpus(STREAM100, n_docs=0, n_vec=0, n_ev=10_000_000,
                    n_users=150_000)
         stream_sweep(spark)
+    if "--warehouse" in args:
+        gen_warehouse(WAREHOUSE10, n_orders=1_500_000, n_cust=150_000,
+                      n_parts=200_000, n_supp=10_000, n_ev=1_000_000)
+        warehouse_sweep(spark, WAREHOUSE10, "10x")
     if not args:
         gen_corpus(OUT10, n_docs=50_000, n_vec=32_000, n_ev=1_000_000)
         family_sweep(spark, OUT10, "10x", with_events=True)
