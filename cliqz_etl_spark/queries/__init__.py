@@ -65,6 +65,7 @@ DRIVER_ORDER: list[str] = [
     "forget_cascade_audit",
     "link_prediction_aa",
     "shapley_attribution",
+    "conformal_value_intervals",
     "session_bounce_stats",
     "acf_daily_revenue",
     "t_closeness_audit",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "top_event_paths",
     "woe_iv_encoding",
     "textrank_keywords",
-    "negative_sampling_table",
     # ---------------- past the check window ----------------
+    "negative_sampling_table",
     "ann_recall_eval",
     "map_ops_gauntlet",
     "sliding_distinct_users",
@@ -549,6 +550,20 @@ BENCH_HEADLINE: list[str] = [
     "prf_expansion_terms",
     "token_chi2_keywords",
     "lorenz_curve_deciles",
+    # Round-11 late wave (post driver restart): the Hilbert planner (the
+    # rotate-reflect projection's codegen cost vs Morton's), the stack()
+    # column profiler (distinct-expansion shuffle), the sampled-wedge
+    # link predictor (the wave's one data-scaled heavy), exact Shapley
+    # attribution, the erasure cascade, and the WAV DSP features (Arrow
+    # stage cost). schema_drift_union rides the correctness gate only
+    # (a two-scan union + 2-group agg adds no new plan shape).
+    "hilbert_layout",
+    "column_profile_report",
+    "link_prediction_aa",
+    "shapley_attribution",
+    "forget_cascade_audit",
+    "audio_feature_stats",
+    "conformal_value_intervals",
 ]
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cliqz_etl_spark.functions.hashing import md5_long_sql
 from cliqz_etl_spark.queries import query
 from cliqz_etl_spark.tables import load_table
 
@@ -1171,3 +1172,143 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(f"CAST(floor({cos} * 1000000 + 0.5) AS BIGINT)")
                     .alias("cos_micro"),
                     F.expr(f"{cos} < 0.0").alias("is_outlier")))
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals per event type — the
+# distribution-free uncertainty wrapper modern ML serving puts around any
+# point model. Three leakage-safe slices from ONE hash discipline:
+# calibration = the K smallest md5(event_id) per type, selected by
+# kmin_hashes' mergeable bounded-state pass (a HARD per-type bound — a
+# md5-mod sample would GROW with the corpus and re-sort the world at
+# 100 TB; production conformal wants a fixed-size calibration set by
+# construction), train/test = the remainder split by hash parity. The
+# point model is the train-slice integer-mean (cents, truncated div —
+# identical on both engines), nonconformity = |cents - mean|, and
+# q_hat = the ceil((1-alpha)(n+1))-th smallest calibration nonconformity
+# (alpha = 0.1) — the finite-sample-valid split-conformal quantile. All
+# integer arithmetic; per-type frames after the scan are K-bounded.
+# --------------------------------------------------------------------------
+_CONF_K = 512
+
+
+@query(
+    "conformal_value_intervals",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, {md5_long_sql('event_id')} AS h,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL
+    ), calk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h ASC) AS rn
+            FROM (SELECT DISTINCT event_type, h FROM base)
+        ) WHERE rn <= {_CONF_K}
+    ), cal AS (
+        SELECT b.* FROM base b
+        WHERE EXISTS (SELECT 1 FROM calk k
+                      WHERE k.event_type = b.event_type AND k.h = b.h)
+    ), rest AS (
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM calk k
+                          WHERE k.event_type = b.event_type AND k.h = b.h)
+    ), means AS (
+        SELECT event_type,
+               CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents
+        FROM rest WHERE h % 2 = 0 GROUP BY event_type
+    ), caln AS (
+        SELECT c.event_type, abs(c.cents - m.mean_cents) AS nc
+        FROM cal c JOIN means m USING (event_type)
+    ), calstats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal
+        FROM caln GROUP BY event_type
+    ), ranked AS (
+        SELECT event_type, nc,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY nc ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM caln
+    ), qh AS (
+        SELECT event_type, nc AS q_hat FROM ranked
+        WHERE rn = (9 * (n + 1) + 9) // 10
+    )
+    SELECT t.event_type AS event_type, s.n_cal,
+           CAST(q.q_hat AS BIGINT) AS q_hat_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CASE WHEN q.q_hat IS NOT NULL THEN
+               CAST((1000000 * SUM(CASE WHEN abs(t.cents - m.mean_cents)
+                                             <= q.q_hat
+                                        THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT)
+           END AS coverage_ppm
+    FROM (SELECT * FROM rest WHERE h % 2 = 1) t
+    JOIN means m USING (event_type)
+    JOIN calstats s USING (event_type)
+    LEFT JOIN qh q ON q.event_type = t.event_type
+    GROUP BY t.event_type, s.n_cal, q.q_hat
+    """,
+)
+def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type split-conformal interval half-width (q_hat, cents) and
+    its measured test coverage (ppm; the finite-sample guarantee says
+    >= 1 - alpha in expectation).
+
+    Plan shape: one scan -> (type, hash, cents) projection; the
+    calibration key set is kmin_hashes' Arrow bounded-state pass
+    (K x types rows, broadcast back), so membership tests are broadcast
+    joins, never a second data shuffle; the train mean and the test
+    coverage are ordinary map-side-combined aggregates; every
+    calibration-side frame is K-bounded (the quantile sorts <= K values
+    inside one array, not a window over data)."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+    from cliqz_etl_spark.operators.cache import track
+    from cliqz_etl_spark.operators.stats import kmin_hashes
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        md5_long(F.col("event_id")).alias("h"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"))
+    # persist the K x types key set: four downstream consumers (cal
+    # semi, rest anti x2 slices) would otherwise each re-run the Arrow
+    # bounded-state pass over the full corpus
+    calk = track(kmin_hashes(base.select("event_type", "h"),
+                             "event_type", "h", _CONF_K).persist())
+    cal = base.join(F.broadcast(calk), ["event_type", "h"], "left_semi")
+    rest = base.join(F.broadcast(calk), ["event_type", "h"], "left_anti")
+    means = (rest.where(F.col("h") % 2 == 0)
+             .groupBy("event_type")
+             .agg(F.expr("sum(cents) div count(1)").alias("mean_cents")))
+    caln = (cal.join(F.broadcast(means), "event_type")
+            .select("event_type",
+                    F.abs(F.col("cents") - F.col("mean_cents")).alias("nc")))
+    # per-type quantile over the K-bounded calibration set: collect the
+    # <= K nonconformities into one sorted array and index it — no
+    # window over anything data-sized
+    qh = (caln.groupBy("event_type")
+          .agg(F.sort_array(F.collect_list("nc")).alias("ncs"),
+               F.count(F.lit(1)).cast("long").alias("n_cal"))
+          .select(
+              "event_type", "n_cal",
+              F.when(
+                  F.expr("(9 * (n_cal + 1) + 9) div 10") <= F.col("n_cal"),
+                  F.expr("element_at(ncs, CAST((9 * (n_cal + 1) + 9) div 10"
+                         " AS INT))")).cast("long").alias("q_hat_cents")))
+    test = rest.where(F.col("h") % 2 == 1)
+    return (test.join(F.broadcast(means), "event_type")
+            .join(F.broadcast(qh), "event_type")
+            .groupBy("event_type", "n_cal", "q_hat_cents")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_test"),
+                 F.sum(F.when(
+                     F.abs(F.col("cents") - F.col("mean_cents"))
+                     <= F.col("q_hat_cents"), 1).otherwise(0)).alias("__cov"))
+            .select("event_type", "n_cal", "q_hat_cents", "n_test",
+                    F.when(F.col("q_hat_cents").isNotNull(),
+                           F.expr("(1000000 * __cov) div n_test"))
+                    .cast("long").alias("coverage_ppm")))

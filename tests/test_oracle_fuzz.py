@@ -410,6 +410,11 @@ _EV_FUZZED = [
     # cells default v=0 on both engines; NULL users dropped; the one
     # micro-quantized division is a shared IEEE expression)
     "shapley_attribution",
+    # round-11: split-conformal intervals (tiny types: ceil(0.9(n+1)) >
+    # n_cal yields NULL q_hat and NULL coverage on BOTH engines; types
+    # whose rows all land in the calibration slice drop via the inner
+    # train/test joins identically; integer mean/nonconformity/ppm)
+    "conformal_value_intervals",
 ]
 
 

@@ -501,6 +501,11 @@ _PLAN_BUDGET = {
     # Shapley: per-user agg + 8-cell agg; everything after is 8-row
     # frames (the 1-row channel sums each pay a SinglePartition)
     "shapley_attribution": (9, 0),
+    # conformal: the persisted kmin key set is the ONE Arrow stage; the
+    # mean/coverage aggregates pay the remaining keyed exchanges — a
+    # second python stage means the persist was lost and the bounded
+    # pass re-runs per consumer
+    "conformal_value_intervals": (3, 1),
 }
 
 
