@@ -83,6 +83,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="target JSONL shard size in bytes (default 64 MiB)")
     bc.add_argument("--compression", default=None,
                     help="shard compression codec (e.g. gzip)")
+
+    q = sub.add_parser(
+        "query",
+        help="run a registry query by name against a table directory")
+    q.add_argument("--name", required=True,
+                   help="query name from the registry (see --list)")
+    q.add_argument("--data", required=True,
+                   help="directory holding the parquet tables "
+                        "(region/nation/.../documents/embeddings)")
+    q.add_argument("--out", default=None,
+                   help="write the result as parquet here instead of "
+                        "printing the first rows")
+    q.add_argument("--show", type=int, default=20,
+                   help="rows to print when --out is absent (default 20)")
+    sub.add_parser("list-queries", help="print every registry query name")
     return p
 
 
@@ -187,6 +202,40 @@ def cmd_build_corpus(args: argparse.Namespace,
         release_all()
 
 
+def cmd_query(args: argparse.Namespace,
+              spark: SparkSession | None = None) -> int:
+    """Ad-hoc runner: any registry query against any table directory —
+    the switch-user surface (run what the driver runs, on your data).
+    Returns the row count for logging; writes parquet when --out is
+    given, prints the first --show rows otherwise."""
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.queries import load_all
+
+    registry = load_all()
+    if args.name not in registry:
+        import difflib
+        near = difflib.get_close_matches(args.name, registry, n=3)
+        raise SystemExit(
+            f"unknown query {args.name!r}"
+            + (f" — did you mean {', '.join(near)}?" if near else ""))
+    if spark is None:
+        from cliqz_etl_spark.session import get_spark
+        spark = get_spark(app_name=f"cliqz-query-{args.name}")
+    try:
+        df = registry[args.name].fn(spark, args.data)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"query {args.name}: {n} rows -> {args.out}")
+        else:
+            df.show(args.show, truncate=False)
+            n = df.count()
+            print(f"query {args.name}: {n} rows")
+        return n
+    finally:
+        release_all()
+
+
 def main(argv: Sequence[str] | None = None,
          spark: SparkSession | None = None) -> int:
     args = build_parser().parse_args(argv)
@@ -195,6 +244,14 @@ def main(argv: Sequence[str] | None = None,
         return 0
     if args.command == "build-corpus":
         cmd_build_corpus(args, spark=spark)
+        return 0
+    if args.command == "query":
+        cmd_query(args, spark=spark)
+        return 0
+    if args.command == "list-queries":
+        from cliqz_etl_spark.queries import load_all
+        for name in load_all():
+            print(name)
         return 0
     raise SystemExit(f"unknown command {args.command!r}")
 

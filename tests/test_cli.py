@@ -179,3 +179,34 @@ def test_build_corpus_min_ppm_cut(spark, tmp_path):
         "--out", str(tmp_path / "cut"), "--min-ppm", "100000"])
     assert (cmd_build_corpus(strict, spark=spark)["exported"]
             < cmd_build_corpus(base, spark=spark)["exported"])
+
+
+def test_query_subcommand_runs_and_writes(spark, tmp_path, capsys):
+    """`query --name X --data DIR` runs any registry entry; --out writes
+    parquet, no --out prints; unknown names die loudly with suggestions;
+    list-queries enumerates the registry."""
+    import pytest
+
+    from cliqz_etl_spark.cli import build_parser, cmd_query, main
+
+    out = str(tmp_path / "rev")
+    args = build_parser().parse_args([
+        "query", "--name", "revenue_by_nation",
+        "--data", "/root/testdata/sf0.001", "--out", out])
+    n = cmd_query(args, spark=spark)
+    assert n == spark.read.parquet(out).count() > 0
+
+    shown = build_parser().parse_args([
+        "query", "--name", "nations_in_region",
+        "--data", "/root/testdata/sf0.001", "--show", "3"])
+    assert cmd_query(shown, spark=spark) > 0
+    assert "nations_in_region" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="did you mean"):
+        cmd_query(build_parser().parse_args([
+            "query", "--name", "revenue_by_nations",
+            "--data", "/root/testdata/sf0.001"]), spark=spark)
+
+    assert main(["list-queries"], spark=spark) == 0
+    names = capsys.readouterr().out.split()
+    assert "revenue_by_nation" in names and len(names) >= 289
