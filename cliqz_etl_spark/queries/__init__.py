@@ -66,6 +66,7 @@ DRIVER_ORDER: list[str] = [
     "link_prediction_aa",
     "shapley_attribution",
     "conformal_value_intervals",
+    "ivf_probe_recall_sweep",
     "session_bounce_stats",
     "acf_daily_revenue",
     "t_closeness_audit",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "anova_f_segments",
     "top_event_paths",
     "woe_iv_encoding",
-    "textrank_keywords",
     # ---------------- past the check window ----------------
+    "textrank_keywords",
     "negative_sampling_table",
     "ann_recall_eval",
     "map_ops_gauntlet",
@@ -564,6 +565,7 @@ BENCH_HEADLINE: list[str] = [
     "forget_cascade_audit",
     "audio_feature_stats",
     "conformal_value_intervals",
+    "ivf_probe_recall_sweep",
 ]
 
 

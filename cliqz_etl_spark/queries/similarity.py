@@ -1376,3 +1376,107 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("k").alias("k_truth"),
                     F.expr("CAST((1000000 * COALESCE(n_hits, 0)) div k "
                            "AS BIGINT)").alias("recall_micro")))
+
+
+# --------------------------------------------------------------------------
+# IVF probe-count tuning curve — the artifact every ANN deployment reads
+# before picking n_probe: corpus-level recall vs the brute-force truth at
+# n_probe = 1 / 2 / 4. One curve answers "how much recall does another
+# probe buy" (monotone non-decreasing by construction: probing more
+# clusters only ADDS candidates; tests/test_scale_ops.py pins the
+# pairwise version). The truth side is computed ONCE and persisted —
+# production recall evals run brute force once per index build on a
+# sampled query set, then score every candidate configuration against it.
+# --------------------------------------------------------------------------
+_SWEEP_PROBES = (1, 2, 4)
+
+
+def _probe_sweep_oracle() -> str:
+    blocks, rows = [], []
+    for p in _SWEEP_PROBES:
+        blocks.append(f"""
+    , qprobe{p} AS (
+        SELECT vec_id, cid AS cluster
+        FROM (SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, cid ASC) AS rn
+              FROM dists)
+        WHERE rn <= {p} AND vec_id % {QUERY_MOD} = 0
+    ), approx{p} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+                       ORDER BY {_cos('qv.v', 'cv.v')} DESC,
+                                ca.vec_id ASC) AS rank
+            FROM qprobe{p} qa
+            JOIN assigned ca ON ca.cluster = qa.cluster
+                            AND ca.vec_id != qa.vec_id
+            JOIN q qv ON qv.vec_id = qa.vec_id
+            JOIN q cv ON cv.vec_id = ca.vec_id)
+        WHERE rank <= {IVF_K}
+    ), hit{p} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hits
+        FROM truth t JOIN approx{p} a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    )""")
+        rows.append(
+            f"SELECT {p} AS n_probe, h.n_hits, ts.n_truth, "
+            f"CAST((1000000 * h.n_hits) // ts.n_truth AS BIGINT) "
+            f"AS recall_ppm FROM hit{p} h CROSS JOIN tsize ts")
+    return (_ASSIGN_CTE + f"""
+    , truth AS (
+        SELECT vec_id AS query_id, neighbor_id FROM (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_cos('a.v', 'b.v')} DESC, b.vec_id ASC)
+                       AS rank
+            FROM q a JOIN q b ON a.vec_id != b.vec_id
+            WHERE a.vec_id % {QUERY_MOD} = 0)
+        WHERE rank <= {IVF_K}
+    ), tsize AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth
+    )""" + "".join(blocks) + "\n    "
+            + "\n    UNION ALL\n    ".join(rows))
+
+
+@query("ivf_probe_recall_sweep", oracle=_probe_sweep_oracle())
+def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level IVF recall (ppm vs brute-force truth) at n_probe in
+    {1, 2, 4} — three rows, one tuning curve.
+
+    Plan shape: ONE brute-force truth pass (persisted Q x k frame), then
+    per probe count the same bucket-pruned ivf_topk join and a 1-row hit
+    count — the probed candidate work grows linearly in n_probe, the
+    truth cost is paid once. No data-sized collects; every join is keyed
+    or broadcast (Q x k frames)."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+    from cliqz_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    truth = _materialize(
+        brute_force_topk(emb, queries, "vec_id", "embedding", IVF_K)
+        .select("query_id", "neighbor_id"))
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"))
+    parts = []
+    for p in _SWEEP_PROBES:
+        approx = (ivf_topk(emb, centroids, queries, "vec_id", "embedding",
+                           IVF_K, n_probe=p, dim=VEC_DIM)
+                  .select("query_id", "neighbor_id"))
+        hits = (truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        parts.append(
+            hits.crossJoin(F.broadcast(n_truth))
+            .select(F.lit(p).cast("int").alias("n_probe"), "n_hits",
+                    "n_truth",
+                    F.expr("CAST((1000000 * n_hits) div n_truth AS BIGINT)")
+                    .alias("recall_ppm")))
+    out = parts[0]
+    for q_ in parts[1:]:
+        out = out.unionByName(q_)
+    return out

@@ -250,6 +250,11 @@ _EMB_FUZZED = [
     # vector-level validity gate; zero-norm vectors AND zero-norm
     # centroids excluded identically via the integer norm guards)
     "embedding_label_outliers",
+    # round-11: the probe-count recall curve (rides ann_ivf/multiprobe's
+    # fuzz exposure: centroid/query strides on adversarial ids, the
+    # degenerate-corpus ValueError arm, and division by a zero truth
+    # count cannot occur — empty truth means empty queries on both sides)
+    "ivf_probe_recall_sweep",
 ]
 
 # Row i gets _EMB_IDS[i], not i: sequential ids give a <=18-row corpus

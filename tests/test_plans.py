@@ -506,6 +506,11 @@ _PLAN_BUDGET = {
     # second python stage means the persist was lost and the bounded
     # pass re-runs per consumer
     "conformal_value_intervals": (3, 1),
+    # probe sweep: persisted truth + three bucket-pruned probes; the
+    # ceiling leaves room for the Arrow assignment stages AQE sometimes
+    # surfaces in the final plan — anything beyond means the truth
+    # persist was lost and brute force re-runs per probe
+    "ivf_probe_recall_sweep": (4, 2),
 }
 
 
