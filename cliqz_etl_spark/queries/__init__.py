@@ -67,6 +67,7 @@ DRIVER_ORDER: list[str] = [
     "shapley_attribution",
     "conformal_value_intervals",
     "ivf_probe_recall_sweep",
+    "recursive_category_rollup",
     "session_bounce_stats",
     "acf_daily_revenue",
     "t_closeness_audit",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "stump_split_search",
     "anova_f_segments",
     "top_event_paths",
-    "woe_iv_encoding",
     # ---------------- past the check window ----------------
+    "woe_iv_encoding",
     "textrank_keywords",
     "negative_sampling_table",
     "ann_recall_eval",

@@ -928,3 +928,50 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_priority"),
         F.countDistinct("o_custkey").cast("long").alias("n_customers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (WITH RECURSIVE, Spark 4's UnionLoop operator): the
+# decimal-prefix category tree over custkeys — node -> node div 10 ->
+# ... -> 0 — rolled up so every category counts its whole subtree of
+# customers and their balance. The SQL-standard recursion both engines
+# execute natively; depth is log10(key domain) (~6 levels), so the loop
+# is bounded by the KEY WIDTH, not the row count — each iteration is one
+# more map-side div over the frontier, and the final rollup is a single
+# groupBy. Truncating `div` keeps negative fuzz keys cycle-free on both
+# engines (-5 div 10 = 0 terminates).
+# --------------------------------------------------------------------------
+_REC_SQL = """
+    WITH RECURSIVE anc AS (
+        SELECT c_custkey AS node, c_custkey AS category,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM {src} WHERE c_custkey IS NOT NULL
+        UNION ALL
+        SELECT node, category div 10 AS category, bal_cents
+        FROM anc WHERE category > 0
+    )
+    SELECT CAST(category AS BIGINT) AS category,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(bal_cents) AS BIGINT) AS subtree_bal_cents
+    FROM anc GROUP BY category
+"""
+
+
+@query(
+    "recursive_category_rollup",
+    oracle=_REC_SQL.format(src="customer").replace(" div ", " // "),
+)
+def recursive_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree member counts and balance totals for every decimal-prefix
+    category, via a native recursive CTE.
+
+    Plan shape: Spark 4 executes WITH RECURSIVE as a UnionLoop whose
+    per-iteration step here is a pure projection + filter over the
+    previous frontier (no joins inside the loop), terminating after
+    ~log10(max key) iterations; the rollup is one map-side-combined
+    aggregate over the accumulated union. NULL balances flow through SUM
+    untouched (a category of only-NULL balances reports NULL, identical
+    on both engines)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__cust_rec")
+    return spark.sql(_REC_SQL.format(src="__cust_rec"))

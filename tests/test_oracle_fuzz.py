@@ -516,6 +516,10 @@ _WH_FUZZED = [
     # and the lexicographic min/max), and the vintage union (NULL dates
     # drop from BOTH vintages; NULL prices land in n_null_price)
     "hilbert_layout", "column_profile_report", "schema_drift_union",
+    # round-11: the recursive-CTE rollup (NULL custkeys drop at the
+    # anchor; negative keys terminate via truncating div on both
+    # engines; all-NULL-balance categories report NULL sums)
+    "recursive_category_rollup",
     # round-8: FS record linkage (NULL balances/names, constant fields ->
     # u=1 smoothing arm, empty blocks), PSI drift (empty slices, all-one-
     # bucket corpora), and incremental join maintenance (NULL dates land

@@ -511,6 +511,9 @@ _PLAN_BUDGET = {
     # surfaces in the final plan — anything beyond means the truth
     # persist was lost and brute force re-runs per probe
     "ivf_probe_recall_sweep": (4, 2),
+    # recursive CTE: the UnionLoop is projection-only per iteration; the
+    # single exchange is the category rollup (one spare for AQE variants)
+    "recursive_category_rollup": (2, 0),
 }
 
 
