@@ -406,6 +406,9 @@ def test_every_query_survives_an_empty_corpus(spark, tmp_path):
         "cluster_topics",
         # PCA cannot fit a component to an empty corpus (round-11)
         "pca_top_component",
+        # the probe-recall curve trains the same coarse quantizer as
+        # ann_ivf — no centroids on an empty corpus (round-11)
+        "ivf_probe_recall_sweep",
         # the GD fit has no labeled rows, and the recall eval trains the
         # same IVF coarse quantizer as ann_ivf (round-11)
         "logistic_gd_steps", "ann_recall_eval",
