@@ -68,6 +68,7 @@ DRIVER_ORDER: list[str] = [
     "conformal_value_intervals",
     "ivf_probe_recall_sweep",
     "recursive_category_rollup",
+    "lateral_top_balances",
     "session_bounce_stats",
     "acf_daily_revenue",
     "t_closeness_audit",
@@ -106,8 +107,8 @@ DRIVER_ORDER: list[str] = [
     "kaplan_meier_retention",
     "stump_split_search",
     "anova_f_segments",
-    "top_event_paths",
     # ---------------- past the check window ----------------
+    "top_event_paths",
     "woe_iv_encoding",
     "textrank_keywords",
     "negative_sampling_table",

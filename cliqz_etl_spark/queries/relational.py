@@ -975,3 +975,43 @@ def recursive_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(
         "__cust_rec")
     return spark.sql(_REC_SQL.format(src="__cust_rec"))
+
+
+# --------------------------------------------------------------------------
+# Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-native way
+# users write top-N-per-group, exercised end-to-end against DuckDB's
+# LATERAL. Catalyst DECORRELATES the limit into WindowGroupLimit
+# (verified in the executed plan): each map task prunes to the top 2
+# rows per segment BEFORE the exchange, so the shuffle carries at most
+# 2 x tasks x segments rows — the same scale-safe shape as per_key_limit
+# but reached from standard SQL instead of the DataFrame window idiom.
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT s.c_mktsegment AS segment, l.c_custkey AS c_custkey,
+           l.bal_cents AS bal_cents
+    FROM (SELECT DISTINCT c_mktsegment FROM {src}
+          WHERE c_mktsegment IS NOT NULL) s,
+    LATERAL (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM {src} c
+        WHERE c.c_mktsegment = s.c_mktsegment
+          AND c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+        ORDER BY bal_cents DESC, c_custkey ASC
+        LIMIT 2
+    ) l
+"""
+
+
+@query(
+    "lateral_top_balances",
+    oracle=_LATERAL_SQL.format(src="customer"),
+)
+def lateral_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by balance per market segment, written as a
+    correlated LATERAL subquery (identical SQL text on both engines,
+    modulo the view name). Deterministic: the custkey tiebreak makes the
+    LIMIT cut unique."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__cust_lat")
+    return spark.sql(_LATERAL_SQL.format(src="__cust_lat"))

@@ -18,10 +18,10 @@ def _load():
 def test_contract_shape():
     mod = _load()
     qs, osql = mod.queries(), mod.oracle_sql()
-    # floor tracks the registry's actual size (291 in round 11) so
+    # floor tracks the registry's actual size (292 in round 11) so
     # an accidental deregistration — a lost import, a dropped module —
     # fails here loudly instead of silently shrinking the driver surface
-    assert len(qs) >= 291
+    assert len(qs) >= 292
     assert set(osql) <= set(qs)
     # every registered query is fully oracle-checked (approx_distinct_users
     # was the last rows-only entry until its error-bound oracle)

@@ -518,8 +518,10 @@ _WH_FUZZED = [
     "hilbert_layout", "column_profile_report", "schema_drift_union",
     # round-11: the recursive-CTE rollup (NULL custkeys drop at the
     # anchor; negative keys terminate via truncating div on both
-    # engines; all-NULL-balance categories report NULL sums)
-    "recursive_category_rollup",
+    # engines; all-NULL-balance categories report NULL sums) and the
+    # LATERAL top-N (NULL segments/balances filter identically; the
+    # custkey tiebreak keeps the LIMIT cut unique under fuzz ties)
+    "recursive_category_rollup", "lateral_top_balances",
     # round-8: FS record linkage (NULL balances/names, constant fields ->
     # u=1 smoothing arm, empty blocks), PSI drift (empty slices, all-one-
     # bucket corpora), and incremental join maintenance (NULL dates land

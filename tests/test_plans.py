@@ -514,6 +514,10 @@ _PLAN_BUDGET = {
     # recursive CTE: the UnionLoop is projection-only per iteration; the
     # single exchange is the category rollup (one spare for AQE variants)
     "recursive_category_rollup": (2, 0),
+    # LATERAL top-N: decorrelated to WindowGroupLimit — the segment
+    # distinct + the pruned window exchange; a non-decorrelated plan
+    # (per-segment subquery re-execution) would breach instantly
+    "lateral_top_balances": (3, 0),
 }
 
 
