@@ -228,8 +228,14 @@ def cmd_query(args: argparse.Namespace,
             n = spark.read.parquet(args.out).count()
             print(f"query {args.name}: {n} rows -> {args.out}")
         else:
-            df.show(args.show, truncate=False)
-            n = df.count()
+            # Persist so show() + count() share one execution — expensive
+            # registry queries would otherwise run twice from scratch.
+            df = df.persist()
+            try:
+                df.show(args.show, truncate=False)
+                n = df.count()
+            finally:
+                df.unpersist()
             print(f"query {args.name}: {n} rows")
         return n
     finally:

@@ -3,12 +3,20 @@ columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schemas, batch
 iteration, partition sizing, zero-copy Arrow transfer. Decoding comes in
-two tiers: REAL dependency-free codecs for 24-bit BMP and binary PPM
-(encode/decode/nearest-neighbor resize — see encode_bmp/decode_image/
-resize_image, byte-level-tested and oracle-gated via image_decode_stats),
-and a deterministic STUB (``decoder=None``) for formats whose codecs need
-libraries this container doesn't ship (PNG/JPEG/video/audio): swap in a
-real decoder callable (PIL/opencv/ffmpeg) per batch and everything stands.
+two tiers:
+
+1. **Owned, dependency-free codecs** (encode + decode, byte-level-tested
+   and oracle-gated): 24-bit BMP, PNG (zlib inflate, all five filter
+   types), GIF (hand-rolled LZW), binary PPM (P6), PCM WAV, baseline
+   JPEG (real Huffman + DCT, both lossless-gray and lossy paths), and
+   RIFF/AVI MJPEG container demux — see encode_bmp/decode_png/decode_gif/
+   decode_wav/decode_jpeg/decode_avi_mjpeg in this file, plus nn_resize
+   and resample_audio over the decoded payloads.
+2. **A declared seam** for bitstream video codecs (H.26x/VP9/AV1), whose
+   entropy coders are out of scope: the ``decoder=``/``resizer=``
+   callables on extract_media_meta/resize_media accept a real decoder
+   (PIL/opencv/ffmpeg) per batch, and ``fake_decode`` is the loud
+   deterministic stand-in used when none is supplied.
 
 Scale notes:
 - binary payloads ride in the same parquet row groups as their metadata;
@@ -42,10 +50,11 @@ def attach_binary(df: DataFrame, src_col: str, out: str = "blob") -> DataFrame:
 # --------------------------------------------------------------------------
 # REAL image kernels (dependency-free): a 24-bit uncompressed BMP codec, a
 # binary PPM (P6) codec, and a nearest-neighbor resampler over their decoded
-# pixels. PNG (stored-deflate), GIF (hand-rolled LZW), and baseline JPEG
-# (real Huffman + DCT, see the JPEG section at the bottom) are owned too;
-# video stays stubbed behind the pluggable ``decoder=``/``resizer=`` seams
-# (container demuxing needs libraries this container doesn't ship).
+# pixels. PNG (zlib inflate + all five filters), GIF (hand-rolled LZW), and
+# baseline JPEG (real Huffman + DCT, see the JPEG section at the bottom) are
+# owned too, as is RIFF/AVI MJPEG container demux (bottom of file); only
+# bitstream video codecs (H.26x/VP9/AV1) stay behind the pluggable
+# ``decoder=``/``resizer=`` seams.
 #
 # Pixel convention everywhere: row-major TOP-DOWN RGB byte triples
 # (``bytes`` of length width*height*3). BMP stores rows bottom-up in BGR

@@ -55,59 +55,7 @@ DRIVER_ORDER: list[str] = [
     # Ordered red-latest-row first, then new/zero-evidence, then oldest
     # green evidence; the driver checks slots 1-50. Regenerate after
     # each driver run:  python tools/rotate_window.py
-    # ---- RED latest row ----
-    "important_part_value",
     # ---- latest green row: rnew/churn ----
-    "hilbert_layout",
-    "column_profile_report",
-    "schema_drift_union",
-    "audio_feature_stats",
-    "forget_cascade_audit",
-    "link_prediction_aa",
-    "shapley_attribution",
-    "conformal_value_intervals",
-    "ivf_probe_recall_sweep",
-    "recursive_category_rollup",
-    "lateral_top_balances",
-    "session_bounce_stats",
-    "acf_daily_revenue",
-    "t_closeness_audit",
-    "gini_spend",
-    "zipf_fit",
-    "rater_agreement_kappa",
-    "ranking_eval_bm25",
-    "lorenz_curve_deciles",
-    "prf_expansion_terms",
-    "token_chi2_keywords",
-    "holt_linear_forecast",
-    "dup_cluster_size_stats",
-    "source_mix_entropy",
-    "tokenizer_fertility_report",
-    "embedding_label_outliers",
-    "hot_key_skew_report",
-    "lang_id_confusion",
-    "abc_analysis_parts",
-    "roc_auc_per_class",
-    "label_centroid_cosine",
-    "als_half_step",
-    "decile_lift_table",
-    "chi2_independence",
-    "ols_by_segment",
-    "bfs_levels",
-    "kcore_peel",
-    "streaming_drift_monitor",
-    "bpe_merge_step",
-    "trailing_hour_value",
-    "seasonal_decompose",
-    "hierarchy_rollup",
-    "apriori_triples",
-    "calibration_curve",
-    "markov_attribution",
-    "logistic_gd_steps",
-    "kaplan_meier_retention",
-    "stump_split_search",
-    "anova_f_segments",
-    # ---------------- past the check window ----------------
     "top_event_paths",
     "woe_iv_encoding",
     "textrank_keywords",
@@ -160,6 +108,7 @@ DRIVER_ORDER: list[str] = [
     "schema_evolution_union",
     "supplier_part_pagerank",
     "streaming_upsert_totals",
+    # ---------------- past the check window ----------------
     "synthetic_source_rollup",
     "synthetic_stream_rollup",
     "variant_roundtrip_stats",
@@ -355,6 +304,57 @@ DRIVER_ORDER: list[str] = [
     "text_stats",
     "revenue_by_nation",
     "price_quantity_corr",
+    # ---- latest green row: r11 ----
+    "important_part_value",
+    "hilbert_layout",
+    "column_profile_report",
+    "schema_drift_union",
+    "audio_feature_stats",
+    "forget_cascade_audit",
+    "link_prediction_aa",
+    "shapley_attribution",
+    "conformal_value_intervals",
+    "ivf_probe_recall_sweep",
+    "recursive_category_rollup",
+    "lateral_top_balances",
+    "session_bounce_stats",
+    "acf_daily_revenue",
+    "t_closeness_audit",
+    "gini_spend",
+    "zipf_fit",
+    "rater_agreement_kappa",
+    "ranking_eval_bm25",
+    "lorenz_curve_deciles",
+    "prf_expansion_terms",
+    "token_chi2_keywords",
+    "holt_linear_forecast",
+    "dup_cluster_size_stats",
+    "source_mix_entropy",
+    "tokenizer_fertility_report",
+    "embedding_label_outliers",
+    "hot_key_skew_report",
+    "lang_id_confusion",
+    "abc_analysis_parts",
+    "roc_auc_per_class",
+    "label_centroid_cosine",
+    "als_half_step",
+    "decile_lift_table",
+    "chi2_independence",
+    "ols_by_segment",
+    "bfs_levels",
+    "kcore_peel",
+    "streaming_drift_monitor",
+    "bpe_merge_step",
+    "trailing_hour_value",
+    "seasonal_decompose",
+    "hierarchy_rollup",
+    "apriori_triples",
+    "calibration_curve",
+    "markov_attribution",
+    "logistic_gd_steps",
+    "kaplan_meier_retention",
+    "stump_split_search",
+    "anova_f_segments",
     # === END GENERATED WINDOW ===
 ]
 
@@ -605,3 +605,4 @@ def load_all() -> dict[str, Query]:
             f"must occupy exactly one slot in DRIVER_ORDER (a duplicate "
             f"makes later slots shadow the window the gates check)")
     return {n: REGISTRY[n] for n in DRIVER_ORDER}
+

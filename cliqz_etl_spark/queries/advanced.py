@@ -531,6 +531,7 @@ _PROFILE_ORACLE_EXPRS: dict[str, str] = {
            CAST(COUNT(*) AS BIGINT)              AS n_rows,
            CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_null,
            CAST(COUNT(DISTINCT val) AS BIGINT)   AS n_distinct,
+           TRUE AS approx_within_5pct,
            MIN(val) AS min_val,
            MAX(val) AS max_val
     FROM vals GROUP BY col_name
@@ -540,21 +541,45 @@ def column_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of orders — n_rows, n_null, n_distinct, min/max
     — in one scan via stack(); the ingestion-time data-profiling pass.
 
-    Plan: scan -> Generate(stack) -> two-phase hash aggregate. The
+    Plan: scan -> Generate(stack) -> two-phase hash aggregate. The exact
     distinct count rides a partial aggregate keyed (col_name, val), so
-    every executor pre-collapses its repeats before the one shuffle; at
-    100 TB the shuffle is bounded by per-column cardinality, not row
-    count. No UDFs, no collects."""
+    every executor pre-collapses its repeats before the one shuffle —
+    BUT for a unique column (o_orderkey here) that partial collapses
+    nothing, so the shuffle is row-count-sized. A 100 TB profiler should
+    therefore read the HLL++ tier: approx_count_distinct keeps per-column
+    state at sketch size (~KB) regardless of cardinality. Both tiers run
+    side by side; the exact column is the oracle-checked one, and the
+    sketch is pinned by `approx_within_5pct` (the `approx_distinct_users`
+    pattern — the oracle asserts the flag literally TRUE, so sketch drift
+    past the bound fails the value-hash). No UDFs, no collects.
+
+    Aggregation is the EXPLICIT two-level form — groupBy (col, val) with
+    a row count, then groupBy col — rather than countDistinct +
+    approx_count_distinct in one agg: mixing them makes Catalyst's
+    partial-distinct rewrite carry an HLL buffer PER (col, val) GROUP
+    (measured 13x slower at sf0.01 — ~90k sketch allocations). HLL is
+    duplicate-insensitive, so sketching the already-distinct stream gives
+    the identical estimate with exactly 6 sketches, and the shuffle
+    budget stays at the exact shape's 2."""
     orders = load_table(spark, sf_dir, "orders")
     n = len(_PROFILE_COLS)
     stack_args = ", ".join(f"'{name}', {expr}" for name, expr in _PROFILE_COLS)
     stacked = orders.selectExpr(f"stack({n}, {stack_args}) AS (col_name, val)")
-    return stacked.groupBy("col_name").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_null"),
-        F.countDistinct("val").cast("long").alias("n_distinct"),
+    per_val = stacked.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return per_val.groupBy("col_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long").alias("n_null"),
+        F.count("val").cast("long").alias("n_distinct"),
+        F.approx_count_distinct("val", 0.01).alias("_approx"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct",
+        (F.abs(F.col("_approx") - F.col("n_distinct"))
+         <= 0.05 * F.col("n_distinct")).alias("approx_within_5pct"),
+        "min_val", "max_val",
     )
 
 

@@ -931,7 +931,9 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Recursive CTE (WITH RECURSIVE, Spark 4's UnionLoop operator): the
+# Recursive CTE (WITH RECURSIVE, Spark 4's UnionLoop operator): this
+# query and lateral_top_balances below REQUIRE pyspark>=4.0 (they fail
+# at parse on 3.5) — pyproject's [local] extra pins that floor. The
 # decimal-prefix category tree over custkeys — node -> node div 10 ->
 # ... -> 0 — rolled up so every category counts its whole subtree of
 # customers and their balance. The SQL-standard recursion both engines

@@ -66,7 +66,12 @@ def test_new_queries_sit_inside_driver_window():
     requirement becomes that every window slot is spent on a
     zero-evidence or red query (no slot wasted on a query that already
     has green evidence); the excess verifies next round via the
-    oldest-evidence-first rotation, which fronts round-0 entries."""
+    oldest-evidence-first rotation, which fronts round-0 entries.
+
+    Registration budget: COVERAGE.md "Evidence-bandwidth policy" is the
+    governing rule — a round adding N queries must keep N <= 50 minus the
+    count of stale-evidence queries, or declare accepted decay and make
+    the next round a consolidation round (as round 12 is)."""
     from cliqz_etl_spark.queries import DRIVER_ORDER
 
     rw = _rotate_window()

@@ -121,3 +121,50 @@ def test_round8_bench_normalizes_clean():
         if name in ("incremental_join_maintenance", "fuzzy_match_parts"):
             assert norm < 1.0, (name, norm)
     assert not over, over
+
+
+# Returned-frame digests that legitimately show zero scans: streaming
+# drains digest the POST-drain batch plan over the in-memory sink, and
+# driver-fit queries return a LocalTableScan of the fitted model (the
+# distributed work ran in the fit's own jobs — see each docstring and the
+# PLANS.md header). Every other headline row must carry a real FileScan:
+# the round-10 all-zeros `important_part_value` row was a stale artifact
+# this gate now catches.
+_ZERO_SCAN_OK = {
+    "streaming_hourly_counts", "streaming_dedup", "streaming_left_outer_join",
+    "streaming_daily_peak", "streaming_sequence_funnel",
+    "observed_write_metrics", "pca_top_component", "markov_attribution",
+}
+
+
+def _parse_plans_rows() -> dict:
+    rows = {}
+    with open("/root/repo/PLANS.md") as f:
+        for line in f:
+            if not line.startswith("| "):
+                continue
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            if len(cells) != 8 or cells[0] in ("query", "---"):
+                continue
+            if not cells[1].isdigit():
+                continue
+            rows[cells[0]] = {"shuffles": int(cells[1]), "scans": int(cells[7])}
+    return rows
+
+
+def test_plans_md_covers_every_headline_query_with_real_scans():
+    """PLANS.md completeness gate (round-11 verdict item 6): one row per
+    BENCH_HEADLINE query, and each row digests a real plan — non-zero
+    scans unless the query is a documented zero-scan shape above."""
+    from cliqz_etl_spark.queries import BENCH_HEADLINE
+
+    rows = _parse_plans_rows()
+    missing = [q for q in BENCH_HEADLINE if q not in rows]
+    assert not missing, f"PLANS.md rows missing for: {missing}"
+    stale = sorted(set(rows) - set(BENCH_HEADLINE))
+    assert not stale, f"PLANS.md rows for non-headline queries: {stale}"
+    zero = [q for q, d in rows.items()
+            if d["scans"] == 0 and q not in _ZERO_SCAN_OK]
+    assert not zero, f"all-zero-scan PLANS.md rows (stale artifact?): {zero}"
+    unexpected_ok = sorted(_ZERO_SCAN_OK - set(rows))
+    assert not unexpected_ok, f"_ZERO_SCAN_OK names without rows: {unexpected_ok}"
