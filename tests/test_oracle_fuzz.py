@@ -255,6 +255,12 @@ _EMB_FUZZED = [
     # degenerate-corpus ValueError arm, and division by a zero truth
     # count cannot occur — empty truth means empty queries on both sides)
     "ivf_probe_recall_sweep",
+    # round-12: the two-index recall eval (IVF + banded RHP vs one truth
+    # pass) — rides the same ValueError arm as ann_ivf (IVF quantizer
+    # training on a degenerate corpus) and the same division-safety
+    # argument as the probe sweep; the RHP side has no model to train,
+    # so its recall rows exist whenever truth rows do
+    "ann_recall_eval",
 ]
 
 # Row i gets _EMB_IDS[i], not i: sequential ids give a <=18-row corpus
