@@ -72,6 +72,8 @@ DRIVER_ORDER: list[str] = [
     "target_encode_oof",
     "benford_first_digit",
     "csv_sink_roundtrip",
+    # ---- latest green row: r11 ----
+    "column_profile_report",
     # ---- latest green row: r6 ----
     "order_priority_checking",
     "forecast_revenue",
@@ -107,8 +109,8 @@ DRIVER_ORDER: list[str] = [
     "chunk_documents",
     "schema_evolution_union",
     "supplier_part_pagerank",
-    "streaming_upsert_totals",
     # ---------------- past the check window ----------------
+    "streaming_upsert_totals",
     "synthetic_source_rollup",
     "synthetic_stream_rollup",
     "variant_roundtrip_stats",
@@ -307,7 +309,6 @@ DRIVER_ORDER: list[str] = [
     # ---- latest green row: r11 ----
     "important_part_value",
     "hilbert_layout",
-    "column_profile_report",
     "schema_drift_union",
     "audio_feature_stats",
     "forget_cascade_audit",
