@@ -55,6 +55,7 @@ DRIVER_ORDER: list[str] = [
     # Ordered red-latest-row first, then new/zero-evidence, then oldest
     # green evidence; the driver checks slots 1-50. Regenerate after
     # each driver run:  python tools/rotate_window.py
+    # churn-pins(r12): column_profile_report
     # ---- latest green row: rnew/churn ----
     "top_event_paths",
     "woe_iv_encoding",

@@ -168,3 +168,36 @@ def test_plans_md_covers_every_headline_query_with_real_scans():
     assert not zero, f"all-zero-scan PLANS.md rows (stale artifact?): {zero}"
     unexpected_ok = sorted(_ZERO_SCAN_OK - set(rows))
     assert not unexpected_ok, f"_ZERO_SCAN_OK names without rows: {unexpected_ok}"
+
+
+def _load_rotate_window():
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", "/root/repo/tools/rotate_window.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_churn_pins_persist_and_expire():
+    """Churn pins (round-12): a pin recorded as `# churn-pins(rN): name`
+    keeps the query window-fronted while its latest green round < N, and
+    expires once a round >= N verifies it — so --check agrees with a
+    churn rotation without pinning the query into the window forever."""
+    rw = _load_rotate_window()
+    src = "    # churn-pins(r12): column_profile_report, other_q\n"
+    pins = rw.persisted_churn(src)
+    assert pins == {"column_profile_report": 12, "other_q": 12}
+
+    order = ["a", "b", "c", "d"]
+    latest = {"a": 11, "b": 6, "c": 9, "d": 0}
+    # live pin on 'a' (green r11 < pin r12): sorts into the churn tier,
+    # ahead of every stale-evidence query
+    out = rw.rotated(order, ["a"], latest=latest, red=set())
+    assert out == ["d", "a", "b", "c"]
+    # expired pin (green r12 >= pin r12) is dropped by the liveness
+    # filter in main(); rotated() without it restores evidence order
+    out = rw.rotated(order, [], latest={**latest, "a": 12}, red=set())
+    assert out == ["d", "b", "c", "a"]
+    # render round-trips the live pin so --check can re-read it
+    block = rw.render(out, latest, set(), {"a": 12})
+    assert rw.persisted_churn(block) == {"a": 12}

@@ -152,11 +152,37 @@ def rotated(order: list[str], churn: list[str],
     return sorted(order, key=key)
 
 
-def render(order: list[str], latest: dict[str, int], red: set[str]) -> str:
+_CHURN_RE = re.compile(r"#\s*churn-pins\(r(\d+)\):\s*(.+)")
+
+
+def persisted_churn(src: str) -> dict[str, int]:
+    """Read churn pins recorded in the generated block: {name: pin_round}.
+
+    A churn pin says "this query's code changed in round N; keep it in
+    the window until a green driver row from round >= N supersedes the
+    stale evidence". Persisting pins in the block is what lets --check
+    agree with a churn-pinned rotation instead of demanding a rewrite
+    that would rotate the churned query back out (round-12 bug: the
+    column_profile_report schema change failed the agreement gate)."""
+    pins: dict[str, int] = {}
+    for m in _CHURN_RE.finditer(src):
+        rnd = int(m.group(1))
+        for name in m.group(2).split(","):
+            name = name.strip()
+            if name:
+                pins[name] = max(rnd, pins.get(name, 0))
+    return pins
+
+
+def render(order: list[str], latest: dict[str, int], red: set[str],
+           churn_live: dict[str, int] | None = None) -> str:
     lines = [BEGIN]
     lines.append("    # Ordered red-latest-row first, then new/zero-evidence, then oldest")
     lines.append(f"    # green evidence; the driver checks slots 1-{WINDOW}. Regenerate after")
     lines.append("    # each driver run:  python tools/rotate_window.py")
+    for rnd in sorted({r for r in (churn_live or {}).values()}):
+        names = sorted(n for n, r in churn_live.items() if r == rnd)
+        lines.append(f"    # churn-pins(r{rnd}): {', '.join(names)}")
     prev = None
     for i, n in enumerate(order):
         if i == WINDOW:
@@ -184,14 +210,26 @@ def main() -> int:
     # CORRECTNESS_r*.json and re-resolves the pinned git commit)
     green, any_row = latest_rounds(order)
     red = {n for n in order if any_row[n] > 0 and green[n] < any_row[n]}
-    new_order = rotated(order, args.churn, latest=green, red=red)
     src = INIT.read_text()
     if BEGIN not in src or END not in src:
         raise SystemExit(f"markers not found in {INIT} — the generated-window "
                          "section was removed; restore the BEGIN/END comments")
+    # Churn pins: explicit --churn names pin at the CURRENT round (one
+    # past the newest evidence file); persisted pins stay live until a
+    # green driver row from a round >= the pin round supersedes them.
+    max_round = 0
+    for path in evidence_paths():
+        max_round = max(max_round, int(
+            re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1)))
+    pin_round = max_round + 1
+    churn_live = {n: r for n, r in persisted_churn(src).items()
+                  if n in set(order) and green.get(n, 0) < r}
+    for n in args.churn:
+        churn_live[n] = pin_round
+    new_order = rotated(order, list(churn_live), latest=green, red=red)
     pre, rest = src.split(BEGIN, 1)
     _, post = rest.split(END, 1)
-    block = render(new_order, green, red)
+    block = render(new_order, green, red, churn_live)
     out = pre + block + post
     if out == src:
         print(f"DRIVER_ORDER already rotated (window = {WINDOW} oldest)")
