@@ -125,6 +125,19 @@ at 100x the data. link_prediction_aa 13.9 s -> 819.8 s = 59x at 100x
 the constant amortizing — a portion of the big leg ran beside a
 co-tenant bench attempt, so 59x is an upper bound).
 
+Round-12 spot refresh (consolidation round — changed queries only):
+ann_recall_eval (NEW two-index recall: IVF + banded RHP vs one
+persisted truth pass) at the sweep's fixed-Q methodology, 6.4 s @ 2k
+vectors -> 22.6 s @ 32k = 3.6x wall at 16x data (the O(Q*N) truth pass
+is the data-scaled leg at fixed Q ~ 64; probe sides are bucket-bounded);
+column_profile_report with the round-12 approx tier (HLL over the
+already-distinct stream, explicit two-level aggregate) 2.6x wall at 10x
+orders in the --warehouse sweep — the sketch column costs nothing vs
+the round-11 exact-only 2.3x because there are exactly 6 HLL buffers
+regardless of scale; the rest of the warehouse wave re-measured within
+round-11 bands (link_prediction_aa 5.6x, min_cost_supplier 5.7x on a
+same-run basis, data_quality_checks 1.6x, pricing_summary 1.1x).
+
 Round-7 stream sweep (--stream; 100k/1M/10M events, users scaled with
 volume, state parts=8 at every decade — the size//64MiB rule floors
 there for a ~250 MB source): windowed_counts 3.8/1.5/1.7 s with state
@@ -361,6 +374,21 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         finally:
             _sim.QUERY_MOD = saved
 
+    def _recall_fixed_q(spark, p, mod):
+        """ann_recall_eval with the sweep's fixed-Q methodology: the
+        truth pass is O(Q*N) by definition, so rebinding QUERY_MOD to
+        keep Q ~ 64 at every scale makes the ratio isolate corpus-side
+        growth (the production shape — a sampled query set per index
+        build), not the query-set draw."""
+        from cliqz_etl_spark.queries import similarity as _sim
+
+        saved = _sim.QUERY_MOD
+        _sim.QUERY_MOD = mod
+        try:
+            return _registry()["ann_recall_eval"].fn(spark, p)
+        finally:
+            _sim.QUERY_MOD = saved
+
     def docs_at(path):
         return spark.read.parquet(f"{path}/documents.parquet")
 
@@ -495,6 +523,12 @@ def family_sweep(spark, big_dir: str, scale_label: str,
         # the modulus so the ratio isolates corpus-side growth, matching
         # the sq8/ivf rows it shares the broadcast-scan shape with)
         ("contrastive_triplets", lambda p: lambda: _contrastive_fixed_q(
+            spark, p, qmod_small if p == SMALL else qmod)),
+        # round-12: the two-index recall eval (IVF + banded RHP vs one
+        # persisted truth pass) at the same fixed-Q methodology — the
+        # O(Q*N) truth side must track N linearly at Q ~ 64, and the
+        # probe sides ride the ivf/rhp rows' own scale laws
+        ("ann_recall_eval", lambda p: lambda: _recall_fixed_q(
             spark, p, qmod_small if p == SMALL else qmod)),
         # round-10: the JPEG AC path (heavier per-row codec work than
         # jpeg_decode_stats' DC-only blocks — entropy coding both sides)
