@@ -128,8 +128,10 @@ co-tenant bench attempt, so 59x is an upper bound).
 Round-12 spot refresh (consolidation round — changed queries only):
 ann_recall_eval (NEW two-index recall: IVF + banded RHP vs one
 persisted truth pass) at the sweep's fixed-Q methodology, 6.4 s @ 2k
-vectors -> 22.6 s @ 32k = 3.6x wall at 16x data (the O(Q*N) truth pass
-is the data-scaled leg at fixed Q ~ 64; probe sides are bucket-bounded);
+vectors -> 22.6 s @ 32k = 3.6x wall at 16x data, and 46.3x at the
+--100x decade (200k vectors, Q re-fixed at ~64) — sub-linear against
+the O(Q*N) truth-pass law at both steps (the truth pass is the
+data-scaled leg; probe sides are bucket-bounded);
 column_profile_report with the round-12 approx tier (HLL over the
 already-distinct stream, explicit two-level aggregate) 2.6x wall at 10x
 orders in the --warehouse sweep — the sketch column costs nothing vs
