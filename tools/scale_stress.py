@@ -161,6 +161,15 @@ the right provider exactly when state outgrows executor heap and the
 wrong default below that (the engine keeps the default store and
 documents the switch point).
 
+Round-12 stream re-run (post round-11 drain fixes; same decades):
+windowed_counts 3.6/1.9/1.6 s (state STILL capped at 17,280 rows at
+both big decades — the horizon law holds), dedup_stream 1.1/1.6/4.1 s,
+session_rollup 1.5/2.4/12.4 s, running_totals 3.4/5.8/34.0 s,
+stream_join 2.9/3.4/77.6 s (peak 7.5M rows / 1.8 GiB two-sided buffer,
+~10% under the round-7 reading), upsert_totals 2.0/5.5/38.2 s — every
+shape tracks its round-7 curve, so the staging-dir and empty-drain
+fixes cost nothing at scale.
+
 Round-7 addendum: the foreachBatch merge sink (upsert_totals — stateful
 running totals drained into a keyed parquet table) measured
 2.0 / 8.5 / 32.1 s at the 1x/10x/100x decades (1.5k/10k/58k keys) —
