@@ -139,6 +139,13 @@ the round-11 exact-only 2.3x because there are exactly 6 HLL buffers
 regardless of scale; the rest of the warehouse wave re-measured within
 round-11 bands (link_prediction_aa 5.6x, min_cost_supplier 5.7x on a
 same-run basis, data_quality_checks 1.6x, pricing_summary 1.1x).
+The round-12 --warehouse100 re-run: column_profile_report 3.3x wall at
+100x with the approx tier (vs 3.0x exact-only in round 11 — the 6 HLL
+buffers cost ~10% at the decade), and link_prediction_aa 272.3 s =
+39.4x on a clean host, confirming the round-11 819.8 s / 59x reading
+was co-tenant-inflated exactly as its note hedged; every other
+bounded-aggregate row held its round-11 band (hilbert 0.6x, zorder
+1.8x, drift union 1.4x, erasure audit 3.7x, quality checks 5.9x).
 
 Round-7 stream sweep (--stream; 100k/1M/10M events, users scaled with
 volume, state parts=8 at every decade — the size//64MiB rule floors
