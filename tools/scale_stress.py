@@ -37,7 +37,10 @@ measured decades, no OOM at the 16g local heap. Round-6 skew bench
 2.27 s (broadcast kept off so the reference stays a sort-merge join
 AQE can split) on an 8M-row/75%-hot corpus; salted_count ties plain
 (partial agg already absorbs COUNT skew). Numbers and consequences in
-ARCHITECTURE.md's scale-design section.
+ARCHITECTURE.md's scale-design section. Round-12 re-run holds the
+ordering: salted x32 1.08 s vs plain 2.35 s vs AQE-skew 2.54 s (and
+salted_count 0.18 s vs plain 0.33 s — the x16 salt now wins outright on
+this host's 32 cores; the round-6 tie was 8-core scheduling).
 
 Round-6 late additions (default 10x mode, same corpus): SemDeDup
 semantic_verdicts 4.8x wall-clock at 16x vectors with K scaled to a
