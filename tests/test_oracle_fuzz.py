@@ -112,6 +112,10 @@ _FUZZED = [
     # nb_quality_classifier pipeline already fuzzed above)
     "curation_funnel_audit", "boilerplate_ngram_profile",
     "quality_pr_curve",
+    # round-12 audit sweep: the reliability diagram rides the same NB
+    # scoring pipeline as quality_pr_curve; fixed score bins must absorb
+    # degenerate corpora (all one class, empty train slices) identically
+    "calibration_curve",
     # round-11 second wave: KN bigram model build (support >= 3 rarely
     # met on tiny corpora -> empty both sides; the interpolated
     # probability is one shared IEEE expression tree)
@@ -261,6 +265,12 @@ _EMB_FUZZED = [
     # argument as the probe sweep; the RHP side has no model to train,
     # so its recall rows exist whenever truth rows do
     "ann_recall_eval",
+    # round-12 audit sweep: the matrix-free PCA fit was the one
+    # embeddings-only query outside the fuzz — degenerate corpora hit
+    # the training ValueError arm (no valid vectors -> no component),
+    # and the quantized power iteration must agree with the MATERIALIZED
+    # CTE replay on adversarial (ragged/NaN/zero-norm) vectors
+    "pca_top_component",
 ]
 
 # Row i gets _EMB_IDS[i], not i: sequential ids give a <=18-row corpus
@@ -766,6 +776,18 @@ _TPCH_FUZZED = [
     # finite) and the quantized one-way ANOVA (NULL segments/balances
     # drop; a single surviving segment yields NULL F on both engines)
     "stump_split_search", "woe_iv_encoding", "anova_f_segments",
+    # round-12 audit sweep: the last warehouse/graph queries without fuzz
+    # exposure. important_part_value (HUGEINT-cast rollup under NULL
+    # prices), min_cost_supplier (two-key min-join under NULL supp/cost
+    # keys), product_profit_rollup and promotable_part_suppliers (brand/
+    # date guards), market_basket_rules (pair supports and confidence
+    # divisions on NULL-thinned baskets), hot_key_skew_report (skew
+    # shares when hot keys go NULL), and the iterative pair bfs_levels /
+    # kcore_peel (frontier/peel fixpoints must agree when NULL keys thin
+    # the co-purchase edge list — the triangle_counts discipline)
+    "important_part_value", "min_cost_supplier", "product_profit_rollup",
+    "promotable_part_suppliers", "market_basket_rules",
+    "hot_key_skew_report", "bfs_levels", "kcore_peel",
 ]
 
 _PERTURB_COLS = {
@@ -883,6 +905,13 @@ _STREAM_FUZZED = [
     # one side's histogram empty — the +B smoothing keeps every PSI term
     # finite on both engines)
     "streaming_drift_monitor",
+    # round-12 audit sweep: the strict in-order funnel drain (NULL ts
+    # rows cannot enter the stateful buffer; out-of-order adversarial
+    # corpora must not fake a step). streaming_dedup_screen is NOT here —
+    # it reads the documents table this harness doesn't stage; its match
+    # semantics are dedup_incremental's oracle verbatim, which the text
+    # fuzz wave covers, leaving only the drain wrapper outside the fuzz.
+    "streaming_sequence_funnel",
 ]
 
 
@@ -1022,3 +1051,74 @@ def test_synthetic_stream_offsets_compose_exactly_once(spark, n, per_batch):
         assert ids == list(range(n)), (n, per_batch, len(ids))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Round-12 audit wave: the two queries that join BOTH the documents and
+# embeddings tables (vec_id == doc_id), which neither the text wave (docs
+# only) nor the embedding wave (vectors only) could stage. Adversarial
+# vectors ride the _VEC strategy, adversarial texts the _TEXT strategy,
+# over the SAME id spine so the cross-table joins have real work; the
+# ValueError arm mirrors the embedding wave's (cluster_topics trains the
+# kmeans quantizer and raises loudly on a degenerate corpus — the oracle's
+# centroid CTE must then be empty).
+# --------------------------------------------------------------------------
+_HYBRID_FUZZED = ["rrf_hybrid_search", "cluster_topics"]
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(_VEC, min_size=6, max_size=12),
+       st.lists(_TEXT, min_size=6, max_size=12))
+def test_hybrid_docs_embedding_queries_match_oracles(spark, vecs, texts):
+    from cliqz_etl_spark.operators.cache import release_all
+
+    # guarantee a few valid vectors and texts so both sides have work
+    vecs = list(vecs) + [[0.1 * ((i + j) % 7 - 3) for j in range(64)]
+                         for i in range(4)]
+    texts = list(texts) + ["the quick brown fox", "a of and to ok",
+                           "naïve tokens yy x1", "the quick brown fox"]
+    n = max(len(vecs), len(texts))
+    ids = (_EMB_IDS * ((n // len(_EMB_IDS)) + 1))[:n]
+    vrows = [(ids[i], vecs[i] if i < len(vecs) else None, i % 3)
+             for i in range(n)]
+    drows = [(ids[i], texts[i] if i < len(texts) else None,
+              ["en", "de", "fr"][i % 3], "fuzz",
+              len(texts[i]) if i < len(texts) and texts[i] else 0)
+             for i in range(n)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, "
+                "embedding DOUBLE[], label BIGINT)")
+    con.executemany("INSERT INTO embeddings VALUES (?,?,?)", vrows)
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", drows)
+    tmp = tempfile.mkdtemp(prefix="fuzzhybrid_")
+    try:
+        spark.createDataFrame(
+            vrows, "vec_id long, embedding array<double>, label long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        spark.createDataFrame(
+            drows, "doc_id long, text string, lang string, source string, "
+                   "n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        for name in _HYBRID_FUZZED:
+            q = _REGISTRY[name]
+            try:
+                got = q.fn(spark, tmp)
+                g_cols, g_rows = got.columns, [tuple(r) for r in got.collect()]
+            except ValueError:
+                assert not con.execute(q.oracle).fetchall(), name
+                continue
+            finally:
+                release_all()
+            res = con.execute(q.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = [tuple(r) for r in res.fetchall()]
+            assert sorted(g_cols) == sorted(d_cols), name
+            assert len(g_rows) == len(d_rows), (
+                name, len(g_rows), len(d_rows))
+            assert _hash_rows(g_cols, g_rows) == _hash_rows(d_cols, d_rows), (
+                name, sorted(g_rows, key=str)[:5], sorted(d_rows, key=str)[:5])
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
