@@ -1122,3 +1122,37 @@ def test_hybrid_docs_embedding_queries_match_oracles(spark, vecs, texts):
     finally:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Queries legitimately outside every fuzz wave, each with the dedicated
+# coverage that replaces it. Additions here need the same justification.
+_FUZZ_EXEMPT = {
+    # drain wrapper over dedup_incremental's fuzzed semantics; reads the
+    # documents table the streaming harness doesn't stage
+    "streaming_dedup_screen",
+    # the custom synthetic stream source -> custom sink path; fuzzed
+    # end-to-end by test_synthetic_stream_offsets_compose_exactly_once
+    "stream_sink_roundtrip", "synthetic_stream_rollup",
+    # the custom batch source; fuzzed by
+    # test_synthetic_source_matches_regenerated_oracle
+    "synthetic_source_rollup",
+}
+
+
+def test_every_registry_query_is_fuzz_enrolled():
+    """Fuzz-coverage gate (round-12 audit): every registered query must
+    sit in one of the fuzz waves above or carry a documented exemption —
+    so a new wave of queries can't silently ship without adversarial
+    input coverage the way 17 round-11 queries briefly did."""
+    enrolled = (set(_FUZZED) | set(_EMB_FUZZED) | set(_EV_FUZZED)
+                | set(_WH_FUZZED) | set(_TPCH_FUZZED) | set(_STREAM_FUZZED)
+                | set(_HYBRID_FUZZED))
+    registry = set(_REGISTRY)
+    missing = sorted(registry - enrolled - _FUZZ_EXEMPT)
+    assert not missing, (
+        f"{len(missing)} registry queries have no fuzz enrollment and no "
+        f"documented exemption: {missing}")
+    ghost = sorted((enrolled | _FUZZ_EXEMPT) - registry)
+    assert not ghost, f"fuzz lists name unknown queries: {ghost}"
+    double = sorted(enrolled & _FUZZ_EXEMPT)
+    assert not double, f"exempt queries are also enrolled: {double}"
