@@ -518,7 +518,73 @@ _PLAN_BUDGET = {
     # distinct + the pruned window exchange; a non-decorrelated plan
     # (per-segment subquery re-execution) would breach instantly
     "lateral_top_balances": (3, 0),
+    # --- round-12 backfill: every remaining BENCH_HEADLINE query now
+    # carries a ceiling, pinned verbatim from the regenerated PLANS.md
+    # digests (same method, same smoke scale), so NO headline plan can
+    # structurally regress unnoticed. Streaming rows digest the
+    # POST-drain batch plan and driver-fit rows the returned model
+    # frame, as PLANS.md's header documents; their low ceilings pin
+    # exactly that contract.
+    "ann_ivf": (1, 2),
+    "ann_sq8": (2, 1),
+    "asof_last_click_before_purchase": (1, 0),
+    "bigram_lm_score": (4, 0),
+    "cluster_topics": (2, 1),
+    "contamination_check": (2, 0),
+    "dedup_incremental": (1, 0),
+    "dedup_ngram_jaccard": (1, 0),
+    "dedup_simhash": (1, 0),
+    "doc_fingerprint": (0, 0),
+    "dsir_importance_weights": (2, 0),
+    "forecast_revenue": (1, 0),
+    "full_outer_rollup": (2, 0),
+    "fuzzy_match_parts": (2, 0),
+    "gif_decode_stats": (0, 1),
+    "hll_distinct_users": (4, 0),
+    "image_decode_stats": (0, 1),
+    "jpeg_decode_stats": (0, 1),
+    "jpeg_lossy_stats": (0, 1),
+    "jsonl_sink_roundtrip": (1, 0),
+    "k_anonymize_customers": (1, 0),
+    "lang_id": (0, 0),
+    "longest_streak": (1, 1),
+    "map_valued_agg": (1, 0),
+    "market_basket_rules": (2, 0),
+    "markov_attribution": (0, 0),
+    "mjpeg_frame_stats": (0, 1),
+    "mode_per_user": (2, 0),
+    "nation_trade_volume": (1, 0),
+    "nb_quality_classifier": (0, 0),
+    "observed_write_metrics": (0, 0),
+    "orc_roundtrip_revenue": (1, 0),
+    "pca_top_component": (0, 0),
+    "pii_scan_docs": (1, 0),
+    "recency_filter": (2, 0),
+    "returned_item_top_customers": (1, 0),
+    "rfm_segments": (7, 0),
+    "running_total": (1, 0),
+    "shipping_priority": (1, 0),
+    "stratified_sample": (1, 0),
+    "streaming_daily_peak": (0, 0),
+    "streaming_dedup": (1, 0),
+    "streaming_hourly_counts": (0, 0),
+    "streaming_left_outer_join": (0, 0),
+    "streaming_sequence_funnel": (2, 0),
+    "text_quality": (0, 0),
+    "token_pmi": (1, 0),
+    "unigram_freq_score": (2, 0),
 }
+
+
+def test_every_headline_query_has_a_plan_budget():
+    """Structural gate (round-12): the plan-budget table must cover the
+    whole BENCH_HEADLINE set, so a new headline query cannot ship
+    without a pinned shuffle/python ceiling."""
+    from cliqz_etl_spark.queries import BENCH_HEADLINE
+
+    missing = sorted(set(BENCH_HEADLINE) - set(_PLAN_BUDGET))
+    assert not missing, (
+        f"headline queries without a plan budget: {missing}")
 
 
 @pytest.mark.parametrize("name", sorted(_PLAN_BUDGET))
