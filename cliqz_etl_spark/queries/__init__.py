@@ -55,62 +55,7 @@ DRIVER_ORDER: list[str] = [
     # Ordered red-latest-row first, then new/zero-evidence, then oldest
     # green evidence; the driver checks slots 1-50. Regenerate after
     # each driver run:  python tools/rotate_window.py
-    # churn-pins(r12): column_profile_report
-    # ---- latest green row: rnew/churn ----
-    "top_event_paths",
-    "woe_iv_encoding",
-    "textrank_keywords",
-    "negative_sampling_table",
-    "ann_recall_eval",
-    "map_ops_gauntlet",
-    "sliding_distinct_users",
-    "curation_funnel_audit",
-    "boilerplate_ngram_profile",
-    "quality_pr_curve",
-    "kn_bigram_model",
-    "dp_noisy_event_counts",
-    "pca_top_component",
-    "target_encode_oof",
-    "benford_first_digit",
-    "csv_sink_roundtrip",
-    # ---- latest green row: r11 ----
-    "column_profile_report",
-    # ---- latest green row: r6 ----
-    "order_priority_checking",
-    "forecast_revenue",
-    "returned_item_top_customers",
-    "priority_line_counts",
-    "promo_revenue_pct",
-    "top_revenue_suppliers",
-    "large_volume_customers",
-    "brand_filtered_revenue",
-    "customer_order_distribution",
-    "sole_late_supplier_blame",
-    "idle_balance_customers",
-    "national_market_share",
-    "streaming_running_totals",
-    "pii_scan_docs",
-    "pseudonymize_customers",
-    "k_anonymize_customers",
-    "dedup_semantic",
-    "dedup_spans",
-    "gopher_quality_filter",
-    "unigram_freq_score",
-    "fuzzy_match_parts",
-    "image_resize_stats",
-    "media_embed_fingerprint",
-    "curation_pipeline_v2",
-    "ann_sq8",
-    "dedup_incremental",
-    "streaming_hourly_counts",
-    "streaming_dedup",
     # ---- latest green row: r7 ----
-    "kmv_distinct_users",
-    "orc_roundtrip_revenue",
-    "chunk_documents",
-    "schema_evolution_union",
-    "supplier_part_pagerank",
-    # ---------------- past the check window ----------------
     "streaming_upsert_totals",
     "synthetic_source_rollup",
     "synthetic_stream_rollup",
@@ -162,6 +107,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_exact_substrings",
     "zorder_layout",
     "record_linkage_fs",
+    # ---------------- past the check window ----------------
     "psi_drift",
     "temperature_mixing",
     "incremental_join_maintenance",
@@ -357,6 +303,57 @@ DRIVER_ORDER: list[str] = [
     "kaplan_meier_retention",
     "stump_split_search",
     "anova_f_segments",
+    # ---- latest green row: r12 ----
+    "top_event_paths",
+    "woe_iv_encoding",
+    "textrank_keywords",
+    "negative_sampling_table",
+    "ann_recall_eval",
+    "map_ops_gauntlet",
+    "sliding_distinct_users",
+    "curation_funnel_audit",
+    "boilerplate_ngram_profile",
+    "quality_pr_curve",
+    "kn_bigram_model",
+    "dp_noisy_event_counts",
+    "pca_top_component",
+    "target_encode_oof",
+    "benford_first_digit",
+    "csv_sink_roundtrip",
+    "column_profile_report",
+    "order_priority_checking",
+    "forecast_revenue",
+    "returned_item_top_customers",
+    "priority_line_counts",
+    "promo_revenue_pct",
+    "top_revenue_suppliers",
+    "large_volume_customers",
+    "brand_filtered_revenue",
+    "customer_order_distribution",
+    "sole_late_supplier_blame",
+    "idle_balance_customers",
+    "national_market_share",
+    "streaming_running_totals",
+    "pii_scan_docs",
+    "pseudonymize_customers",
+    "k_anonymize_customers",
+    "dedup_semantic",
+    "dedup_spans",
+    "gopher_quality_filter",
+    "unigram_freq_score",
+    "fuzzy_match_parts",
+    "image_resize_stats",
+    "media_embed_fingerprint",
+    "curation_pipeline_v2",
+    "ann_sq8",
+    "dedup_incremental",
+    "streaming_hourly_counts",
+    "streaming_dedup",
+    "kmv_distinct_users",
+    "orc_roundtrip_revenue",
+    "chunk_documents",
+    "schema_evolution_union",
+    "supplier_part_pagerank",
     # === END GENERATED WINDOW ===
 ]
 
@@ -607,4 +604,3 @@ def load_all() -> dict[str, Query]:
             f"must occupy exactly one slot in DRIVER_ORDER (a duplicate "
             f"makes later slots shadow the window the gates check)")
     return {n: REGISTRY[n] for n in DRIVER_ORDER}
-
