@@ -4,11 +4,14 @@ must keep parsing BASELINE.md and the recorded bench artifacts."""
 from __future__ import annotations
 
 import importlib.util
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
 
 
 def _load_bench_compare():
     spec = importlib.util.spec_from_file_location(
-        "bench_compare", "/root/repo/tools/bench_compare.py")
+        "bench_compare", str(_REPO / "tools/bench_compare.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -32,7 +35,7 @@ def test_round9_truncated_tail_recovers():
     broke the round's own regression gate. load_bench must reconstruct the
     object from the intact tail end — verbatim artifact, no fixture."""
     bc = _load_bench_compare()
-    bench = bc.load_bench("/root/repo/BENCH_r09.json")
+    bench = bc.load_bench(str(_REPO / "BENCH_r09.json"))
     assert "queries" in bench and len(bench["queries"]) >= 60
     assert bench["calibration"]["spark_job_sec"] == 0.499
     assert bench["queries"]["cluster_topics"] == 1.795
@@ -64,7 +67,7 @@ def test_round10_mid_map_tail_recovers():
     load_bench must reconstruct the map and calibration — verbatim
     artifact, no fixture."""
     bc = _load_bench_compare()
-    bench = bc.load_bench("/root/repo/BENCH_r10.json")
+    bench = bc.load_bench(str(_REPO / "BENCH_r10.json"))
     assert "queries" in bench and len(bench["queries"]) >= 60
     assert bench["calibration"]["spark_job_sec"] == 0.535
     assert bench["queries"]["kmv_set_algebra"] == 1.094
@@ -77,7 +80,7 @@ def test_rotation_green_requires_all_three_flags(tmp_path):
     import importlib.util as iu
 
     spec = iu.spec_from_file_location(
-        "rotate_window", "/root/repo/tools/rotate_window.py")
+        "rotate_window", str(_REPO / "tools/rotate_window.py"))
     rw = iu.module_from_spec(spec)
     spec.loader.exec_module(rw)
 
@@ -107,7 +110,7 @@ def test_round8_bench_normalizes_clean():
     single-split reading against it measures the improvement, not
     drift."""
     bc = _load_bench_compare()
-    bench = bc.load_bench("/root/repo/BENCH_r08.json")
+    bench = bc.load_bench(str(_REPO / "BENCH_r08.json"))
     cal_now = bench["calibration"]["spark_job_sec"]
     baselines = bc.parse_baselines()
     over = []
@@ -139,7 +142,7 @@ _ZERO_SCAN_OK = {
 
 def _parse_plans_rows() -> dict:
     rows = {}
-    with open("/root/repo/PLANS.md") as f:
+    with open(_REPO / "PLANS.md") as f:
         for line in f:
             if not line.startswith("| "):
                 continue
@@ -172,7 +175,7 @@ def test_plans_md_covers_every_headline_query_with_real_scans():
 
 def _load_rotate_window():
     spec = importlib.util.spec_from_file_location(
-        "rotate_window", "/root/repo/tools/rotate_window.py")
+        "rotate_window", str(_REPO / "tools/rotate_window.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod

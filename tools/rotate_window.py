@@ -222,7 +222,12 @@ def main() -> int:
         max_round = max(max_round, int(
             re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1)))
     pin_round = max_round + 1
-    churn_live = {n: r for n, r in persisted_churn(src).items()
+    # Only pins recorded inside the generated block are live — a
+    # '# churn-pins(rN): ...' string anywhere else in the module (a
+    # docstring example, a commented-out draft) must not be rewritten
+    # into the window.
+    block_src = src.split(BEGIN, 1)[1].split(END, 1)[0]
+    churn_live = {n: r for n, r in persisted_churn(block_src).items()
                   if n in set(order) and green.get(n, 0) < r}
     for n in args.churn:
         churn_live[n] = pin_round
