@@ -55,6 +55,10 @@ DRIVER_ORDER: list[str] = [
     # Ordered red-latest-row first, then new/zero-evidence, then oldest
     # green evidence; the driver checks slots 1-50. Regenerate after
     # each driver run:  python tools/rotate_window.py
+    # churn-pins(r13): incremental_join_maintenance, knn_graph
+    # ---- latest green row: r8 ----
+    "incremental_join_maintenance",
+    "knn_graph",
     # ---- latest green row: r7 ----
     "streaming_upsert_totals",
     "synthetic_source_rollup",
@@ -105,13 +109,11 @@ DRIVER_ORDER: list[str] = [
     "bigram_lm_score",
     "dsir_importance_weights",
     "dedup_exact_substrings",
+    # ---------------- past the check window ----------------
     "zorder_layout",
     "record_linkage_fs",
-    # ---------------- past the check window ----------------
     "psi_drift",
     "temperature_mixing",
-    "incremental_join_maintenance",
-    "knn_graph",
     "script_mix",
     "event_pmi",
     "triangle_counts",

@@ -268,7 +268,14 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by a union + re-aggregate; the oracle is the flat full join — so the
 # comparison PROVES the maintenance identity, not just the arithmetic.
 # --------------------------------------------------------------------------
-_IVM_CUTOFF = "1998-01-01"
+# Delta = the trailing N days of the corpus. A CALENDAR constant rots as
+# the testdata date range drifts between regenerations (the round-12
+# drift: a "1998-01-01" cutoff captured 54% of an orders table whose
+# draw ran 1995..2001, so the "small" broadcast delta was half the fact
+# table). In a real IVM deployment the batch boundary comes from batch
+# metadata; here we derive it from max(o_orderdate), one column-pruned
+# scalar pass, so the delta is small BY CONSTRUCTION on any draw.
+_IVM_DELTA_DAYS = 60
 
 
 @query(
@@ -288,8 +295,12 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Old state joins once (that cost was already paid before the batch in
     a real deployment — here it stands in for the stored view); the
-    batch then costs only dA><B + A><dB + dA><dB. Both deltas are small
-    by construction, so BOTH delta-join probes broadcast the delta side;
+    batch then costs only dA><B + A><dB + dA><dB. The order delta is the
+    trailing _IVM_DELTA_DAYS of the corpus (cutoff derived from
+    max(o_orderdate) — one scalar fetch, see _IVM_DELTA_DAYS note), the
+    customer delta a fixed md5 decile, so both deltas are small by
+    construction on ANY testdata draw and BOTH delta-join probes
+    broadcast the delta side;
     the dA><dB corner term — the one hand-rolled IVM implementations
     classically forget — is a broadcast-broadcast join. The final
     combine unions four pre-aggregated per-nation frames (bounded by
@@ -305,8 +316,12 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("c_nationkey").isNotNull())
             .select("c_custkey", "c_nationkey"))
 
-    cut = F.lit(f"{_IVM_CUTOFF} 00:00:00").cast("timestamp")
-    is_new_order = F.col("o_orderdate").isNotNull() & (F.col("o_orderdate") >= cut)
+    hi = orders.agg(F.max("o_orderdate")).first()[0]  # scalar batch boundary
+    if hi is None:
+        is_new_order = F.lit(False)
+    else:
+        cut = F.lit(hi) - F.expr(f"INTERVAL {_IVM_DELTA_DAYS} DAYS")
+        is_new_order = F.col("o_orderdate").isNotNull() & (F.col("o_orderdate") >= cut)
     a_old = orders.where(~is_new_order | F.col("o_orderdate").isNull())
     d_a = orders.where(is_new_order)
     is_new_cust = md5_long(F.col("c_custkey")) % 10 == 0

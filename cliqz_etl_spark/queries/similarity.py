@@ -373,19 +373,21 @@ _RHP = [[_rhp_component(i, d) for d in range(VEC_DIM)] for i in range(RHP_BITS)]
 
 
 def _rhp_signature_col():
-    """Sum of 2^i over planes with non-negative dot product."""
-    import functools
-    import operator as _op
+    """Sum of 2^i over planes with non-negative dot product.
 
+    Built as ONE ``F.expr`` SQL string rather than a Column graph: the
+    graph form needs ~1.1k ``F.lit`` nodes (16 planes x 64 components),
+    each a py4j round trip, and measured 4-5x slower to BUILD than to
+    run at bench scale (1.0 s vs 0.23 s warm for the identical plan).
+    The executed expression tree is the same either way; only the
+    driver-side construction cost changes."""
     terms = []
     for i, plane in enumerate(_RHP):
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col("qv"), arr, lambda a, b: a * b),
-            F.lit(0).cast("long"), lambda acc, x: acc + x,
-        )
-        terms.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
-    return functools.reduce(_op.add, terms)
+        arr = "array(" + ",".join(f"{x}L" for x in plane) + ")"
+        dot = (f"aggregate(zip_with(qv, {arr}, (a, b) -> a * b), 0L, "
+               "(acc, x) -> acc + x)")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)")
+    return F.expr(" + ".join(terms))
 
 
 def _rhp_signature_sql() -> str:
