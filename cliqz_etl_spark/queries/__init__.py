@@ -56,6 +56,8 @@ DRIVER_ORDER: list[str] = [
     # green evidence; the driver checks slots 1-50. Regenerate after
     # each driver run:  python tools/rotate_window.py
     # churn-pins(r13): incremental_join_maintenance, knn_graph
+    # ---- latest green row: rnew/churn ----
+    "curation_pipeline_v4",
     # ---- latest green row: r8 ----
     "incremental_join_maintenance",
     "knn_graph",
@@ -108,8 +110,8 @@ DRIVER_ORDER: list[str] = [
     # ---- latest green row: r8 ----
     "bigram_lm_score",
     "dsir_importance_weights",
-    "dedup_exact_substrings",
     # ---------------- past the check window ----------------
+    "dedup_exact_substrings",
     "zorder_layout",
     "record_linkage_fs",
     "psi_drift",
@@ -569,6 +571,11 @@ BENCH_HEADLINE: list[str] = [
     "audio_feature_stats",
     "conformal_value_intervals",
     "ivf_probe_recall_sweep",
+    # Round-13: the full multimodal+text+pack composition — four member
+    # plans, three gate joins, and the survivor pack window in one
+    # lineage; the bench prices the composition overhead the members
+    # don't see individually.
+    "curation_pipeline_v4",
 ]
 
 

@@ -364,3 +364,99 @@ def source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n) div nn").cast("long").alias("share_ppm"),
         "term_micro",
         F.sum("term_micro").over(w).cast("long").alias("entropy_micro"))
+
+
+# --------------------------------------------------------------------------
+# curation_pipeline_v4 — the full FineWeb-shaped ingest in ONE lineage,
+# crossing the multimodal -> text -> pack seam no other composition
+# exercises: media byte-budget gate (through the REAL BMP codec path of
+# image_decode_stats), Gopher quality gate, benchmark-decontamination
+# (drop contaminated train docs AND the eval split itself), C4 span
+# dedup as the TRANSFORM stage (docs are repacked from their surviving
+# chunks, not their raw text), then sequence packing over the curated
+# survivors. Per the v2/v3 discipline the oracle embeds the member
+# queries' oracles VERBATIM as CTEs — the composition cannot drift from
+# the parts; the only glue SQL is the key-joins, the eval-split
+# predicate, and the pack window replayed over the survivor set (the
+# same documented formula as pack_sequences, here fed by text_kept).
+# --------------------------------------------------------------------------
+from cliqz_etl_spark.queries import multimodal as _mm_mod  # noqa: F401,E402
+
+V4_IMG_MAX_BYTES = 200  # media payload budget (bytes, encoded image)
+
+
+@query(
+    "curation_pipeline_v4",
+    oracle=f"""
+    WITH g AS ({_REG["gopher_quality_filter"].oracle}),
+    cont AS ({_REG["contamination_check"].oracle}),
+    img AS ({_REG["image_decode_stats"].oracle}),
+    sp AS ({_REG["dedup_spans"].oracle}),
+    surv AS (
+        SELECT sp.doc_id AS doc_id, d.source AS source,
+               len(string_split_regex(trim(sp.text_kept), '\\s+')) AS n_tok
+        FROM sp
+        JOIN documents d ON d.doc_id = sp.doc_id
+        JOIN g ON g.doc_id = sp.doc_id AND g.passes
+        JOIN img ON img.doc_id = sp.doc_id
+                AND img.byte_len <= {V4_IMG_MAX_BYTES}
+        WHERE sp.n_kept > 0
+          AND sp.doc_id % {EVAL_MOD} != 0
+          AND sp.doc_id NOT IN (SELECT doc_id FROM cont)
+    ), packed AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM surv
+    )
+    SELECT doc_id AS doc_id, source AS source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(floor(CAST(cum - n_tok AS DOUBLE) / {CTX_TOKENS}) AS BIGINT)
+               AS chunk_first,
+           CAST(floor(CAST(cum - 1 AS DOUBLE) / {CTX_TOKENS}) AS BIGINT)
+             - CAST(floor(CAST(cum - n_tok AS DOUBLE) / {CTX_TOKENS}) AS BIGINT)
+             + 1 AS n_chunks
+    FROM packed
+    """,
+    doc="Full multimodal+text curation lineage: media byte budget, "
+        "Gopher gate, decontamination (incl. eval split), span-dedup "
+        "transform, then sequence packing over the curated survivors.",
+)
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the member queries' OUTPUTS (zero re-implementation):
+    three gate sets key-join/anti-join onto the span-dedup frame, whose
+    text_kept is re-tokenized for packing — so the packed token counts
+    price the TRANSFORMED corpus, not the raw one. Plan: four member
+    plans + three doc-id-sized gate joins (broadcast at gate scale,
+    doc_id shuffle beyond) + one per-source pack window; the window runs
+    over the curated survivor set, so the cumsum partition is the SOURCE
+    shard exactly as in pack_sequences (the 100 TB parallelism unit).
+    Documents shorter than the span-dedup window survive whole (their
+    chunks are unique by construction) and pack at full length."""
+    gate_ok = (_REG["gopher_quality_filter"].fn(spark, sf_dir)
+               .where(F.col("passes")).select("doc_id"))
+    contam = _REG["contamination_check"].fn(spark, sf_dir).select("doc_id")
+    img_ok = (_REG["image_decode_stats"].fn(spark, sf_dir)
+              .where(F.col("byte_len") <= V4_IMG_MAX_BYTES).select("doc_id"))
+    sp = (_REG["dedup_spans"].fn(spark, sf_dir)
+          .where(F.col("n_kept") > 0).select("doc_id", "text_kept"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    surv = (sp.join(gate_ok, "doc_id")
+            .join(img_ok, "doc_id")
+            .join(contam, "doc_id", "left_anti")
+            .where(F.col("doc_id") % EVAL_MOD != 0)
+            .join(docs, "doc_id")
+            .select("doc_id", "source",
+                    F.size(tokens("text_kept")).alias("n_tok")))
+    w = (Window.partitionBy("source").orderBy(F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = surv.withColumn("cum", F.sum("n_tok").over(w))
+    chunk_first = (F.floor((F.col("cum") - F.col("n_tok")).cast("double")
+                           / CTX_TOKENS).cast("long"))
+    chunk_last = (F.floor((F.col("cum") - 1).cast("double")
+                          / CTX_TOKENS).cast("long"))
+    return packed.select(
+        "doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"),
+        chunk_first.alias("chunk_first"),
+        (chunk_last - chunk_first + 1).alias("n_chunks"),
+    )

@@ -73,6 +73,11 @@ _FUZZED = [
     # composition joins are what this wave exercises; members are
     # fuzzed standalone above)
     "curation_pipeline_v3",
+    # round-13: the v4 composition (media budget x gopher x decontam x
+    # span-dedup transform x survivor packing) — the gates must select
+    # identical survivor sets and the pack window must replay over
+    # text_kept identically on any corpus; members are fuzzed standalone
+    "curation_pipeline_v4",
     # round-8: prefix-filtered exact all-pairs Jaccard — the clone pair
     # must always surface (jac=1.0); single-token docs have prefix = the
     # whole set; the no-false-negative guarantee under adversarial text

@@ -274,6 +274,11 @@ _PLAN_BUDGET = {
     "chunk_documents": (0, 0),
     "variant_roundtrip_stats": (2, 0),
     "curation_pipeline_v2": (4, 0),
+    # round-13: 5 measured = dedup_spans' 3 keyed shuffles + contamination
+    # postings agg + the survivor pack window; 1 python = the BMP codec
+    # Arrow stage. Ceiling catches a gate join degrading from broadcast
+    # to shuffle (doc-id-sized sides must broadcast at gate scale)
+    "curation_pipeline_v4": (6, 1),
     "supplier_part_pagerank": (6, 0),
     # round-8 pins
     "dedup_exact_substrings": (2, 0),
