@@ -58,6 +58,7 @@ DRIVER_ORDER: list[str] = [
     # churn-pins(r13): incremental_join_maintenance, knn_graph
     # ---- latest green row: rnew/churn ----
     "curation_pipeline_v4",
+    "dedup_substring_removal",
     # ---- latest green row: r8 ----
     "incremental_join_maintenance",
     "knn_graph",
@@ -109,8 +110,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_cascade",
     # ---- latest green row: r8 ----
     "bigram_lm_score",
-    "dsir_importance_weights",
     # ---------------- past the check window ----------------
+    "dsir_importance_weights",
     "dedup_exact_substrings",
     "zorder_layout",
     "record_linkage_fs",
@@ -576,6 +577,10 @@ BENCH_HEADLINE: list[str] = [
     # lineage; the bench prices the composition overhead the members
     # don't see individually.
     "curation_pipeline_v4",
+    # Round-13: the Lee-et-al substring-removal rewrite — the heaviest
+    # per-input-byte dedup transform (window explode + coverage explode
+    # + doc-keyed rebuild), priced separately from the profile query.
+    "dedup_substring_removal",
 ]
 
 

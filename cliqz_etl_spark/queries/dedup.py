@@ -494,6 +494,142 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact-substring REMOVAL (the rewrite pass of Lee et al. 2021): where
+# dedup_exact_substrings reports the per-doc duplication PROFILE, this
+# applies the rule — every token covered by a duplicate window occurrence
+# is removed, documents are reassembled from the surviving tokens, and
+# the per-doc output carries the surviving-range structure (how many
+# removal runs) plus the reassembled text length, oracle-checked
+# character-exact. Coverage is computed by exploding each duplicate
+# occurrence into its W token positions and distinct-ing — bounded by
+# n_dup_windows x W, the same order as the window explode that found
+# them (never corpus^2); the run/rebuild stages all key on doc_id, so
+# the window sort, the run-boundary lag, and the final reassembly share
+# ONE doc-keyed exchange.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_substring_removal",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_WS} AS tk FROM documents WHERE trim(text) <> ''
+    ), toks0 AS (
+        SELECT doc_id, unnest(list_transform(range(len(tk)),
+            i -> {{'pos': CAST(i AS BIGINT), 'tok': tk[i + 1]}})) AS c
+        FROM t
+    ), toks AS (
+        SELECT doc_id, c.pos AS pos, c.tok AS tok FROM toks0
+    ), w0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(tk) - {SUBSTR_W} + 1),
+                   i -> {{'win_idx': CAST(i AS BIGINT),
+                          'win': array_to_string(
+                              tk[i + 1 : i + {SUBSTR_W}], ' ')}})) AS c
+        FROM t WHERE len(tk) >= {SUBSTR_W}
+    ), w AS (
+        SELECT doc_id, c.win_idx AS win_idx, {md5_long_sql('c.win')} AS h,
+               CAST(doc_id AS BIGINT) * 1048576 + c.win_idx AS key
+        FROM w0
+    ), m AS (
+        SELECT h, min(key) AS keep FROM w GROUP BY h
+    ), occ AS (
+        SELECT w.doc_id, w.win_idx FROM w JOIN m USING (h)
+        WHERE w.key > m.keep
+    ), cov AS (
+        SELECT DISTINCT doc_id, CAST(unnest(range(win_idx,
+            win_idx + {SUBSTR_W})) AS BIGINT) AS pos
+        FROM occ
+    ), fl AS (
+        SELECT toks.doc_id AS doc_id, toks.pos AS pos, toks.tok AS tok,
+               CASE WHEN cov.pos IS NULL THEN 0 ELSE 1 END AS rm
+        FROM toks LEFT JOIN cov
+          ON cov.doc_id = toks.doc_id AND cov.pos = toks.pos
+    ), runs AS (
+        SELECT doc_id, pos, tok, rm,
+               CASE WHEN rm = 1 AND coalesce(lag(rm) OVER
+                    (PARTITION BY doc_id ORDER BY pos ASC), 0) = 0
+                    THEN 1 ELSE 0 END AS rs
+        FROM fl
+    )
+    SELECT doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(1 - rm) AS BIGINT) AS n_kept_tok,
+           CAST(sum(rs) AS BIGINT) AS n_removed_runs,
+           CAST(coalesce(len(string_agg(CASE WHEN rm = 0 THEN tok END,
+                ' ' ORDER BY pos ASC)), 0) AS BIGINT) AS kept_len
+    FROM runs GROUP BY doc_id
+    """,
+    doc="Lee-et-al exact-substring rewrite: remove every token covered "
+        "by a duplicate stride-1 window occurrence, reassemble docs "
+        "from survivors; per-doc removal-run count and rebuilt length.",
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform stage the dedup_exact_substrings profile implies.
+
+    Pipeline: the member's window->MIN(packed key) machinery finds
+    duplicate occurrences; each explodes into its W covered token
+    positions (distinct-ed, so overlapping duplicate windows never
+    double-remove); a left join onto the token frame marks removal;
+    one doc-keyed window computes run boundaries (lag on position);
+    the reassembly is sort_array(collect_list(struct(pos, tok))) over
+    the survivors — span_dedup's rebuild idiom at token granularity.
+
+    At 100 TB: coverage is n_dup x W rows (duplicates only, not the
+    corpus), the winner table is one row per DISTINCT window, and
+    everything after the h-keyed join keys on doc_id — the lag window,
+    run count, and rebuild share one doc-sized exchange. Docs shorter
+    than W tokens carry no windows and survive whole; a doc whose every
+    token is covered comes back n_kept_tok=0, kept_len=0 (both engines
+    rebuild the empty string)."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+    from cliqz_etl_spark.functions.text import tokens
+    from cliqz_etl_spark.operators.dedup import _materialize, _spread
+    from pyspark.sql import Window
+
+    W = SUBSTR_W
+    base = _materialize(
+        _spread(load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text"))
+        .where(F.trim(F.col("text")) != "")
+        .select("doc_id", tokens("text").alias("tk")))
+    toks = base.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    wins = (base.where(F.size("tk") >= W)
+            .select("doc_id", F.posexplode(F.transform(
+                F.sequence(F.lit(1), F.size("tk") - W + 1),
+                lambda i: F.array_join(F.slice("tk", i, W), " ")))
+                .alias("win_idx", "win")))
+    w = wins.select(
+        "doc_id", "win_idx", md5_long(F.col("win")).alias("h"),
+        (F.col("doc_id") * F.lit(1048576) + F.col("win_idx")).alias("key"))
+    m = w.groupBy("h").agg(F.min("key").alias("keep"))
+    occ = (w.join(m, "h").where(F.col("key") > F.col("keep"))
+           .select("doc_id", "win_idx"))
+    cov = (occ.select("doc_id", F.explode(F.sequence(
+               F.col("win_idx"), F.col("win_idx") + W - 1)).alias("pos"))
+           .distinct().withColumn("rm", F.lit(1)))
+    fl = (toks.join(cov, ["doc_id", "pos"], "left")
+          .select("doc_id", "pos", "tok",
+                  F.coalesce("rm", F.lit(0)).alias("rm")))
+    wd = Window.partitionBy("doc_id").orderBy(F.asc("pos"))
+    runs = fl.withColumn(
+        "rs", F.when((F.col("rm") == 1)
+                     & (F.coalesce(F.lag("rm").over(wd), F.lit(0)) == 0),
+                     1).otherwise(0))
+    return (runs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tok"),
+                 F.sum(F.lit(1) - F.col("rm")).cast("long")
+                 .alias("n_kept_tok"),
+                 F.sum("rs").cast("long").alias("n_removed_runs"),
+                 F.length(F.array_join(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("rm") == 0,
+                                F.struct("pos", "tok")))),
+                     lambda s: s["tok"]), " ")).cast("long")
+                 .alias("kept_len")))
+
+
+# --------------------------------------------------------------------------
 # Prefix-filtered exact all-pairs Jaccard join (PPJoin family, Chaudhuri
 # et al. 2006 / Xiao et al. 2008): the NO-false-negative exact similarity
 # join. Tokens are globally ordered rarest-first (document frequency asc,

@@ -21,7 +21,7 @@ def test_contract_shape():
     # floor tracks the registry's actual size (292 in round 11) so
     # an accidental deregistration — a lost import, a dropped module —
     # fails here loudly instead of silently shrinking the driver surface
-    assert len(qs) >= 293
+    assert len(qs) >= 294
     assert set(osql) <= set(qs)
     # every registered query is fully oracle-checked (approx_distinct_users
     # was the last rows-only entry until its error-bound oracle)

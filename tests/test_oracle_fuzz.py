@@ -59,6 +59,11 @@ _FUZZED = [
     # round-8: stride-1 exact-substring window dedup (short docs below
     # W, within-doc repeats, clone pair)
     "dedup_exact_substrings",
+    # round-13: the removal/rewrite pass over the same window frame —
+    # coverage union across overlapping duplicate windows, run-boundary
+    # lag, and the character-exact rebuilt length must agree on clone
+    # pairs, within-doc repeats, and docs below W
+    "dedup_substring_removal",
     # round-8: temperature-scaled language mixing (single-lang corpora,
     # pow/quantize boundary, tiny n_docs)
     "temperature_mixing",

@@ -279,6 +279,13 @@ _PLAN_BUDGET = {
     # Arrow stage. Ceiling catches a gate join degrading from broadcast
     # to shuffle (doc-id-sized sides must broadcast at gate scale)
     "curation_pipeline_v4": (6, 1),
+    # round-13: at smoke scale AQE broadcasts the coverage frame (the
+    # h-keyed winner agg + occurrence join live inside the broadcast
+    # subtree), so the counted exchanges are the doc-keyed window/agg
+    # pair + the spread repartition; the ceiling leaves room for the
+    # at-scale SMJ shape while still catching a corpus-sized sort or a
+    # Python stage appearing
+    "dedup_substring_removal": (7, 0),
     "supplier_part_pagerank": (6, 0),
     # round-8 pins
     "dedup_exact_substrings": (2, 0),
