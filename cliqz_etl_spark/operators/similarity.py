@@ -204,8 +204,11 @@ def sq8_reconstructed(emb: DataFrame, id_col: str, vec_col: str,
                for d in range(dim)]
     else:
         mn, rng = [0] * dim, [0] * dim
-    mn_lit = F.array(*[F.lit(x).cast("long") for x in mn])
-    rng_lit = F.array(*[F.lit(x).cast("long") for x in rng])
+    # one F.expr parse instead of 2*dim F.lit py4j round trips (the
+    # knn_graph round-13 lesson: literal-array Column graphs price plan
+    # BUILD, not execution)
+    mn_lit = F.expr("array(" + ",".join(f"{x}L" for x in mn) + ")")
+    rng_lit = F.expr("array(" + ",".join(f"{x}L" for x in rng) + ")")
 
     def decode(v: Column, i: Column) -> Column:
         m = F.element_at(mn_lit, i + 1)
