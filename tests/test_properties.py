@@ -560,3 +560,71 @@ def test_elias_fano_rejects_malformed():
         zeroed[i] = 0
     with pytest.raises(ValueError, match="high-bit vector"):
         ef_decode(bytes(zeroed))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14)
+    .map(" ".join),
+    min_size=1, max_size=10))
+def test_substring_removal_matches_python_model(spark, texts):
+    """dedup_substring_removal against a plain-Python replay of the
+    Lee-et-al rule on tiny-vocab corpora (3-letter alphabet forces
+    stride-1 window collisions within and across docs): per-doc token
+    totals, survivor counts, removal-run counts, and the rebuilt text
+    length must all match exactly. A planted clone pair guarantees the
+    cross-doc removal path always fires."""
+    import shutil
+    import tempfile
+
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.queries import load_all
+    from cliqz_etl_spark.queries.dedup import SUBSTR_W as W
+
+    if len(texts) >= 2:
+        texts[-1] = texts[0]
+    rows = [(i, t, "en", "prop", len(t)) for i, t in enumerate(texts)]
+
+    # python model: windows keyed by their TEXT (the engine keys the
+    # 60-bit md5; a collision on <=150 windows is ~1e-16); earliest
+    # packed (doc_id, win_idx) survives, every later occurrence's W
+    # positions are removed
+    keep: dict[str, tuple[int, int]] = {}
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, t in [(r[0], r[1]) for r in rows]:
+        if not t.strip():
+            continue
+        toks = t.split()
+        per_doc[doc_id] = toks
+        for i in range(max(len(toks) - W + 1, 0)):
+            win = " ".join(toks[i:i + W])
+            if win not in keep or (doc_id, i) < keep[win]:
+                keep[win] = (doc_id, i)
+    want = {}
+    for doc_id, toks in per_doc.items():
+        covered = set()
+        for i in range(max(len(toks) - W + 1, 0)):
+            win = " ".join(toks[i:i + W])
+            if keep[win] != (doc_id, i):
+                covered.update(range(i, i + W))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        runs = sum(1 for p in sorted(covered)
+                   if p - 1 not in covered)
+        want[doc_id] = (len(toks), len(kept), runs,
+                        len(" ".join(kept)))
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    tmp = tempfile.mkdtemp(prefix="subrm_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/documents.parquet")
+        fn = load_all()["dedup_substring_removal"].fn
+        got = {r["doc_id"]: (r["n_tok"], r["n_kept_tok"],
+                             r["n_removed_runs"], r["kept_len"])
+               for r in fn(spark, tmp).collect()}
+    finally:
+        release_all()
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == want
