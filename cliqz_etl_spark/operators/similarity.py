@@ -77,6 +77,18 @@ def valid_quantized(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def long_array_expr(values) -> Column:
+    """array<long> literal built as ONE parsed expression.
+
+    The Column-graph form (``F.array(*[F.lit(x).cast("long") ...])``)
+    costs one py4j round trip per element at plan-BUILD time — the
+    round-13 knn_graph lesson, where a ~1.1k-literal graph added 1.0-1.7
+    s of data-independent driver cost per build (4-5x the parsed form).
+    Use this for any literal numeric array beyond a handful of elements;
+    values must be Python ints."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in values) + ")")
+
+
 def dot_q(a: Column, b: Column) -> Column:
     """Integer-exact dot product of two quantized vectors."""
     return F.aggregate(
@@ -204,11 +216,8 @@ def sq8_reconstructed(emb: DataFrame, id_col: str, vec_col: str,
                for d in range(dim)]
     else:
         mn, rng = [0] * dim, [0] * dim
-    # one F.expr parse instead of 2*dim F.lit py4j round trips (the
-    # knn_graph round-13 lesson: literal-array Column graphs price plan
-    # BUILD, not execution)
-    mn_lit = F.expr("array(" + ",".join(f"{x}L" for x in mn) + ")")
-    rng_lit = F.expr("array(" + ",".join(f"{x}L" for x in rng) + ")")
+    mn_lit = long_array_expr(mn)
+    rng_lit = long_array_expr(rng)
 
     def decode(v: Column, i: Column) -> Column:
         m = F.element_at(mn_lit, i + 1)

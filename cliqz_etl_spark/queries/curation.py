@@ -36,6 +36,23 @@ def _shingles_sql(k: int) -> str:
 # and split into CTX_TOKENS-sized chunks; each doc records the chunk it
 # starts in and how many chunks it spans.
 # --------------------------------------------------------------------------
+def _pack_chunks(sized: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tok) -> + (chunk_first, n_chunks): the per-source
+    concatenate-then-chunk window, in ONE place so the flagship
+    composition (curation_pipeline_v4) replays exactly the arithmetic
+    pack_sequences pins — n_tok passes through with the caller's type."""
+    w = (Window.partitionBy("source").orderBy(F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = sized.withColumn("cum", F.sum("n_tok").over(w))
+    chunk_first = F.floor((F.col("cum") - F.col("n_tok")).cast("double") / CTX_TOKENS).cast("long")
+    chunk_last = F.floor((F.col("cum") - 1).cast("double") / CTX_TOKENS).cast("long")
+    return packed.select(
+        "doc_id", "source", "n_tok",
+        chunk_first.alias("chunk_first"),
+        (chunk_last - chunk_first + 1).alias("n_chunks"),
+    )
+
+
 @query(
     "pack_sequences",
     oracle=f"""
@@ -61,16 +78,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a negative length into every cumulative offset after it.
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     sized = docs.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
-    w = (Window.partitionBy("source").orderBy(F.asc("doc_id"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    packed = sized.withColumn("cum", F.sum("n_tok").over(w))
-    chunk_first = F.floor((F.col("cum") - F.col("n_tok")).cast("double") / CTX_TOKENS).cast("long")
-    chunk_last = F.floor((F.col("cum") - 1).cast("double") / CTX_TOKENS).cast("long")
-    return packed.select(
-        "doc_id", "source", "n_tok",
-        chunk_first.alias("chunk_first"),
-        (chunk_last - chunk_first + 1).alias("n_chunks"),
-    )
+    return _pack_chunks(sized)
 
 
 # --------------------------------------------------------------------------
@@ -447,16 +455,5 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("doc_id") % EVAL_MOD != 0)
             .join(docs, "doc_id")
             .select("doc_id", "source",
-                    F.size(tokens("text_kept")).alias("n_tok")))
-    w = (Window.partitionBy("source").orderBy(F.asc("doc_id"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    packed = surv.withColumn("cum", F.sum("n_tok").over(w))
-    chunk_first = (F.floor((F.col("cum") - F.col("n_tok")).cast("double")
-                           / CTX_TOKENS).cast("long"))
-    chunk_last = (F.floor((F.col("cum") - 1).cast("double")
-                          / CTX_TOKENS).cast("long"))
-    return packed.select(
-        "doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"),
-        chunk_first.alias("chunk_first"),
-        (chunk_last - chunk_first + 1).alias("n_chunks"),
-    )
+                    F.size(tokens("text_kept")).cast("long").alias("n_tok")))
+    return _pack_chunks(surv)

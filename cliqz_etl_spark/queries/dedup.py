@@ -414,10 +414,12 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 SUBSTR_W = 8  # window width (tokens); the paper uses 50 BPE tokens at scale
 
-
-@query(
-    "dedup_exact_substrings",
-    oracle=f"""
+# Stride-1 window machinery shared by the PROFILE (dedup_exact_substrings)
+# and REMOVAL (dedup_substring_removal) queries — the window construction,
+# the 60-bit md5 keying, the doc_id*2^20+win_idx packing, and the MIN-key
+# winner table each exist in exactly ONE place per engine, so the two
+# gates cannot disagree about which occurrences are duplicates.
+_SUBSTR_BASE_CTES = f"""
     WITH t AS (
         SELECT doc_id, {_WS} AS tk FROM documents WHERE trim(text) <> ''
     ), w0 AS (
@@ -428,12 +430,43 @@ SUBSTR_W = 8  # window width (tokens); the paper uses 50 BPE tokens at scale
                               tk[i + 1 : i + {SUBSTR_W}], ' ')}})) AS c
         FROM t WHERE len(tk) >= {SUBSTR_W}
     ), w AS (
-        SELECT doc_id, {md5_long_sql('c.win')} AS h,
+        SELECT doc_id, c.win_idx AS win_idx, {md5_long_sql('c.win')} AS h,
                CAST(doc_id AS BIGINT) * 1048576 + c.win_idx AS key
         FROM w0
     ), m AS (
         SELECT h, min(key) AS keep FROM w GROUP BY h
-    )
+    )"""
+
+
+def _substr_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tk) for non-blank docs — the engine twin of CTE ``t``."""
+    from cliqz_etl_spark.functions.text import tokens
+    from cliqz_etl_spark.operators.dedup import _spread
+
+    return (_spread(load_table(spark, sf_dir, "documents")
+                    .select("doc_id", "text"))
+            .where(F.trim(F.col("text")) != "")
+            .select("doc_id", tokens("text").alias("tk")))
+
+
+def _substr_window_keys(base: DataFrame) -> DataFrame:
+    """(doc_id, win_idx, h, key) — the engine twin of CTEs ``w0``/``w``."""
+    from cliqz_etl_spark.functions.hashing import md5_long
+
+    W = SUBSTR_W
+    wins = (base.where(F.size("tk") >= W)
+            .select("doc_id", F.posexplode(F.transform(
+                F.sequence(F.lit(1), F.size("tk") - W + 1),
+                lambda i: F.array_join(F.slice("tk", i, W), " ")))
+                .alias("win_idx", "win")))
+    return wins.select(
+        "doc_id", "win_idx", md5_long(F.col("win")).alias("h"),
+        (F.col("doc_id") * F.lit(1048576) + F.col("win_idx")).alias("key"))
+
+
+@query(
+    "dedup_exact_substrings",
+    oracle=_SUBSTR_BASE_CTES + """
     SELECT w.doc_id AS doc_id,
            CAST(count(*) AS BIGINT) AS n_windows,
            CAST(sum(CASE WHEN w.key > m.keep THEN 1 ELSE 0 END)
@@ -463,25 +496,7 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows), one groupBy(doc). 60-bit hashes collide at ~n^2/2^61;
     identical md5 on both engines keeps the oracle exact regardless — at
     real corpus scale widen to the full 128-bit digest."""
-    from cliqz_etl_spark.functions.hashing import md5_long
-    from cliqz_etl_spark.functions.text import tokens
-    from cliqz_etl_spark.operators.dedup import _spread
-
-    W = SUBSTR_W
-    docs = _spread(load_table(spark, sf_dir, "documents")
-                   .select("doc_id", "text"))
-    base = (docs.where(F.trim(F.col("text")) != "")
-            .select("doc_id", tokens("text").alias("tk"))
-            .where(F.size("tk") >= W))
-    wins = base.select(
-        "doc_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(1), F.size("tk") - W + 1),
-            lambda i: F.array_join(F.slice("tk", i, W), " ")))
-        .alias("win_idx", "win"))
-    w = wins.select(
-        "doc_id", md5_long(F.col("win")).alias("h"),
-        (F.col("doc_id") * F.lit(1048576) + F.col("win_idx")).alias("key"))
+    w = _substr_window_keys(_substr_token_frame(spark, sf_dir))
     m = w.groupBy("h").agg(F.min("key").alias("keep"))
     dup = F.when(F.col("key") > F.col("keep"), 1).otherwise(0)
     return (w.join(m, "h")
@@ -511,28 +526,13 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_substring_removal",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, {_WS} AS tk FROM documents WHERE trim(text) <> ''
-    ), toks0 AS (
+    oracle=_SUBSTR_BASE_CTES + f"""
+    , toks0 AS (
         SELECT doc_id, unnest(list_transform(range(len(tk)),
             i -> {{'pos': CAST(i AS BIGINT), 'tok': tk[i + 1]}})) AS c
         FROM t
     ), toks AS (
         SELECT doc_id, c.pos AS pos, c.tok AS tok FROM toks0
-    ), w0 AS (
-        SELECT doc_id,
-               unnest(list_transform(range(len(tk) - {SUBSTR_W} + 1),
-                   i -> {{'win_idx': CAST(i AS BIGINT),
-                          'win': array_to_string(
-                              tk[i + 1 : i + {SUBSTR_W}], ' ')}})) AS c
-        FROM t WHERE len(tk) >= {SUBSTR_W}
-    ), w AS (
-        SELECT doc_id, c.win_idx AS win_idx, {md5_long_sql('c.win')} AS h,
-               CAST(doc_id AS BIGINT) * 1048576 + c.win_idx AS key
-        FROM w0
-    ), m AS (
-        SELECT h, min(key) AS keep FROM w GROUP BY h
     ), occ AS (
         SELECT w.doc_id, w.win_idx FROM w JOIN m USING (h)
         WHERE w.key > m.keep
@@ -582,26 +582,13 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     than W tokens carry no windows and survive whole; a doc whose every
     token is covered comes back n_kept_tok=0, kept_len=0 (both engines
     rebuild the empty string)."""
-    from cliqz_etl_spark.functions.hashing import md5_long
-    from cliqz_etl_spark.functions.text import tokens
-    from cliqz_etl_spark.operators.dedup import _materialize, _spread
+    from cliqz_etl_spark.operators.dedup import _materialize
     from pyspark.sql import Window
 
     W = SUBSTR_W
-    base = _materialize(
-        _spread(load_table(spark, sf_dir, "documents")
-                .select("doc_id", "text"))
-        .where(F.trim(F.col("text")) != "")
-        .select("doc_id", tokens("text").alias("tk")))
+    base = _materialize(_substr_token_frame(spark, sf_dir))
     toks = base.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
-    wins = (base.where(F.size("tk") >= W)
-            .select("doc_id", F.posexplode(F.transform(
-                F.sequence(F.lit(1), F.size("tk") - W + 1),
-                lambda i: F.array_join(F.slice("tk", i, W), " ")))
-                .alias("win_idx", "win")))
-    w = wins.select(
-        "doc_id", "win_idx", md5_long(F.col("win")).alias("h"),
-        (F.col("doc_id") * F.lit(1048576) + F.col("win_idx")).alias("key"))
+    w = _substr_window_keys(base)
     m = w.groupBy("h").agg(F.min("key").alias("keep"))
     occ = (w.join(m, "h").where(F.col("key") > F.col("keep"))
            .select("doc_id", "win_idx"))

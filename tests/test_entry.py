@@ -5,11 +5,14 @@ from __future__ import annotations
 
 import importlib.util
 import re
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
 
 
 def _load():
     spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py")
+        "__spark_entry__", str(_REPO / "__spark_entry__.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -33,7 +36,7 @@ def test_contract_shape():
 
 def _rotate_window():
     spec = importlib.util.spec_from_file_location(
-        "rotate_window", "/root/repo/tools/rotate_window.py")
+        "rotate_window", str(_REPO / "tools/rotate_window.py"))
     rw = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rw)
     return rw
@@ -135,8 +138,8 @@ def test_rotation_script_agrees_with_window_gate():
     import sys
 
     proc = subprocess.run(
-        [sys.executable, "/root/repo/tools/rotate_window.py", "--check"],
-        capture_output=True, text=True, cwd="/root/repo")
+        [sys.executable, str(_REPO / "tools/rotate_window.py"), "--check"],
+        capture_output=True, text=True, cwd=_REPO)
     assert proc.returncode == 0, (
         f"rotate_window --check wants a rewrite:\n{proc.stdout}{proc.stderr}")
 

@@ -605,8 +605,9 @@ def test_plan_budget_ceilings(spark, name):
     plan (tools/plan_report.py's method): shuffle count and Python-stage
     count must not exceed the pinned ceiling."""
     import sys
+    from pathlib import Path
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     from plan_report import digest
 
     from cliqz_etl_spark.operators.cache import release_all
