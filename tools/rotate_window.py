@@ -10,6 +10,14 @@ round's closing step right after a new CORRECTNESS_r*.json lands:
     python tools/rotate_window.py            # rewrite in place
     python tools/rotate_window.py --check    # exit 1 if a rewrite is needed
 
+ROUND-OPEN NOTE: the evidence set is pinned to the tree at the last
+commit touching DRIVER_ORDER (see evidence_paths), so the driver's
+post-close CORRECTNESS_r{N}.json drop is invisible until the file is
+dirty. To fold it in at round open, make any uncommitted edit to
+queries/__init__.py first (a trailing newline works), run the rewrite
+(which now sees the full on-disk evidence set), then commit — the
+round-13 opening used exactly this sequence.
+
 Policy implemented (the same one the tests encode):
   * sort every registered query by (latest green round ASC, current slot)
     — zero-evidence new queries sort first, then stale evidence oldest
