@@ -853,18 +853,17 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
     return cents
 
 
-def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-             id_col: str, vec_col: str, k: int = 3,
-             n_probe: int = 1, dim: int | None = None) -> DataFrame:
-    """IVF search: rank within the query's ``n_probe`` nearest clusters.
-    n_probe=1 is the cheapest/lowest-recall point; raising it trades a
-    linear increase in scored candidates for recall, while the corpus
-    side stays put (each corpus vector lives in exactly one bucket — only
-    the tiny query side fans out, so probed buckets stay disjoint and no
-    dedup is needed). The bucketed join is the scale path — at 100 TB,
-    `assigned` is a table bucketed by ``cluster``."""
-    from pyspark.sql import Window
-
+def ivf_build_index(corpus: DataFrame, centroids: DataFrame, id_col: str,
+                    vec_col: str, dim: int | None = None
+                    ) -> tuple[list[int], list[list[int]], DataFrame]:
+    """The per-index prep ``ivf_topk`` needs: the collected centroid
+    model and the persisted full-corpus cluster assignment. Split out so
+    a caller probing the SAME index under several configurations
+    (ivf_probe_recall_sweep's n_probe curve) builds it once — the
+    assignment is the corpus-sized pass, and re-deriving it per probe
+    config re-ran both the model collect and the assignment job each
+    time. At 100 TB this artifact IS the index: a table bucketed by
+    ``cluster``, written once, probed by every query."""
     from cliqz_etl_spark.operators.dedup import _materialize
 
     cent_rows = _collect_centroids(centroids, id_col, vec_col, dim)
@@ -872,11 +871,32 @@ def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
         raise ValueError("ivf_topk: centroid frame is empty")
     cids = [c for c, _ in cent_rows]
     cents = [v for _, v in cent_rows]
-    dim = len(cents[0])
-    projected = valid_quantized(corpus, id_col, vec_col, dim)
+    projected = valid_quantized(corpus, id_col, vec_col, len(cents[0]))
     # both join sides derive from `assigned`; persist so the assignment
     # map evaluates once, not per side
     assigned = _materialize(ivf_assign_q(projected, cids, cents))
+    return cids, cents, assigned
+
+
+def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+             id_col: str, vec_col: str, k: int = 3,
+             n_probe: int = 1, dim: int | None = None,
+             index: tuple[list[int], list[list[int]], DataFrame] | None = None,
+             ) -> DataFrame:
+    """IVF search: rank within the query's ``n_probe`` nearest clusters.
+    n_probe=1 is the cheapest/lowest-recall point; raising it trades a
+    linear increase in scored candidates for recall, while the corpus
+    side stays put (each corpus vector lives in exactly one bucket — only
+    the tiny query side fans out, so probed buckets stay disjoint and no
+    dedup is needed). The bucketed join is the scale path — at 100 TB,
+    `assigned` is a table bucketed by ``cluster``. Pass a prebuilt
+    ``index`` (from ``ivf_build_index``) to share the model collect and
+    the corpus assignment across probe configurations."""
+    from pyspark.sql import Window
+
+    cids, cents, assigned = (index if index is not None else
+                             ivf_build_index(corpus, centroids, id_col,
+                                             vec_col, dim))
     if n_probe == 1:
         q = assigned.select(
             F.col("_id").alias("query_id"), F.col("_qv").alias("qv"),

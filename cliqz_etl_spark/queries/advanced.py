@@ -1480,24 +1480,46 @@ def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     set: the degree cut drops it before the window and the sample bounds
     everything below the cut."""
     from cliqz_etl_spark.functions.hashing import md5_long
+    from cliqz_etl_spark.operators.dedup import _materialize
 
-    e = _copurchase_edges(spark, sf_dir)
+    # The edge frame feeds FIVE consumers (both sym legs for the degree
+    # aggregate, both sym legs again under the centers join, and the
+    # left-anti probe side) — unpersisted, Catalyst re-derives the whole
+    # collect_set -> explode -> distinct subtree for each one: 10
+    # lineitem scans / 5 edge builds in the executed plan (measured 6.1 s
+    # at sf0.1; guide §2.4 "remove shuffles outright" / §5 caching for
+    # reused frames). Persisting it — the same _materialize discipline
+    # triangle_counts and kcore_peel already apply to this exact frame —
+    # collapses that to ONE build plus in-memory rescans.
+    e = _materialize(_copurchase_edges(spark, sf_dir))
     sym = (e.select(F.col("a").alias("w"), F.col("b").alias("n"))
            .unionByName(e.select(F.col("b").alias("w"), F.col("a").alias("n"))))
     # edges are distinct, so count(*) per center IS the degree
     deg = (sym.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
            .where((F.col("d") <= _LP_DEG_CAP) & (F.col("d") >= 2)))
-    wnd = Window.partitionBy("w").orderBy(F.asc(md5_long(F.col("n"))),
-                                          F.asc("n"))
-    centers = (sym.join(deg, "w")
-               .withColumn("__rn", F.row_number().over(wnd))
-               .where(F.col("__rn") <= _LP_NBR_SAMPLE)
-               .select("w", "n",
-                       F.floor(F.lit(1000000.0)
-                               / F.log(F.col("d").cast("double")))
-                       .cast("long").alias("term")))
-    adj = centers.groupBy("w", "term").agg(
-        F.sort_array(F.collect_set("n")).alias("ns"))
+    # md5-rank neighbor sample as ONE keyed aggregate instead of
+    # row_number window + a second collect_set aggregate (guide §2.4:
+    # two operations keyed the same way share one exchange — and the
+    # window's per-partition SORT of the whole sym frame disappears;
+    # only <= DEG_CAP-element arrays of surviving centers get sorted).
+    # Order is identical to the window's (md5 asc, n asc — array_sort on
+    # the (h, n) struct is lexicographic), so the sampled set matches
+    # the oracle row-for-row. The degree cut still runs BEFORE any array
+    # materializes: the count-only deg aggregate is map-side partial, so
+    # a hub never buffers its neighbor list anywhere.
+    adj = (sym.join(deg, "w")
+           .groupBy("w", "d")
+           .agg(F.array_sort(F.collect_list(
+               F.struct(md5_long(F.col("n")).alias("h"),
+                        F.col("n").alias("n")))).alias("hn"))
+           .select(
+               "w",
+               F.floor(F.lit(1000000.0)
+                       / F.log(F.col("d").cast("double")))
+               .cast("long").alias("term"),
+               F.sort_array(F.transform(
+                   F.slice("hn", 1, _LP_NBR_SAMPLE),
+                   lambda s: s["n"])).alias("ns")))
     k = F.size("ns")
     pairs = (adj.select(
         "term",

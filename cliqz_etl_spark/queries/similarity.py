@@ -1252,32 +1252,45 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = valid_quantized(emb, "vec_id", "embedding", VEC_DIM)
-    stats = (q.select(F.posexplode("_qv").alias("k", "x"))
-             .groupBy("k")
-             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-             .collect())
-    if not stats:
+
+    # ONE Arrow moment pass replaces the former two corpus jobs (a
+    # posexplode mean pass, then an N x 4096-row centered-outer-product
+    # explode into a groupBy — the explode was the dominant cost,
+    # measured ~2 s at sf0.1). Each batch reduces to (n, Σx, Σxx^T) via
+    # one numpy matmul — the sq8_reconstructed partial-moments pattern
+    # (guide §4.2: hand whole batches to vectorized native code) — and
+    # the driver combines partials in exact Python ints. Centering uses
+    # the algebraic identity Σ(x_i-µ_i)(x_j-µ_j) =
+    # Σx_i x_j - µ_i Σx_j - µ_j Σx_i + n µ_i µ_j with the SAME
+    # floor-quantized µ as before, so every cov entry is bit-identical
+    # to the two-pass form (per-batch int64 partials are exact: elements
+    # are milli-quantized, bounded by valid_quantized's envelope).
+    def _moments(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.int64) for v in pdf["_qv"]],
+                         dtype=np.int64)
+            yield pd.DataFrame({"n": [len(V)],
+                                "s": [V.sum(axis=0).tolist()],
+                                "xx": [(V.T @ V).ravel().tolist()]})
+
+    parts = q.select("_qv").mapInPandas(
+        _moments, schema="n long, s array<long>, xx array<long>").collect()
+    if not parts:
         raise ValueError("pca_top_component: no valid embeddings to fit")
-    n = stats[0]["n"]
-    mu = [0] * VEC_DIM
-    for r in stats:
-        mu[r["k"]] = int(math.floor(float(r["s"]) / n + 0.5))
-    mu_arr = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
-    # positional flatten instead of a struct per product: the (i, j) key
-    # is recovered from the flattened index by integer div/mod, saving
-    # 4096 struct allocations per row through the explode
-    pairs = (q.select(F.expr(
-        f"transform(_qv, (x, k) -> x - element_at({mu_arr}, k + 1))")
-        .alias("cv"))
-        .select(F.posexplode(F.expr(
-            "flatten(transform(cv, a -> transform(cv, b -> a * b)))"))
-            .alias("idx", "p"))
-        .groupBy(F.expr(f"idx div {VEC_DIM}").alias("i0"),
-                 (F.col("idx") % VEC_DIM).alias("j0"))
-        .agg(F.sum("p").alias("cij"))
-        .collect())
+    n = sum(int(p["n"]) for p in parts)
+    sx = [sum(int(p["s"][k]) for p in parts) for k in range(VEC_DIM)]
+    xx = [sum(int(p["xx"][t]) for p in parts)
+          for t in range(VEC_DIM * VEC_DIM)]
+    mu = [int(math.floor(float(sx[k]) / n + 0.5)) for k in range(VEC_DIM)]
     cov: dict[tuple[int, int], int] = {
-        (int(r["i0"]) + 1, int(r["j0"]) + 1): int(r["cij"]) for r in pairs}
+        (i + 1, j + 1): (xx[i * VEC_DIM + j] - mu[i] * sx[j]
+                         - mu[j] * sx[i] + n * mu[i] * mu[j])
+        for i in range(VEC_DIM) for j in range(VEC_DIM)}
     v = [PCA_SCALE if i == 0 else 0 for i in range(VEC_DIM)]
     for _ in range(PCA_ITER):
         raw = [sum(cov.get((i + 1, j + 1), 0) * v[j]
@@ -1499,6 +1512,7 @@ def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliqz_etl_spark.operators.dedup import _materialize
     from cliqz_etl_spark.operators.similarity import (
         brute_force_topk,
+        ivf_build_index,
         ivf_topk,
     )
 
@@ -1510,10 +1524,17 @@ def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id"))
     n_truth = truth.agg(
         F.count(F.lit(1)).cast("long").alias("n_truth"))
+    # ONE index build shared by all probe configs: the centroid-model
+    # collect and the corpus-sized assignment pass previously re-ran
+    # inside ivf_topk per n_probe (3 identical jobs; guide §1.2 "don't
+    # compute things you throw away") — exactly like production, where
+    # the bucketed index is built once and only the probe fan-out varies.
+    index = ivf_build_index(emb, centroids, "vec_id", "embedding",
+                            dim=VEC_DIM)
     parts = []
     for p in _SWEEP_PROBES:
         approx = (ivf_topk(emb, centroids, queries, "vec_id", "embedding",
-                           IVF_K, n_probe=p, dim=VEC_DIM)
+                           IVF_K, n_probe=p, dim=VEC_DIM, index=index)
                   .select("query_id", "neighbor_id"))
         hits = (truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
