@@ -86,7 +86,8 @@ def connected_components(
 
 def pagerank(edges: DataFrame, n_iter: int, *, scale: int = 1_000_000,
              damp_num: int = 85, damp_den: int = 100,
-             checkpoint_every: int = 8) -> DataFrame:
+             checkpoint_every: int = 8,
+             assume_distinct: bool = False) -> DataFrame:
     """Integer-exact PageRank over a directed edge list, fixed iterations.
 
     Classic PR is float-valued and order-sensitive; this variant keeps
@@ -107,9 +108,25 @@ def pagerank(edges: DataFrame, n_iter: int, *, scale: int = 1_000_000,
     lineage discipline as connected_components above).
 
     Returns ``(node, rank)`` with rank in micro-units (scale=1e6).
+
+    ``assume_distinct=True`` skips the defensive edge ``distinct()`` —
+    PR degrees/contributions are defined over the distinct edge set, so
+    callers whose edge list is distinct by construction (both registry
+    queries: one feeds a ``.distinct()`` frame, the other a union of
+    disjoint key namespaces over a distinct base) save a full edge
+    shuffle; callers that cannot prove it keep the default.
     """
     e = edges.select(F.col("src").cast("long").alias("src"),
-                     F.col("dst").cast("long").alias("dst")).distinct()
+                     F.col("dst").cast("long").alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    # The raw edge frame feeds FOUR pre-iteration consumers (deg, the
+    # ed join probe side, and both legs of the nodes union); persisting
+    # it first makes the upstream edge build evaluate once instead of
+    # four times, and it is released as soon as ed and nodes — the two
+    # frames the iterations actually probe — are materialized.
+    e = e.persist()
+    e.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = e.join(deg, "src").persist()
     ed.count()  # materialize once; every iteration probes this frame
@@ -121,6 +138,7 @@ def pagerank(edges: DataFrame, n_iter: int, *, scale: int = 1_000_000,
     # union+distinct subtree duplicated 2x per iteration in the plan —
     # materializing collapses every later reference to one cached scan
     nodes.count()
+    e.unpersist()
     base = (scale * (damp_den - damp_num)) // damp_den
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     for it in range(1, n_iter + 1):

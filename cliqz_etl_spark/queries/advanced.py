@@ -745,7 +745,12 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
     edges = (raw.select(F.col("p").alias("src"), F.col("s").alias("dst"))
              .union(raw.select(F.col("s").alias("src"), F.col("p").alias("dst"))))
-    return pagerank(edges, PR_ITER, scale=PR_SCALE).select("node", "rank")
+    # edges are distinct by construction: raw is distinct and the two
+    # union legs live in disjoint key namespaces (even part ids vs odd
+    # supplier ids), so the operator's defensive distinct would re-pay a
+    # full edge shuffle for nothing
+    return pagerank(edges, PR_ITER, scale=PR_SCALE,
+                    assume_distinct=True).select("node", "rank")
 
 
 # --------------------------------------------------------------------------

@@ -1526,7 +1526,9 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (sup.select(md5_long("w1").alias("src"), md5_long("w2").alias("dst"))
          .union(sup.select(md5_long("w2").alias("src"),
                            md5_long("w1").alias("dst"))).distinct())
-    ranks = pagerank(e, _TR_ITER, scale=_TR_SCALE)
+    # e carries its own distinct() above, so the operator's defensive
+    # one would duplicate that shuffle
+    ranks = pagerank(e, _TR_ITER, scale=_TR_SCALE, assume_distinct=True)
     words = (sup.select(F.col("w1").alias("word"))
              .union(sup.select(F.col("w2").alias("word"))).distinct()
              .select("word", md5_long("word").alias("node")))
