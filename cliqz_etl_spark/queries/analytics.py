@@ -1991,24 +1991,41 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """|clickers UNION purchasers| and |clickers INTERSECT purchasers|
     estimated from two K=32 sketches, beside the exact counts.
 
-    Plan shape: ONE distinct over (type, hash) — the only data-sized
-    shuffle, feeding the exact counts; the per-side sketch is
-    kmin_hashes' mergeable bounded-state pass (round-11 rebuild: the old
-    type-partitioned row_number window sorted every distinct hash of a
-    side in one task); all theta/membership/estimate algebra runs on
-    <= 2K rows of broadcast frames. Below K distinct union hashes the
-    estimates fall back to the exact small-set counts (standard KMV
-    behavior)."""
+    Plan shape: ONE groupBy(hash) with per-side membership flags is the
+    only data-sized shuffle (map-side combine; round-13 rebuild — the
+    previous shape paid TWO corpus shuffles: a distinct over
+    (type, hash) and then a regroup by hash for the exact counts). The
+    exact counts become a 1-row aggregate over the flag frame; the
+    sketch input re-expands (type, hash) rows scan-side from the cached
+    flags, so kmin_hashes' mergeable bounded-state pass sees the same
+    distinct pairs as before, bit-identically. All theta/membership/
+    estimate algebra runs on <= 2K rows of broadcast frames. Below K
+    distinct union hashes the estimates fall back to the exact
+    small-set counts (standard KMV behavior)."""
     from cliqz_etl_spark.functions.hashing import md5_long
     from cliqz_etl_spark.operators.cache import track
     from cliqz_etl_spark.operators.stats import kmin_hashes
 
     ev = load_table(spark, sf_dir, "events")
-    hashed = track(
+    flags = track(
         ev.where(F.col("event_type").isin("click", "purchase")
                  & F.col("user_id").isNotNull())
         .select("event_type", md5_long(F.col("user_id")).alias("h"))
-        .distinct().persist())
+        .groupBy("h")
+        .agg(F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+             .alias("in_a"),
+             F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+             .alias("in_b"))
+        .persist())
+    # (type, hash) pairs re-derived scan-side from the cached flag frame:
+    # identical to the old distinct() frame, no second corpus shuffle
+    hashed = flags.select(
+        F.explode(F.expr(
+            "concat(CASE WHEN in_a = 1 THEN array('click') "
+            "ELSE array() END, "
+            "CASE WHEN in_b = 1 THEN array('purchase') "
+            "ELSE array() END)")).alias("event_type"),
+        "h")
     sk = kmin_hashes(hashed, "event_type", "h", KMV_K)
     # everything from here on is sketch-sized (<= 2K rows)
     uni = (sk.select("h").distinct()
@@ -2029,11 +2046,10 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = below.agg(
         F.count(F.lit(1)).cast("long").alias("n_below"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"))
-    exact = (hashed.groupBy("h")
-             .agg(F.countDistinct("event_type").alias("n_types"))
-             .agg(F.countDistinct(F.col("h")).cast("long").alias("exact_union"),
-                  F.sum(F.when(F.col("n_types") == 2, 1).otherwise(0))
-                  .cast("long").alias("exact_inter")))
+    exact = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+        .alias("exact_inter"))
     dom = float(_KMV_DOMAIN)
     eu = (F.when(F.col("n_u") >= KMV_K,
                  F.floor(F.col("n_below").cast("double") * dom
