@@ -90,8 +90,11 @@ def postings_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc) count-match. Two keyed shuffles, both sized to the
     query terms' postings. The reference's membership filters
     (testpilot_data.py:118-127) are the one-column version of this."""
-    tok = _tokens_nonempty(spark, sf_dir)
-    tf = (tok.where(F.col("w").isin(list(_QUERY_TERMS)))
+    from cliqz_etl_spark.queries.timeseries import _query_term_postings
+
+    # round-13: filter BEFORE the explode — the Generate emits only the
+    # query terms' occurrences, not the whole corpus' tokens
+    tf = (_query_term_postings(spark, sf_dir)
           .groupBy("doc_id", "w")
           .agg(F.count(F.lit(1)).cast("long").alias("tf")))
     return (tf.groupBy("doc_id")
@@ -290,15 +293,16 @@ def wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the survivor rescoring pass shrinks. The final rank window sees
     <= k rows by construction."""
     from cliqz_etl_spark.operators.dedup import _materialize
+    from cliqz_etl_spark.queries.timeseries import _bm25_corpus_frames
 
-    tok = _materialize(_tokens_nonempty(spark, sf_dir))
-    dlen = _materialize(
-        tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl")))
+    # round-13: doc lengths scan-side, no corpus token explode/cache —
+    # see _bm25_corpus_frames. dlen rides the shared doc-grain cache, so
+    # the three passes that join it re-read memory, not the scan.
+    dlen, _corp, qt = _bm25_corpus_frames(spark, sf_dir)
     stats = dlen.agg(
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.min("dl"), F.lit(0)).cast("long").alias("dlm"))
-    qt = tok.where(F.col("w").isin(list(_QUERY_TERMS)))
     tf = qt.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = qt.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
     base = _materialize(
@@ -387,12 +391,11 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- lexical: BM25 vs the fixed query terms, doc 0 excluded ----
-    tok = _materialize(_tokens_nonempty(spark, sf_dir))
-    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    corp = dlen.agg(
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
-        F.count(F.lit(1)).cast("long").alias("n"))
-    qt = tok.where(F.col("w").isin(list(_QUERY_TERMS)))
+    # round-13: shared scan-side dl / query-term-only explode (see
+    # _bm25_corpus_frames) — no corpus token cache on the lexical side
+    from cliqz_etl_spark.queries.timeseries import _bm25_corpus_frames
+
+    dlen, corp, qt = _bm25_corpus_frames(spark, sf_dir)
     tf = qt.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = qt.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
     bm = (tf.join(F.broadcast(dfreq), "w")
@@ -661,18 +664,12 @@ def ranking_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast the 10-row cut into the relevant-doc frame; everything
     after is 1-row arithmetic."""
     from pyspark.sql import Window
-    from cliqz_etl_spark.functions.text import tokens
     from cliqz_etl_spark.operators.dedup import _materialize
+    from cliqz_etl_spark.queries.timeseries import _bm25_corpus_frames
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = _materialize(
-        docs.where(F.trim(F.col("text")) != "")
-        .select("doc_id", F.explode(tokens("text")).alias("w")))
-    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    corp = dlen.agg(
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
-        F.count(F.lit(1)).cast("long").alias("n"))
-    qt = tok.where(F.col("w").isin(list(_QUERY_TERMS)))
+    # round-13: shared scan-side dl / query-term-only explode (see
+    # _bm25_corpus_frames) — the corpus token cache is gone
+    dlen, corp, qt = _bm25_corpus_frames(spark, sf_dir)
     tf = qt.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = qt.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
     scored = _materialize(

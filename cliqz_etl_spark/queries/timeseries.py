@@ -148,9 +148,14 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w")).where(
-        F.col("w").isin(_QUERY_TERMS)
-    )
+    # round-13: filter BEFORE the explode (same multiset — filter keeps
+    # duplicates; non-query tokens never materialize as rows)
+    _terms_arr = F.array(*[F.lit(t) for t in _QUERY_TERMS])
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens("text"),
+                           lambda w: F.array_contains(_terms_arr, w)))
+        .alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
@@ -355,6 +360,64 @@ def _bm25_term_sql(dl_expr: str = "dl") -> str:
     return (f"CAST(floor(1000000 * {idf} * {sat} + 0.5) AS BIGINT)")
 
 
+def _bm25_corpus_frames(spark: SparkSession, sf_dir: str):
+    """(dlen, corp, qt): the three frames every BM25-family query starts
+    from, built WITHOUT materializing the corpus token explode.
+
+    The former shape exploded every token of every document into a
+    persisted (doc_id, w) frame (corpus-token-sized cache) and then
+    re-aggregated it per doc just to recover document lengths. But
+    dl is ``size(tokens(text))`` — computable scan-side with no explode
+    and no shuffle — and the only tokens any downstream consumer ever
+    explodes are the query terms' occurrences (``filter`` keeps the
+    multiset, so tf/df counts are unchanged). What persists is one
+    doc-grain row (doc_id, dl, _qtk) whose array is empty for the vast
+    majority of documents: at 100 TB the cache shrinks from
+    corpus-token cardinality to document cardinality, and the
+    dlen groupBy exchange disappears outright (guide: shuffle removal
+    beats shuffle tuning).
+
+    ``dlen`` is (doc_id, dl) — exactly the docs the old explode+count
+    produced (trim(text) != '' guarantees >= 1 token); ``corp`` the
+    1-row (s, n) stats; ``qt`` the (doc_id, w) query-term postings."""
+    from cliqz_etl_spark.functions.text import tokens
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in _QUERY_TERMS])
+    per_doc = _materialize(
+        docs.where(F.trim(F.col("text")) != "")
+        .select("doc_id", tokens("text").alias("_tk"))
+        .select("doc_id", F.size("_tk").cast("long").alias("dl"),
+                F.filter("_tk", lambda w: F.array_contains(terms, w))
+                .alias("_qtk")))
+    dlen = per_doc.select("doc_id", "dl")
+    corp = dlen.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    qt = per_doc.where(F.size("_qtk") > 0).select(
+        "doc_id", F.explode("_qtk").alias("w"))
+    return dlen, corp, qt
+
+
+def _query_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w) occurrences of the query terms, filtered BEFORE the
+    explode: the Generate emits only matching tokens instead of every
+    token of the corpus (same multiset as exploding first and filtering
+    after — ``filter`` preserves duplicates). For queries that need
+    nothing but the query-term postings this is the whole build — one
+    map-only projection, no cache, no shuffle."""
+    from cliqz_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in _QUERY_TERMS])
+    return (docs.where(F.trim(F.col("text")) != "")
+            .select("doc_id",
+                    F.explode(F.filter(tokens("text"),
+                                       lambda w: F.array_contains(terms, w)))
+                    .alias("w")))
+
+
 @query(
     "bm25_search",
     oracle=f"""
@@ -384,26 +447,15 @@ def _bm25_term_sql(dl_expr: str = "dl") -> str:
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against the fixed query terms.
 
-    Plan shape: one token explode feeds doc lengths, term frequencies,
-    and document frequencies (three aggregates over the same scan —
-    the exploded frame is persisted so the corpus tokenizes once); df
-    and the 1-row corpus stats broadcast into the tf frame; scoring is
-    a map-stage expression and ONE groupBy(doc). The inverted-index
+    Plan shape (round-13 rebuild via _bm25_corpus_frames): doc lengths
+    are size(tokens) scan-side — the corpus token explode and its
+    persisted cache are gone, and only query-term occurrences explode;
+    df and the 1-row corpus stats broadcast into the tf frame; scoring
+    is a map-stage expression and ONE groupBy(doc). The inverted-index
     join is keyed on the query vocabulary, so work scales with postings
     for the query terms, not corpus size — the retrieval shape that
     survives 100 TB."""
-    from cliqz_etl_spark.functions.text import tokens
-    from cliqz_etl_spark.operators.dedup import _materialize
-
-    docs = load_table(spark, sf_dir, "documents")
-    tok = _materialize(
-        docs.where(F.trim(F.col("text")) != "")
-        .select("doc_id", F.explode(tokens("text")).alias("w")))
-    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    corp = dlen.agg(
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
-        F.count(F.lit(1)).cast("long").alias("n"))
-    qt = tok.where(F.col("w").isin(_QUERY_TERMS))
+    dlen, corp, qt = _bm25_corpus_frames(spark, sf_dir)
     tf = qt.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = qt.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
     return (
