@@ -797,15 +797,25 @@ def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliqz_etl_spark.functions.text import tokens
     from cliqz_etl_spark.operators.dedup import _materialize
 
+    # round-13: the cache holds one token ARRAY per doc, not the corpus
+    # token explode — doc lengths are size(tk) scan-side (the dlen
+    # groupBy shuffle is gone), the BM25 part explodes only query-term
+    # matches, the candidate mine explodes only the R pseudo-relevant
+    # docs, and the corpus-df pass generates token rows once, straight
+    # into the broadcast-filtered aggregate, never persisting them.
     docs = load_table(spark, sf_dir, "documents")
-    tok = _materialize(
+    per_doc = _materialize(
         docs.where(F.trim(F.col("text")) != "")
-        .select("doc_id", F.explode(tokens("text")).alias("w")))
-    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        .select("doc_id", tokens("text").alias("tk")))
+    _terms_arr = F.array(*[F.lit(t) for t in _QUERY_TERMS])
+    dlen = per_doc.select("doc_id", F.size("tk").cast("long").alias("dl"))
     corp = dlen.agg(
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"))
-    qt = tok.where(F.col("w").isin(list(_QUERY_TERMS)))
+    qt = per_doc.select(
+        "doc_id",
+        F.explode(F.filter("tk", lambda w: F.array_contains(_terms_arr, w)))
+        .alias("w"))
     tf = qt.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = qt.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
     scored = (tf.join(F.broadcast(dfreq), "w")
@@ -816,12 +826,14 @@ def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("bm25_micro")))
     pseudo = (scored.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
               .limit(PRF_R).select("doc_id"))
-    cand = (tok.join(F.broadcast(pseudo), "doc_id")
+    cand = (per_doc.join(F.broadcast(pseudo), "doc_id")
+            .select("doc_id", F.explode("tk").alias("w"))
             .where(~F.col("w").isin(list(_QUERY_TERMS)))
             .groupBy("w")
             .agg(F.countDistinct("doc_id").cast("long").alias("r")))
     cand = _materialize(cand)
-    cdf = (tok.join(F.broadcast(cand.select("w")), "w")
+    cdf = (per_doc.select("doc_id", F.explode("tk").alias("w"))
+           .join(F.broadcast(cand.select("w")), "w")
            .groupBy("w")
            .agg(F.countDistinct("doc_id").cast("long").alias("n_df")))
     nn = dlen.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
