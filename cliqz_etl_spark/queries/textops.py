@@ -498,24 +498,31 @@ def boilerplate_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source's docs, df >= 3), in integer ppm — the removal mask the
     boilerplate-strip rewrite applies.
 
-    Plan shape: grams are a scan-side transform+explode (never hit
-    disk); df is ONE groupBy(source, gram) with map-side combine (the
-    hot boilerplate grams collapse per-partition before the shuffle —
-    exactly the keys that would otherwise skew); the per-source doc
-    totals broadcast; the boiler set joins back per (source, gram)
-    un-hinted so AQE broadcasts it when it measures small (it is
-    df-filtered, so at 100 TB it is the rare-tail-free head of the gram
-    distribution, usually broadcastable); one final groupBy(doc_id)."""
+    Plan shape (round-13 rebuild): the tokenize+gram transform runs ONCE
+    into a doc-grain cached frame (it previously re-ran per consumer —
+    the df pass, the source totals, and the rejoin each re-derived it);
+    per-doc position counts are size(grams) scan-side; df is ONE
+    groupBy(source, gram) with map-side combine (the hot boilerplate
+    grams collapse per-partition before the shuffle — exactly the keys
+    that would otherwise skew); the per-source doc totals broadcast;
+    the boiler set joins back per (source, gram) un-hinted so AQE
+    broadcasts it when it measures small (it is df-filtered, so at
+    100 TB it is the rare-tail-free head of the gram distribution,
+    usually broadcastable) — INNER join + count, so only boiler-hit
+    positions flow into the per-doc aggregate; the doc totals come from
+    the cached frame."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
     docs = _spread_docs(spark, sf_dir, "doc_id", "text", "source")
     tk = T.tokens("text")
-    t = (docs.where((F.trim("text") != "") & (F.size(tk) >= BOILER_W))
-         .select("doc_id", "source", tk.alias("tk")))
-    pos = t.select(
-        "doc_id", "source",
-        F.explode(F.expr(
+    t = _materialize(
+        docs.where((F.trim("text") != "") & (F.size(tk) >= BOILER_W))
+        .select("doc_id", "source", tk.alias("tk"))
+        .select("doc_id", "source", F.expr(
             f"transform(sequence(0, size(tk) - {BOILER_W}), "
             f"i -> array_join(slice(tk, i + 1, {BOILER_W}), ' '))"
-        )).alias("gram"))
+        ).alias("grams")))
+    pos = t.select("doc_id", "source", F.explode("grams").alias("gram"))
     df = (pos.groupBy("source", "gram")
           .agg(F.countDistinct("doc_id").alias("df")))
     src = t.groupBy("source").agg(
@@ -523,12 +530,15 @@ def boilerplate_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler = (df.join(F.broadcast(src), "source")
               .where((BOILER_DF_MULT * F.col("df") >= F.col("n_src_docs"))
                      & (F.col("df") >= BOILER_MIN_DF))
-              .select("source", "gram", F.lit(1).alias("is_boiler")))
-    return (pos.join(boiler, ["source", "gram"], "left")
+              .select("source", "gram"))
+    hits = (pos.join(boiler, ["source", "gram"], "left_semi")
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_pos"),
-                 F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
-                 .cast("long").alias("n_boiler"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_boiler")))
+    return (t.select("doc_id", F.size("grams").cast("long").alias("n_pos"))
+            .join(hits, ["doc_id"], "left")
+            .select("doc_id", "n_pos",
+                    F.coalesce("n_boiler", F.lit(0)).cast("long")
+                    .alias("n_boiler"))
             .select("doc_id", "n_pos", "n_boiler",
                     F.expr("CAST((n_boiler * 1000000) div n_pos AS BIGINT)")
                     .alias("boiler_ppm")))
@@ -1872,10 +1882,15 @@ def token_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("pa"), True)).cast("long").alias("p"),
         F.count(F.when(~F.col("pa"), True)).cast("long").alias("f"))
     docs = load_table(spark, sf_dir, "documents")
+    # round-13: per-doc de-dup is array_distinct scan-side — (doc_id, w)
+    # duplicates can only arise WITHIN a document (docs is doc-grain),
+    # so the corpus-token-sized distinct() shuffle bought nothing the
+    # array form doesn't (guide §2.4: a distinct on already-unique data
+    # is an accidental exchange)
     pres = (docs.where(F.trim(F.col("text")) != "")
-            .select("doc_id", F.explode(T.tokens("text")).alias("w"))
-            .where(F.col("w") != "")
-            .distinct())
+            .select("doc_id",
+                    F.explode(F.array_distinct(T.tokens("text"))).alias("w"))
+            .where(F.col("w") != ""))
     cnt = (pres.join(lab, "doc_id")
            .groupBy("w")
            .agg(F.count(F.when(F.col("pa"), True)).cast("long").alias("a"),
