@@ -2099,16 +2099,28 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(e0.select(F.col("b").alias("src"),
                                F.col("a").alias("dst"))))
-    active = _materialize(e.select(F.col("src").alias("node")).distinct())
     rows = []
+    active = None
     for r in range(1, _KCORE_ITER + 1):
-        deg = (e.join(active.select(F.col("node").alias("src")), "src")
-               .join(active.select(F.col("node").alias("dst")), "dst")
-               .groupBy("src")
-               .agg(F.count(F.lit(1)).alias("deg")))
+        if r == 1:
+            # round 1's active set is every endpoint of the symmetric
+            # edge list by construction, so the two gating joins are
+            # identity — a bare degree count over e is the same frame,
+            # and |active0| is exactly the degree frame's row count
+            # (each node appears as src at least once). Saves the node
+            # distinct plus two edge-sized joins.
+            deg = _materialize(e.groupBy("src")
+                               .agg(F.count(F.lit(1)).alias("deg")))
+            n_prev = deg.agg(F.count(F.lit(1)).cast("long").alias("n_prev"))
+        else:
+            deg = (e.join(active.select(F.col("node").alias("src")), "src")
+                   .join(active.select(F.col("node").alias("dst")), "dst")
+                   .groupBy("src")
+                   .agg(F.count(F.lit(1)).alias("deg")))
+            n_prev = active.agg(
+                F.count(F.lit(1)).cast("long").alias("n_prev"))
         nxt = _materialize(deg.where(F.col("deg") >= _KCORE_K)
                            .select(F.col("src").alias("node")))
-        n_prev = active.agg(F.count(F.lit(1)).cast("long").alias("n_prev"))
         n_act = nxt.agg(F.count(F.lit(1)).cast("long").alias("n_active"))
         rows.append(
             n_act.crossJoin(F.broadcast(n_prev))
