@@ -2350,17 +2350,25 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
         & F.col("event_type").isin(_MKV_CHANNELS + ["purchase"]))
+    from cliqz_etl_spark.operators.cache import track
+
     wseq = Window.partitionBy("user_id").orderBy(F.asc("ts"),
                                                  F.asc("event_id"))
-    seqq = ev.select("user_id", F.col("event_type").alias("et"),
-                     F.row_number().over(wseq).alias("idx"))
+    # seqq feeds fp and j; j feeds the three edge legs (start/mids/ends)
+    # — unpersisted, the sequencing window re-ran once per consumer
+    # (up to 6 executions of the sort shuffle for one journeys table)
+    seqq = track(ev.select("user_id", F.col("event_type").alias("et"),
+                           F.row_number().over(wseq).alias("idx"))
+                 .persist())
     fp = (seqq.where(F.col("et") == "purchase")
           .groupBy("user_id").agg(F.min("idx").alias("pidx")))
-    j = (seqq.join(fp, "user_id", "left")
+    j = track(
+        (seqq.join(fp, "user_id", "left")
          .where(F.col("pidx").isNull() | (F.col("idx") <= F.col("pidx")))
          .select("user_id",
                  F.when(F.col("et") == "purchase", F.lit("C"))
                  .otherwise(F.col("et")).alias("st"), "idx"))
+        .persist())
     wj = Window.partitionBy("user_id").orderBy(F.asc("idx"))
     wall = Window.partitionBy("user_id")
     start = j.where(F.col("idx") == 1).select(
@@ -3003,12 +3011,18 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = (bit.select(F.col("x").alias("click"))
              .crossJoin(bit.select(F.col("x").alias("view")))
              .crossJoin(bit.select(F.col("x").alias("signup"))))
-    full8 = (spine.join(F.broadcast(cells), ["click", "view", "signup"],
-                        "left")
-             .select("click", "view", "signup",
-                     F.coalesce(
-                         F.floor(F.lit(1000000.0) * F.col("k") / F.col("n"))
-                         .cast("long"), F.lit(0)).alias("vp")))
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    # materialized: the 8-row coalition table feeds SIX consumers (f1/f0
+    # per channel) — unpersisted, each one re-executed the events scan
+    # and both aggregates (6 corpus passes for 8 rows of algebra)
+    full8 = _materialize(
+        spine.join(F.broadcast(cells), ["click", "view", "signup"],
+                   "left")
+        .select("click", "view", "signup",
+                F.coalesce(
+                    F.floor(F.lit(1000000.0) * F.col("k") / F.col("n"))
+                    .cast("long"), F.lit(0)).alias("vp")))
     parts = []
     for ch in _SHAP_CHANNELS:
         others = [c for c in _SHAP_CHANNELS if c != ch]

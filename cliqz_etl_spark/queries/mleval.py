@@ -1282,9 +1282,14 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "event_type", "h", _CONF_K).persist())
     cal = base.join(F.broadcast(calk), ["event_type", "h"], "left_semi")
     rest = base.join(F.broadcast(calk), ["event_type", "h"], "left_anti")
-    means = (rest.where(F.col("h") % 2 == 0)
-             .groupBy("event_type")
-             .agg(F.expr("sum(cents) div count(1)").alias("mean_cents")))
+    # persist the per-type means: three consumers (caln's broadcast, the
+    # final test join, and qh's plan re-reaching caln) would otherwise
+    # each re-run the train-slice corpus aggregate behind it
+    means = track(
+        rest.where(F.col("h") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.expr("sum(cents) div count(1)").alias("mean_cents"))
+        .persist())
     caln = (cal.join(F.broadcast(means), "event_type")
             .select("event_type",
                     F.abs(F.col("cents") - F.col("mean_cents")).alias("nc")))

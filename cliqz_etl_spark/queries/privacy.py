@@ -508,9 +508,16 @@ def forget_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ev = load_table(spark, sf_dir, "events")
 
-    forget = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    o_hit = orders.join(forget, orders.o_custkey == forget.c_custkey,
-                        "left_semi").select("o_orderkey", "o_custkey")
+    from cliqz_etl_spark.operators.cache import track
+
+    # forget feeds three consumers (o_hit, ev_hit, its own audit leg) and
+    # o_hit two (li_hit, its audit leg): persisted, each upstream
+    # scan+semi-join runs once instead of per consumer
+    forget = track(cust.where(F.col("c_custkey") % 97 == 0)
+                   .select("c_custkey").persist())
+    o_hit = track(orders.join(forget, orders.o_custkey == forget.c_custkey,
+                              "left_semi")
+                  .select("o_orderkey", "o_custkey").persist())
     li_hit = li.join(o_hit.select("o_orderkey"),
                      li.l_orderkey == F.col("o_orderkey"), "left_semi")
     ev_hit = ev.join(forget, ev.user_id == forget.c_custkey, "left_semi")

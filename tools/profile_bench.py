@@ -39,6 +39,15 @@ def main() -> None:
                       extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
+    # mirror bench.py's Python-worker warm-up: the first Arrow query must
+    # measure its plan, not the daemon fork + per-worker import storm
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _arrow_warmup(s):
+        return s
+
+    spark.range(0, 64, 1, int(CPUS)).select(_arrow_warmup("id")).collect()
 
     rows: dict[str, dict[str, float]] = {}
     names = [n for n in BENCH_HEADLINE if not ONLY or n in ONLY]
