@@ -628,3 +628,53 @@ def test_substring_removal_matches_python_model(spark, texts):
         release_all()
         shutil.rmtree(tmp, ignore_errors=True)
     assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 10), st.integers(0, 10)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=20,
+))
+def test_pagerank_assume_distinct_matches_default(spark, pairs):
+    """``assume_distinct=True`` (the round-13 shuffle-skip for callers
+    whose edge list is distinct by construction) must be a pure plan
+    optimization: on an already-distinct edge list it returns exactly
+    the default path's ranks."""
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.operators.graph import pagerank
+
+    edges = sorted(set(pairs))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    try:
+        want = {r["node"]: r["rank"] for r in pagerank(df, 3).collect()}
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, 3, assume_distinct=True).collect()}
+    finally:
+        release_all()
+    assert got == want
+
+
+def test_ivf_prebuilt_index_matches_inline_build(spark):
+    """``ivf_topk(index=ivf_build_index(...))`` — the round-13 sharing
+    path ivf_probe_recall_sweep uses to build the index once across
+    probe configs — must return exactly the inline-build result for
+    every n_probe it is reused under."""
+    from cliqz_etl_spark.operators.cache import release_all
+    from cliqz_etl_spark.operators.similarity import ivf_build_index, ivf_topk
+    from cliqz_etl_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = emb.where(F.col("vec_id") % 25 == 0)
+    try:
+        index = ivf_build_index(emb, cents, "vec_id", "embedding")
+        for n_probe in (1, 2):
+            want = ivf_topk(emb, cents, emb.where(F.col("vec_id") % 10 == 0),
+                            "vec_id", "embedding", k=3,
+                            n_probe=n_probe).collect()
+            got = ivf_topk(emb, cents, emb.where(F.col("vec_id") % 10 == 0),
+                           "vec_id", "embedding", k=3, n_probe=n_probe,
+                           index=index).collect()
+            assert sorted(map(tuple, got)) == sorted(map(tuple, want)), n_probe
+    finally:
+        release_all()
