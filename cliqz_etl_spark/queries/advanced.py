@@ -1051,7 +1051,12 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole fact table into 10 skewed partitions.
     hist = coded.groupBy("bucket").agg(
         F.sum(1 - F.col("cur")).alias("r"), F.sum("cur").alias("c"))
-    cnt = (
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    # materialized: the 10-row bucket frame feeds BOTH the totals
+    # aggregate and the final term projection — unpersisted, the corpus
+    # histogram behind it executed twice
+    cnt = _materialize(
         spine.join(F.broadcast(hist), "bucket", "left")
         .select("bucket",
                 F.coalesce(F.col("r"), F.lit(0)).cast("long").alias("n_ref"),

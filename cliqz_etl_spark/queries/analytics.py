@@ -1756,11 +1756,16 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliqz_etl_spark.operators.stats import ranged_cumsum
 
     o = load_table(spark, sf_dir, "orders")
-    daily = (o.where(F.col("o_orderdate").isNotNull()
-                     & F.col("o_totalprice").isNotNull())
-             .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
-             .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-                        .cast("long")).cast("long").alias("cents")))
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    # materialized: the day frame feeds ranged_cumsum AND the totals
+    # aggregate — unpersisted, the corpus groupBy behind it ran twice
+    daily = _materialize(
+        o.where(F.col("o_orderdate").isNotNull()
+                & F.col("o_totalprice").isNotNull())
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                   .cast("long")).cast("long").alias("cents")))
     cum = ranged_cumsum(
         daily.withColumn("one", F.lit(1).cast("long")),
         "day", ["cents", "one"])
@@ -2789,9 +2794,15 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) as long))"
                          " div 1000").cast("long").alias("kc")))
     tiled = ranged_ntile(spend, ["kc", "o_custkey"], 10, "decile")
-    per = (tiled.groupBy(F.col("decile").cast("long").alias("decile"))
-           .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
-                F.sum("kc").cast("long").alias("decile_kilocents")))
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    # materialized: the 10-row decile frame feeds the total aggregate
+    # AND the final cumulative select — unpersisted, the corpus groupBy
+    # plus the whole ranged_ntile pipeline behind it executed twice
+    per = _materialize(
+        tiled.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.sum("kc").cast("long").alias("decile_kilocents")))
     tot = per.agg(F.sum("decile_kilocents").cast("long").alias("t"))
     cum = Window.orderBy(F.asc("decile")) \
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -2907,11 +2918,16 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliqz_etl_spark.operators.stats import ranged_cumsum
 
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (li.where(F.col("l_partkey").isNotNull()
-                    & F.col("l_extendedprice").isNotNull())
-           .groupBy(F.col("l_partkey").alias("part"))
-           .agg(F.expr("sum(cast(floor(l_extendedprice * 100 + 0.5) "
-                       "as long)) div 1000").cast("long").alias("kc")))
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    # materialized: the part-revenue frame feeds ranged_cumsum AND the
+    # totals aggregate — unpersisted, the lineitem groupBy ran twice
+    rev = _materialize(
+        li.where(F.col("l_partkey").isNotNull()
+                 & F.col("l_extendedprice").isNotNull())
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.expr("sum(cast(floor(l_extendedprice * 100 + 0.5) "
+                    "as long)) div 1000").cast("long").alias("kc")))
     tot = rev.agg(F.sum("kc").cast("long").alias("t"))
     ranked = (ranged_cumsum(rev.withColumn("negkc", -F.col("kc")),
                             ["negkc", "part"], ["kc"])

@@ -359,9 +359,13 @@ def source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy window runs over the cell frame (|sources x langs|, never
     data-sized); a single-cell corpus reports entropy 0 identically
     (ln(1) = 0 exactly in IEEE)."""
+    from cliqz_etl_spark.operators.dedup import _materialize
+
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n"))
+    # materialized: the cell frame feeds the totals aggregate AND the
+    # term projection — unpersisted, the documents groupBy ran twice
+    cells = _materialize(docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")))
     tot = cells.agg(F.sum("n").cast("long").alias("nn"))
     terms = (cells.crossJoin(F.broadcast(tot))
              .select("source", "lang", "n", "nn",

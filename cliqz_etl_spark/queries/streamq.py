@@ -1074,13 +1074,19 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(bucket.alias("bucket"))
            .groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("r")))
 
+    from cliqz_etl_spark.operators.dedup import _materialize
+
     spine = spark.range(10).select(F.col("id").cast("long").alias("bucket"))
-    cnt = (spine.join(ref, "bucket", "left").join(cur, "bucket", "left")
-           .select("bucket",
-                   F.coalesce(F.col("r"), F.lit(0)).cast("long")
-                   .alias("n_ref"),
-                   F.coalesce(F.col("c"), F.lit(0)).cast("long")
-                   .alias("n_cur")))
+    # materialized: the 10-row bucket frame feeds the totals aggregate
+    # AND the final term projection — unpersisted, both the reference
+    # corpus aggregate and the drained-output read ran twice
+    cnt = _materialize(
+        spine.join(ref, "bucket", "left").join(cur, "bucket", "left")
+        .select("bucket",
+                F.coalesce(F.col("r"), F.lit(0)).cast("long")
+                .alias("n_ref"),
+                F.coalesce(F.col("c"), F.lit(0)).cast("long")
+                .alias("n_cur")))
     tot = cnt.agg(F.sum("n_ref").cast("long").alias("a_tot"),
                   F.sum("n_cur").cast("long").alias("b_tot"))
     return (cnt.crossJoin(F.broadcast(tot))

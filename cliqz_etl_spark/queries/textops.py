@@ -428,9 +428,14 @@ def curation_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in reversed(_FUNNEL_STAGES):
         stage = F.when(~F.coalesce(rules[name], F.lit(False)),
                        F.lit(name)).otherwise(stage)
+    from cliqz_etl_spark.operators.dedup import _materialize
+
     staged = m.select(stage.alias("stage"))
-    grouped = (staged.groupBy("stage")
-               .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    # materialized: the <=6-row stage frame feeds the total aggregate AND
+    # the share projection — unpersisted, the gopher corpus pass ran twice
+    grouped = _materialize(
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
     # the corpus total is the SUM of the 6-row grouped frame — deriving it
     # there instead of re-aggregating the scan keeps this a one-scan plan
     total = grouped.agg(F.sum("n_docs").cast("long").alias("n_total"))
@@ -1062,9 +1067,13 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks.alias("tk"), "y").persist())
     train = labeled.where(md5_long(F.col("doc_id")) % 5 == 0)
     tok_train = train.select("y", F.explode("tk").alias("w"))
-    counts = tok_train.groupBy("w").agg(
+    # persisted: the vocab-sized count frame feeds the totals aggregate
+    # AND the scoring join — unpersisted, the train-token explode+groupBy
+    # ran twice (once per consumer) even off the cached labeled frame
+    counts = track(tok_train.groupBy("w").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("long").alias("c0"))
+        .persist())
     tot = counts.agg(
         F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("t1"),
         F.coalesce(F.sum("c0"), F.lit(0)).cast("long").alias("t0"),

@@ -1323,7 +1323,12 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_supp = supp.join(
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     ).select("s_suppkey")
-    vals = (
+    from cliqz_etl_spark.operators.dedup import _materialize
+
+    # materialized: the part-value frame feeds the totals aggregate AND
+    # the threshold filter — unpersisted, the lineitem semi-join+groupBy
+    # ran twice
+    vals = _materialize(
         li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"),
                 "left_semi")
         .groupBy("l_partkey")
