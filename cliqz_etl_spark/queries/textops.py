@@ -1067,13 +1067,16 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks.alias("tk"), "y").persist())
     train = labeled.where(md5_long(F.col("doc_id")) % 5 == 0)
     tok_train = train.select("y", F.explode("tk").alias("w"))
-    # persisted: the vocab-sized count frame feeds the totals aggregate
-    # AND the scoring join — unpersisted, the train-token explode+groupBy
-    # ran twice (once per consumer) even off the cached labeled frame
-    counts = track(tok_train.groupBy("w").agg(
+    # NOT persisted (round-13 finding): counts feeds the totals aggregate
+    # AND the scoring join, but caching it makes AQE lose the runtime
+    # broadcast decision on the scoring join (the cached side stops
+    # being planned as a broadcast build: measured Exchange appearing in
+    # the executed plan, breaching the 0-shuffle budget). The double
+    # execution is an explode+groupBy over the already-cached labeled
+    # frame — cheaper than a corpus-token shuffle at any scale.
+    counts = tok_train.groupBy("w").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("long").alias("c0"))
-        .persist())
     tot = counts.agg(
         F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("t1"),
         F.coalesce(F.sum("c0"), F.lit(0)).cast("long").alias("t0"),

@@ -1109,9 +1109,12 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
         .persist())
     n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    brand_support = (baskets.select(F.explode("bs").alias("brand"))
-                     .groupBy("brand")
-                     .agg(F.count(F.lit(1)).cast("long").alias("s")))
+    # persisted: the brand-sized support frame broadcasts TWICE (sa, sb)
+    # — unpersisted, the basket explode+groupBy behind it ran per side
+    brand_support = track(
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("s")).persist())
     # all i<j combinations of the sorted basket, scan-side
     pairs_expr = F.flatten(F.transform(
         "bs", lambda x, i: F.transform(
