@@ -450,7 +450,10 @@ def _substr_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _substr_window_keys(base: DataFrame) -> DataFrame:
-    """(doc_id, win_idx, h, key) — the engine twin of CTEs ``w0``/``w``."""
+    """(h, key) — the engine twin of CTEs ``w0``/``w``, narrowed to the
+    16 bytes the dedup decision needs (guide §2.3): ``key`` packs
+    (doc_id, win_idx) reversibly (doc_id = key div 2^20, win_idx =
+    key mod 2^20), so occurrence identity never needs the wider row."""
     from cliqz_etl_spark.functions.hashing import md5_long
 
     W = SUBSTR_W
@@ -460,8 +463,44 @@ def _substr_window_keys(base: DataFrame) -> DataFrame:
                 lambda i: F.array_join(F.slice("tk", i, W), " ")))
                 .alias("win_idx", "win")))
     return wins.select(
-        "doc_id", "win_idx", md5_long(F.col("win")).alias("h"),
+        md5_long(F.col("win")).alias("h"),
         (F.col("doc_id") * F.lit(1048576) + F.col("win_idx")).alias("key"))
+
+
+def _substr_dup_occurrences(base: DataFrame) -> DataFrame:
+    """(doc_id, win_idx) of every DUPLICATE window occurrence — every
+    occurrence whose packed key is not its hash's global MIN.
+
+    One window-keys subtree, one corpus x W shuffle: the (h, key) frame
+    is repartitioned by h ONCE and both consumers — the MIN(key) winner
+    aggregate and the join probe — hang off that same exchange (guide
+    §2.4: two operations keyed the same way share one exchange; the
+    physical plan carries a ReusedExchange where the naive
+    aggregate-then-join re-derived the window explode AND paid a second
+    h-keyed shuffle for the probe side). The aggregate runs complete-mode
+    on the clustered partitions; the join adds no exchange because both
+    sides already share the h partitioning. Hot boilerplate windows land
+    in one partition either way — exactly as they did on the old probe
+    side — and the aggregate/join both stream, so no per-key state grows
+    with occurrence count. doc_id/win_idx are recovered arithmetically
+    from the packed key after the join, keeping the shuffled row at
+    16 bytes."""
+    # The three isnotnull conjuncts are vacuously true (doc_id/win_idx
+    # are non-null by construction) but load-bearing: the downstream
+    # joins push exactly these predicates into the PROBE branch only,
+    # and a filter present on one branch but not the other breaks the
+    # canonical-plan equality the shuffle-stage reuse depends on.
+    # Stating them explicitly puts the identical conjunct set on both
+    # branches, so AQE materializes ONE shuffle stage and the second
+    # consumer reads it back instead of re-running the explode.
+    w = (_substr_window_keys(base)
+         .where(F.col("h").isNotNull() & F.col("key").isNotNull()
+                & F.expr("key div 1048576").isNotNull())
+         .repartition("h"))
+    m = w.groupBy("h").agg(F.min("key").alias("keep"))
+    return (w.join(m, "h").where(F.col("key") > F.col("keep"))
+            .select(F.expr("key div 1048576").alias("doc_id"),
+                    F.expr("key % 1048576").alias("win_idx")))
 
 
 @query(
@@ -490,19 +529,33 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: scan-side transform/explode (W-times expansion, the price
     of alignment-free matching — the windows never materialize to disk),
-    one groupBy(h) with map-side combine (repeated boilerplate windows
-    collapse per-partition before the shuffle), one keyed join back (m
-    has exactly one row per h, so the join cannot blow up on hot
-    windows), one groupBy(doc). 60-bit hashes collide at ~n^2/2^61;
-    identical md5 on both engines keeps the oracle exact regardless — at
-    real corpus scale widen to the full 128-bit digest."""
-    w = _substr_window_keys(_substr_token_frame(spark, sf_dir))
-    m = w.groupBy("h").agg(F.min("key").alias("keep"))
-    dup = F.when(F.col("key") > F.col("keep"), 1).otherwise(0)
-    return (w.join(m, "h")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
-                 F.sum(dup).cast("long").alias("n_dup"))
+    ONE h-keyed shuffle shared by the winner aggregate and the join probe
+    (see _substr_dup_occurrences — the old shape paid two h shuffles and
+    re-ran the explode per consumer), then a duplicates-only groupBy(doc)
+    joined back onto the doc-grain token frame: n_windows is just
+    size(tk) - W + 1, so the corpus x W join output never feeds the final
+    aggregate — only duplicate occurrences do. 60-bit hashes collide at
+    ~n^2/2^61; identical md5 on both engines keeps the oracle exact
+    regardless — at real corpus scale widen to the full 128-bit digest.
+
+    base is deliberately NOT persisted: the window subtree's shuffle
+    reuse (see _substr_dup_occurrences) requires both consumers to plan
+    from the parquet scan — a cached leaf re-instanced under a self-join
+    never canonicalizes equal in Spark 4, so caching here would silently
+    re-run the explode AND pay a second h shuffle. The price is one
+    extra pruned parquet scan of documents, strictly cheaper than
+    caching the tokenized corpus."""
+    W = SUBSTR_W
+    base = _substr_token_frame(spark, sf_dir)
+    nw = (base.where(F.size("tk") >= W)
+          .select("doc_id",
+                  (F.size("tk") - W + 1).cast("long").alias("n_windows")))
+    nd = (_substr_dup_occurrences(base)
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("nd")))
+    return (nw.join(nd, "doc_id", "left")
+            .select("doc_id", "n_windows",
+                    F.coalesce("nd", F.lit(0).cast("long")).alias("n_dup"))
             .select("doc_id", "n_windows", "n_dup",
                     F.expr("(n_dup * 1000000) div n_windows").cast("long")
                     .alias("dup_ppm")))
@@ -518,9 +571,10 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # character-exact. Coverage is computed by exploding each duplicate
 # occurrence into its W token positions and distinct-ing — bounded by
 # n_dup_windows x W, the same order as the window explode that found
-# them (never corpus^2); the run/rebuild stages all key on doc_id, so
-# the window sort, the run-boundary lag, and the final reassembly share
-# ONE doc-keyed exchange.
+# them (never corpus^2); covered positions then collapse to one sorted
+# array per affected doc, and runs/survivors/rebuilt-length are per-doc
+# array algebra against the cached token frame — duplicate-derived rows
+# are the only thing that ever shuffles after the h join.
 # --------------------------------------------------------------------------
 
 
@@ -568,52 +622,72 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transform stage the dedup_exact_substrings profile implies.
 
     Pipeline: the member's window->MIN(packed key) machinery finds
-    duplicate occurrences; each explodes into its W covered token
+    duplicate occurrences (ONE window-keys subtree / ONE h shuffle —
+    _substr_dup_occurrences); each explodes into its W covered token
     positions (distinct-ed, so overlapping duplicate windows never
-    double-remove); a left join onto the token frame marks removal;
-    one doc-keyed window computes run boundaries (lag on position);
-    the reassembly is sort_array(collect_list(struct(pos, tok))) over
-    the survivors — span_dedup's rebuild idiom at token granularity.
+    double-remove); positions aggregate to ONE sorted array per affected
+    doc, and everything else — removal runs, survivor selection, the
+    rebuilt length — is per-doc array algebra against the cached token
+    frame. No token ever explodes into its own row: the old shape paid a
+    corpus-token posexplode, a corpus-token (doc_id, pos) join, a second
+    corpus-token doc-keyed exchange for the lag window, and an
+    O(n log n) collect_list sort per doc; this shape touches corpus
+    tokens only inside per-doc array expressions (array_except is one
+    hash pass, the gap count is one linear zip) and shuffles only
+    duplicate-derived rows.
 
     At 100 TB: coverage is n_dup x W rows (duplicates only, not the
-    corpus), the winner table is one row per DISTINCT window, and
-    everything after the h-keyed join keys on doc_id — the lag window,
-    run count, and rebuild share one doc-sized exchange. Docs shorter
-    than W tokens carry no windows and survive whole; a doc whose every
-    token is covered comes back n_kept_tok=0, kept_len=0 (both engines
-    rebuild the empty string)."""
-    from cliqz_etl_spark.operators.dedup import _materialize
-    from pyspark.sql import Window
+    corpus), the winner table is one row per DISTINCT window, and the
+    only doc-keyed frames after the h join are duplicates-only (cov,
+    covd) plus the doc-grain join back onto the cached base. Docs
+    shorter than W tokens carry no windows and survive whole; a doc
+    whose every token is covered comes back n_kept_tok=0, kept_len=0
+    (both engines rebuild the empty string).
 
+    base is deliberately NOT persisted: the window subtree's shuffle
+    reuse (see _substr_dup_occurrences) requires both consumers to plan
+    from the parquet scan — a cached leaf re-instanced under a self-join
+    never canonicalizes equal in Spark 4, so caching here would silently
+    re-run the explode AND pay a second h shuffle. The price is one
+    extra pruned parquet scan of documents, strictly cheaper than
+    caching the tokenized corpus."""
     W = SUBSTR_W
-    base = _materialize(_substr_token_frame(spark, sf_dir))
-    toks = base.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
-    w = _substr_window_keys(base)
-    m = w.groupBy("h").agg(F.min("key").alias("keep"))
-    occ = (w.join(m, "h").where(F.col("key") > F.col("keep"))
-           .select("doc_id", "win_idx"))
-    cov = (occ.select("doc_id", F.explode(F.sequence(
-               F.col("win_idx"), F.col("win_idx") + W - 1)).alias("pos"))
-           .distinct().withColumn("rm", F.lit(1)))
-    fl = (toks.join(cov, ["doc_id", "pos"], "left")
-          .select("doc_id", "pos", "tok",
-                  F.coalesce("rm", F.lit(0)).alias("rm")))
-    wd = Window.partitionBy("doc_id").orderBy(F.asc("pos"))
-    runs = fl.withColumn(
-        "rs", F.when((F.col("rm") == 1)
-                     & (F.coalesce(F.lag("rm").over(wd), F.lit(0)) == 0),
-                     1).otherwise(0))
-    return (runs.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_tok"),
-                 F.sum(F.lit(1) - F.col("rm")).cast("long")
-                 .alias("n_kept_tok"),
-                 F.sum("rs").cast("long").alias("n_removed_runs"),
-                 F.length(F.array_join(F.transform(
-                     F.array_sort(F.collect_list(
-                         F.when(F.col("rm") == 0,
-                                F.struct("pos", "tok")))),
-                     lambda s: s["tok"]), " ")).cast("long")
-                 .alias("kept_len")))
+    base = _substr_token_frame(spark, sf_dir)
+    occ = _substr_dup_occurrences(base)
+    # Aggregate duplicate win_idx per doc FIRST, then expand each window
+    # into its W covered positions inside a per-doc array expression:
+    # the doc-keyed shuffle carries n_dup rows, not n_dup x W exploded
+    # positions, and collect_set subsumes the distinct the old exploded
+    # shape needed (one exchange instead of two). cv stays bounded by
+    # the doc's own token count (positions are distinct and < n_tok),
+    # so the per-doc array is no bigger than the token array the query
+    # already holds per row.
+    covd = (occ.groupBy("doc_id")
+            .agg(F.collect_set("win_idx").alias("wis"))
+            .select("doc_id", F.sort_array(F.array_distinct(F.flatten(
+                F.transform("wis", lambda wi: F.sequence(
+                    wi, wi + W - 1))))).alias("cv")))
+    marked = (base.join(covd, "doc_id", "left")
+              .select("doc_id", "tk",
+                      F.coalesce("cv", F.expr("array()").cast("array<long>"))
+                      .alias("cv"))
+              .withColumn("kp", F.expr(
+                  "array_except(sequence(0L, cast(size(tk) as bigint) - 1L),"
+                  " cv)")))
+    return marked.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tok"),
+        F.size("kp").cast("long").alias("n_kept_tok"),
+        # removal runs = 1 + gaps between consecutive covered positions
+        # (cv is sorted): identical to the old lag-window 0->1 count.
+        F.expr(
+            "cast(case when size(cv) = 0 then 0 else 1 + "
+            "size(filter(zip_with(slice(cv, 2, size(cv) - 1), "
+            "slice(cv, 1, size(cv) - 1), (a, b) -> a - b), g -> g > 1)) "
+            "end as bigint)").alias("n_removed_runs"),
+        F.length(F.array_join(F.expr(
+            "transform(kp, p -> element_at(tk, cast(p + 1 as int)))"), " "))
+        .cast("long").alias("kept_len"))
 
 
 # --------------------------------------------------------------------------

@@ -191,6 +191,31 @@ def test_pack_sequences_single_shard_shuffle(spark):
     assert "rangepartitioning" not in plan  # a global orderBy would use this
 
 
+@pytest.mark.parametrize("name", ["dedup_substring_removal",
+                                  "dedup_exact_substrings"])
+def test_substr_window_subtree_is_shared(spark, name):
+    """Round-14 gate: the stride-1 window explode must appear ONCE in the
+    executed plan and its h-keyed shuffle must be REUSED by the second
+    consumer (MIN-winner aggregate + join probe share one exchange —
+    guide §2.4). The reuse depends on canonical-plan equality, which a
+    well-meaning persist of the token frame (cached leaves re-instanced
+    under a self-join never canonicalize equal in Spark 4) or a drifted
+    filter set silently breaks — turning back into TWO corpus x W
+    explodes and TWO h shuffles with no visible failure. Executed-plan
+    assertion is the only reliable detector."""
+    from cliqz_etl_spark.operators.cache import release_all
+
+    try:
+        df = _REGISTRY[name].fn(spark, SF_SMOKE)
+        df.collect()
+        final = (df._jdf.queryExecution().executedPlan().toString()
+                 .split("== Initial Plan ==")[0])
+    finally:
+        release_all()
+    assert final.count("posexplode") == 1, name
+    assert "ReusedExchange" in final, name
+
+
 def test_scd2_changelog_single_shuffle(spark):
     """All three window passes of the gaps-and-islands compression must
     share one hash-partition exchange on the key — a second Exchange means
@@ -285,10 +310,10 @@ _PLAN_BUDGET = {
     # pair + the spread repartition; the ceiling leaves room for the
     # at-scale SMJ shape while still catching a corpus-sized sort or a
     # Python stage appearing
-    "dedup_substring_removal": (7, 0),
+    "dedup_substring_removal": (3, 0),
     "supplier_part_pagerank": (6, 0),
     # round-8 pins
-    "dedup_exact_substrings": (2, 0),
+    "dedup_exact_substrings": (3, 0),
     "zorder_layout": (2, 0),
     "psi_drift": (3, 0),
     "temperature_mixing": (3, 0),
