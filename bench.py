@@ -39,18 +39,12 @@ def main() -> None:
     # plan, not session bootstrap.
     spark.range(1000).selectExpr("sum(id)").collect()
     # Warm the Python-worker pool the same way (guide §1: measure the
-    # plan, not bootstrap): without this, whichever Arrow/pandas query
-    # runs FIRST absorbs the daemon fork + per-worker numpy/pandas import
-    # storm (measured 72 s cold / 4 s on its second sample at local[32] —
-    # contaminating even the best-of-2 min). One no-op pandas_udf job at
-    # full parallelism pays that cost once, outside any timed region.
-    from pyspark.sql.functions import pandas_udf
+    # plan, not bootstrap) — shared helper, one no-op pandas_udf job at
+    # full parallelism, outside any timed region (see session.py for the
+    # measured 72 s cold-fork rationale).
+    from cliqz_etl_spark.session import warm_python_workers
 
-    @pandas_udf("long")
-    def _arrow_warmup(s):
-        return s
-
-    spark.range(0, 64, 1, int(CPUS)).select(_arrow_warmup("id")).collect()
+    warm_python_workers(spark, int(CPUS))
 
     # Host-speed calibration: identical deterministic work every round, so
     # cross-round query times can be normalized for machine noise (the same

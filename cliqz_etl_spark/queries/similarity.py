@@ -934,16 +934,19 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("qn").alias("na"), "band", "chunk")
     b = capped.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb"),
                       F.col("qn").alias("nb"), "band", "chunk")
-    # cosine is computed BEFORE the dedup exchange so distinct shuffles
+    # cosine is computed BEFORE the dedup exchange so the shuffle carries
     # three scalars per candidate, not two 64-byte quantized vectors plus
-    # norms; (src, dst) determines cos bit-exactly (integer dot products),
-    # so distinct over (src, dst, cos) keeps the identical row set
+    # norms. Dedup keys on (src, dst) ALONE: duplicate rows (same pair
+    # surfacing from both bands) are identical by construction, so any
+    # representative cos is THE cos — keying the dedup on the pair rather
+    # than on (src, dst, cos) means correctness no longer leans on the
+    # float expression being bit-reproducible across band copies.
     cand = (a.join(b, ["band", "chunk"])
             .where(F.col("src") != F.col("dst"))
             .select("src", "dst",
                     (dot_q(F.col("qa"), F.col("qb")).cast("double")
                      / F.sqrt(F.col("na") * F.col("nb"))).alias("cos"))
-            .distinct())
+            .dropDuplicates(["src", "dst"]))
     ws = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
     # materialized: the edge frame feeds BOTH sides of the mutual join —
     # without a persist the whole candidate pipeline would execute twice

@@ -61,6 +61,27 @@ def _local_heap_default() -> str:
     return f"{max(1, min(16, int(page * pages * 0.7 / (1 << 30))))}g"
 
 
+def warm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Pay the Python-worker bootstrap cost once, outside any timed region.
+
+    Without this, whichever Arrow/pandas query runs FIRST in a fresh
+    session absorbs the daemon fork plus the per-worker numpy/pandas
+    import storm (measured 72 s cold at local[32] — contaminating even a
+    best-of-2 min). One no-op pandas_udf job at full parallelism, with at
+    least one row per partition so every worker actually forks (64 rows
+    across >64 partitions would leave the surplus workers cold). Shared
+    by bench.py, tools/profile_bench.py and tools/adjudicate.py so the
+    three harnesses cannot drift."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _arrow_warmup(s):
+        return s
+
+    spark.range(0, max(64, cpus), 1, cpus).select(
+        _arrow_warmup("id")).collect()
+
+
 def get_spark(app_name: str = "cliqz_etl_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) the session. ``master`` defaults to ``local[N]``

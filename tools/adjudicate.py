@@ -49,14 +49,9 @@ def main() -> int:
     spark.range(1000).selectExpr("sum(id)").collect()
     # mirror bench.py's Python-worker warm-up: an adjudicated Arrow query
     # must measure its plan, not the daemon fork + per-worker imports
-    from pyspark.sql.functions import pandas_udf
+    from cliqz_etl_spark.session import warm_python_workers
 
-    @pandas_udf("long")
-    def _arrow_warmup(s):
-        return s
-
-    spark.range(0, 64, 1, int(args.cpus)).select(
-        _arrow_warmup("id")).collect()
+    warm_python_workers(spark, int(args.cpus))
 
     def calibrate() -> dict[str, float]:
         t0 = time.perf_counter()

@@ -41,13 +41,9 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     # mirror bench.py's Python-worker warm-up: the first Arrow query must
     # measure its plan, not the daemon fork + per-worker import storm
-    from pyspark.sql.functions import pandas_udf
+    from cliqz_etl_spark.session import warm_python_workers
 
-    @pandas_udf("long")
-    def _arrow_warmup(s):
-        return s
-
-    spark.range(0, 64, 1, int(CPUS)).select(_arrow_warmup("id")).collect()
+    warm_python_workers(spark, int(CPUS))
 
     rows: dict[str, dict[str, float]] = {}
     names = [n for n in BENCH_HEADLINE if not ONLY or n in ONLY]
