@@ -120,22 +120,34 @@ def pagerank(edges: DataFrame, n_iter: int, *, scale: int = 1_000_000,
                      F.col("dst").cast("long").alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    # The raw edge frame feeds FOUR pre-iteration consumers (deg, the
-    # ed join probe side, and both legs of the nodes union); persisting
-    # it first makes the upstream edge build evaluate once instead of
-    # four times, and it is released as soon as ed and nodes — the two
-    # frames the iterations actually probe — are materialized.
+    # The raw edge frame feeds TWO subtrees of ed's plan (the deg
+    # aggregate and the join probe); a lazy persist fills on ed's
+    # materialization and collapses the second subtree to a cache read.
+    # No eager e.count(): the consumers run sequentially inside ed's one
+    # action, so a blocking pre-materialization job bought nothing
+    # (measured r13->r14: three eager counts per call was the prime
+    # suspect in textrank's 0.76x — every count is a full driver round
+    # trip before any iteration starts).
     e = e.persist()
-    e.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = e.join(deg, "src").persist()
+    # ed is persisted CLUSTERED on src: every iteration probes it with a
+    # src-keyed join, so baking hashpartitioning(src) into the cache lets
+    # each iteration reuse the layout instead of re-exchanging the edge
+    # frame once per iteration when the rank side is too big to
+    # broadcast (guide §2.4 — at bench scale AQE broadcasts the rank
+    # frame either way; at corpus scale this is the difference between
+    # n_iter edge shuffles and zero).
+    ed = e.join(deg, "src").repartition("src").persist()
     ed.count()  # materialize once; every iteration probes this frame
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node")))
+    # nodes derives from ed's cache (same row set as e: the inner join
+    # on src keeps every edge) through ONE reference — an explode of the
+    # endpoint pair — so its build is a single cached scan, not two
+    # union legs re-reading e.
+    nodes = (ed.select(F.explode(F.array("src", "dst")).alias("node"))
              .distinct().persist())
     # eager, like ed: nodes appears TWICE per iteration (contrib probe +
     # re-seed left join), so an unmaterialized persist leaves its whole
-    # union+distinct subtree duplicated 2x per iteration in the plan —
+    # explode+distinct subtree duplicated 2x per iteration in the plan —
     # materializing collapses every later reference to one cached scan
     nodes.count()
     e.unpersist()
