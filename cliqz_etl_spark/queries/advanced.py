@@ -1543,11 +1543,21 @@ def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
             )))).alias("p"))
         .where(F.col("p").isNotNull())
         .select("p.a", "p.b", "term"))
-    nonedge = pairs.join(e, ["a", "b"], "left_anti")
-    scored = (nonedge.groupBy("a", "b")
+    # Aggregate BEFORE the anti join (guide §2.3 "aggregate before you
+    # shuffle"): the (a, b) groupBy now runs with map-side partial
+    # aggregation over the raw pair stream — duplicate pairs (the very
+    # ones that can pass common_neighbors >= MIN_CN) collapse per
+    # partition before the exchange — and the HAVING cut runs before the
+    # anti join, so the join probes one row per surviving candidate pair
+    # instead of every raw occurrence. Exactly equivalent to the old
+    # anti-join-then-aggregate order: the anti join is a filter on the
+    # group key (a, b), and key filters commute with the aggregation and
+    # with the HAVING.
+    scored = (pairs.groupBy("a", "b")
               .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"),
                    F.sum("term").cast("long").alias("aa_micro"))
-              .where(F.col("common_neighbors") >= _LP_MIN_CN))
+              .where(F.col("common_neighbors") >= _LP_MIN_CN)
+              .join(e, ["a", "b"], "left_anti"))
     # per-source top-K: the recommendation cut — partitioned by the
     # high-cardinality source key, never a global sort; ties cannot
     # occur inside a partition (b is unique per a) so the cut is
