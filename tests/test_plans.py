@@ -191,6 +191,46 @@ def test_pack_sequences_single_shard_shuffle(spark):
     assert "rangepartitioning" not in plan  # a global orderBy would use this
 
 
+# Round-14 gate (verdict item 9): the r13 multi-consumer persists must
+# SURVIVE in the executed plan — nb_quality_classifier proved a persist
+# can silently cost AQE's runtime broadcast (cached build side stops
+# planning as broadcast -> extra Exchange), and the reverse failure (a
+# refactor dropping the persist -> the shared subtree re-executes per
+# consumer) is just as silent. Values = (min InMemoryTableScan refs,
+# min Broadcast* nodes) measured in the final adaptive plan at SF_SMOKE
+# when the persists landed. Queries whose smoke-scale plan collapses to
+# an empty relation (important_part_value, markov_attribution,
+# conformal_value_intervals) are covered by their exchange budgets only.
+_PERSIST_SURVIVAL = {
+    "psi_drift": (1, 1),
+    "cusum_changepoint": (2, 1),
+    "lorenz_curve_deciles": (2, 1),
+    "abc_analysis_parts": (2, 1),
+    "source_mix_entropy": (1, 1),
+    "streaming_drift_monitor": (1, 1),
+    "curation_funnel_audit": (1, 1),
+    "market_basket_rules": (1, 1),
+    "shapley_attribution": (1, 1),
+    "forget_cascade_audit": (3, 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PERSIST_SURVIVAL))
+def test_persisted_shared_frames_survive(spark, name):
+    from cliqz_etl_spark.operators.cache import release_all
+
+    min_imts, min_bcast = _PERSIST_SURVIVAL[name]
+    try:
+        df = _REGISTRY[name].fn(spark, SF_SMOKE)
+        df.collect()
+        final = (df._jdf.queryExecution().executedPlan().toString()
+                 .split("== Initial Plan ==")[0])
+    finally:
+        release_all()
+    assert final.count("InMemoryTableScan") >= min_imts, name
+    assert final.count("Broadcast") >= min_bcast, name
+
+
 @pytest.mark.parametrize("name", ["dedup_substring_removal",
                                   "dedup_exact_substrings"])
 def test_substr_window_subtree_is_shared(spark, name):
@@ -282,279 +322,290 @@ def test_chunk_documents_is_map_only(spark):
 # makes a plan structurally WORSE (an extra shuffle, a Python stage
 # appearing where none belongs). Values = the PLANS.md digest at the
 # time of pinning, verbatim.
+#
+# Round-14 third element: SOURCE-SCAN ceiling ("Scan parquet" count in
+# the final adaptive plan). This is the registry-wide double-execution
+# gate the round-13 verdict asked for: a shared frame that silently
+# loses its persist (or gains a new uncached consumer) re-executes its
+# whole scan-rooted subtree, and the extra source scan is the one
+# fingerprint every such regression leaves in the executed plan — the
+# 7821cad audit found nine of these by hand; this catches the tenth
+# automatically. (Cached relations print their build scan inside each
+# InMemoryRelation reference, so the pinned numbers for persisting
+# queries count those references too — still deterministic per plan.)
 _PLAN_BUDGET = {
     # query: (max shuffles, max python stages)
-    "pricing_summary": (1, 0),
-    "revenue_by_nation": (1, 0),
-    "earliest_order_per_customer": (1, 0),
-    "semi_join_orders": (0, 0),
-    "per_key_limit": (1, 0),
-    "dedup_exact": (1, 0),
-    "dedup_minhash_lsh": (2, 0),
-    "dedup_spans": (3, 0),
-    "ann_topk": (1, 1),
-    "dedup_semantic": (2, 3),
-    "sessionize": (1, 0),
-    "word_counts": (1, 0),
-    "chunk_documents": (0, 0),
-    "variant_roundtrip_stats": (2, 0),
-    "curation_pipeline_v2": (4, 0),
+    "pricing_summary": (1, 0, 1),
+    "revenue_by_nation": (1, 0, 5),
+    "earliest_order_per_customer": (1, 0, 2),
+    "semi_join_orders": (0, 0, 2),
+    "per_key_limit": (1, 0, 1),
+    "dedup_exact": (1, 0, 1),
+    "dedup_minhash_lsh": (2, 0, 1),
+    "dedup_spans": (3, 0, 3),
+    "ann_topk": (1, 1, 2),
+    "dedup_semantic": (2, 3, 3),
+    "sessionize": (1, 0, 1),
+    "word_counts": (1, 0, 1),
+    "chunk_documents": (0, 0, 1),
+    "variant_roundtrip_stats": (2, 0, 1),
+    "curation_pipeline_v2": (4, 0, 3),
     # round-13: 5 measured = dedup_spans' 3 keyed shuffles + contamination
     # postings agg + the survivor pack window; 1 python = the BMP codec
     # Arrow stage. Ceiling catches a gate join degrading from broadcast
     # to shuffle (doc-id-sized sides must broadcast at gate scale)
-    "curation_pipeline_v4": (6, 1),
+    "curation_pipeline_v4": (6, 1, 8),
     # round-13: at smoke scale AQE broadcasts the coverage frame (the
     # h-keyed winner agg + occurrence join live inside the broadcast
     # subtree), so the counted exchanges are the doc-keyed window/agg
     # pair + the spread repartition; the ceiling leaves room for the
     # at-scale SMJ shape while still catching a corpus-sized sort or a
     # Python stage appearing
-    "dedup_substring_removal": (3, 0),
-    "supplier_part_pagerank": (6, 0),
+    "dedup_substring_removal": (3, 0, 2),
+    "supplier_part_pagerank": (6, 0, 1),
     # round-8 pins
-    "dedup_exact_substrings": (3, 0),
-    "zorder_layout": (2, 0),
-    "psi_drift": (3, 0),
-    "temperature_mixing": (3, 0),
+    "dedup_exact_substrings": (3, 0, 2),
+    "zorder_layout": (2, 0, 2),
+    "psi_drift": (2, 0, 2),
+    "temperature_mixing": (3, 0, 1),
     # 12 = three tiny u-stat frequency joins + counts, all dimension-
     # sized; the budget exists to catch a PAIR-sized shuffle appearing
-    "record_linkage_fs": (12, 0),
-    "incremental_join_maintenance": (4, 0),
-    "knn_graph": (4, 0),
+    "record_linkage_fs": (12, 0, 10),
+    "incremental_join_maintenance": (4, 0, 7),
+    "knn_graph": (4, 0, 2),
     # exchanges include ranged_cumsum's range repartition + pid window
     # shuffle; the ceiling exists to catch a corpus-sized SINGLE-task
     # sort creeping back in (it would show as Exchange SinglePartition,
     # which also counts here)
-    "ks_drift": (4, 0),
-    "winsorize_stats": (6, 0),
+    "ks_drift": (4, 0, 1),
+    "winsorize_stats": (6, 0, 1),
     # retrieval family: phrase matching is map-only; the boolean AND is
     # two postings-sized shuffles; the compression planner's third
     # exchange is the (term, shard) lag window; WAND/RRF ceilings catch
     # a corpus-sized sort replacing the TakeOrderedAndProject cuts
-    "postings_intersect": (2, 0),
-    "phrase_search": (0, 0),
-    "postings_compress_stats": (3, 0),
-    "wand_bm25_topk": (6, 0),
-    "rrf_hybrid_search": (6, 0),
+    "postings_intersect": (2, 0, 1),
+    "phrase_search": (0, 0, 1),
+    "postings_compress_stats": (3, 0, 1),
+    "wand_bm25_topk": (6, 0, 3),
+    "rrf_hybrid_search": (6, 0, 6),
     # two-pass heavy hitters: the single python stage is the Arrow MG
     # screen; shuffles carry candidates + the distinct, never raw tokens
-    "heavy_hitters_exact": (3, 1),
+    "heavy_hitters_exact": (3, 1, 3),
     # skyline sweep / sequential packer ride ranged_cummax/ranged_cumsum
     # (range repartition + pid window + tiny offset window each); the
     # ceiling catches a corpus-sized single-task sort replacing them
-    "pareto_frontier": (6, 0),
-    "compaction_plan": (6, 0),
-    "minmax_prune_plan": (1, 0),
+    "pareto_frontier": (6, 0, 2),
+    "compaction_plan": (6, 0, 1),
+    "minmax_prune_plan": (1, 0, 1),
     # PQ: 3 python stages = validity projection + recode pass + the
     # shared approx kernel; 2 shuffles = the bounded candidate narrow +
     # rerank join — a corpus-sized pair shuffle appearing would breach
-    "ann_pq": (2, 3),
+    "ann_pq": (2, 3, 3),
     # request set broadcasts into orders; 3 keyed shuffles ceiling
     # (lineitem join + nation aggregates), dimension-sized outputs
-    "deletion_propagation": (3, 0),
+    "deletion_propagation": (3, 0, 5),
     # Arrow UDTF over TABLE(... PARTITION BY): one keyed shuffle + the
     # single ArrowEvalPythonUDTF stage — a second shuffle or a
     # BatchEvalPython (row-mode) stage appearing is a regression
-    "udtf_run_lengths": (1, 1),
-    "decimal_money_rollup": (1, 0),
+    "udtf_run_lengths": (1, 1, 1),
+    "decimal_money_rollup": (1, 0, 1),
     # IVFPQ: 3 python stages = validity projection + recode pass + the
     # probed approx kernel; 2 shuffles = candidate narrow + rerank join
-    "ann_ivfpq": (2, 3),
+    "ann_ivfpq": (2, 3, 3),
     # Poisson bootstrap: the Bx expansion must stay scan-side — one
     # groupBy(b) shuffle of B-row partials plus the 32-row rank window
-    "bootstrap_ci_revenue": (2, 0),
+    "bootstrap_ci_revenue": (2, 0, 1),
     # TPC-H Q2 analogue: one (part,supp) agg shuffle + one partitioned
     # window on partkey; lineitem scanned exactly ONCE (the groupBy-then-
     # self-join alternative re-derives the fact subtree) and every
     # dimension broadcasts
-    "min_cost_supplier": (2, 0),
+    "min_cost_supplier": (2, 0, 7),
     # TPC-H Q9 analogue: fact-fact join on orderkey + final (nation,year)
     # agg; part/supplier/nation all broadcast
-    "product_profit_rollup": (2, 0),
+    "product_profit_rollup": (2, 0, 5),
     # TPC-H Q11 analogue: one partkey agg shuffle + the 1-row total's
     # SinglePartition exchange; the HAVING is an integer cross-multiply
     # against the broadcast total, never a float division
-    "important_part_value": (2, 0),
+    "important_part_value": (2, 0, 0),
     # TPC-H Q20 analogue: nested semi-joins — one (supp,part) agg shuffle;
     # part keys and the qualifying-supplier aggregate both broadcast
-    "promotable_part_suppliers": (2, 0),
+    "promotable_part_suppliers": (2, 0, 5),
     # KMV bounded build: exact countDistinct (2 exchanges) + the three
     # sketch-sized exchanges (candidate distinct, k-of-union window,
     # per-type max); the single python stage is the kmin_hashes pass
-    "kmv_distinct_users": (4, 1),
+    "kmv_distinct_users": (4, 1, 2),
     # set algebra adds theta/membership joins over <=2K-row frames
-    "kmv_set_algebra": (5, 1),
+    "kmv_set_algebra": (5, 1, 1),
     # first-fail funnel: stage groupBy + the 6-row-derived total's
     # SinglePartition + its broadcast — ONE scan (a second scan for the
     # total was the round-11 review finding)
-    "curation_funnel_audit": (3, 0),
+    "curation_funnel_audit": (1, 0, 1),
     # df boilerplate: (source,gram) agg + src rollup + join-back + doc agg
-    "boilerplate_ngram_profile": (4, 0),
+    "boilerplate_ngram_profile": (4, 0, 1),
     # PR sweep rides the NB pass; the sweep itself adds ONE 5-key agg
-    "quality_pr_curve": (3, 0),
+    "quality_pr_curve": (3, 0, 1),
     # KN model: the (w1,w2) count is the ONLY corpus-sized shuffle;
     # derived tables reuse its persisted frame
-    "kn_bigram_model": (2, 0),
+    "kn_bigram_model": (2, 0, 1),
     # OOF encoding: the (segment,fold) agg + the 25-row-derived category
     # rollup's exchange + one model-sized re-distribution; all joins back
     # onto the facts broadcast
-    "target_encode_oof": (3, 0),
+    "target_encode_oof": (3, 0, 4),
     # Benford: one (type,digit) agg + derived type rollup + spine joins
-    "benford_first_digit": (3, 0),
+    "benford_first_digit": (3, 0, 2),
     # AUC: persisted (score,label) agg feeds ranged_cumsum + class window;
     # final job is the score-level join + per-class agg
-    "roc_auc_per_class": (2, 0),
+    "roc_auc_per_class": (2, 0, 1),
     # lift: per-user agg + ranged_ntile's two-pass scheme + 10-row rollup
-    "decile_lift_table": (5, 0),
+    "decile_lift_table": (5, 0, 1),
     # chi2: persisted contingency agg; marginals/spine are derived tiny
-    "chi2_independence": (2, 0),
+    "chi2_independence": (2, 0, 1),
     # OLS: per-customer agg + per-segment sufficient-statistics agg
-    "ols_by_segment": (2, 0),
+    "ols_by_segment": (2, 0, 2),
     # BFS: persisted edges/frontier/visited; final job unions 1-row aggs
-    "bfs_levels": (4, 0),
+    "bfs_levels": (4, 0, 1),
     # 7-day reach: persisted (user,day) distinct + broadcast day spine +
     # the (day,user) distinct-count expand
-    "sliding_distinct_users": (3, 0),
+    "sliding_distinct_users": (3, 0, 1),
     # centroid cosine: persisted (label,dim) integer-sum frame; pair and
     # norm joins are centroid-sized
-    "label_centroid_cosine": (2, 0),
+    "label_centroid_cosine": (2, 0, 1),
     # ALS half-step: the fact join (orders side broadcasts at smoke
     # scale) + ONE per-user sufficient-statistics aggregate
-    "als_half_step": (1, 0),
+    "als_half_step": (1, 0, 2),
     # k-core: persisted edges/active sets; final job = per-round degree
     # joins + 1-row count aggregates
-    "kcore_peel": (5, 0),
+    "kcore_peel": (5, 0, 1),
     # BPE round: persisted vocab-symbol frame + two pair aggregates and
     # the 1-row argmax broadcast
-    "bpe_merge_step": (2, 0),
+    "bpe_merge_step": (2, 0, 1),
     # drift monitor: staged stream histogram sum + reference histogram +
     # 10-row spine/total broadcasts
-    "streaming_drift_monitor": (3, 0),
+    "streaming_drift_monitor": (2, 0, 2),
     # RANGE frame: one user-keyed exchange, one running-frame pass
-    "trailing_hour_value": (1, 0),
+    "trailing_hour_value": (1, 0, 1),
     # STL-lite: daily agg + calendar-sized window/dow/join stages
-    "seasonal_decompose": (3, 0),
+    "seasonal_decompose": (3, 0, 1),
     # path rollup: scan-side 3-way explode + ONE (level, ancestor) agg
-    "hierarchy_rollup": (1, 0),
+    "hierarchy_rollup": (1, 0, 1),
     # A-priori: persisted items/basket/L2 frames; final job = pruning
     # semi-joins + the downward-closed triple aggregate
-    "apriori_triples": (3, 0),
+    "apriori_triples": (3, 0, 1),
     # reliability diagram: rides the persisted NB scoring frame + ONE
     # <=10-bin aggregate
-    "calibration_curve": (1, 0),
+    "calibration_curve": (1, 0, 1),
     # stump search: feature join + persisted grid agg; scoring/argmin on
     # the domain-bounded grid
-    "stump_split_search": (3, 0),
+    "stump_split_search": (3, 0, 2),
     # ANOVA: persisted per-segment sufficient stats; totals/terms derive
-    "anova_f_segments": (2, 0),
+    "anova_f_segments": (2, 0, 1),
     # path mining: one user-keyed sort + the alphabet-bounded path agg
-    "top_event_paths": (2, 0),
+    "top_event_paths": (2, 0, 1),
     # WOE/IV: feature join + ONE bin agg; totals from the 10-row frame
-    "woe_iv_encoding": (4, 0),
+    "woe_iv_encoding": (4, 0, 2),
     # TextRank: persisted pair/edge frames + per-iteration join/agg; the
     # report is TakeOrdered + a 20-row window
-    "textrank_keywords": (3, 0),
+    "textrank_keywords": (3, 0, 1),
     # word2vec negatives: ONE unigram agg; weights/shares vocab-sized
-    "negative_sampling_table": (1, 0),
+    "negative_sampling_table": (1, 0, 1),
     # recall eval: persisted truth frame + the IVF bucket join + hit join
-    "ann_recall_eval": (1, 0),
+    "ann_recall_eval": (1, 0, 2),
     # map gauntlet: (user,type) agg + per-user entry collect; all map
     # ops row-local
-    "map_ops_gauntlet": (2, 0),
+    "map_ops_gauntlet": (2, 0, 1),
     # round-11 seventh wave
     # one user_id window shuffle + the entry-type rollup
-    "session_bounce_stats": (2, 0),
+    "session_bounce_stats": (2, 0, 1),
     # daily rollup + 7-row lag aggregate; day-frame joins broadcast
-    "acf_daily_revenue": (2, 0),
+    "acf_daily_revenue": (2, 0, 1),
     # ONE (cell,band) groupBy (pinned frame feeds all four rollups);
     # a second data-sized exchange appearing means the pin was lost
-    "t_closeness_audit": (2, 0),
+    "t_closeness_audit": (2, 0, 1),
     # per-customer agg + ranged_cumsum's range repartition/pid window;
     # the ceiling catches a corpus-sized single-task rank sort
-    "gini_spend": (4, 0),
+    "gini_spend": (4, 0, 1),
     # vocab agg + ranged rank (range repartition + pid window) + the
     # |langs|-row offset rollup; same single-task-sort guard
-    "zipf_fit": (4, 0),
+    "zipf_fit": (4, 0, 1),
     # both raters ride one scan; the only exchange is the 1-row agg
-    "rater_agreement_kappa": (1, 0),
+    "rater_agreement_kappa": (1, 0, 1),
     # bm25's postings-bounded shape + TakeOrdered cut + 1-row metric
     # frames; a corpus-sized sort replacing the cut would breach
-    "ranking_eval_bm25": (7, 0),
+    "ranking_eval_bm25": (7, 0, 4),
     # per-customer agg + ranged_ntile's bounded stages + the 10-row
     # decile windows (constant-size single-partition frames)
-    "lorenz_curve_deciles": (5, 0),
+    "lorenz_curve_deciles": (5, 0, 1),
     # bm25 scoring + PRF TakeOrdered cut + candidate-vocab df pass; the
     # pinned tok/cand frames make every reread an InMemoryTableScan
-    "prf_expansion_terms": (8, 0),
+    "prf_expansion_terms": (8, 0, 5),
     # one presence distinct + the doc-keyed label join; chi2 runs on
     # the vocab frame against a broadcast 1-row total
-    "token_chi2_keywords": (2, 0),
+    "token_chi2_keywords": (2, 0, 2),
     # the monthly agg collects to a calendar-bounded driver fold; the
     # returned frame is a LocalTableScan — any exchange beyond the agg
     # means the fold stopped being driver-side
-    "holt_linear_forecast": (1, 0),
+    "holt_linear_forecast": (1, 0, 0),
     # cluster members come from the pinned CC label frame; the size
     # histogram is two cluster-count-sized aggregates
-    "dup_cluster_size_stats": (2, 0),
+    "dup_cluster_size_stats": (2, 0, 0),
     # one (source,lang) agg + 1-row total + the cell-sized entropy
     # window (Exchange SinglePartition over |cells| rows, constant)
-    "source_mix_entropy": (4, 0),
+    "source_mix_entropy": (2, 0, 1),
     # one scan-side count projection + the |langs|-row rollup
-    "tokenizer_fertility_report": (1, 0),
+    "tokenizer_fertility_report": (1, 0, 1),
     # posexplode agg to (label,dim) + broadcast centroid join + the
     # vec-keyed map-side-combined aggregate; a data-sized SORT or a
     # non-broadcast centroid join appearing would breach
-    "embedding_label_outliers": (4, 0),
+    "embedding_label_outliers": (4, 0, 3),
     # key counts + 1-row stats + TakeOrdered cut (no global sort)
-    "hot_key_skew_report": (3, 0),
+    "hot_key_skew_report": (3, 0, 1),
     # one lang_id scan + the |langs|^2 matrix agg + class-total rollup
-    "lang_id_confusion": (3, 0),
+    "lang_id_confusion": (3, 0, 1),
     # part-revenue agg + ranged_cumsum's bounded stages (descending
     # order key); a data-sized single-task sort appearing would breach
-    "abc_analysis_parts": (3, 0),
+    "abc_analysis_parts": (3, 0, 1),
     # round-11 late wave
     # Hilbert planner: bounds SinglePartition + the 16-group agg; the
     # 4-level rotate-reflect chain must stay a collapsed projection
-    "hilbert_layout": (2, 0),
+    "hilbert_layout": (2, 0, 2),
     # stack profile: the two-phase COUNT(DISTINCT) expansion keyed
     # (col_name, val) then col_name — a third exchange means the
     # partial-distinct collapse was lost
-    "column_profile_report": (2, 0),
+    "column_profile_report": (2, 0, 1),
     # vintage union: alignment is a projection (zero exchanges of its
     # own); the 2-group distinct-count agg pays the same two phases
-    "schema_drift_union": (2, 0),
+    "schema_drift_union": (2, 0, 2),
     # WAV DSP features: ONE Arrow stage, zero shuffles
-    "audio_feature_stats": (0, 1),
+    "audio_feature_stats": (0, 1, 1),
     # erasure cascade: 4 distinct-count aggregates at two phases each;
     # the semi-join chain must broadcast/AQE, never add fact shuffles
     # beyond the pinned distinct exchanges
-    "forget_cascade_audit": (8, 0),
+    "forget_cascade_audit": (4, 0, 3),
     # link prediction: edge build + distinct, degree agg + join-back,
     # md5 neighbor-sample window, sampled adjacency agg, anti-join,
     # pair agg, per-source top-K window — all keyed on high-cardinality
     # ids; a pair SELF-JOIN creeping in would breach this ceiling
-    "link_prediction_aa": (11, 0),
+    "link_prediction_aa": (11, 0, 1),
     # Shapley: per-user agg + 8-cell agg; everything after is 8-row
     # frames (the 1-row channel sums each pay a SinglePartition)
-    "shapley_attribution": (9, 0),
+    "shapley_attribution": (3, 0, 1),
     # conformal: the persisted kmin key set is the ONE Arrow stage; the
     # mean/coverage aggregates pay the remaining keyed exchanges — a
     # second python stage means the persist was lost and the bounded
     # pass re-runs per consumer
-    "conformal_value_intervals": (3, 1),
+    "conformal_value_intervals": (3, 1, 2),
     # probe sweep: persisted truth + three bucket-pruned probes; the
     # ceiling leaves room for the Arrow assignment stages AQE sometimes
     # surfaces in the final plan — anything beyond means the truth
     # persist was lost and brute force re-runs per probe
-    "ivf_probe_recall_sweep": (4, 2),
+    "ivf_probe_recall_sweep": (4, 2, 2),
     # recursive CTE: the UnionLoop is projection-only per iteration; the
     # single exchange is the category rollup (one spare for AQE variants)
-    "recursive_category_rollup": (2, 0),
+    "recursive_category_rollup": (2, 0, 0),
     # LATERAL top-N: decorrelated to WindowGroupLimit — the segment
     # distinct + the pruned window exchange; a non-decorrelated plan
     # (per-segment subquery re-execution) would breach instantly
-    "lateral_top_balances": (3, 0),
+    "lateral_top_balances": (3, 0, 2),
     # --- round-12 backfill: every remaining BENCH_HEADLINE query now
     # carries a ceiling, pinned verbatim from the regenerated PLANS.md
     # digests (same method, same smoke scale), so NO headline plan can
@@ -562,54 +613,54 @@ _PLAN_BUDGET = {
     # POST-drain batch plan and driver-fit rows the returned model
     # frame, as PLANS.md's header documents; their low ceilings pin
     # exactly that contract.
-    "ann_ivf": (1, 2),
-    "ann_sq8": (2, 1),
-    "asof_last_click_before_purchase": (1, 0),
-    "bigram_lm_score": (4, 0),
-    "cluster_topics": (2, 1),
-    "contamination_check": (2, 0),
-    "dedup_incremental": (1, 0),
-    "dedup_ngram_jaccard": (1, 0),
-    "dedup_simhash": (1, 0),
-    "doc_fingerprint": (0, 0),
-    "dsir_importance_weights": (2, 0),
-    "forecast_revenue": (1, 0),
-    "full_outer_rollup": (2, 0),
-    "fuzzy_match_parts": (2, 0),
-    "gif_decode_stats": (0, 1),
-    "hll_distinct_users": (4, 0),
-    "image_decode_stats": (0, 1),
-    "jpeg_decode_stats": (0, 1),
-    "jpeg_lossy_stats": (0, 1),
-    "jsonl_sink_roundtrip": (1, 0),
-    "k_anonymize_customers": (1, 0),
-    "lang_id": (0, 0),
-    "longest_streak": (1, 1),
-    "map_valued_agg": (1, 0),
-    "market_basket_rules": (2, 0),
-    "markov_attribution": (0, 0),
-    "mjpeg_frame_stats": (0, 1),
-    "mode_per_user": (2, 0),
-    "nation_trade_volume": (1, 0),
-    "nb_quality_classifier": (0, 0),
-    "observed_write_metrics": (0, 0),
-    "orc_roundtrip_revenue": (1, 0),
-    "pca_top_component": (0, 0),
-    "pii_scan_docs": (1, 0),
-    "recency_filter": (2, 0),
-    "returned_item_top_customers": (1, 0),
-    "rfm_segments": (7, 0),
-    "running_total": (1, 0),
-    "shipping_priority": (1, 0),
-    "stratified_sample": (1, 0),
-    "streaming_daily_peak": (0, 0),
-    "streaming_dedup": (1, 0),
-    "streaming_hourly_counts": (0, 0),
-    "streaming_left_outer_join": (0, 0),
-    "streaming_sequence_funnel": (2, 0),
-    "text_quality": (0, 0),
-    "token_pmi": (1, 0),
-    "unigram_freq_score": (2, 0),
+    "ann_ivf": (1, 2, 3),
+    "ann_sq8": (2, 1, 3),
+    "asof_last_click_before_purchase": (1, 0, 1),
+    "bigram_lm_score": (4, 0, 2),
+    "cluster_topics": (2, 1, 2),
+    "contamination_check": (2, 0, 2),
+    "dedup_incremental": (1, 0, 2),
+    "dedup_ngram_jaccard": (1, 0, 1),
+    "dedup_simhash": (1, 0, 1),
+    "doc_fingerprint": (0, 0, 1),
+    "dsir_importance_weights": (2, 0, 2),
+    "forecast_revenue": (1, 0, 1),
+    "full_outer_rollup": (2, 0, 2),
+    "fuzzy_match_parts": (2, 0, 1),
+    "gif_decode_stats": (0, 1, 1),
+    "hll_distinct_users": (4, 0, 2),
+    "image_decode_stats": (0, 1, 1),
+    "jpeg_decode_stats": (0, 1, 1),
+    "jpeg_lossy_stats": (0, 1, 1),
+    "jsonl_sink_roundtrip": (1, 0, 1),
+    "k_anonymize_customers": (1, 0, 2),
+    "lang_id": (0, 0, 1),
+    "longest_streak": (1, 1, 1),
+    "map_valued_agg": (1, 0, 2),
+    "market_basket_rules": (2, 0, 2),
+    "markov_attribution": (0, 0, 0),
+    "mjpeg_frame_stats": (0, 1, 1),
+    "mode_per_user": (2, 0, 1),
+    "nation_trade_volume": (1, 0, 5),
+    "nb_quality_classifier": (0, 0, 1),
+    "observed_write_metrics": (0, 0, 0),
+    "orc_roundtrip_revenue": (1, 0, 1),
+    "pca_top_component": (0, 0, 0),
+    "pii_scan_docs": (1, 0, 1),
+    "recency_filter": (2, 0, 2),
+    "returned_item_top_customers": (1, 0, 4),
+    "rfm_segments": (7, 0, 1),
+    "running_total": (1, 0, 1),
+    "shipping_priority": (1, 0, 3),
+    "stratified_sample": (1, 0, 1),
+    "streaming_daily_peak": (0, 0, 0),
+    "streaming_dedup": (1, 0, 0),
+    "streaming_hourly_counts": (0, 0, 0),
+    "streaming_left_outer_join": (0, 0, 0),
+    "streaming_sequence_funnel": (2, 0, 0),
+    "text_quality": (0, 0, 1),
+    "token_pmi": (1, 0, 1),
+    "unigram_freq_score": (2, 0, 2),
 }
 
 
@@ -627,8 +678,9 @@ def test_every_headline_query_has_a_plan_budget():
 @pytest.mark.parametrize("name", sorted(_PLAN_BUDGET))
 def test_plan_budget_ceilings(spark, name):
     """Execute the query at smoke scale and digest its FINAL adaptive
-    plan (tools/plan_report.py's method): shuffle count and Python-stage
-    count must not exceed the pinned ceiling."""
+    plan (tools/plan_report.py's method): shuffle count, Python-stage
+    count and source-scan count must not exceed the pinned ceilings
+    (scans = the double-execution gate; see the table comment)."""
     import sys
     from pathlib import Path
 
@@ -637,7 +689,7 @@ def test_plan_budget_ceilings(spark, name):
 
     from cliqz_etl_spark.operators.cache import release_all
 
-    max_shuffles, max_python = _PLAN_BUDGET[name]
+    max_shuffles, max_python, max_scans = _PLAN_BUDGET[name]
     try:
         df = _REGISTRY[name].fn(spark, SF_SMOKE)
         df.collect()
@@ -646,3 +698,4 @@ def test_plan_budget_ceilings(spark, name):
         release_all()
     assert d["exchanges"] <= max_shuffles, (name, d)
     assert d["python"] <= max_python, (name, d)
+    assert d["scans"] <= max_scans, (name, d)
