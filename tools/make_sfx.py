@@ -10,11 +10,11 @@ keys (orderkey += i*150k, custkey += i*15k, ...), preserving the
 original value distributions while multiplying volume; nation/region
 stay as-is. Two deliberate content choices:
 
-- documents: replicas 0-4 keep the original text (planted corpus-level
-  duplication, the regime dedup operators exist for); replicas 5-9
+- documents: even replicas keep the original text (planted corpus-level
+  duplication, the regime dedup operators exist for); odd replicas
   reverse the token order (distinct content, same vocabulary/Zipf
-  shape), so dedup workloads see a ~50% duplicate corpus instead of a
-  degenerate 100% one.
+  shape), so dedup workloads see two duplicate families per source doc
+  at ANY factor instead of a degenerate all-identical corpus.
 - embeddings: each replica adds a deterministic per-component jitter
   (hash(vec_id, j) scaled to ~1% of the coordinate range), so ANN
   geometry gains new near-neighbors instead of exact clones whose
@@ -59,7 +59,7 @@ def replica_select(table: str, i: int) -> str:
     for c in cols:
         if c in shifts:
             exprs.append(f"({c} + {i * shifts[c]}) AS {c}")
-        elif table == "documents" and c == "text" and i >= 5:
+        elif table == "documents" and c == "text" and i % 2 == 1:
             # reversed token order: same vocabulary, distinct content
             exprs.append(
                 "array_to_string(list_reverse(string_split_regex("
